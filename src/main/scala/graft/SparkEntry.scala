@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ProtocolQueries.queries
+    CoreQueries.queries ++ ProtocolQueries.queries ++
+      StateQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ProtocolQueries.oracles
+    CoreQueries.oracles ++ ProtocolQueries.oracles ++
+      StateQueries.oracles ++ AnalyticsQueries.oracles
 }

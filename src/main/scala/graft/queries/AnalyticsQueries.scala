@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Grouping sets, event-time windows, and the first LLM-pipeline extension
+  * operators (SURVEY.md §2.4/§2.9/§2.11). Everything is keyed/shuffle
+  * parallel; the similarity search broadcasts the tiny query side.
+  */
+object AnalyticsQueries {
+
+  /** ROLLUP over the 5-way enrichment join: region → nation → grand total. */
+  val q24Rollup: Q = (s, d) => {
+    val j = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+    j.rollup(col("r_name"), col("n_name"))
+      .agg(
+        (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0)).as("base_price"),
+        count(lit(1)).as("n_lines"),
+        grouping(col("r_name")).as("g_r"),
+        grouping(col("n_name")).as("g_n"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("r_label"),
+        coalesce(col("n_name"), lit("(all)")).as("n_label"),
+        col("base_price"), col("n_lines"), col("g_r"), col("g_n"))
+      .orderBy(col("g_r"), col("g_n"), col("r_label"), col("n_label"))
+  }
+
+  /** CUBE over order status × priority. */
+  val q25Cube: Q = (s, d) => {
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))).cast("double") / lit(100.0)).as("total"),
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"), col("g_s"), col("g_p"))
+      .orderBy(col("g_s"), col("g_p"), col("status"), col("priority"))
+  }
+
+  /** EXT-5 — sessionization, batch twin (gaps-and-islands on >30 min gaps;
+    * the streaming twin uses session_window, see graft.streaming).
+    */
+  val q26Sessionize: Q = (s, d) => {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
+      .withColumn("sess",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / lit(100.0)).as("total_value"))
+      .select(col("user_id"), col("sess").cast("long").as("sess"),
+        col("session_start"), col("session_end"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** EXT-6 — tumbling 1-hour event-time windows. */
+  val q27Tumbling: Q = (s, d) => {
+    events(s, d)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / lit(100.0)).as("total"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
+  /** EXT-6 — sliding windows (1 hour every 15 min): each event lands in 4
+    * overlapping windows.
+    */
+  val q28Sliding: Q = (s, d) => {
+    events(s, d)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"), col("n"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
+  /** EXT-3 — brute-force top-k cosine similarity: 5 query vectors
+    * (broadcast) against all embeddings; the left fold over zip_with runs
+    * in index order, so scores are bit-identical to the DuckDB twin.
+    * 100 TB path: same plan — the fact side streams, only k·|queries|
+    * rows survive the per-query row_number filter.
+    */
+  val q29TopkCosine: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    def asDouble(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val cands = emb.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** EXT-1 — exact dedup by content hash (sha256), keeping the smallest id
+    * per group. events.props has real duplicates; pure hash shuffle.
+    */
+  val q30ExactDedup: Q = (s, d) => {
+    events(s, d)
+      .withColumn("h", sha2(col("props"), 256))
+      .groupBy(col("h"))
+      .agg(min(col("event_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy(col("h"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q24_rollup"       -> q24Rollup,
+    "q25_cube"         -> q25Cube,
+    "q26_sessionize"   -> q26Sessionize,
+    "q27_tumbling"     -> q27Tumbling,
+    "q28_sliding"      -> q28Sliding,
+    "q29_topk_cosine"  -> q29TopkCosine,
+    "q30_exact_dedup"  -> q30ExactDedup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS r_label, COALESCE(n_name, '(all)') AS n_label,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS base_price,
+        |  count(*) AS n_lines,
+        |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_r, g_n, r_label, n_label""".stripMargin,
+    "q25_cube" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status, COALESCE(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s, CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_s, g_p, status, priority""".stripMargin,
+    "q26_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS brk FROM g),
+        |i AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM b)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |  min(ts_us) AS session_start, max(ts_us) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM i GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q27_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws_us, event_type""".stripMargin,
+    "q28_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t,
+        |    epoch_us(ts) - epoch_us(ts) % 900000000 AS base
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, base - CAST(i AS BIGINT) * 900000000 AS ws_us
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS i))
+        |SELECT ws_us, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2
+        |ORDER BY ws_us, event_type""".stripMargin,
+    "q29_topk_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q30_exact_dedup" ->
+      """SELECT sha256(props) AS h, min(event_id) AS keeper, count(*) AS n_dups
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+  )
+}
