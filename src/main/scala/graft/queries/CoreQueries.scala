@@ -100,8 +100,13 @@ object CoreQueries {
       .select(col("s_suppkey").as("router"), col("lo"), col("hi"))
     val last = intervals.orderBy(col("router").desc).limit(1)
       .select(col("router").as("last_router"), col("hi").as("last_hi"))
+    // interval domain is small and dense → expand [lo,hi] to one row per
+    // covered value and broadcast-hash-equi-join instead of a nested-loop
+    // BETWEEN join (codegen'd hash probe vs per-row interval scan; the
+    // generic range-join fallback only pays off for sparse/huge domains)
+    val lookup = intervals.select(col("router"), explode(sequence(col("lo"), col("hi"))).as("q"))
     val li = lineitem(s, d).select(col("l_quantity").cast("long").as("q"))
-    li.join(broadcast(intervals), col("q").between(col("lo"), col("hi")), "left")
+    li.join(broadcast(lookup), Seq("q"), "left")
       .crossJoin(broadcast(last))
       .withColumn("router", coalesce(col("router"), col("last_router")))
       .groupBy(col("router"))

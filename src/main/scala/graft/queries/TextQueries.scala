@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.ops.TextOps
+
+/** LLM-pipeline text operators over `documents`/`embeddings`
+  * (SURVEY.md §2.11): MinHash+LSH near-dup, n-gram Jaccard, language-ID,
+  * quality scoring, token stats, fingerprinting, SimHash, multimodal
+  * struct assembly, LSH-bucketed ANN.
+  *
+  * Scale shape: every pipeline is explode → hash-shuffle → aggregate;
+  * candidate generation is always banded/bucketed (never all-pairs), so
+  * the 100 TB path holds.
+  */
+object TextQueries {
+
+  private val P = TextOps.P
+
+  /** EXT-2 — MinHash+LSH near-duplicate detection: 3-gram shingles →
+    * 8 minhashes → 4 bands of 2 → band-equality join for candidates →
+    * exact Jaccard verification ≥ 0.1. Only banded candidates are ever
+    * paired — the all-pairs quadratic never materializes.
+    */
+  val q31NeardupMinhash: Q = (s, d) => {
+    // Signature table (persisted: both sides of the band join and of the
+    // verify join read it — at cluster scale this is the materialized
+    // signature table you would write out once and reuse). Shingle hashes
+    // are composed algebraically from per-token hashes; the shingle
+    // *strings* are only ever built for verification candidates below.
+    val sig = documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+        TextOps.bindOnce(TextOps.tokens(col("text"))) { toks =>
+          TextOps.bindOnce(transform(toks, t => TextOps.charHash(t, TextOps.P))) { th =>
+            TextOps.shingleHashes3(toks, th)
+          }
+        }.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist()
+    val withMh = sig.select(
+      col("doc_id") +:
+        (0 until 8).map(j => TextOps.minhashFromHashes(col("hs"), j).as(s"mh$j")): _*)
+    val bands = withMh.select(
+      col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          (col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // exact-Jaccard verification: join tokens first, build shingle
+    // strings only for the (few) banded candidate rows
+    cands
+      .join(sig.select(col("doc_id").as("da"), col("toks").as("toksa")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("toks").as("toksb")), Seq("db"))
+      .withColumn("sha", TextOps.shinglesFromTokens(col("toksa"), 3))
+      .withColumn("shb", TextOps.shinglesFromTokens(col("toksb"), 3))
+      .withColumn("n_int", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac",
+        col("n_int").cast("double") / (size(col("sha")) + size(col("shb")) - col("n_int")))
+      .filter(col("jac") >= 0.1)
+      .select(col("da"), col("db"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** EXT-2 — exact 2-gram Jaccard via an inverted-index join on shared
+    * bigram shingles (1/5 doc sample keeps the candidate set bounded;
+    * bigrams are selective where the unigram vocabulary is not).
+    */
+  val q32NgramJaccard: Q = (s, d) => {
+    val tok = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("toks"), 2).as("t"))
+      .persist()
+    val ex = tok.select(col("doc_id"), explode(col("t")).as("w"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = tok.select(col("doc_id"), size(col("t")).as("n"))
+    shared
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.05)
+      .select(col("da"), col("db"), col("shared"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** EXT-4 — n-gram-heuristic language ID with per-language marker
+    * scores.
+    */
+  val q33LangId: Q = (s, d) => {
+    val cols = Seq(col("doc_id"), col("lang")) ++
+      TextOps.langMarkers.map { case (l, _) => TextOps.langScore(col("text"), l).as(s"s_$l") } :+
+      TextOps.langId(col("text")).as("predicted")
+    documents(s, d).select(cols: _*).orderBy(col("doc_id"))
+  }
+
+  /** EXT-4 — quality scoring: token/char stats, stopword + digit ratios,
+    * clamped linear score.
+    */
+  val q34Quality: Q = (s, d) => {
+    documents(s, d).select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars_m"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+      (length(col("text")).cast("double") / size(TextOps.tokens(col("text")))).as("avg_tok_len"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT-4 — corpus token stats ROLLUP by (lang, source) with exact
+    * distinct counts (the approx_count_distinct twin is unit-tested, not
+    * oracled — SURVEY.md §2.11).
+    */
+  val q35TokenStats: Q = (s, d) => {
+    documents(s, d)
+      .select(col("lang"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        col("n_chars"))
+      .rollup(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping(col("lang")).as("g_l"),
+        grouping(col("source")).as("g_s"))
+      .select(
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n_docs"), col("total_tokens"), col("total_chars"), col("g_l"), col("g_s"))
+      .orderBy(col("g_l"), col("g_s"), col("lang"), col("source"))
+  }
+
+  /** EXT-4 — rolling polynomial fingerprint. The oracle derives the same
+    * value through the power-sum form Σ th_i·31^(n−i) mod P — an
+    * independent formulation of the recurrence.
+    */
+  val q36Fingerprint: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT-4 — 16-bit SimHash (scalar fold in Spark; the oracle uses the
+    * relational per-bit vote formulation).
+    */
+  val q37Simhash: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), TextOps.simhash16(col("text")).as("sh16"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT-7 — multimodal struct assembly + field pruning: documents joined
+    * to their embedding, packed into a nested struct, then only some
+    * fields projected back out (Catalyst prunes the rest).
+    */
+  val q38Multimodal: Q = (s, d) => {
+    def dot(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (s0, v) => s0 + v)
+    val joined = documents(s, d)
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), struct(
+        struct(substring(col("text"), 1, 40).as("prefix"), col("lang").as("lang")).as("txt"),
+        struct(size(col("embedding")).as("dim"), sqrt(dot(col("embedding"))).as("norm")).as("vec"),
+        col("source").as("source")).as("doc"))
+    joined.select(
+      col("doc_id"),
+      col("doc.txt.prefix").as("prefix"),
+      col("doc.txt.lang").as("lang"),
+      col("doc.vec.dim").as("dim"),
+      col("doc.vec.norm").as("norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT-3 — LSH-bucketed ANN (the 100 TB path for q29): bucket by the
+    * sign bits of the first 4 dimensions, equi-join query↔candidate on
+    * the bucket, cosine + top-5 inside the bucket only.
+    */
+  val q39AnnLsh: Q = (s, d) => {
+    def asDouble(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def bucket(e: org.apache.spark.sql.Column) =
+      (0 until 4).map(i => when(element_at(e, i + 1) > 0f, 1 << (3 - i)).otherwise(0))
+        .reduce(_ + _)
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), bucket(col("embedding")).as("bkt"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bkt"))
+    val scored = emb.join(broadcast(queries), Seq("bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("bkt"),
+        col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q31_neardup_minhash" -> q31NeardupMinhash,
+    "q32_ngram_jaccard"   -> q32NgramJaccard,
+    "q33_lang_id"         -> q33LangId,
+    "q34_quality"         -> q34Quality,
+    "q35_token_stats"     -> q35TokenStats,
+    "q36_fingerprint"     -> q36Fingerprint,
+    "q37_simhash"         -> q37Simhash,
+    "q38_multimodal"      -> q38Multimodal,
+    "q39_ann_lsh"         -> q39AnnLsh,
+  )
+
+  private val charHashSql =
+    "list_reduce(list_transform(generate_series(1, length(%s)), i -> CAST(ascii(%s[i]) AS BIGINT)), (a, x) -> (a * 31 + x) %% 1000000007)"
+
+  val oracles: Map[String, String] = Map(
+    "q31_neardup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |hs AS (SELECT doc_id, s,
+        |  list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS h
+        |  FROM ex),
+        |mh AS (
+        |  SELECT doc_id,
+        |    min((3*h + 7) % 1000000007) AS mh0, min((5*h + 12) % 1000000007) AS mh1,
+        |    min((7*h + 17) % 1000000007) AS mh2, min((9*h + 22) % 1000000007) AS mh3,
+        |    min((11*h + 27) % 1000000007) AS mh4, min((13*h + 32) % 1000000007) AS mh5,
+        |    min((15*h + 37) % 1000000007) AS mh6, min((17*h + 42) % 1000000007) AS mh7
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b AS band,
+        |    CASE b WHEN 0 THEN mh0 * 1000000007 + mh1 WHEN 1 THEN mh2 * 1000000007 + mh3
+        |           WHEN 2 THEN mh4 * 1000000007 + mh5 ELSE mh6 * 1000000007 + mh7 END AS key
+        |  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |shared AS (
+        |  SELECT c.da, c.db, count(*) AS n_int
+        |  FROM cands c JOIN ex a ON a.doc_id = c.da JOIN ex b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY c.da, c.db),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+        |SELECT s.da, s.db,
+        |  CAST(s.n_int AS DOUBLE) / (sa.n + sb.n - s.n_int) AS jac
+        |FROM shared s JOIN sizes sa ON s.da = sa.doc_id JOIN sizes sb ON s.db = sb.doc_id
+        |WHERE CAST(s.n_int AS DOUBLE) / (sa.n + sb.n - s.n_int) >= 0.1
+        |ORDER BY s.da, s.db""".stripMargin,
+    "q32_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t0) - 1, 0)),
+        |    i -> t0[i] || ' ' || t0[i+1])) AS t
+        |  FROM tk WHERE len(t0) >= 2),
+        |ex AS (SELECT doc_id, unnest(t) AS w FROM tok),
+        |shared AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(t) AS n FROM tok)
+        |SELECT da, db, shared,
+        |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jac
+        |FROM shared JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.05
+        |ORDER BY da, db""".stripMargin,
+    "q33_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(['scan','merge','window'], x))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(['the','fast','data'], x))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(['sort','table','query'], x))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(['join','group','row'], x))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(['hash','filter','stream'], x))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(s_de AS INT) AS s_de, CAST(s_en AS INT) AS s_en, CAST(s_es AS INT) AS s_es,
+        |  CAST(s_fr AS INT) AS s_fr, CAST(s_zh AS INT) AS s_zh,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q34_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tok, length(text) AS nc FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tok) AS INT) AS n_tokens,
+        |  CAST(nc AS INT) AS n_chars_m,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9 ]')) AS INT) AS n_bpeish,
+        |  CAST(nc AS DOUBLE) / len(tok) AS avg_tok_len,
+        |  greatest(0.0, least(1.0,
+        |    0.05 * (CAST(nc AS DOUBLE) / len(tok))
+        |    + 0.5 * (CAST(len(list_filter(tok, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(tok))
+        |    - 0.1 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc))) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q35_token_stats" ->
+      """SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang) AS INT) AS g_l, CAST(GROUPING(source) AS INT) AS g_s
+        |FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY g_l, g_s, lang, source""".stripMargin,
+    "q36_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.w, t.i, len(string_split(text, ' ')) AS n
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+        |             generate_subscripts(string_split(text, ' '), 1) AS i) t),
+        |th AS (
+        |  SELECT doc_id, i, n,
+        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS h
+        |  FROM tok),
+        |pw AS (
+        |  SELECT doc_id, i, h,
+        |    CASE WHEN n - i = 0 THEN 1
+        |         ELSE list_reduce(list_transform(generate_series(1, n - i), z -> CAST(31 AS BIGINT)),
+        |                (a, x) -> (a * x) % 1000000007) END AS w31
+        |  FROM th)
+        |SELECT doc_id, CAST(sum((h * w31) % 1000000007) % 1000000007 AS BIGINT) AS fp
+        |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q37_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 65536) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(generate_series(0, 15)) AS b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS sh16
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q38_multimodal" ->
+      """SELECT d.doc_id,
+        |  substring(d.text, 1, 40) AS prefix, d.lang,
+        |  CAST(len(e.embedding) AS INT) AS dim,
+        |  sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q39_ann_lsh" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM emb WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.bkt, e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS cos
+        |  FROM emb e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, bkt, vec_id, cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+  )
+}
