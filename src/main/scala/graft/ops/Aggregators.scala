@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed Aggregators (SURVEY.md §2.10/§7.3): last-wins keyed state for
+  * the streaming route table and a vector centroid for embedding ops.
+  */
+object Aggregators {
+
+  /** One observed write: event time + tiebreak sequence + value. */
+  case class Stamped(ts: Long, seq: Long, value: Int)
+
+  /** OP-33 — last-wins merge as a typed Aggregator: newest (ts, seq)
+    * wins; commutative and associative, so partial aggregation (map-side
+    * combine) is safe — the property ScalaCheck exercises.
+    */
+  object LastWins extends Aggregator[Stamped, Stamped, Int] {
+    private val none = Stamped(Long.MinValue, Long.MinValue, Int.MinValue)
+    def zero: Stamped = none
+    def reduce(b: Stamped, a: Stamped): Stamped = merge(b, a)
+    def merge(a: Stamped, b: Stamped): Stamped =
+      if (b.ts > a.ts || (b.ts == a.ts && b.seq > a.seq)) b else a
+    def finish(r: Stamped): Int = r.value
+    def bufferEncoder: Encoder[Stamped] = Encoders.product[Stamped]
+    def outputEncoder: Encoder[Int] = Encoders.scalaInt
+  }
+
+  /** Element-wise vector sum + count → centroid (EXT-3 IVF-style
+    * clustering building block).
+    */
+  class Centroid(dim: Int) extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
+    def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0) Seq.fill(dim)(0.0) else r._1.toSeq.map(_ / r._2)
+    def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+}

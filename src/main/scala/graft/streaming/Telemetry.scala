@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** OP-4/OP-33 streaming twins (SURVEY.md §2.9): the reference's poll loop
+  * is a processing-time-triggered source of (ts_us, kind, raw) frames;
+  * route state is a keyed last-wins table.
+  *
+  * These transforms are source-agnostic — the same function body works on
+  * a batch DataFrame and a streaming one (Structured Streaming's unified
+  * model), which is how the specs drive them with MemoryStream.
+  */
+object Telemetry {
+
+  /** Decode STATUS frames into route rows (ts_us, output, input).
+    * OP-7 applied to a frame stream; non-STATUS kinds drop out.
+    */
+  def decodeStatus(frames: DataFrame): DataFrame =
+    frames
+      .filter(col("kind") === "STATUS")
+      .select(col("ts_us"), explode(graft.ops.Protocol.statusRoutes(col("raw"))).as("r"))
+      .select(col("ts_us"), col("r.output").as("output"), col("r.input").as("input"))
+
+  /** Scalable last-wins route state: max-by event time per output key.
+    * On a stream this is an update-mode agg (watermark on the caller);
+    * complete-mode snapshot-replace (the reference's semantics,
+    * etl_controller.py:2535-2537) is only viable for tiny key spaces —
+    * SURVEY.md §7.4 risk 6.
+    */
+  def routeState(decoded: DataFrame): DataFrame =
+    decoded
+      .groupBy(col("output"))
+      .agg(max(struct(col("ts_us"), col("input"))).as("m"))
+      .select(col("output"), col("m.input").as("input"), col("m.ts_us").as("ts_us"))
+
+  /** Liveness per device (reference: 10 s heartbeat → green/red,
+    * etl_controller.py:2787-2790): age of the newest frame per device.
+    */
+  def liveness(frames: DataFrame, nowUs: Long, staleAfterUs: Long): DataFrame =
+    frames
+      .groupBy(col("device"))
+      .agg(max(col("ts_us")).as("last_seen_us"))
+      .select(col("device"), col("last_seen_us"),
+        (lit(nowUs) - col("last_seen_us") <= staleAfterUs).as("alive"))
+
+  /** EXT-5 streaming sessionization: 30-minute session windows per user
+    * (batch twin: AnalyticsQueries.q26Sessionize gaps-and-islands).
+    * Works on streaming input with a watermark; `events` must carry a
+    * `ts` timestamp column.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Telemetry
+
+/** Structured Streaming twins (SURVEY.md §2.9): STATUS decode feeding a
+  * last-wins route state, driven through MemoryStream micro-batches the
+  * way the reference's poll loop feeds snapshots.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("streaming STATUS decode → last-wins route state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, String)]
+    val frames = source.toDF().toDF("ts_us", "kind", "raw")
+    val state = Telemetry.routeState(Telemetry.decodeStatus(frames))
+    val query = state.writeStream
+      .format("memory").queryName("route_state").outputMode("complete").start()
+    try {
+      // poll 1: outputs 1..4 routed; position 3 is non-digit → skipped
+      source.addData((1000L, "STATUS", "{BASTATUS,5,3,x,1}"),
+                     (1000L, "MATRIX", "{BAcM,junk}"))
+      query.processAllAvailable()
+      val snap1 = spark.table("route_state").as[(Int, Int, Long)].collect().sortBy(_._1)
+      assert(snap1.toSeq === Seq((1, 5, 1000L), (2, 3, 1000L), (4, 1, 1000L)))
+      // poll 2: newer snapshot rewires output 1, adds output 3
+      source.addData((2000L, "STATUS", "{BASTATUS,9,3,7,1}"))
+      query.processAllAvailable()
+      val snap2 = spark.table("route_state").as[(Int, Int, Long)].collect().sortBy(_._1)
+      assert(snap2.toSeq === Seq((1, 9, 2000L), (2, 3, 2000L), (3, 7, 2000L), (4, 1, 2000L)))
+      // out-of-order stale frame must NOT win
+      source.addData((1500L, "STATUS", "{BASTATUS,6}"))
+      query.processAllAvailable()
+      val snap3 = spark.table("route_state").as[(Int, Int, Long)].collect().sortBy(_._1)
+      assert(snap3.head === ((1, 9, 2000L)))
+    } finally query.stop()
+  }
+
+  test("streaming session windows split on >30 min gaps (EXT-5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = source.toDF().toDF("ts", "user_id")
+    val sessions = Telemetry.sessionCounts(events)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      source.addData((ts(0), 7L), (ts(10), 7L), (ts(55), 7L))
+      query.processAllAvailable()
+      val got = spark.table("sessions")
+        .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().sorted
+      // 10:00+10:10 fuse (gap 10m < 30m); 10:55 starts a new session
+      assert(got.toSeq === Seq((7L, 1L), (7L, 2L)))
+    } finally query.stop()
+  }
+
+  test("liveness heartbeat flags stale devices") {
+    val frames = Seq(("r1", 100L), ("r1", 90L), ("r2", 10L)).toDF("device", "ts_us")
+    val got = Telemetry.liveness(frames, nowUs = 105L, staleAfterUs = 10L)
+      .as[(String, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("r1", 100L, true), ("r2", 10L, false)))
+  }
+}
