@@ -37,9 +37,18 @@ object TextOps {
     size(regexp_extract_all(text, lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9 ]"), lit(0)))
 
   /** Left-fold polynomial char hash: h ← (h*31 + ascii) mod m, from 0.
-    * Bit-identical to a DuckDB list_reduce over the same sequence.
+    * Bit-identical to a DuckDB list_reduce over the same sequence (for
+    * ASCII input). Backed by the native [[graft.functions.PolyHash]]
+    * expression; [[charHashFold]] keeps the pure-built-in formulation for
+    * cross-checking.
     */
   def charHash(s: Column, m: Long): Column =
+    graft.functions.PolyHash(s, m)
+
+  /** The same hash as a pure built-in higher-order-function fold —
+    * reference implementation for the PolyHash equivalence property test.
+    */
+  def charHashFold(s: Column, m: Long): Column =
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
       lit(0L),

@@ -97,18 +97,17 @@ object AnalyticsQueries {
     * rows survive the per-query row_number filter.
     */
   val q29TopkCosine: Q = (s, d) => {
-    val emb = embeddings(s, d)
-    def asDouble(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    import graft.functions.DotFold
+    // norms computed once per vector (native sequential fold, same
+    // accumulation order as the DuckDB oracle's list_reduce)
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-    val cands = emb.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-    val scored = cands.crossJoin(broadcast(queries))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
-        dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+        DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -184,28 +184,57 @@ object TextQueries {
     * sign bits of the first 4 dimensions, equi-join query↔candidate on
     * the bucket, cosine + top-5 inside the bucket only.
     */
+  private def signBucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 4).map(i => when(element_at(e, i + 1) > 0f, 1 << (3 - i)).otherwise(0))
+      .reduce(_ + _)
+
   val q39AnnLsh: Q = (s, d) => {
-    def asDouble(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    def bucket(e: org.apache.spark.sql.Column) =
-      (0 until 4).map(i => when(element_at(e, i + 1) > 0f, 1 << (3 - i)).otherwise(0))
-        .reduce(_ + _)
+    import graft.functions.DotFold
     val emb = embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"), bucket(col("embedding")).as("bkt"))
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bkt"),
+        sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bkt"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bkt"), col("nrm").as("qnrm"))
     val scored = emb.join(broadcast(queries), Seq("bkt"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        dot(col("qv"), col("v")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))))
+      .withColumn("cos", DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("bkt"),
         col("vec_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** EXT-1/EXT-3 — embedding-cosine near-duplicate detection: all pairs
+    * *within a sign-LSH bucket* scored with the native DotFold (norms
+    * precomputed per vector), thresholded. The bucket equi-join bounds
+    * the pair count; no all-pairs cross join exists in the plan.
+    */
+  val q40EmbeddingNeardup: Q = (s, d) => {
+    import graft.functions.DotFold
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bkt"),
+        sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
+    emb.as("a").join(emb.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        (DotFold(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** EXT-1 — SimHash-bucket dedup: documents clustering to the same
+    * 16-bit SimHash form a near-dup group; keep the smallest doc_id.
+    */
+  val q41SimhashDedup: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), TextOps.simhash16(col("text")).as("sh16"))
+      .groupBy(col("sh16"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("sh16"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -218,6 +247,8 @@ object TextQueries {
     "q37_simhash"         -> q37Simhash,
     "q38_multimodal"      -> q38Multimodal,
     "q39_ann_lsh"         -> q39AnnLsh,
+    "q40_embedding_neardup" -> q40EmbeddingNeardup,
+    "q41_simhash_dedup"   -> q41SimhashDedup,
   )
 
   private val charHashSql =
@@ -384,5 +415,43 @@ object TextQueries {
         |SELECT query_id, CAST(rank AS INT) AS rank, bkt, vec_id, cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q40_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS da, b.vec_id AS db,
+        |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        |SELECT da, db, cos FROM p WHERE cos >= 0.4
+        |ORDER BY da, db""".stripMargin,
+    "q41_simhash_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 65536) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(generate_series(0, 15)) AS b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS sh16
+        |  FROM votes GROUP BY doc_id)
+        |SELECT sh16, count(*) AS n_members, min(doc_id) AS keeper
+        |FROM sh GROUP BY sh16 HAVING count(*) > 1
+        |ORDER BY sh16""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.PolyHash
+import graft.ops.TextOps
+
+/** The native PolyHash expression must agree bit-for-bit with the pure
+  * built-in HOF fold it replaces, in both evaluation modes (codegen'd
+  * top-level projection and interpreted lambda body).
+  */
+class PolyHashSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val asciiString =
+    Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+
+  test("PolyHash == built-in fold on random ASCII strings (both moduli)") {
+    val batch = (1 to 300).map(_ => asciiString.sample.getOrElse("x"))
+    for (m <- Seq(TextOps.P, TextOps.P16)) {
+      val rows = batch.toDF("s")
+        .select(PolyHash(col("s"), m).as("native"), TextOps.charHashFold(col("s"), m).as("fold"))
+        .as[(Long, Long)].collect()
+      assert(rows.forall { case (n, f) => n == f })
+    }
+  }
+
+  test("PolyHash inside a higher-order lambda matches per-element application") {
+    val df = Seq(Seq("spark", "graft", "")).toDF("a")
+    val viaLambda = df.select(transform(col("a"), x => PolyHash(x, TextOps.P)))
+      .as[Seq[Long]].collect().head
+    val direct = Seq("spark", "graft", "").map { s =>
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % TextOps.P)
+    }
+    assert(viaLambda === direct)
+    assert(viaLambda.last === 0L) // empty string hashes to 0
+  }
+
+  test("PolyHash propagates null") {
+    val got = Seq(Option.empty[String]).toDF("s").select(PolyHash(col("s"), TextOps.P))
+      .collect().head
+    assert(got.isNullAt(0))
+  }
+}
