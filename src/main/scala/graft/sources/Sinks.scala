@@ -57,4 +57,17 @@ object Sinks {
         lit("["), date_format(timestamp_micros(col("ts_us")), "HH:mm:ss"), lit("] "),
         col("kind"), lit(": "), trim(col("raw"))).as("value"))
       .write.mode("append").text(path)
+
+  /** OP-4 batch twin — scan captured frames back out of the log format
+    * into (time string, kind, raw) rows; malformed lines drop out.
+    */
+  def readLog(spark: SparkSession, path: String): DataFrame = {
+    val pat = "^\\[(\\d{2}:\\d{2}:\\d{2})\\] ([A-Z]+): (.*)$"
+    spark.read.text(path)
+      .select(
+        regexp_extract(col("value"), pat, 1).as("time"),
+        regexp_extract(col("value"), pat, 2).as("kind"),
+        regexp_extract(col("value"), pat, 3).as("raw"))
+      .filter(col("kind") =!= "")
+  }
 }
