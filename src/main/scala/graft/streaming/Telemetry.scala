@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** OP-4/OP-33 streaming twins (SURVEY.md §2.9): the reference's poll loop
   * is a processing-time-triggered source of (ts_us, kind, raw) frames;
@@ -43,6 +44,41 @@ object Telemetry {
       .agg(max(col("ts_us")).as("last_seen_us"))
       .select(col("device"), col("last_seen_us"),
         (lit(nowUs) - col("last_seen_us") <= staleAfterUs).as("alive"))
+
+  /** One decoded route observation. */
+  case class RouteObs(ts_us: Long, output: Int, input: Int)
+  /** Current state of one output, with its write count. */
+  case class RouteKeyState(output: Int, input: Int, ts_us: Long, writes: Long)
+
+  /** OP-33 via arbitrary stateful processing
+    * (`flatMapGroupsWithState`, SURVEY.md §2.9/§7.3): per-output keyed
+    * state holding the newest write plus a write counter — the shape to
+    * reach for when last-wins needs side state (counters, TTLs) that a
+    * plain max-struct agg can't carry. Emits the key's state whenever it
+    * changes; stale (out-of-order) observations emit nothing.
+    */
+  def routeStateFlatMap(decoded: Dataset[RouteObs]): Dataset[RouteKeyState] = {
+    import decoded.sparkSession.implicits._
+    decoded
+      .groupByKey(_.output)
+      .flatMapGroupsWithState[RouteKeyState, RouteKeyState](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (output: Int, obs: Iterator[RouteObs], state: GroupState[RouteKeyState]) =>
+          val prev = state.getOption
+          val writes = prev.map(_.writes).getOrElse(0L)
+          val newest = obs.foldLeft(prev.map(s => RouteObs(s.ts_us, s.output, s.input))) {
+            case (best, o) if best.forall(b => o.ts_us > b.ts_us) => Some(o)
+            case (best, _) => best
+          }
+          newest match {
+            case Some(o) if prev.forall(p => o.ts_us > p.ts_us) =>
+              val next = RouteKeyState(output, o.input, o.ts_us, writes + 1)
+              state.update(next)
+              Iterator.single(next)
+            case _ => Iterator.empty
+          }
+      }
+  }
 
   /** EXT-5 streaming sessionization: 30-minute session windows per user
     * (batch twin: AnalyticsQueries.q26Sessionize gaps-and-islands).

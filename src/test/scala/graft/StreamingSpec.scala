@@ -59,6 +59,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState route state: last-wins + write counter, stale drops") {
+    import graft.streaming.Telemetry.{RouteKeyState, RouteObs}
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RouteObs]
+    val state = Telemetry.routeStateFlatMap(source.toDS())
+    val q = state.writeStream.format("memory").queryName("fmgs_state")
+      .outputMode("append").start()
+    try {
+      source.addData(RouteObs(1000, 1, 5), RouteObs(1000, 2, 3))
+      q.processAllAvailable()
+      source.addData(RouteObs(2000, 1, 9)) // rewire output 1
+      source.addData(RouteObs(1500, 1, 6)) // stale, must not emit
+      q.processAllAvailable()
+      val got = spark.table("fmgs_state").as[RouteKeyState].collect()
+        .sortBy(s => (s.output, s.ts_us)).toSeq
+      assert(got === Seq(
+        RouteKeyState(1, 5, 1000, 1),
+        RouteKeyState(1, 9, 2000, 2), // second write bumps the counter
+        RouteKeyState(2, 3, 1000, 1)))
+    } finally q.stop()
+  }
+
   test("liveness heartbeat flags stale devices") {
     val frames = Seq(("r1", 100L), ("r1", 90L), ("r2", 10L)).toDF("device", "ts_us")
     val got = Telemetry.liveness(frames, nowUs = 105L, staleAfterUs = 10L)
