@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.polyHashDescriptor)
     e.injectFunction(GraftExtensions.dotFoldDescriptor)
+    e.injectOptimizerRule(_ => graft.functions.PolyHashFusion)
   }
 }
 

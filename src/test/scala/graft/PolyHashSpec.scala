@@ -39,6 +39,43 @@ class PolyHashSpec extends AnyFunSuite {
     assert(viaLambda.last === 0L) // empty string hashes to 0
   }
 
+  test("PolyHashFusion rule rewrites the built-in fold into the native expression") {
+    import graft.functions.PolyHashFusion
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ PolyHashFusion
+    try {
+      val df = spark.range(50).select(col("id").cast("string").as("s"))
+        .select(col("s"), TextOps.charHashFold(col("s"), 65536L).as("h"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_poly_hash"),
+        df.queryExecution.optimizedPlan.toString)
+      val native = spark.range(50).select(col("id").cast("string").as("s"))
+        .select(PolyHash(col("s"), 65536L)).as[Long].collect()
+      assert(df.select(col("h")).as[Long].collect() === native)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == PolyHashFusion)
+    }
+  }
+
+  test("PolyHashFusion leaves non-matching folds alone") {
+    import graft.functions.PolyHashFusion
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ PolyHashFusion
+    try {
+      // different multiplier (37) — must NOT fuse, and must stay correct
+      val df = Seq("spark").toDF("s").select(
+        aggregate(
+          transform(sequence(lit(1), length(col("s"))), i => ascii(col("s").substr(i, lit(1))).cast("long")),
+          lit(0L), (h, x) => (h * 37 + x) % 65536).as("h"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("graft_poly_hash"))
+      val expect = "spark".getBytes.foldLeft(0L)((h, b) => (h * 37 + b) % 65536)
+      assert(df.as[Long].collect().head === expect)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == PolyHashFusion)
+    }
+  }
+
   test("PolyHash propagates null") {
     val got = Seq(Option.empty[String]).toDF("s").select(PolyHash(col("s"), TextOps.P))
       .collect().head
