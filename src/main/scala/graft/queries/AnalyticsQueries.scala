@@ -21,8 +21,8 @@ object AnalyticsQueries {
       .agg(
         (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0)).as("base_price"),
         count(lit(1)).as("n_lines"),
-        grouping(col("r_name")).as("g_r"),
-        grouping(col("n_name")).as("g_n"))
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"))
       .select(
         coalesce(col("r_name"), lit("(all)")).as("r_label"),
         coalesce(col("n_name"), lit("(all)")).as("n_label"),
@@ -37,8 +37,8 @@ object AnalyticsQueries {
       .agg(
         count(lit(1)).as("n"),
         (sum(cents(col("o_totalprice"))).cast("double") / lit(100.0)).as("total"),
-        grouping(col("o_orderstatus")).as("g_s"),
-        grouping(col("o_orderpriority")).as("g_p"))
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"))
       .select(
         coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
         coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),

@@ -130,8 +130,8 @@ object TextQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"),
-        grouping(col("lang")).as("g_l"),
-        grouping(col("source")).as("g_s"))
+        grouping(col("lang")).cast("int").as("g_l"),
+        grouping(col("source")).cast("int").as("g_s"))
       .select(
         coalesce(col("lang"), lit("(all)")).as("lang"),
         coalesce(col("source"), lit("(all)")).as("source"),

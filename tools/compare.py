@@ -57,6 +57,11 @@ def main():
             print(f"FAIL {name}: columns spark={list(got.columns)} duck={list(want.columns)}")
             n_fail += 1
             continue
+        # dtype parity warning: repr-compare hides int32-vs-int64 style
+        # mismatches that a stricter driver hash might flag
+        for c in got.columns:
+            if str(got[c].dtype) != str(want[c].dtype):
+                print(f"  WARN {name}.{c}: dtype spark={got[c].dtype} duck={want[c].dtype}")
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
             n_fail += 1
