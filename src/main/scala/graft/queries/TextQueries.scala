@@ -225,6 +225,44 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  /** EXT-3 — IVF-style ANN: 16 deterministic seed centroids; every
+    * vector is assigned to its nearest cell (one broadcast pass), queries
+    * probe their 2 nearest cells, exact cosine + top-5 runs inside the
+    * probed cells only. The inverted-file structure bounds candidate
+    * counts the way a trained IVF index would; seeds stand in for k-means
+    * centroids (ops.Aggregators.Centroid is the training building block).
+    */
+  val q42AnnIvf: Q = (s, d) => {
+    import graft.functions.DotFold
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    def cellRank(base: org.apache.spark.sql.DataFrame, idCol: String) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+      base.crossJoin(broadcast(seeds))
+        .withColumn("ccos", DotFold(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("crank", row_number().over(w))
+    }
+    val assigned = cellRank(emb, "vec_id").filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val probes = cellRank(
+      emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+        col("embedding"), col("nrm")), "query_id")
+      .filter(col("crank") <= 2)
+      .select(col("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"),
+        col("cid").as("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cell"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** EXT-1 — SimHash-bucket dedup: documents clustering to the same
     * 16-bit SimHash form a near-dup group; keep the smallest doc_id.
     */
@@ -249,6 +287,7 @@ object TextQueries {
     "q39_ann_lsh"         -> q39AnnLsh,
     "q40_embedding_neardup" -> q40EmbeddingNeardup,
     "q41_simhash_dedup"   -> q41SimhashDedup,
+    "q42_ann_ivf"         -> q42AnnIvf,
   )
 
   private val charHashSql =
@@ -433,6 +472,42 @@ object TextQueries {
         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
         |SELECT da, db, cos FROM p WHERE cos >= 0.4
         |ORDER BY da, db""".stripMargin,
+    "q42_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |seeds AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+        |assign0 AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, s.cid,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.cv[i] AS DOUBLE)), (a, b) -> a + b)
+        |      / (e.nrm * s.cnrm) AS ccos
+        |  FROM e, seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+        |    FROM assign0)
+        |  WHERE crank = 1),
+        |probes AS (
+        |  SELECT query_id, qv, qnrm, cid AS cell FROM (
+        |    SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+        |    FROM assign0 WHERE vec_id < 5)
+        |  WHERE crank <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.cell, a.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(p.qv)),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |      / (p.qnrm * a.nrm) AS cos
+        |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id, cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q41_simhash_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
