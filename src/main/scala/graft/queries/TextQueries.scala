@@ -31,11 +31,7 @@ object TextQueries {
     // *strings* are only ever built for verification candidates below.
     val sig = documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
-        TextOps.bindOnce(TextOps.tokens(col("text"))) { toks =>
-          TextOps.bindOnce(transform(toks, t => TextOps.charHash(t, TextOps.P))) { th =>
-            TextOps.shingleHashes3(toks, th)
-          }
-        }.as("hs"))
+        graft.functions.ShingleHash3(col("text"), TextOps.P).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist()
     val withMh = sig.select(

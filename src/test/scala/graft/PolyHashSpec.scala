@@ -76,6 +76,23 @@ class PolyHashSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHash3 == HOF pipeline (shingleHashes3 ∘ charHash) on random word strings") {
+    import graft.functions.ShingleHash3
+    val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val sentence = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val batch = (1 to 200).map(_ => sentence.sample.getOrElse("a b c")) :+ "" :+ "one two"
+    val df = batch.toDF("text")
+      .select(
+        ShingleHash3(col("text"), TextOps.P).as("native"),
+        TextOps.bindOnce(TextOps.tokens(col("text"))) { toks =>
+          TextOps.bindOnce(transform(toks, t => TextOps.charHash(t, TextOps.P))) { th =>
+            TextOps.shingleHashes3(toks, th)
+          }
+        }.as("hof"))
+    val rows = df.as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.forall { case (n, h) => n == h })
+  }
+
   test("PolyHash propagates null") {
     val got = Seq(Option.empty[String]).toDF("s").select(PolyHash(col("s"), TextOps.P))
       .collect().head
