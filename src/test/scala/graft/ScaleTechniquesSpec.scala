@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cluster-scale techniques the mandate calls out (bucketing for
+  * co-located joins, salting for skew) demonstrated and asserted on the
+  * physical plan, not just described.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is static (defaults to ./spark-warehouse, gitignored)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS o_b")
+    // in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs persist — purge them so reruns don't hit LOCATION_ALREADY_EXISTS
+    for (t <- Seq("li_b", "o_b")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("o_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle-class join
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    // bucketed layout co-locates both sides: no shuffle in the join plan
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() === li.count())
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+  }
+
+  test("salted two-phase aggregation matches direct aggregation on a skewed key") {
+    // 90% of rows share one key — the classic skew shape
+    val skewed = spark.range(20000)
+      .select(when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+        (col("id") % 100).cast("double").as("v"))
+    val direct = skewed.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    // phase 1: aggregate on (key, salt); phase 2: merge partials per key
+    val salted = skewed
+      .withColumn("salt", pmod(hash(monotonically_increasing_id()), lit(16)))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum("v").as("ps"), count(lit(1)).as("pn"))
+      .groupBy(col("k"))
+      .agg(sum(col("ps")).as("s"), sum(col("pn")).as("n"))
+    val d = direct.orderBy("k").as[(String, Double, Long)].collect().toSeq
+    val s = salted.orderBy("k").as[(String, Double, Long)].collect().toSeq
+    assert(d.map(_._1) === s.map(_._1))
+    assert(d.map(_._3) === s.map(_._3))
+    // double sums across different groupings: compare within tolerance
+    d.zip(s).foreach { case ((_, dv, _), (_, sv, _)) =>
+      assert(math.abs(dv - sv) <= math.abs(dv) * 1e-12 + 1e-9)
+    }
+  }
+}
