@@ -118,8 +118,12 @@ object Protocol {
     * pulse counts after the `OOO` marker; 0 → "Off"), then the rear-door
     * flag (content[1] == 'S' → Shut).
     */
-  def chassisRows(raw: Column): Column = {
-    val content = regexp_extract(raw, "\\{BAcC,\\d+,\\d+,([^}]+)\\}", 1)
+  def chassisRows(raw: Column): Column =
+    // content is referenced ~8 times below; bind it once per row (HOF
+    // bodies are interpreted with no CSE — see TextOps.bindOnce)
+    TextOps.bindOnce(regexp_extract(raw, "\\{BAcC,\\d+,\\d+,([^}]+)\\}", 1))(chassisRowsFromContent)
+
+  private def chassisRowsFromContent(content: Column): Column = {
     val tempNames = array(lit("CPU Temperature"), lit("PSU 1 Temperature"), lit("PSU 2 Temperature"))
     val temps = slice(regexp_extract_all(content, lit("[+\\-](\\d{3})(?=O)"), lit(1)), 1, 3)
     val tempRows = transform(temps, (t, i) => struct(
