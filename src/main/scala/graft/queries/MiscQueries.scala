@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Remaining general-purpose surface: JSON extraction, pivot, exact
+  * percentiles — operators a reference user reaches for that none of
+  * q01–q42 exercised.
+  */
+object MiscQueries {
+
+  /** JSON scalar extraction over events.props (`{"k": n}`): per-k stats.
+    * Demonstrates get_json_object/from_json against DuckDB json_extract.
+    */
+  val q43JsonProps: Q = (s, d) => {
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / lit(100.0)).as("total"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("k"))
+  }
+
+  /** Pivot: per-user event counts spread across event-type columns
+    * (fixed pivot value list keeps the schema static — the scalable form;
+    * dynamic pivots need a driver-side distinct pass).
+    */
+  val q44PivotEvents: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact percentiles (linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the type-7 definition): order-value
+    * quartiles per priority.
+    */
+  val q45Percentiles: Q = (s, d) => {
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q43_json_props"   -> q43JsonProps,
+    "q44_pivot_events" -> q44PivotEvents,
+    "q45_percentiles"  -> q45Percentiles,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q43_json_props" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q44_pivot_events" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q45_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS median,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+  )
+}
