@@ -51,10 +51,25 @@ object MiscQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bag-semantics set op: multiset intersection of the order-key
+    * populations of two lineitem slices (intersectAll keeps duplicate
+    * multiplicity — min of the two sides' counts).
+    */
+  val q46IntersectAll: Q = (s, d) => {
+    val hi = lineitem(s, d).filter(col("l_quantity") >= 25)
+      .select(pmod(col("l_orderkey"), lit(100)).as("k"))
+    val lo = lineitem(s, d).filter(col("l_quantity") < 25)
+      .select(pmod(col("l_orderkey"), lit(100)).as("k"))
+    hi.intersectAll(lo)
+      .groupBy(col("k")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_json_props"   -> q43JsonProps,
     "q44_pivot_events" -> q44PivotEvents,
     "q45_percentiles"  -> q45Percentiles,
+    "q46_intersect_all" -> q46IntersectAll,
   )
 
   val oracles: Map[String, String] = Map(
@@ -71,6 +86,12 @@ object MiscQueries {
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q46_intersect_all" ->
+      """WITH hi AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_quantity >= 25),
+        |lo AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_quantity < 25),
+        |common_bag AS (SELECT k FROM hi INTERSECT ALL SELECT k FROM lo)
+        |SELECT k, count(*) AS multiplicity
+        |FROM common_bag GROUP BY k ORDER BY k""".stripMargin,
     "q45_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
