@@ -65,7 +65,23 @@ object MiscQueries {
       .orderBy(col("k"))
   }
 
+  /** Custom as-of join operator (graft.plans.AsOfJoin — logical node,
+    * planner strategy, sort-merge exec): every purchase gets the user's
+    * newest signup snapshot at-or-before its time. Oracle: DuckDB's
+    * native ASOF JOIN.
+    */
+  val q47AsofJoin: Q = (s, d) => {
+    val purchases = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val snapshots = events(s, d).filter(col("event_type") === "signup")
+      .select(col("user_id").as("suser"), col("ts_us").as("sts"), col("value").as("sval"))
+    graft.ops.AsOf.asofJoin(purchases, snapshots, "user_id", "ts_us", "suser", "sts")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("sts"), col("sval"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_asof_join"    -> q47AsofJoin,
     "q43_json_props"   -> q43JsonProps,
     "q44_pivot_events" -> q44PivotEvents,
     "q45_percentiles"  -> q45Percentiles,
@@ -73,6 +89,14 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT user_id AS suser, epoch_us(ts) AS sts, value AS sval FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts_us, s.sts, s.sval
+        |FROM p ASOF JOIN s ON p.user_id = s.suser AND p.ts_us >= s.sts
+        |ORDER BY p.event_id""".stripMargin,
     "q43_json_props" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
