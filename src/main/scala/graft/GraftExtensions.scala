@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.polyHashDescriptor)
     e.injectFunction(GraftExtensions.dotFoldDescriptor)
     e.injectOptimizerRule(_ => graft.functions.PolyHashFusion)
+    e.injectPlannerStrategy(_ => graft.ops.AsOf.AsOfStrategy)
   }
 }
 

@@ -41,6 +41,9 @@ object AsOf {
     def attr(p: LogicalPlan, name: String) =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+    for ((p, t) <- Seq(lp -> leftTime, rp -> rightTime))
+      require(attr(p, t).dataType == org.apache.spark.sql.types.LongType,
+        s"as-of time column $t must be LongType (epoch micros), got ${attr(p, t).dataType.catalogString}")
     ColumnBridge.ofRows(spark, AsOfJoin(lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
       attr(lp, leftTime), attr(rp, rightTime)))
