@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom DSv2 telemetry poll source feeds the route-state pipeline") {
+    val frames = spark.readStream
+      .format(classOf[graft.sources.TelemetrySourceProvider].getName)
+      .option("numOutputs", "4").option("numInputs", "8")
+      .option("pollsPerBatch", "3").option("maxPolls", "7")
+      .load()
+    val state = Telemetry.routeState(Telemetry.decodeStatus(frames))
+    val q = state.writeStream.format("memory").queryName("dsv2_state")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dsv2_state").as[(Int, Int, Long)].collect()
+        .sortBy(_._1).toSeq
+      // last poll processed is poll 6 (offsets cap at 7, range [0,7)) —
+      // state must equal the device model there, event time 6×2s
+      val lastPoll = 6L
+      val expect = (1 to 4).map(o =>
+        (o, graft.sources.TelemetrySource.routeAt(o, lastPoll, 8), lastPoll * 2000000L))
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("liveness heartbeat flags stale devices") {
     val frames = Seq(("r1", 100L), ("r1", 90L), ("r2", 10L)).toDF("device", "ts_us")
     val got = Telemetry.liveness(frames, nowUs = 105L, staleAfterUs = 10L)
