@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,15 +70,23 @@ case class PollOffset(polls: Long) extends Offset {
 
 class TelemetryMicroBatchStream(
     numOutputs: Int, numInputs: Int, pollsPerBatch: Int, maxPolls: Int,
-    intervalUs: Long) extends MicroBatchStream {
-
-  private var latest = 0L
+    intervalUs: Long) extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = PollOffset(0)
-  override def latestOffset(): Offset = {
-    latest = math.min(latest + pollsPerBatch, maxPolls.toLong)
-    PollOffset(latest)
-  }
+
+  /** Stateless, restart-correct offset advance: computed from the start
+    * offset Spark passes (a stateful no-arg latestOffset rewinds after a
+    * checkpoint restore and duplicates batches).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PollOffset(math.min(start.asInstanceOf[PollOffset].polls + pollsPerBatch, maxPolls.toLong))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
+
   override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
