@@ -10,17 +10,24 @@ import graft.Tables._
   */
 object AnalyticsQueries {
 
-  /** ROLLUP over the 5-way enrichment join: region → nation → grand total. */
+  /** ROLLUP over the 5-way enrichment join: region → nation → grand
+    * total. Two-level aggregation: the grouping-set expand runs over the
+    * 25 (region, nation) partials, not the 600k joined rows — exact
+    * integer partial sums compose, so results are identical to a direct
+    * rollup (which would shuffle |rows|×3 expanded tuples).
+    */
   val q24Rollup: Q = (s, d) => {
-    val j = lineitem(s, d)
+    val partials = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-    j.rollup(col("r_name"), col("n_name"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice"))).as("cents_sum"), count(lit(1)).as("cnt"))
+    partials.rollup(col("r_name"), col("n_name"))
       .agg(
-        (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0)).as("base_price"),
-        count(lit(1)).as("n_lines"),
+        (sum(col("cents_sum")).cast("double") / lit(100.0)).as("base_price"),
+        sum(col("cnt")).as("n_lines"),
         grouping(col("r_name")).cast("int").as("g_r"),
         grouping(col("n_name")).cast("int").as("g_n"))
       .select(
