@@ -150,7 +150,7 @@ object TextQueries {
     */
   val q37Simhash: Q = (s, d) => {
     documents(s, d)
-      .select(col("doc_id"), TextOps.simhash16(col("text")).as("sh16"))
+      .select(col("doc_id"), graft.functions.SimHash16(col("text")).as("sh16"))
       .orderBy(col("doc_id"))
   }
 
@@ -264,7 +264,7 @@ object TextQueries {
     */
   val q41SimhashDedup: Q = (s, d) => {
     documents(s, d)
-      .select(col("doc_id"), TextOps.simhash16(col("text")).as("sh16"))
+      .select(col("doc_id"), graft.functions.SimHash16(col("text")).as("sh16"))
       .groupBy(col("sh16"))
       .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keeper"))
       .filter(col("n_members") > 1)

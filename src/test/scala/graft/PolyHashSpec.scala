@@ -93,6 +93,17 @@ class PolyHashSpec extends AnyFunSuite {
     assert(rows.forall { case (n, h) => n == h })
   }
 
+  test("SimHash16 == HOF simhash fold on random word strings") {
+    import graft.functions.SimHash16
+    val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val sentence = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val batch = (1 to 200).map(_ => sentence.sample.getOrElse("a b c")) :+ "solo"
+    val rows = batch.toDF("text")
+      .select(SimHash16(col("text")).as("native"), TextOps.simhash16(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(rows.forall { case (n, h) => n == h })
+  }
+
   test("PolyHash propagates null") {
     val got = Seq(Option.empty[String]).toDF("s").select(PolyHash(col("s"), TextOps.P))
       .collect().head
