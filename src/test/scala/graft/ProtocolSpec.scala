@@ -116,6 +116,26 @@ class ProtocolSpec extends AnyFunSuite {
     assert(evalStr(Colors.adjustLuminance(lit("#ffffff"), lit(20))) === "#ffffff")
   }
 
+  test("pastel color matches a direct port of the reference HSL->RGB math") {
+    // reference: etl_controller.py:127-143 with hash-seeded h/s/l
+    def modelPastel(key: Int): String = {
+      val h = (key * 47 % 361).toDouble
+      val s = (40 + key * 13 % 26).toDouble
+      val l = (65 + key * 7 % 21).toDouble
+      val c = (1 - math.abs(2 * l / 100 - 1)) * s / 100
+      val x = c * (1 - math.abs((h / 60) % 2 - 1))
+      val m = l / 100 - c / 2
+      val (r, g, b) =
+        if (h < 60) (c, x, 0.0) else if (h < 120) (x, c, 0.0)
+        else if (h < 180) (0.0, c, x) else if (h < 240) (0.0, x, c)
+        else if (h < 300) (x, 0.0, c) else (c, 0.0, x)
+      f"#${((r + m) * 255).toInt}%02x${((g + m) * 255).toInt}%02x${((b + m) * 255).toInt}%02x"
+    }
+    val keys = 0 to 100
+    val got = keys.toDF("k").select(Colors.pastelColor(col("k"))).as[String].collect().toSeq
+    assert(got === keys.map(modelPastel))
+  }
+
   test("IP validation") {
     val cases = Seq(
       "192.168.1.100" -> true,
