@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Remaining general-purpose surface: JSON extraction, pivot, exact
@@ -80,8 +81,59 @@ object MiscQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Analytic window functions not yet exercised: lead/lag deltas and
+    * ntile quartiles over each customer's order history.
+    */
+  val q48LeadLagNtile: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), tsUs(col("o_orderdate")).as("od_us"),
+        col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))))
+      .withColumn("next_gap_us",
+        lead(col("od_us"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))) - col("od_us"))
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))))
+      .select(col("o_custkey"), col("o_orderkey"), col("od_us"),
+        col("prev_price"), col("next_gap_us"), col("quartile"))
+      .orderBy(col("o_custkey"), col("od_us"), col("o_orderkey"))
+  }
+
+  /** Bag-semantics EXCEPT ALL: lineitem order-key population minus one
+    * occurrence per high-quantity row.
+    */
+  val q49ExceptAll: Q = (s, d) => {
+    val all = lineitem(s, d).select(pmod(col("l_orderkey"), lit(100)).as("k"))
+    val hi = lineitem(s, d).filter(col("l_quantity") >= 40)
+      .select(pmod(col("l_orderkey"), lit(100)).as("k"))
+    all.exceptAll(hi)
+      .groupBy(col("k")).agg(count(lit(1)).as("remaining"))
+      .orderBy(col("k"))
+  }
+
+  /** RANGE-frame window: 7-day rolling revenue per customer — the frame
+    * is value-based (micros), not row-based, so sparse histories window
+    * correctly.
+    */
+  val q50RangeFrame: Q = (s, d) => {
+    val weekUs = 7L * 86400 * 1000000
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od_us"))
+      .rangeBetween(-weekUs, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), tsUs(col("o_orderdate")).as("od_us"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rolling_7d", sum(col("price_c")).over(w).cast("double") / lit(100.0))
+      .select(col("o_custkey"), col("od_us"), col("o_orderkey"), col("rolling_7d"))
+      .orderBy(col("o_custkey"), col("od_us"), col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_asof_join"    -> q47AsofJoin,
+    "q48_leadlag_ntile" -> q48LeadLagNtile,
+    "q49_except_all"   -> q49ExceptAll,
+    "q50_range_frame"  -> q50RangeFrame,
     "q43_json_props"   -> q43JsonProps,
     "q44_pivot_events" -> q44PivotEvents,
     "q45_percentiles"  -> q45Percentiles,
@@ -89,6 +141,32 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_leadlag_ntile" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, o_totalprice FROM orders)
+        |SELECT o_custkey, o_orderkey, od_us,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(od_us) OVER w - od_us AS next_gap_us,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey)
+        |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin,
+    "q49_except_all" ->
+      """WITH a AS (SELECT l_orderkey % 100 AS k FROM lineitem),
+        |h AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_quantity >= 40),
+        |rem AS (SELECT k FROM a EXCEPT ALL SELECT k FROM h)
+        |SELECT k, count(*) AS remaining
+        |FROM rem GROUP BY k ORDER BY k""".stripMargin,
+    "q50_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT o_custkey, od_us, o_orderkey,
+        |  CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY od_us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rolling_7d
+        |FROM o
+        |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin,
     "q47_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
