@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda, which Spark always evaluates interpreted.
   */
 case class PolyHash(child: Expression, mod: Long) extends UnaryExpression {
-  require(mod > 1, "mod must be > 1")
+  // h ≤ mod−1 must survive h*31 + 255 without Long overflow
+  require(mod > 1 && mod <= (Long.MaxValue - 255) / 31,
+    s"mod must be in (1, ${(Long.MaxValue - 255) / 31}], got $mod")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

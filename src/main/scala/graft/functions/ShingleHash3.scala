@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * dedup-insensitive).
   */
 case class ShingleHash3(child: Expression, mod: Long) extends UnaryExpression {
-  require(mod > 1, "mod must be > 1")
+  // per-gram terms multiply two residues: mod² must stay within Long
+  require(mod > 1 && mod <= 3037000499L,
+    s"mod must be in (1, 3037000499], got $mod")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

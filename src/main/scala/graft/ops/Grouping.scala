@@ -18,8 +18,12 @@ object Grouping {
 
   /** display: (session, pos, output) — one row per displayed output in
     * display order (pos), partitioned by `session`;
-    * groupMap: (output, name, color) — first-match group per output
-    * (pre-resolve duplicates upstream; see Sinks.enrichedRoutes).
+    * groupMap: (output, name, color) — one group per output. NOTE the
+    * reference's duplicate resolution here is LAST group wins
+    * (group_map[out] is overwritten in config order,
+    * etl_controller.py:293-297) — the opposite of the CSV export's
+    * first-match `break` (Sinks.enrichedRoutes); resolve duplicates
+    * upstream accordingly.
     * Returns one row per display group, in order:
     * (session, grp_idx, name, color, outputs csv, n).
     */

@@ -37,12 +37,13 @@ object KMeans {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
       costs += assigned.agg(sum(col("d2"))).as[Double].collect().head
-      // update: per-cluster centroid via the typed Aggregator
-      val agg = new Aggregators.Centroid(dim).toColumn
-      centroids = assigned.select(col("cid"), col("v")).as[(Int, Seq[Double])]
-        .groupByKey(_._1).mapValues(_._2).agg(agg)
-        .collect().map { case (cid, c) => (cid, c) }
-        .sortBy(_._1)
+      // update: per-cluster centroid via the typed Aggregator; clusters
+      // that attracted no vectors keep their previous centroid (they
+      // produce no aggregation row and would otherwise silently shrink k)
+      val updated = assigned.select(col("cid"), col("v")).as[(Int, Seq[Double])]
+        .groupByKey(_._1).mapValues(_._2).agg(new Aggregators.Centroid(dim).toColumn)
+        .collect().toMap
+      centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
     (costs.toSeq, centroids.toSeq.toDF("cid", "cv"))
   }

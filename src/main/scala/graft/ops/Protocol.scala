@@ -52,10 +52,11 @@ object Protocol {
     * of zero-padded OOO+III, +106, wrap >126 by −95. Returns the ASCII code.
     */
   def routeChecksum(outputNum: Column, inputNum: Column): Column = {
-    val s = concat(lpad(outputNum.cast("string"), 3, "0"),
-                   lpad(inputNum.cast("string"), 3, "0"))
+    // format_string("%03d") expands beyond 3 digits for values ≥ 1000,
+    // exactly like the reference's f"{n:03d}" (lpad would truncate)
+    val s = concat(format_string("%03d", outputNum), format_string("%03d", inputNum))
     val digitSum = aggregate(
-      transform(sequence(lit(1), lit(6)), i => ascii(s.substr(i, lit(1))) - lit(48)),
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))) - lit(48)),
       lit(0), (acc, x) => acc + x)
     val v = lit(106) + digitSum
     when(v > 126, v - 95).otherwise(v)
@@ -66,8 +67,8 @@ object Protocol {
     */
   def routeFrame(outputNum: Column, inputNum: Column): Column =
     concat(
-      lit("{ABs,"), lpad(outputNum.cast("string"), 3, "0"),
-      lit(","), lpad(inputNum.cast("string"), 3, "0"), lit("}"),
+      lit("{ABs,"), format_string("%03d", outputNum),
+      lit(","), format_string("%03d", inputNum), lit("}"),
       chr(routeChecksum(outputNum, inputNum)))
 
   /** Query frame builder: wraps a bare command in braces and appends the

@@ -91,7 +91,11 @@ object TextOps {
     * insensitive to duplicates.
     */
   def shingleHashes3(toks: Column, tokHashes: Column): Column = {
-    def pw(k: Column): Column = element_at(pow31, (k + 1).cast("int"))
+    // fast path: table lookup for exponents < 64; fold fallback for
+    // pathological token lengths (table miss would read past the array)
+    def pw(k: Column): Column =
+      when(k < 64, element_at(pow31, (k + 1).cast("int")))
+        .otherwise(aggregate(sequence(lit(1L), k), lit(1L), (a, _) => a * 31 % P))
     val grams = transform(sequence(lit(1), size(toks) - 2), i => {
       val h1 = element_at(tokHashes, i)
       val h2 = element_at(tokHashes, i + 1)

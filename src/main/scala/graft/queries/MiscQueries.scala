@@ -85,17 +85,13 @@ object MiscQueries {
     * ntile quartiles over each customer's order history.
     */
   val q48LeadLagNtile: Q = (s, d) => {
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), tsUs(col("o_orderdate")).as("od_us"),
         col("o_totalprice"))
-      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))))
-      .withColumn("next_gap_us",
-        lead(col("od_us"), 1).over(
-          Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))) - col("od_us"))
-      .withColumn("quartile", ntile(4).over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_gap_us", lead(col("od_us"), 1).over(w) - col("od_us"))
+      .withColumn("quartile", ntile(4).over(w))
       .select(col("o_custkey"), col("o_orderkey"), col("od_us"),
         col("prev_price"), col("next_gap_us"), col("quartile"))
       .orderBy(col("o_custkey"), col("od_us"), col("o_orderkey"))

@@ -16,8 +16,12 @@ object Sinks {
     * (input int, name string). Both dimension tables broadcast.
     */
   def enrichedRoutes(routes: DataFrame, groups: DataFrame, inputNames: DataFrame): DataFrame = {
-    // first matching group per output: explode + min by group position
-    val groupOf = groups
+    // first matching group per output: explode + min by group position.
+    // groups is a config-derived dimension: coalesce to one partition so
+    // monotonically_increasing_id reflects the configured order even if
+    // the frame arrives multi-partitioned (per-partition id blocks would
+    // otherwise disagree with insertion order)
+    val groupOf = groups.coalesce(1)
       .withColumn("gpos", monotonically_increasing_id())
       .select(col("name").as("g_name"), col("gpos"), explode(col("outputs")).as("output"))
       .groupBy(col("output"))

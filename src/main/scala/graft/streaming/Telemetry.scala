@@ -66,8 +66,11 @@ object Telemetry {
         (output: Int, obs: Iterator[RouteObs], state: GroupState[RouteKeyState]) =>
           val prev = state.getOption
           val writes = prev.map(_.writes).getOrElse(0L)
+          // equal-timestamp ties break on highest input so the emitted
+          // state never depends on shuffle iterator order
           val newest = obs.foldLeft(prev.map(s => RouteObs(s.ts_us, s.output, s.input))) {
-            case (best, o) if best.forall(b => o.ts_us > b.ts_us) => Some(o)
+            case (best, o) if best.forall(b =>
+              o.ts_us > b.ts_us || (o.ts_us == b.ts_us && o.input > b.input)) => Some(o)
             case (best, _) => best
           }
           newest match {

@@ -55,7 +55,8 @@ class ChecksumPropertySpec extends AnyFunSuite {
   }
 
   test("route checksum matches the model on the full 0..255 crosspoint grid sample") {
-    val pairs = for (o <- 0 to 255 by 7; i <- 0 to 255 by 13) yield (o, i)
+    val pairs = (for (o <- 0 to 255 by 7; i <- 0 to 255 by 13) yield (o, i)) ++
+      Seq((1000, 5), (5, 1000), (12345, 999)) // %03d expands past 3 digits
     val got = pairs.toDF("o", "i")
       .select(Protocol.routeChecksum(col("o"), col("i"))).as[Int].collect().toSeq
     assert(got === pairs.map { case (o, i) => modelRoute(o, i) })

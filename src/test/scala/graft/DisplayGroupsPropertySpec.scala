@@ -23,7 +23,7 @@ class DisplayGroupsPropertySpec extends AnyFunSuite {
     val outputsSet = outputsToShow.toSet
     val groupMap = scala.collection.mutable.Map.empty[Int, G]
     for (g <- groups; o <- g.outputs if outputsSet.contains(o))
-      if (!groupMap.contains(o)) groupMap(o) = g // first group wins
+      groupMap(o) = g // LAST group wins (reference overwrites, py:295-297)
     val result = scala.collection.mutable.ListBuffer.empty[(String, String, List[Int])]
     var current: Option[G] = None
     var currentOutputs = List.empty[Int]
@@ -71,10 +71,10 @@ class DisplayGroupsPropertySpec extends AnyFunSuite {
     }
     val mapRows = cases.zipWithIndex.flatMap { case ((outs, groups), sid) =>
       val outputsSet = outs.toSet
-      val seen = scala.collection.mutable.Set.empty[Int]
-      for (g <- groups; o <- g.outputs
-           if outputsSet.contains(o) && seen.add(o))
-        yield (sid, o, g.name, g.color)
+      val resolved = scala.collection.mutable.Map.empty[Int, G]
+      for (g <- groups; o <- g.outputs if outputsSet.contains(o))
+        resolved(o) = g // last wins, matching the reference
+      resolved.toSeq.map { case (o, g) => (sid, o, g.name, g.color) }
     }
     // per-session group maps joined via composite key: fold session into
     // the output key to keep the op's (output -> group) contract
