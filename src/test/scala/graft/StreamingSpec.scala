@@ -103,6 +103,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows run on the RocksDB state store (100 TB state path)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+      val sessions = Telemetry.sessionCounts(source.toDF().toDF("ts", "user_id"))
+      val q = sessions.writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode("complete").start()
+      try {
+        def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 09:$min%02d:00")
+        source.addData((ts(0), 1L), (ts(5), 1L), (ts(50), 1L))
+        q.processAllAvailable()
+        val got = spark.table("rocks_sessions")
+          .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().sorted
+        assert(got.toSeq === Seq((1L, 1L), (1L, 2L)))
+        // confirm RocksDB actually backed the state store
+        assert(q.lastProgress.stateOperators.head.customMetrics
+          .containsKey("rocksdbGetCount"), q.lastProgress.toString)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("liveness heartbeat flags stale devices") {
     val frames = Seq(("r1", 100L), ("r1", 90L), ("r2", 10L)).toDF("device", "ts_us")
     val got = Telemetry.liveness(frames, nowUs = 105L, staleAfterUs = 10L)
