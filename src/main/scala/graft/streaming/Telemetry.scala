@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 
 /** OP-4/OP-33 streaming twins (SURVEY.md §2.9): the reference's poll loop
   * is a processing-time-triggered source of (ts_us, kind, raw) frames;
@@ -81,6 +81,47 @@ object Telemetry {
             case _ => Iterator.empty
           }
       }
+  }
+
+  /** OP-33 on Spark 4's transformWithState — the successor API to
+    * flatMapGroupsWithState: typed ValueState per output key, RocksDB-
+    * ready, timer-capable. Same last-wins semantics as
+    * [[routeStateFlatMap]] (equal-ts ties break on highest input).
+    */
+  class RouteStateProcessor extends StatefulProcessor[Int, RouteObs, RouteKeyState] {
+    @transient private var state: ValueState[RouteKeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RouteKeyState](
+        "route", Encoders.product[RouteKeyState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[RouteObs],
+        timers: TimerValues): Iterator[RouteKeyState] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val writes = prev.map(_.writes).getOrElse(0L)
+      val newest = rows.foldLeft(prev.map(s => RouteObs(s.ts_us, s.output, s.input))) {
+        case (best, o) if best.forall(b =>
+          o.ts_us > b.ts_us || (o.ts_us == b.ts_us && o.input > b.input)) => Some(o)
+        case (best, _) => best
+      }
+      newest match {
+        case Some(o) if prev.forall(p =>
+            o.ts_us > p.ts_us || (o.ts_us == p.ts_us && o.input > p.input)) =>
+          val next = RouteKeyState(key, o.input, o.ts_us, writes + 1)
+          state.update(next)
+          Iterator.single(next)
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** [[routeStateFlatMap]] on the transformWithState API. */
+  def routeStateTws(decoded: Dataset[RouteObs]): Dataset[RouteKeyState] = {
+    import decoded.sparkSession.implicits._
+    decoded
+      .groupByKey(_.output)
+      .transformWithState(new RouteStateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
   /** EXT-5 streaming sessionization: 30-minute session windows per user

@@ -81,6 +81,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState route state matches flatMapGroupsWithState semantics") {
+    import graft.streaming.Telemetry.{RouteKeyState, RouteObs}
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RouteObs]
+      val q = Telemetry.routeStateTws(source.toDS())
+        .writeStream.format("memory").queryName("tws_state").outputMode("append").start()
+      try {
+        source.addData(RouteObs(1000, 1, 5), RouteObs(1000, 2, 3))
+        q.processAllAvailable()
+        source.addData(RouteObs(2000, 1, 9))
+        source.addData(RouteObs(1500, 1, 6)) // stale
+        q.processAllAvailable()
+        val got = spark.table("tws_state").as[RouteKeyState].collect()
+          .sortBy(s => (s.output, s.ts_us)).toSeq
+        assert(got === Seq(
+          RouteKeyState(1, 5, 1000, 1),
+          RouteKeyState(1, 9, 2000, 2),
+          RouteKeyState(2, 3, 1000, 1)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("custom DSv2 telemetry poll source feeds the route-state pipeline") {
     val frames = spark.readStream
       .format(classOf[graft.sources.TelemetrySourceProvider].getName)
