@@ -29,7 +29,7 @@ object ProtocolQueries {
           x => x.getField("part")), ","),
         lit("}")).as("frame"))
     frames
-      .select(col("user_id"), explode(Protocol.statusRoutes(col("frame"))).as("r"))
+      .select(col("user_id"), explode(graft.functions.StatusDecode(col("frame"))).as("r"))
       .select(col("user_id"), col("r.output").as("output"), col("r.input").as("input"))
       .orderBy(col("user_id"), col("output"))
   }

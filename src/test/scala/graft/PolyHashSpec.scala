@@ -104,6 +104,27 @@ class PolyHashSpec extends AnyFunSuite {
     assert(rows.forall { case (n, h) => n == h })
   }
 
+  test("StatusDecode == built-in statusRoutes on random frames") {
+    import graft.functions.StatusDecode
+    import graft.ops.Protocol
+    val part = Gen.oneOf(
+      Gen.choose(0, 999999999).map(_.toString), // digits (Int-safe)
+      Gen.oneOf("x", "", "1a", "a1", " 5", "-3"))
+    val frame = for {
+      parts <- Gen.listOf(part)
+      wrap <- Gen.oneOf(0, 1, 2)
+    } yield wrap match {
+      case 0 => s"{BASTATUS,${parts.mkString(",")}}"
+      case 1 => s"noise{BASTATUS,${parts.mkString(",")}}tail"
+      case 2 => s"{BASTATUS,${parts.mkString(",")}" // unterminated
+    }
+    val batch = (1 to 300).map(_ => frame.sample.getOrElse("{BASTATUS,1}"))
+    val rows = batch.toDF("raw")
+      .select(StatusDecode(col("raw")).as("native"), Protocol.statusRoutes(col("raw")).as("hof"))
+      .as[(Seq[(Int, Int)], Seq[(Int, Int)])].collect()
+    assert(rows.forall { case (n, h) => n == h })
+  }
+
   test("PolyHash propagates null") {
     val got = Seq(Option.empty[String]).toDF("s").select(PolyHash(col("s"), TextOps.P))
       .collect().head
