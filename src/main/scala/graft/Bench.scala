@@ -29,7 +29,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses this JSON from stdout; round 1 failed to extract it
+    // from interleaved log noise. Stop Spark FIRST (its shutdown WARNs go to
+    // stderr/before us), persist a file copy, then emit the JSON as the
+    // final stdout line.
     spark.stop()
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    System.out.flush(); System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }
