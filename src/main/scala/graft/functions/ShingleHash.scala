@@ -9,30 +9,31 @@ import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native 3-gram shingle-hash array: splits on single spaces (trailing
-  * empties kept, matching `split(s, " ")`), polynomial-hashes each token
-  * (h ← h·31 + byte mod P), and composes per-gram hashes algebraically —
-  *
-  *   H(t1·' '·t2·' '·t3) = t1h·31^(2+|t2|+|t3|) + 32·31^(1+|t2|+|t3|)
-  *                       + t2h·31^(1+|t3|) + 32·31^(|t3|) + t3h   (mod P)
-  *
-  * exactly [[graft.ops.TextOps.shingleHashes3]] ∘ per-token
-  * [[PolyHash]], in one pass (ASCII input: byte == char). Shorter than 3
-  * tokens ⇒ empty array. Not deduplicated (downstream min-aggregation is
+/** Native word n-gram shingle-hash array (arity 2 = bigrams, 3 =
+  * trigrams, …): splits on single spaces (trailing empties kept, matching
+  * `split(s, " ")`), polynomial-hashes each token (h ← h·31 + byte mod P),
+  * and composes each gram's hash algebraically by extending the running
+  * residue — appending a space is h ← h·31 + 32, appending a token t is
+  * h ← h·31^|t| + hash(t) — exactly the char-fold hash of the
+  * space-joined gram string ("w1 w2 … wk"), in one pass over the text
+  * (ASCII input: byte == char). Fewer than `arity` tokens ⇒ empty array.
+  * Not deduplicated (downstream min/distinct aggregation is
   * dedup-insensitive).
   */
-case class ShingleHash3(child: Expression, mod: Long) extends UnaryExpression {
+case class ShingleHash(child: Expression, mod: Long, arity: Int)
+    extends UnaryExpression {
   // per-gram terms multiply two residues: mod² must stay within Long
   require(mod > 1 && mod <= 3037000499L,
     s"mod must be in (1, 3037000499], got $mod")
+  require(arity >= 1, s"arity must be >= 1, got $arity")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_shingle_hash3 requires a string child, got ${child.dataType.catalogString}")
+      s"graft_shingle_hash requires a string child, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_shingle_hash3"
+  override def prettyName: String = "graft_shingle_hash"
 
   override def nullSafeEval(input: Any): Any =
     hashShingles(input.asInstanceOf[UTF8String])
@@ -57,7 +58,7 @@ case class ShingleHash3(child: Expression, mod: Long) extends UnaryExpression {
       }
       i += 1
     }
-    if (nTok < 3) return new GenericArrayData(Array.empty[Long])
+    if (nTok < arity) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](nTok)
     t = 0
     while (t < nTok) {
@@ -74,16 +75,17 @@ case class ShingleHash3(child: Expression, mod: Long) extends UnaryExpression {
       while (n > 0) { p = p * 31 % mod; n -= 1 }
       p
     }
-    val out = new Array[Long](nTok - 2)
+    val out = new Array[Long](nTok - arity + 1)
     var g = 0
-    while (g < nTok - 2) {
-      val l2 = lens(g + 1)
-      val l3 = lens(g + 2)
-      out(g) = (th(g) * pow31(l2 + l3 + 2) % mod
-        + 32L * pow31(l2 + l3 + 1) % mod
-        + th(g + 1) * pow31(l3 + 1) % mod
-        + 32L * pow31(l3) % mod
-        + th(g + 2)) % mod
+    while (g < out.length) {
+      var acc = th(g)
+      var m = 1
+      while (m < arity) {
+        acc = (acc * 31 + 32) % mod // ' '
+        acc = (acc * pow31(lens(g + m)) + th(g + m)) % mod
+        m += 1
+      }
+      out(g) = acc
       g += 1
     }
     new GenericArrayData(out)
@@ -92,17 +94,22 @@ case class ShingleHash3(child: Expression, mod: Long) extends UnaryExpression {
   // interpreted eval is already a single tight loop; fall back to it from
   // generated code rather than inlining ~80 lines of Java
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("shingleHash", this, classOf[ShingleHash3].getName)
+    val ref = ctx.addReferenceObj("shingleHash", this, classOf[ShingleHash].getName)
     nullSafeCodeGen(ctx, ev, c => {
       s"${ev.value} = $ref.hashShingles($c);"
     })
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHash3 =
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
 }
 
+object ShingleHash {
+  def apply(c: Column, mod: Long, arity: Int): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(c), mod, arity))
+}
+
+/** Trigram convenience alias (the q31 MinHash signature path). */
 object ShingleHash3 {
-  def apply(c: Column, mod: Long): Column =
-    ColumnBridge.column(ShingleHash3(ColumnBridge.expression(c), mod))
+  def apply(c: Column, mod: Long): Column = ShingleHash(c, mod, 3)
 }

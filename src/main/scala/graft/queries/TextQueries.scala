@@ -63,18 +63,36 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
-  /** EXT-2 — exact 2-gram Jaccard via an inverted-index join on shared
-    * bigram shingles (1/5 doc sample keeps the candidate set bounded;
-    * bigrams are selective where the unigram vocabulary is not).
+  /** Inverted-index posting lists above this document frequency are
+    * dropped before the q32 self-join: a shingle shared by f documents
+    * contributes f² candidate rows, so without a cap one stop-bigram
+    * turns the index quadratic. Capped, join rows are ≤ |vocab|·C² —
+    * linear in vocabulary. High-df shingles carry ~no Jaccard signal
+    * anyway (they match everything). Both engines apply the same cap, and
+    * the denominator stays the FULL distinct-shingle counts, so the
+    * reported `jac` is a documented lower bound of true Jaccard.
+    */
+  private val DfCap = 64
+
+  /** EXT-2 — 2-gram Jaccard via a df-capped inverted-index join on shared
+    * bigram shingle *hashes* (native [[graft.functions.ShingleHash]]
+    * arity 2 — one pass over the text, no interpreted HOF shingle
+    * strings). The 1/5 doc sample bounds the oracle's cost; the df cap is
+    * what bounds the candidate set at scale.
     */
   val q32NgramJaccard: Q = (s, d) => {
     val tok = documents(s, d)
       .filter(pmod(col("doc_id"), lit(5)) === 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextOps.shinglesFromTokens(col("toks"), 2).as("t"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.ShingleHash(col("text"), TextOps.P, 2)).as("t"))
+      .filter(size(col("t")) > 0)
       .persist()
     val ex = tok.select(col("doc_id"), explode(col("t")).as("w"))
-    val shared = ex.as("a").join(ex.as("b"),
+    // posting-list df per shingle hash; drop stop-shingles (df > cap)
+    val rare = ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .filter(col("df") <= DfCap)
+      .select(col("doc_id"), col("w"))
+    val shared = rare.as("a").join(rare.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("shared"))
@@ -176,47 +194,94 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** EXT-3 — LSH-bucketed ANN (the 100 TB path for q29): bucket by the
-    * sign bits of the first 4 dimensions, equi-join query↔candidate on
-    * the bucket, cosine + top-5 inside the bucket only.
+  /** Sign-random-projection banding shared by q39/q40: 32 deterministic
+    * Rademacher hyperplanes ([[graft.functions.SignProjBits]], one native
+    * pass), sliced into 4 bands of 8 bits. Band keys live in a 256-value
+    * space *per band*, so within-band bucket occupancy is n/256 per band
+    * — 16× tighter than the old 4-bit single bucket — and OR-amplification
+    * across the 4 bands recovers recall. For a production near-dup regime
+    * (cos ≥ 0.9, sign-agreement p ≈ 0.86) the same expression widens to
+    * 64 bits / 4 bands of 16 (2¹⁶ keys per band); this corpus's
+    * similarity tail sits at cos ≈ 0.4 (p ≈ 0.63), where 16-bit bands
+    * would match nothing, so the query uses 8-bit bands.
     */
-  private def signBucket(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 4).map(i => when(element_at(e, i + 1) > 0f, 1 << (3 - i)).otherwise(0))
-      .reduce(_ + _)
+  private val SrpBits = 32
+  private val SrpBands = 4
+  private val SrpBandBits = SrpBits / SrpBands
 
+  /** (band, key) rows per vector: key = bits >> (8·band) & 0xff. */
+  private def srpBands(df: org.apache.spark.sql.DataFrame, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    df.withColumn("bits", graft.functions.SignProjBits(col("embedding"), SrpBits))
+      .select(col(idCol),
+        explode(array((0 until SrpBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("bits"), b * SrpBandBits)
+              .bitwiseAND(lit((1 << SrpBandBits) - 1)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** EXT-3 — banded sign-LSH ANN (the 100 TB path for q29): candidates
+    * are vectors sharing ≥ 1 of 4 8-bit sign-projection bands with the
+    * query; exact cosine + top-5 runs over candidates only. Candidate
+    * count per query is Σ_bands n/2^bandBits — sub-linear per band key
+    * and tunable via band width, vs. the all-bucket scan of a single
+    * coarse bucket.
+    */
   val q39AnnLsh: Q = (s, d) => {
     import graft.functions.DotFold
     val emb = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bkt"),
+      .select(col("vec_id"), col("embedding"),
         sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
+      .persist()
+    val bands = srpBands(emb, "vec_id")
+    val qBands = srpBands(emb.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id"), "query_id")
+    val cands = bands.join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bkt"), col("nrm").as("qnrm"))
-    val scored = emb.join(broadcast(queries), Seq("bkt"))
-      .filter(col("vec_id") =!= col("query_id"))
+        col("nrm").as("qnrm"))
+    val scored = cands
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos", DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast("int").as("rank"), col("bkt"),
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** EXT-1/EXT-3 — embedding-cosine near-duplicate detection: all pairs
-    * *within a sign-LSH bucket* scored with the native DotFold (norms
-    * precomputed per vector), thresholded. The bucket equi-join bounds
-    * the pair count; no all-pairs cross join exists in the plan.
+  /** EXT-1/EXT-3 — embedding-cosine near-duplicate detection: candidate
+    * pairs share ≥ 1 of 4 8-bit sign-projection bands (never all pairs,
+    * never one coarse bucket), then exact cosine ≥ 0.4 verifies. Pair
+    * generation is Σ_bands Σ_keys occ², with occupancy n/256 per band key
+    * — the quadratic-within-bucket blowup of a 16-bucket scheme is gone,
+    * and band width scales it further (16-bit bands ⇒ n/65536).
     */
   val q40EmbeddingNeardup: Q = (s, d) => {
     import graft.functions.DotFold
     val emb = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bkt"),
+      .select(col("vec_id"), col("embedding"),
         sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
-    emb.as("a").join(emb.as("b"),
-        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
-        (DotFold(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .persist()
+    val bands = srpBands(emb, "vec_id")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
+      .distinct()
+    cands
+      .join(emb.select(col("vec_id").as("da"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("da"))
+      .join(emb.select(col("vec_id").as("db"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (DotFold(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy(col("da"), col("db"))
   }
@@ -328,14 +393,21 @@ object TextQueries {
         |ORDER BY s.da, s.db""".stripMargin,
     "q32_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents WHERE doc_id % 5 = 0),
-        |tok AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t0) - 1, 0)),
-        |    i -> t0[i] || ' ' || t0[i+1])) AS t
+        |bg AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t0) - 1, 0)),
+        |    i -> t0[i] || ' ' || t0[i+1]) AS gs
         |  FROM tk WHERE len(t0) >= 2),
+        |tok AS (
+        |  SELECT doc_id, list_distinct(list_transform(gs,
+        |    s -> list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+        |           (a, x) -> (a * 31 + x) % 1000000007))) AS t
+        |  FROM bg),
         |ex AS (SELECT doc_id, unnest(t) AS w FROM tok),
+        |keepw AS (SELECT w FROM ex GROUP BY w HAVING count(*) <= 64),
+        |rare AS (SELECT ex.doc_id, ex.w FROM ex JOIN keepw USING (w)),
         |shared AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |sizes AS (SELECT doc_id, len(t) AS n FROM tok)
         |SELECT da, db, shared,
@@ -427,45 +499,68 @@ object TextQueries {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
     "q39_ann_lsh" ->
-      """WITH emb AS (
+      """WITH e AS (
         |  SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
         |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM emb WHERE vec_id < 5),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN ((i-1)*37 + j*101 + (i-1)*j*13) % 97 < 48
+        |           THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END),
+        |      (a, b) -> a + b) AS p
+        |  FROM e, (SELECT unnest(generate_series(0, 31)) AS j)),
+        |bits AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS bits
+        |  FROM proj GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, b AS band, (bits // CAST(2 ** (8*b) AS BIGINT)) % 256 AS key
+        |  FROM bits, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
         |scored AS (
-        |  SELECT q.query_id, e.bkt, e.vec_id,
-        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
-        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
-        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
-        |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
-        |     * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
-        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS cos
-        |  FROM emb e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.query_id),
+        |  SELECT cd.query_id, cd.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |      / (q.nrm * c.nrm) AS cos
+        |  FROM cands cd JOIN e q ON cd.query_id = q.vec_id JOIN e c ON cd.vec_id = c.vec_id),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored)
-        |SELECT query_id, CAST(rank AS INT) AS rank, bkt, vec_id, cos
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q40_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bkt,
         |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
         |  FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN ((i-1)*37 + j*101 + (i-1)*j*13) % 97 < 48
+        |           THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END),
+        |      (a, b) -> a + b) AS p
+        |  FROM e, (SELECT unnest(generate_series(0, 31)) AS j)),
+        |bits AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS bits
+        |  FROM proj GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, b AS band, (bits // CAST(2 ** (8*b) AS BIGINT)) % 256 AS key
+        |  FROM bits, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
         |p AS (
-        |  SELECT a.vec_id AS da, b.vec_id AS db,
+        |  SELECT c.da, c.db,
         |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
         |      / (a.nrm * b.nrm) AS cos
-        |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        |  FROM cands c JOIN e a ON c.da = a.vec_id JOIN e b ON c.db = b.vec_id)
         |SELECT da, db, cos FROM p WHERE cos >= 0.4
         |ORDER BY da, db""".stripMargin,
     "q42_ann_ivf" ->
