@@ -25,8 +25,8 @@ object ProtocolQueries {
         .otherwise(round(col("value")).cast("long").cast("string")).as("part"))
     val frames = parts.groupBy(col("user_id")).agg(
       concat(lit("{BASTATUS,"),
-        array_join(transform(array_sort(collect_list(struct(col("event_id"), col("part")))),
-          x => x.getField("part")), ","),
+        graft.functions.StructSortJoin(
+          collect_list(struct(col("event_id"), col("part"))), ","),
         lit("}")).as("frame"))
     frames
       .select(col("user_id"), explode(graft.functions.StatusDecode(col("frame"))).as("r"))

@@ -81,25 +81,25 @@ object TextQueries {
     * what bounds the candidate set at scale.
     */
   val q32NgramJaccard: Q = (s, d) => {
-    val tok = documents(s, d)
+    // distinct-shingle size rides along with each posting row (constant
+    // per doc), so Jaccard needs no post-join back to a sizes table —
+    // two fewer joins in the plan
+    val ex = documents(s, d)
       .filter(pmod(col("doc_id"), lit(5)) === 0)
       .select(col("doc_id"),
         array_distinct(graft.functions.ShingleHash(col("text"), TextOps.P, 2)).as("t"))
       .filter(size(col("t")) > 0)
-      .persist()
-    val ex = tok.select(col("doc_id"), explode(col("t")).as("w"))
+      .select(col("doc_id"), size(col("t")).as("n"), explode(col("t")).as("w"))
     // posting-list df per shingle hash; drop stop-shingles (df > cap)
+    // persisted: both sides of the self-join read it (invariant 6)
     val rare = ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .filter(col("df") <= DfCap)
-      .select(col("doc_id"), col("w"))
-    val shared = rare.as("a").join(rare.as("b"),
+      .select(col("doc_id"), col("n"), col("w"))
+      .persist()
+    rare.as("a").join(rare.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("shared"))
-    val sizes = tok.select(col("doc_id"), size(col("t")).as("n"))
-    shared
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .agg(count(lit(1)).as("shared"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jac") >= 0.05)
       .select(col("da"), col("db"), col("shared"), col("jac"))
