@@ -73,8 +73,13 @@ object Telemetry {
               o.ts_us > b.ts_us || (o.ts_us == b.ts_us && o.input > b.input)) => Some(o)
             case (best, _) => best
           }
+          // same tie rule as the in-batch fold above and as
+          // RouteStateProcessor: an equal-ts/higher-input observation
+          // arriving in a LATER micro-batch must win too, or the final
+          // state would depend on micro-batch boundary placement
           newest match {
-            case Some(o) if prev.forall(p => o.ts_us > p.ts_us) =>
+            case Some(o) if prev.forall(p =>
+                o.ts_us > p.ts_us || (o.ts_us == p.ts_us && o.input > p.input)) =>
               val next = RouteKeyState(output, o.input, o.ts_us, writes + 1)
               state.update(next)
               Iterator.single(next)

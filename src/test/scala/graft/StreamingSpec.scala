@@ -107,6 +107,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("property: flatMap ≡ transformWithState ≡ batch max-struct on random tied streams") {
+    import graft.streaming.Telemetry.{RouteKeyState, RouteObs}
+    implicit val sqlCtx = spark.sqlContext
+    // same provider for both twins; tws requires RocksDB anyway
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(42)
+      // scenario 0 is the cross-batch equal-ts tie from the audit: an
+      // equal-ts/higher-input obs in a LATER micro-batch must still win
+      val scenarios: Seq[Seq[Seq[RouteObs]]] =
+        Seq(Seq(Seq(RouteObs(1000, 1, 5)), Seq(RouteObs(1000, 1, 7)),
+          Seq(RouteObs(1000, 1, 3)))) ++
+          (1 to 4).map { _ =>
+            Seq.fill(2 + rnd.nextInt(3)) {
+              Seq.fill(1 + rnd.nextInt(3)) {
+                RouteObs(1000L * (1 + rnd.nextInt(3)), 1 + rnd.nextInt(2), 1 + rnd.nextInt(5))
+              }
+            }
+          }
+      for ((batches, si) <- scenarios.zipWithIndex) {
+        def run(twin: org.apache.spark.sql.Dataset[RouteObs] =>
+            org.apache.spark.sql.Dataset[RouteKeyState], qn: String): Seq[RouteKeyState] = {
+          val src = MemoryStream[RouteObs]
+          val q = twin(src.toDS()).writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+          finally q.stop()
+          spark.table(qn).as[RouteKeyState].collect().sortBy(s => (s.output, s.writes)).toSeq
+        }
+        val fm = run(Telemetry.routeStateFlatMap, s"prop_fm_$si")
+        val tws = run(Telemetry.routeStateTws, s"prop_tws_$si")
+        // identical batching ⇒ identical full emission histories,
+        // write counters included
+        assert(fm === tws, s"scenario $si: twins diverge")
+        val expect = Telemetry.routeState(spark.createDataset(batches.flatten).toDF())
+          .as[(Int, Int, Long)].collect().sortBy(_._1).toSeq
+        val fin = fm.groupBy(_.output).values.map(_.maxBy(_.writes))
+          .map(s => (s.output, s.input, s.ts_us)).toSeq.sortBy(_._1)
+        assert(fin === expect, s"scenario $si: final state != batch max-struct")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("custom DSv2 telemetry poll source feeds the route-state pipeline") {
     val frames = spark.readStream
       .format(classOf[graft.sources.TelemetrySourceProvider].getName)
