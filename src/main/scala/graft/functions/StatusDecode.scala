@@ -12,7 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native STATUS-frame decoder (OP-7, etl_controller.py:615-623):
   * `{BASTATUS,a,b,…}` → array<struct<output int, input int>>, 1-based
-  * positional outputs, non-digit parts skipped. Same semantics as
+  * positional outputs, non-digit parts skipped. Digit parts longer than
+  * 18 digits or exceeding Int.MaxValue are dropped like non-digit parts
+  * (outputs stay positional). Same semantics as
   * [[graft.ops.Protocol.statusRoutes]] (regexp + split + HOF filter),
   * evaluated as one pass over the frame bytes.
   */
@@ -61,7 +63,11 @@ case class StatusDecode(child: Expression) extends UnaryExpression {
     while (i <= end) {
       if (i == end || bytes(i) == ',') {
         val len = i - p
-        if (len > 0 && allDigits && nDigits == len && value <= Int.MaxValue) {
+        // ≤18-digit bound + value check mirrors Protocol.statusRoutes
+        // exactly (a 19-digit part is dropped even if its numeric value
+        // is small, e.g. leading zeros)
+        if (len > 0 && allDigits && nDigits == len && nDigits <= 18 &&
+            value <= Int.MaxValue) {
           out += new GenericInternalRow(Array[Any](pos, value.toInt))
         }
         pos += 1; p = i + 1; value = 0L; nDigits = 0; allDigits = true

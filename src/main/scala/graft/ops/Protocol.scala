@@ -81,13 +81,18 @@ object Protocol {
 
   /** OP-7 — STATUS decode (etl_controller.py:615-623): `{BASTATUS,a,b,…}`
     * → array<struct<output int, input int>>; 1-based positional outputs,
-    * non-digit parts skipped.
+    * non-digit parts skipped. Digit parts whose value exceeds
+    * Int.MaxValue are dropped like non-digit parts (shifting nothing —
+    * outputs stay positional), matching
+    * [[graft.functions.StatusDecode]]; the ≤18-digit bound keeps the
+    * long cast safe under ANSI before the value check runs.
     */
   def statusRoutes(raw: Column): Column = {
     val payload = regexp_extract(raw, "\\{BASTATUS,([^}]+)\\}", 1)
     val indexed = transform(split(payload, ","),
       (p, i) => struct((i + 1).as("output"), p.as("p")))
-    val digits = filter(indexed, s => s.getField("p").rlike("^[0-9]+$"))
+    val digits = filter(indexed, s => s.getField("p").rlike("^[0-9]{1,18}$") &&
+      s.getField("p").cast("long") <= Int.MaxValue)
     transform(digits, s => struct(
       s.getField("output").cast("int").as("output"),
       s.getField("p").cast("int").as("input")))

@@ -109,7 +109,12 @@ class PolyHashSpec extends AnyFunSuite {
     import graft.ops.Protocol
     val part = Gen.oneOf(
       Gen.choose(0, 999999999).map(_.toString), // digits (Int-safe)
-      Gen.oneOf("x", "", "1a", "a1", " 5", "-3"))
+      Gen.oneOf("x", "", "1a", "a1", " 5", "-3"),
+      // overflow edges: > Int.MaxValue, 19-digit with leading zeros,
+      // exactly Int.MaxValue / one past it — both twins must drop the
+      // same parts without shifting positions
+      Gen.oneOf("3000000000", "0000000000000000001", "2147483647",
+        "2147483648", "99999999999999999999"))
     val frame = for {
       parts <- Gen.listOf(part)
       wrap <- Gen.oneOf(0, 1, 2)
