@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.DotFold
 
@@ -28,14 +27,21 @@ object KMeans {
     val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
       val cDf = centroids.toSeq.toDF("cid", "cv")
-      // assign: nearest centroid by squared distance = |v|² − 2v·c + |c|²
-      val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+      // assign: nearest centroid by squared distance = |v|² − 2v·c + |c|².
+      // argmin via min(struct(d2, cid)) — a hash aggregate with map-side
+      // partial reduction (each partition reduces its n_part·k rows to
+      // n_part before the shuffle), not a window sort over all n·k rows.
       val assigned = vecs.crossJoin(broadcast(cDf))
         .withColumn("d2",
           DotFold(col("v"), col("v")) - lit(2.0) * DotFold(col("v"), col("cv"))
             + DotFold(col("cv"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
+        .select(col("id"), col("m.cid").as("cid"), col("m.d2").as("d2"), col("v"))
+        // persisted: the cost action and the centroid update both read it
+        // (invariant 6 — without this the crossJoin+argmin runs twice per
+        // iteration)
+        .persist()
       costs += assigned.agg(sum(col("d2"))).as[Double].collect().head
       // update: per-cluster centroid via the typed Aggregator; clusters
       // that attracted no vectors keep their previous centroid (they
@@ -43,6 +49,7 @@ object KMeans {
       val updated = assigned.select(col("cid"), col("v")).as[(Int, Seq[Double])]
         .groupByKey(_._1).mapValues(_._2).agg(new Aggregators.Centroid(dim).toColumn)
         .collect().toMap
+      assigned.unpersist()
       centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
     (costs.toSeq, centroids.toSeq.toDF("cid", "cv"))

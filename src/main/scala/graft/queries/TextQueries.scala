@@ -286,36 +286,78 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
-  /** EXT-3 — IVF-style ANN: 16 deterministic seed centroids; every
-    * vector is assigned to its nearest cell (one broadcast pass), queries
-    * probe their 2 nearest cells, exact cosine + top-5 runs inside the
-    * probed cells only. The inverted-file structure bounds candidate
-    * counts the way a trained IVF index would; seeds stand in for k-means
-    * centroids (ops.Aggregators.Centroid is the training building block).
+  /** Trained-IVF parameters shared by the Spark query and its generated
+    * oracle SQL: k cells, T unrolled Lloyd iterations, quantization
+    * scale. Training is made cross-engine bit-exact by doing the only
+    * order-sensitive step — summing member vectors — in integers:
+    * vq = floor(v·10⁶) per component, Σvq as longs (order-independent),
+    * centroid component = CAST(Σ AS DOUBLE) / (10⁶·n) with the identical
+    * expression in both engines. Distances then compare equal bitwise,
+    * so assignments (argmin by (d2, cid)) agree exactly.
+    */
+  private val IvfK = 16
+  private val IvfIters = 2
+  private val IvfProbes = 2
+
+  /** EXT-3 — trained IVF ANN: k-means cells trained in-plan (integer-
+    * quantized Lloyd's, [[IvfIters]] unrolled iterations seeded from the
+    * first k vectors), every vector assigned to its nearest trained cell,
+    * queries probe their [[IvfProbes]] nearest cells, exact cosine +
+    * top-5 inside the probed cells only. Assignment is a broadcast
+    * crossJoin + min-struct hash aggregate (map-side partial reduction),
+    * never a global window; the whole pipeline is DataFrame-declarative —
+    * no driver-side collect. [[graft.ops.KMeans]] is the general
+    * float-precision trainer; this in-plan variant exists so the oracle
+    * can replay training exactly.
     */
   val q42AnnIvf: Q = (s, d) => {
     import graft.functions.DotFold
-    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
-    val seeds = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
-    def cellRank(base: org.apache.spark.sql.DataFrame, idCol: String) = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
-      base.crossJoin(broadcast(seeds))
-        .withColumn("ccos", DotFold(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
-        .withColumn("crank", row_number().over(w))
+    import org.apache.spark.sql.DataFrame
+    val emb = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("vq", transform(col("v"), x => floor(x * lit(1000000.0))))
+      .withColumn("nrm", sqrt(DotFold(col("v"), col("v"))))
+      .persist()
+    def centv(c: DataFrame): DataFrame = c.select(col("cid"),
+      transform(col("S"), q => q.cast("double") / (lit(1000000.0) * col("n"))).as("cv"))
+    def withD2(base: DataFrame, c: DataFrame): DataFrame =
+      base.crossJoin(broadcast(centv(c)))
+        .withColumn("d2", DotFold(col("v"), col("v"))
+          - lit(2.0) * DotFold(col("v"), col("cv")) + DotFold(col("cv"), col("cv")))
+    var cent: DataFrame = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("cid"), col("vq").as("S"), lit(1L).as("n"))
+    for (_ <- 1 to IvfIters) {
+      val asg = withD2(emb, cent)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vq")).as("vq"))
+        .select(col("m.cid").as("cid"), col("vq"))
+      val sums = asg.select(col("cid"), posexplode(col("vq")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("sq"), count(lit(1)).as("cnt"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq")))),
+          x => x.getField("sq")).as("S"), max(col("cnt")).as("n"))
+      // cells that attracted no vectors keep their previous (S, n)
+      cent = cent.as("p").join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
+        .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
+          coalesce(col("u.n"), col("p.n")).as("n"))
+        .persist()
     }
-    val assigned = cellRank(emb, "vec_id").filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
-    val probes = cellRank(
-      emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
-        col("embedding"), col("nrm")), "query_id")
-      .filter(col("crank") <= 2)
-      .select(col("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"),
-        col("cid").as("cell"))
+    val assigned = withD2(emb, cent)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("m.cid").as("cell"), col("v"), col("nrm"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
+    val probes = withD2(emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id"), cent)
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= IvfProbes)
+      .select(col("query_id"), col("cid").as("cell"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -353,6 +395,70 @@ object TextQueries {
 
   private val charHashSql =
     "list_reduce(list_transform(generate_series(1, length(%s)), i -> CAST(ascii(%s[i]) AS BIGINT)), (a, x) -> (a * 31 + x) %% 1000000007)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** q42's oracle replays the integer-quantized Lloyd training CTE-by-CTE
+    * — one (cv, asg, sums, u, c) block per unrolled iteration — so the
+    * trained centroids, assignments, probes, and top-5 all hash-match the
+    * Spark plan bit-for-bit (see [[IvfK]] doc for why quantization makes
+    * that possible).
+    */
+  private def q42OracleSql: String = {
+    val d2Sql = (v: String, cv: String) =>
+      s"${dotSql(v, v)} - 2.0 * ${dotSql(v, cv)} + ${dotSql(cv, cv)}"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |en AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n FROM en WHERE vec_id < $IvfK),
+      |""".stripMargin
+    for (t <- 1 to IvfIters) {
+      sb ++= s"""cv$t AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM c${t - 1}),
+        |asg$t AS (
+        |  SELECT vec_id, vq, cid FROM (
+        |    SELECT vec_id, vq, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM (SELECT en.vec_id, en.vq, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cv$t c))
+        |  WHERE rn = 1),
+        |sums$t AS (
+        |  SELECT a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM asg$t a, LATERAL (SELECT unnest(a.vq) AS q, generate_subscripts(a.vq, 1) AS pos) t
+        |  GROUP BY a.cid, t.pos),
+        |u$t AS (SELECT cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM sums$t GROUP BY cid),
+        |c$t AS (SELECT p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
+        |  FROM c${t - 1} p LEFT JOIN u$t u ON p.cid = u.cid),
+        |""".stripMargin
+    }
+    sb ++= s"""cvF AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM c$IvfIters),
+      |af AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c))
+      |  WHERE rn = 1),
+      |pr AS (
+      |  SELECT query_id, cid AS cell FROM (
+      |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c WHERE en.vec_id < 5))
+      |  WHERE rn <= $IvfProbes),
+      |scored AS (
+      |  SELECT p.query_id, a.cell, a.vec_id,
+      |    ${dotSql("eq.v", "ev.v")} / (eq.nrm * ev.nrm) AS cos
+      |  FROM af a JOIN pr p ON a.cell = p.cell
+      |  JOIN en ev ON a.vec_id = ev.vec_id
+      |  JOIN en eq ON p.query_id = eq.vec_id
+      |  WHERE a.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id, cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     "q31_neardup_minhash" ->
@@ -563,42 +669,7 @@ object TextQueries {
         |  FROM cands c JOIN e a ON c.da = a.vec_id JOIN e b ON c.db = b.vec_id)
         |SELECT da, db, cos FROM p WHERE cos >= 0.4
         |ORDER BY da, db""".stripMargin,
-    "q42_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
-        |  FROM embeddings),
-        |seeds AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
-        |assign0 AS (
-        |  SELECT e.vec_id, e.embedding, e.nrm, s.cid,
-        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.cv[i] AS DOUBLE)), (a, b) -> a + b)
-        |      / (e.nrm * s.cnrm) AS ccos
-        |  FROM e, seeds s),
-        |assigned AS (
-        |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
-        |    FROM assign0)
-        |  WHERE crank = 1),
-        |probes AS (
-        |  SELECT query_id, qv, qnrm, cid AS cell FROM (
-        |    SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
-        |    FROM assign0 WHERE vec_id < 5)
-        |  WHERE crank <= 2),
-        |scored AS (
-        |  SELECT p.query_id, a.cell, a.vec_id,
-        |    list_reduce(list_transform(generate_series(1, len(p.qv)),
-        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-        |      / (p.qnrm * a.nrm) AS cos
-        |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id, cos
-        |FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q42_ann_ivf" -> q42OracleSql,
     "q41_simhash_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
