@@ -9,12 +9,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 16-bit SimHash over single-space tokens: each token's 16-bit
-  * polynomial hash (h ← h·31 + byte mod 65536) votes ±1 per bit; the sign
-  * of each bit-sum forms the fingerprint. Bit-identical to
-  * [[graft.ops.TextOps.simhash16]]'s built-in fold (ASCII input) — one
-  * JVM pass instead of a 16-wide zip_with per token.
+  * polynomial hash (h ← h·mult + byte mod 65536) votes ±1 per bit; the
+  * sign of each bit-sum forms the fingerprint. Bit-identical to
+  * [[graft.ops.TextOps.simhash16]]'s built-in fold (ASCII input, mult =
+  * 31) — one JVM pass instead of a 16-wide zip_with per token. Distinct
+  * `mult` values give independent hash families: four of them side by
+  * side form the 64-bit banded SimHash (q51).
   */
-case class SimHash16(child: Expression) extends UnaryExpression {
+case class SimHash16(child: Expression, mult: Long) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -43,7 +45,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
         }
         h = 0L
       } else {
-        h = (h * 31 + (bytes(i) & 0xff)) % 65536
+        h = (h * mult + (bytes(i) & 0xff)) % 65536
       }
       i += 1
     }
@@ -66,6 +68,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 }
 
 object SimHash16 {
-  def apply(c: Column): Column =
-    ColumnBridge.column(SimHash16(ColumnBridge.expression(c)))
+  def apply(c: Column): Column = apply(c, 31L)
+  def apply(c: Column, mult: Long): Column =
+    ColumnBridge.column(SimHash16(ColumnBridge.expression(c), mult))
 }

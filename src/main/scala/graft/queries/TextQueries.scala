@@ -378,6 +378,48 @@ object TextQueries {
       .orderBy(col("sh16"))
   }
 
+  /** q51 parameters: four independent 16-bit SimHash families (distinct
+    * polynomial multipliers) laid side by side form a 64-bit fingerprint;
+    * band = one 16-bit family. By pigeonhole, any pair within Hamming
+    * distance 3 of each other (< #bands) shares at least one whole band —
+    * banding is COMPLETE for radius 3, best-effort OR-amplified beyond it
+    * up to the verify threshold. q41's single 16-bit hash saturates at
+    * 65k buckets (everything collides at corpus scale); 64 bits with
+    * 16-bit band keys keeps per-band bucket occupancy at n/65536.
+    */
+  private val SimhashMults = Seq(31L, 37L, 41L, 43L)
+  private val SimhashMaxDist = 6
+
+  /** EXT-1 — 64-bit SimHash near-dup: banded candidate generation over
+    * the four 16-bit components, exact Hamming-distance verification
+    * (≤ [[SimhashMaxDist]]) on candidates only.
+    */
+  val q51Simhash64: Q = (s, d) => {
+    val sig = documents(s, d).select(
+      col("doc_id") +: SimhashMults.zipWithIndex.map { case (m, b) =>
+        graft.functions.SimHash16(col("text"), m).as(s"b$b") }: _*)
+      .persist()
+    val bands = sig.select(col("doc_id"),
+      explode(array(SimhashMults.indices.map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val xa = sig.select(col("doc_id").as("da") +:
+      SimhashMults.indices.map(b => col(s"b$b").as(s"xa$b")): _*)
+    val xb = sig.select(col("doc_id").as("db") +:
+      SimhashMults.indices.map(b => col(s"b$b").as(s"xb$b")): _*)
+    cands.join(xa, Seq("da")).join(xb, Seq("db"))
+      .withColumn("dist", SimhashMults.indices.map(b =>
+        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .filter(col("dist") <= SimhashMaxDist)
+      .select(col("da"), col("db"), col("dist"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -391,7 +433,54 @@ object TextQueries {
     "q40_embedding_neardup" -> q40EmbeddingNeardup,
     "q41_simhash_dedup"   -> q41SimhashDedup,
     "q42_ann_ivf"         -> q42AnnIvf,
+    "q51_simhash64"       -> q51Simhash64,
   )
+
+  /** q51's oracle: one (th, votes, sh) chain per 16-bit SimHash family,
+    * mirroring q37's per-bit-vote formulation, then the same band join +
+    * Hamming verify as the Spark plan.
+    */
+  private def q51OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |bits AS (SELECT unnest(generate_series(0, 15)) AS b),
+      |""".stripMargin
+    for ((m, i) <- SimhashMults.zipWithIndex) {
+      sb ++= s"""th$i AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |      (a, x) -> (a * $m + x) % 65536) AS h
+        |  FROM tok),
+        |v$i AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th$i, bits GROUP BY doc_id, b),
+        |s$i AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM v$i GROUP BY doc_id),
+        |""".stripMargin
+    }
+    sb ++= s"""sig AS (
+      |  SELECT s0.doc_id, s0.sh AS b0, s1.sh AS b1, s2.sh AS b2, s3.sh AS b3
+      |  FROM s0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)),
+      |bands AS (
+      |  SELECT doc_id, b AS band,
+      |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |p AS (
+      |  SELECT c.da, c.db,
+      |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS dist
+      |  FROM cands c JOIN sig x ON c.da = x.doc_id JOIN sig y ON c.db = y.doc_id)
+      |SELECT da, db, CAST(dist AS INT) AS dist FROM p WHERE dist <= $SimhashMaxDist
+      |ORDER BY da, db""".stripMargin
+    sb.toString
+  }
 
   private val charHashSql =
     "list_reduce(list_transform(generate_series(1, length(%s)), i -> CAST(ascii(%s[i]) AS BIGINT)), (a, x) -> (a * 31 + x) %% 1000000007)"
@@ -670,6 +759,7 @@ object TextQueries {
         |SELECT da, db, cos FROM p WHERE cos >= 0.4
         |ORDER BY da, db""".stripMargin,
     "q42_ann_ivf" -> q42OracleSql,
+    "q51_simhash64" -> q51OracleSql,
     "q41_simhash_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
