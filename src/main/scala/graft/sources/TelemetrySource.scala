@@ -60,7 +60,8 @@ class TelemetryTable(options: CaseInsensitiveStringMap) extends Table with Suppo
         new TelemetryMicroBatchStream(
           opts.getInt("numOutputs", 4), opts.getInt("numInputs", 8),
           opts.getInt("pollsPerBatch", 2), opts.getInt("maxPolls", 10),
-          opts.getLong("intervalUs", 2000000L))
+          opts.getLong("intervalUs", 2000000L),
+          Option(opts.get("host")), opts.getInt("port", 4000))
     }
 }
 
@@ -70,7 +71,8 @@ case class PollOffset(polls: Long) extends Offset {
 
 class TelemetryMicroBatchStream(
     numOutputs: Int, numInputs: Int, pollsPerBatch: Int, maxPolls: Int,
-    intervalUs: Long) extends MicroBatchStream with SupportsAdmissionControl {
+    intervalUs: Long, host: Option[String] = None, port: Int = 4000)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = PollOffset(0)
 
@@ -94,19 +96,39 @@ class TelemetryMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(TelemetryRange(
       start.asInstanceOf[PollOffset].polls, end.asInstanceOf[PollOffset].polls,
-      numOutputs, numInputs, intervalUs))
+      numOutputs, numInputs, intervalUs, host, port))
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val r = partition.asInstanceOf[TelemetryRange]
       new PartitionReader[InternalRow] {
-        private val frames = (r.startPoll until r.endPoll).iterator.flatMap { i =>
-          val ts = i * r.intervalUs
-          Seq(
-            (ts, "STATUS", TelemetrySource.statusFrame(i, r.numOutputs, r.numInputs)),
-            (ts, "MATRIX", s"{BAcM,00,00,M$i}"),
-            (ts, "CHASSIS", s"{BAcC,00,00,OSO+${300 + i % 100}O+300O+291OOO2046${i % 10}O}"))
-        }
+        /** Simulated device when no host is configured; otherwise one
+          * `{AB?}` status poll per offset over a real TCP round trip
+          * (etl_controller.py:555-556 → :421-461). Offsets count polls, so
+          * a task retry re-polls the device — the poll is a read-only
+          * query, so replay is harmless (and is exactly what the
+          * reference's poll loop does every 2 s anyway). A dead or silent
+          * device yields no row for that poll rather than failing the
+          * batch.
+          */
+        private val frames: Iterator[(Long, String, String)] =
+          r.host match {
+            case Some(h) =>
+              lazy val transport = new DeviceTransport(h, r.port)
+              (r.startPoll until r.endPoll).iterator.flatMap { i =>
+                val ts = i * r.intervalUs
+                transport(WireProtocol.commandFrame("AB?"))
+                  .map(reply => (ts, "STATUS", reply))
+              }
+            case None =>
+              (r.startPoll until r.endPoll).iterator.flatMap { i =>
+                val ts = i * r.intervalUs
+                Seq(
+                  (ts, "STATUS", TelemetrySource.statusFrame(i, r.numOutputs, r.numInputs)),
+                  (ts, "MATRIX", s"{BAcM,00,00,M$i}"),
+                  (ts, "CHASSIS", s"{BAcC,00,00,OSO+${300 + i % 100}O+300O+291OOO2046${i % 10}O}"))
+              }
+          }
         private var current: (Long, String, String) = _
         override def next(): Boolean = {
           if (frames.hasNext) { current = frames.next(); true } else false
@@ -120,4 +142,5 @@ class TelemetryMicroBatchStream(
 
 case class TelemetryRange(
     startPoll: Long, endPoll: Long, numOutputs: Int, numInputs: Int,
-    intervalUs: Long) extends InputPartition
+    intervalUs: Long, host: Option[String] = None, port: Int = 4000)
+    extends InputPartition

@@ -15,9 +15,20 @@ import org.apache.spark.sql.functions._
   *  - reply semantics: a reply containing "BAs?" OR silence ⇒ success
   *    (etl_controller.py:543-548)
   *
-  * The transport is injectable (this container has no devices; tests use
-  * a recording stub). A production transport opens one TCP connection per
-  * partition.
+  * The transport is injectable: [[graft.sources.DeviceTransport]] is the
+  * real TCP path (one connection per command, the reference's pattern);
+  * tests also use recording stubs and a loopback fixture server.
+  *
+  * Delivery contract: AT-LEAST-ONCE. Commands are sent inside a
+  * transformation whose output feeds a shuffle, so a task retry or stage
+  * recomputation (e.g. shuffle-fetch failure) re-executes the partition
+  * and resends its commands. The reference device tolerates this — route
+  * commands are idempotent (re-routing output o to input i is a no-op)
+  * and the reference itself re-applies full route tables on every preset
+  * apply (etl_controller.py:3241-3270). Run with
+  * `spark.speculation=false` (the default) so duplicates only occur on
+  * genuine failures. Transports that implement AutoCloseable are closed
+  * when the partition's task completes, success or failure.
   */
 object RouteCommandSink {
 
@@ -49,6 +60,14 @@ object RouteCommandSink {
         graft.ops.Protocol.routeFrame(col("output"), col("input")).as("frame"))
     val results = frames.as[(String, Int, Int, String)].mapPartitions { it =>
       val byDevice = scala.collection.mutable.Map.empty[String, Transport]
+      // stateful transports (pooled connections, recording stubs) are
+      // released when the task ends — success, failure, or cancellation
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        byDevice.values.foreach {
+          case c: AutoCloseable => try c.close() catch { case _: Exception => () }
+          case _ => ()
+        }
+      })
       var first = true
       it.map { case (device, _, _, frame) =>
         if (!first && spacingMs > 0) Thread.sleep(spacingMs)
