@@ -191,4 +191,45 @@ object ConfigJson {
         p.getField("outputs").as("outputs"))))
       .write.mode("overwrite").json(path)
   }
+
+  /** Per-instance profile file name (etl_controller.py:2591-2615): an
+    * explicit `--instance=`/`--profile=` argument wins (first match in
+    * argument order), then the router-ip-derived name (`:` → `_` so
+    * `ip:port` stays one path segment), then the pre-connection default.
+    */
+  def profileFileName(args: Seq[String] = Seq.empty,
+      routerIp: Option[String] = None): String = {
+    val explicit = args.collectFirst {
+      case a if a.startsWith("--instance=") || a.startsWith("--profile=") =>
+        a.split("=", 2)(1)
+    }
+    explicit.map(id => s"etl_config_$id.json")
+      .orElse(routerIp.map(ip => s"etl_config_${ip.replace(':', '_')}.json"))
+      .getOrElse("etl_config_default.json")
+  }
+
+  /** Resolve the profile actually read, with the reference's post-setup
+    * fallback (etl_controller.py:2633-2641): the per-ip profile is used
+    * only when it exists on disk; otherwise the pre-setup file (explicit
+    * argument profile if given, else the default) stands.
+    */
+  def resolveProfile(configDir: String, args: Seq[String] = Seq.empty,
+      routerIp: Option[String] = None): java.io.File = {
+    val primary = new java.io.File(configDir, profileFileName(args, routerIp))
+    if (primary.exists()) primary
+    else new java.io.File(configDir, profileFileName(args, None))
+  }
+
+  /** Load the resolved profile; a missing file yields the first-run
+    * defaults, exactly like the reference's `_load_config` miss path
+    * (etl_controller.py:2643-2652).
+    */
+  def readProfile(spark: SparkSession, configDir: String,
+      args: Seq[String] = Seq.empty, routerIp: Option[String] = None)
+      : Dataset[RouterConfig] = {
+    import spark.implicits._
+    val f = resolveProfile(configDir, args, routerIp)
+    if (f.exists()) read(spark, f.getPath)
+    else spark.createDataset(Seq(RouterConfig()))
+  }
 }

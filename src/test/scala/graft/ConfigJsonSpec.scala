@@ -63,6 +63,42 @@ class ConfigJsonSpec extends AnyFunSuite {
     assert(back === in.collect().head)
   }
 
+  test("profile resolution: explicit arg > router ip > default; ip:port sanitized") {
+    // argument order wins, --instance and --profile are synonyms
+    assert(ConfigJson.profileFileName(Seq("--instance=studio2"), Some("10.0.0.9"))
+      === "etl_config_studio2.json")
+    assert(ConfigJson.profileFileName(Seq("-v", "--profile=a=b")) === "etl_config_a=b.json")
+    assert(ConfigJson.profileFileName(routerIp = Some("10.0.0.9:4000"))
+      === "etl_config_10.0.0.9_4000.json")
+    assert(ConfigJson.profileFileName() === "etl_config_default.json")
+  }
+
+  test("profile fallback chain: per-ip only when it exists, else default, else first-run") {
+    val dir = Files.createTempDirectory("profiles")
+    // nothing on disk: resolved profile misses ⇒ first-run defaults
+    val fresh = ConfigJson.readProfile(spark, dir.toString, routerIp = Some("10.0.0.9"))
+      .collect().head
+    assert(fresh === RouterConfig())
+    // default profile exists, per-ip doesn't ⇒ default is read
+    Files.writeString(dir.resolve("etl_config_default.json"),
+      """{"ip_address":"192.168.1.50","router_name":"Default rig"}""")
+    val viaDefault = ConfigJson.readProfile(spark, dir.toString, routerIp = Some("10.0.0.9"))
+      .collect().head
+    assert(viaDefault.router_name === "Default rig")
+    // per-ip appears ⇒ it wins over the default (reference's post-setup switch)
+    Files.writeString(dir.resolve("etl_config_10.0.0.9.json"),
+      """{"ip_address":"10.0.0.9","router_name":"Studio rig"}""")
+    val viaIp = ConfigJson.readProfile(spark, dir.toString, routerIp = Some("10.0.0.9"))
+      .collect().head
+    assert(viaIp.router_name === "Studio rig")
+    // explicit profile argument beats the per-ip file
+    Files.writeString(dir.resolve("etl_config_ob1.json"),
+      """{"ip_address":"172.16.0.2","router_name":"OB truck"}""")
+    val viaArg = ConfigJson.readProfile(spark, dir.toString,
+      args = Seq("--profile=ob1"), routerIp = Some("10.0.0.9")).collect().head
+    assert(viaArg.router_name === "OB truck")
+  }
+
   test("custom ranges drive display lists, reordered outputs preserved") {
     val cfg = ConfigJson.read(spark, writeTemp(goldenJson)).collect().head
     assert(cfg.getInputs === Seq(1, 2, 3, 4, 5, 6, 7, 8))
