@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` columns with typed metadata, processed in
   * partition-local batches.
   *
-  * The *decode* step is a STUB — this container has no image/audio
-  * codecs, so [[StubDecoder]] produces a deterministic fake feature
-  * vector (a normalized byte histogram). Everything around it — the
-  * schema, the binary payload handling, the batched mapPartitions
-  * iteration shape, the partitioning, the output contract — is real
-  * Spark plumbing a production decoder would drop into (swap
-  * [[MediaDecoder]] for one that calls an actual codec).
+  * [[BinaryDecoder]] REALLY parses two public formats with no codec
+  * dependencies — uncompressed 24-bit BMP and 16-bit PCM WAV — and falls
+  * back to [[StubDecoder]]'s deterministic byte histogram for anything
+  * else (this container ships no JPEG/MP3-class codecs). The plumbing —
+  * schema, binary payload handling, batched mapPartitions iteration
+  * shape, partitioning, output contract — is what a production
+  * codec-backed [[MediaDecoder]] drops into unchanged.
   */
 object Multimodal {
 
@@ -50,6 +50,98 @@ object Multimodal {
         bytes.foreach(b => hist((b & 0xff) / 16) += 1f)
         val total = math.max(bytes.length, 1).toFloat
         hist.map(_ / total)
+      }
+  }
+
+  /** REAL binary decode for two public formats, no codec dependencies:
+    * uncompressed 24-bit BMP (BITMAPINFOHEADER) and 16-bit PCM WAV.
+    * Dispatches on magic bytes; payloads that are neither fall back to
+    * the histogram stub so mixed corpora still flow through one pass.
+    *
+    * BMP feature (13 floats): width, height, mean B/G/R (pixel rows are
+    * bottom-up and 4-byte padded per the format), then an 8-bin
+    * luminance histogram (L1-normalized). WAV feature (6 floats):
+    * duration s, RMS, zero-cross rate, peak (amplitudes normalized to
+    * [-1, 1]), channels, sample rate in kHz.
+    */
+  object BinaryDecoder extends MediaDecoder {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24)
+
+    def decodeBmp(b: Array[Byte]): Option[Array[Float]] = {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val off = i32(b, 10)
+      if (i32(b, 14) < 40) return None // need BITMAPINFOHEADER+
+      val w = i32(b, 18)
+      val h = i32(b, 22)
+      if (u16(b, 28) != 24 || i32(b, 30) != 0 || w <= 0 || h == 0) return None
+      val rows = math.abs(h)
+      val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      if (off < 0 || off.toLong + stride.toLong * rows > b.length) return None
+      var sumB = 0L; var sumG = 0L; var sumR = 0L
+      val hist = new Array[Float](8)
+      var r = 0
+      while (r < rows) {
+        var x = 0
+        var p = off + r * stride
+        while (x < w) {
+          val bl = b(p) & 0xff; val gr = b(p + 1) & 0xff; val rd = b(p + 2) & 0xff
+          sumB += bl; sumG += gr; sumR += rd
+          // integer Rec.601-ish luminance, bucketed to 8 bins
+          hist(((rd * 299 + gr * 587 + bl * 114) / 1000) / 32) += 1f
+          x += 1; p += 3
+        }
+        r += 1
+      }
+      val n = (w.toLong * rows).toFloat
+      Some(Array[Float](w.toFloat, rows.toFloat,
+        sumB / n, sumG / n, sumR / n) ++ hist.map(_ / n))
+    }
+
+    def decodeWav(b: Array[Byte]): Option[Array[Float]] = {
+      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+        || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      var pos = 12
+      var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = i32(b, pos + 4)
+        if (len < 0 || pos + 8 + len > b.length) return None
+        if (id == "fmt " && len >= 16) {
+          fmtOk = u16(b, pos + 8) == 1 // PCM only
+          channels = u16(b, pos + 10)
+          rate = i32(b, pos + 12)
+          bits = u16(b, pos + 22)
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) return None
+      val n = dataLen / 2
+      if (n == 0) return Some(Array[Float](0f, 0f, 0f, 0f, channels.toFloat, rate / 1000f))
+      var sumSq = 0.0; var peak = 0f; var crossings = 0; var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val s = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
+        val v = s / 32768f
+        sumSq += v.toDouble * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val durationSec = n.toFloat / (rate.toFloat * channels)
+      Some(Array[Float](durationSec, math.sqrt(sumSq / n).toFloat,
+        crossings.toFloat / n, peak, channels.toFloat, rate / 1000f))
+    }
+
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { b =>
+        decodeBmp(b).orElse(decodeWav(b))
+          .getOrElse(StubDecoder.decodeBatch(Seq(b)).head)
       }
   }
 

@@ -47,6 +47,65 @@ class MultimodalSpec extends AnyFunSuite {
       feats.sortBy(_.media_id).map(_.feature))
   }
 
+  // ---- real-format fixtures (built byte-by-byte, parsed by BinaryDecoder)
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** 2×2 24-bit BMP: bottom row blue+green, top row red+white, rows
+    * padded to 4 bytes (stride 8).
+    */
+  private def goldenBmp: Array[Byte] = {
+    val pixels = Array[Byte](
+      // bottom row: blue (B,G,R), green, 2 pad bytes
+      255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0,
+      // top row: red, white, 2 pad bytes
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte, 0, 0)
+    Array[Byte]('B', 'M') ++ le32(54 + pixels.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(pixels.length) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ pixels
+  }
+
+  /** Mono 16-bit PCM WAV at 8 kHz: 4 samples alternating ±0.5. */
+  private def goldenWav: Array[Byte] = {
+    val samples = Seq(16384, -16384, 16384, -16384).flatMap(le16).toArray
+    Array[Byte]('R', 'I', 'F', 'F') ++ le32(36 + samples.length) ++
+      Array[Byte]('W', 'A', 'V', 'E', 'f', 'm', 't', ' ') ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      Array[Byte]('d', 'a', 't', 'a') ++ le32(samples.length) ++ samples
+  }
+
+  test("BinaryDecoder parses a real 24-bit BMP: dims, channel means, luminance histogram") {
+    val Some(f) = BinaryDecoder.decodeBmp(goldenBmp)
+    assert(f.take(5).toSeq === Seq(2f, 2f, 127.5f, 127.5f, 127.5f))
+    // luminance bins: blue→0, red→2, green→4, white→7, ¼ each
+    assert(f.drop(5).toSeq === Seq(0.25f, 0f, 0.25f, 0f, 0.25f, 0f, 0f, 0.25f))
+  }
+
+  test("BinaryDecoder parses real 16-bit PCM WAV: duration, rms, zcr, peak") {
+    val Some(f) = BinaryDecoder.decodeWav(goldenWav)
+    assert(f.toSeq === Seq(4f / 8000f, 0.5f, 0.75f, 0.5f, 1f, 8f))
+  }
+
+  test("mixed corpus: BMP and WAV decode for real, other payloads fall back to stub") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image", goldenBmp, 2, 2, 0L),
+      MediaRow(2L, "audio", goldenWav, 0, 0, 500L),
+      MediaRow(3L, "video", "not media at all".getBytes("US-ASCII"), 0, 0, 0L))
+    val ds = spark.createDataset(rows)
+    val got = Multimodal.extractFeatures(ds, BinaryDecoder, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).feature.take(5) === Seq(2f, 2f, 127.5f, 127.5f, 127.5f))
+    assert(got(2L).feature === Seq(4f / 8000f, 0.5f, 0.75f, 0.5f, 1f, 8f))
+    assert(got(3L).feature.length === 16) // stub histogram shape
+    assert(math.abs(got(3L).feature.sum - 1f) < 1e-3)
+    // truncated/corrupt headers must not crash the batch
+    val junk = Seq(goldenBmp.take(20), goldenWav.take(30), Array.empty[Byte])
+    assert(BinaryDecoder.decodeBatch(junk).forall(_.length == 16))
+  }
+
   test("resize stub pads/truncates payloads and rewrites metadata") {
     val resized = Multimodal.resizeStub(media, 128, 128).collect()
     val budget = 128 * 128 / 64 + 1
