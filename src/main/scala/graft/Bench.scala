@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the only unpartitioned windows are dimension-table running totals
+    // (CoreQueries q04, StateQueries q23 — commented at the sites);
+    // WindowExec's all-to-one warning is noise for those and would
+    // pollute the machine-parsed bench tail
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen/session warmup so the first measured query doesn't
     // absorb startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()

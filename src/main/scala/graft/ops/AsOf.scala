@@ -25,7 +25,10 @@ object AsOf {
   }
 
   /** key/time columns resolved by name on each side; times must be
-    * LongType (epoch micros).
+    * LongType (epoch micros). NULL keys and NULL times never match on
+    * either side (DuckDB ASOF semantics): left rows with a null key/time
+    * emit nothing, right rows with a null key/time are never held as the
+    * as-of state.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,

@@ -55,24 +55,39 @@ case class AsOfJoinExec(
 
       lIter.flatMap { l =>
         val lk = lKeyProj(l)
-        val lt = lTimeEval.eval(l).asInstanceOf[Long]
-        var advancing = true
-        while (advancing && rNext != null) {
-          val rk = rKeyProj(rNext)
-          val c = keyOrd.compare(rk, lk)
-          if (c < 0) {
-            rNext = if (rIter.hasNext) rIter.next().copy() else null
-          } else if (c == 0 && rTimeEval.eval(rNext).asInstanceOf[Long] <= lt) {
-            heldKey = rk.copy()
-            heldRow = rNext
-            rNext = if (rIter.hasNext) rIter.next().copy() else null
-          } else {
-            advancing = false
+        val ltv = lTimeEval.eval(l)
+        // NULL never as-of-matches (DuckDB ASOF semantics): a left row
+        // with a null key or time emits nothing, and null-key/time right
+        // rows are skipped below rather than held — without these guards
+        // a null left time NPEs on unboxing and null keys would match
+        // each other under the natural ordering.
+        if (ltv == null || lk.anyNull) Iterator.empty
+        else {
+          val lt = ltv.asInstanceOf[Long]
+          var advancing = true
+          while (advancing && rNext != null) {
+            val rk = rKeyProj(rNext)
+            val rtv = if (rk.anyNull) null else rTimeEval.eval(rNext)
+            if (rk.anyNull || rtv == null) {
+              // null sorts first under Ascending: skip past it
+              rNext = if (rIter.hasNext) rIter.next().copy() else null
+            } else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) {
+                rNext = if (rIter.hasNext) rIter.next().copy() else null
+              } else if (c == 0 && rtv.asInstanceOf[Long] <= lt) {
+                heldKey = rk.copy()
+                heldRow = rNext
+                rNext = if (rIter.hasNext) rIter.next().copy() else null
+              } else {
+                advancing = false
+              }
+            }
           }
+          if (heldRow != null && keyOrd.compare(heldKey, lk) == 0) {
+            Iterator.single[InternalRow](resultProj(joined(l, heldRow)))
+          } else Iterator.empty
         }
-        if (heldRow != null && keyOrd.compare(heldKey, lk) == 0) {
-          Iterator.single[InternalRow](resultProj(joined(l, heldRow)))
-        } else Iterator.empty
       }
     }
   }

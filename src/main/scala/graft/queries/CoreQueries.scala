@@ -92,6 +92,10 @@ object CoreQueries {
   val q04IntervalRouterJoin: Q = (s, d) => {
     val routers = supplier(s, d)
       .select(col("s_suppkey"), (lit(3) + pmod(col("s_suppkey"), lit(5))).as("num_outputs"))
+    // global (unpartitioned) running total — single-partition by design:
+    // it runs over the ROUTER DIMENSION (|suppliers| rows, thousands at
+    // most), never the fact table; WindowExec's all-to-one warning does
+    // not indicate fact-table skew here
     val w = Window.orderBy(col("s_suppkey"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val intervals = routers

@@ -122,6 +122,10 @@ object StateQueries {
   val q23UnionOffset: Q = (s, d) => {
     val caps = events(s, d).groupBy(col("event_type"))
       .agg((max(col("user_id")) + 1).as("cap"))
+    // global (unpartitioned) running total — single-partition by design:
+    // it runs over the per-ROUTER capacity table (|event_types| rows),
+    // never the event stream; WindowExec's all-to-one warning does not
+    // indicate fact-table skew here
     val wOff = Window.orderBy(col("event_type"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = caps.withColumn("offset", coalesce(sum(col("cap")).over(wOff), lit(0L)))

@@ -68,4 +68,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("event_id", "v").as[(Long, Double)].collect().toSeq
     assert(got === Seq((2L, 9.0))) // event at t=3 has no snapshot ≤ 3
   }
+
+  test("null keys and null times never match (DuckDB ASOF semantics)") {
+    val lDf = Seq(
+      (1L, Some(1L), Some(10L)), // normal match
+      (2L, None, Some(10L)),     // null key: emits nothing
+      (3L, Some(1L), None),      // null time: emits nothing (would NPE before)
+      (4L, None, None))
+      .toDF("event_id", "k", "lt")
+    val rDf = Seq(
+      (Some(1L), Some(5L), 1.0),  // the only holdable snapshot
+      (Option.empty[Long], Some(2L), 2.0), // null key: never held
+      (Some(1L), Option.empty[Long], 3.0)) // null time: never held
+      .toDF("rk", "rt", "v")
+    val got = AsOf.asofJoin(lDf, rDf, "k", "lt", "rk", "rt")
+      .select("event_id", "v").as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1.0)))
+  }
 }
