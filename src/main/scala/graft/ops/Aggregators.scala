@@ -26,6 +26,36 @@ object Aggregators {
     def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 
+  /** Element-wise long-vector sum + member count, dimension inferred from
+    * the first vector — the integer-exact centroid accumulator behind the
+    * trained IVF (q42): long sums are order-independent, so partial
+    * aggregation is always safe and the result is bit-reproducible in any
+    * engine.
+    */
+  object LongVecSum extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
+    def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
+    def reduce(b: (Array[Long], Long), v: Seq[Long]): (Array[Long], Long) =
+      if (b._1.isEmpty) (v.toArray, b._2 + 1)
+      else {
+        var i = 0
+        while (i < b._1.length) { b._1(i) += v(i); i += 1 }
+        (b._1, b._2 + 1)
+      }
+    def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) =
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    def finish(r: (Array[Long], Long)): (Seq[Long], Long) = (r._1.toSeq, r._2)
+    def bufferEncoder: Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+    def outputEncoder: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+  }
+
   /** Element-wise vector sum + count → centroid (EXT-3 IVF-style
     * clustering building block).
     */

@@ -327,16 +327,18 @@ object TextQueries {
     var cent: DataFrame = emb.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("int").as("cid"), col("vq").as("S"), lit(1L).as("n"))
     for (_ <- 1 to IvfIters) {
-      val asg = withD2(emb, cent)
+      import s.implicits._
+      val asg = withD2(emb.select(col("vec_id"), col("v"), col("vq")), cent)
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vq")).as("vq"))
         .select(col("m.cid").as("cid"), col("vq"))
-      val sums = asg.select(col("cid"), posexplode(col("vq")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("col")).as("sq"), count(lit(1)).as("cnt"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq")))),
-          x => x.getField("sq")).as("S"), max(col("cnt")).as("n"))
+      // one typed-aggregator pass (order-independent long sums — the
+      // DuckDB oracle's unnest+sum grouping produces identical values)
+      val sums = asg.as[(Int, Seq[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.ops.Aggregators.LongVecSum.toColumn)
+        .toDF("cid", "sn")
+        .select(col("cid"), col("sn._1").as("S"), col("sn._2").as("n"))
       // cells that attracted no vectors keep their previous (S, n)
       cent = cent.as("p").join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
         .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
