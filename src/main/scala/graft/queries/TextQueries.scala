@@ -422,6 +422,48 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  /** EXT-4 — per-language top-5 tokens by total occurrence count. The
+    * rank filter sits directly on the window, so Spark plans a
+    * WindowGroupLimit pair (per-partition top-k BEFORE the shuffle) —
+    * the aggregate-then-limit shape that survives a 100 TB vocabulary.
+    */
+  val q52TopkTokens: Q = (s, d) => {
+    val counts = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+    val wr = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+    counts.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("int").as("rank"), col("w"), col("cnt"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** EXT-2/EXT-4 — train/test contamination check (the decontamination
+    * pass every LLM data pipeline needs): held-out docs (doc_id % 10 = 0)
+    * score the fraction of their distinct trigrams that appear anywhere
+    * in the training split. Shapes: native ShingleHash trigram hashes,
+    * the train side collapses to a distinct-hash SET (hash shuffle, no
+    * doc pairing anywhere), test postings left-join it — cost is linear
+    * in corpus + vocabulary, never test×train.
+    */
+  val q53Contamination: Q = (s, d) => {
+    val hs = documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.ShingleHash(col("text"), TextOps.P, 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist() // both splits derive from it
+    val te = hs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), size(col("hs")).as("n_grams"), explode(col("hs")).as("w"))
+    val trSet = hs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(explode(col("hs")).as("w")).distinct()
+    te.join(trSet.withColumn("hit", lit(1)), Seq("w"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .withColumn("frac", col("n_contaminated").cast("double") / col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"), col("frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -436,6 +478,8 @@ object TextQueries {
     "q41_simhash_dedup"   -> q41SimhashDedup,
     "q42_ann_ivf"         -> q42AnnIvf,
     "q51_simhash64"       -> q51Simhash64,
+    "q52_topk_tokens"     -> q52TopkTokens,
+    "q53_contamination"   -> q53Contamination,
   )
 
   /** q51's oracle: one (th, votes, sh) chain per 16-bit SimHash family,
@@ -762,6 +806,32 @@ object TextQueries {
         |ORDER BY da, db""".stripMargin,
     "q42_ann_ivf" -> q42OracleSql,
     "q51_simhash64" -> q51OracleSql,
+    "q52_topk_tokens" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rank FROM c)
+        |SELECT lang, CAST(rank AS INT) AS rank, w, cnt
+        |FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "q53_contamination" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t0) - 2, 0)),
+        |    i -> t0[i] || ' ' || t0[i+1] || ' ' || t0[i+2]) AS gs
+        |  FROM tk WHERE len(t0) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(gs,
+        |    s -> list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+        |           (a, x) -> (a * 31 + x) % 1000000007))) AS hs
+        |  FROM g),
+        |te AS (SELECT doc_id, CAST(len(hs) AS INT) AS n_grams, unnest(hs) AS w FROM hs WHERE doc_id % 10 = 0),
+        |tr AS (SELECT DISTINCT unnest(hs) AS w FROM hs WHERE doc_id % 10 <> 0)
+        |SELECT te.doc_id, te.n_grams,
+        |  CAST(sum(CASE WHEN tr.w IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN tr.w IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / te.n_grams AS frac
+        |FROM te LEFT JOIN tr ON te.w = tr.w
+        |GROUP BY te.doc_id, te.n_grams
+        |ORDER BY te.doc_id""".stripMargin,
     "q41_simhash_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
