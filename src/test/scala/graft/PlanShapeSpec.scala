@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale-critical properties PLANS.md
+  * documents: candidate generation must stay equi-join-banded (no
+  * all-pairs operator can sneak back in), top-k-per-group must keep the
+  * WindowGroupLimit partial/final pair, and dedup scans must stay
+  * column-pruned. Asserted on the AQE FINAL plan (after execution).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.count() // drive AQE to its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("banded candidate generation never plans an all-pairs join") {
+    for (q <- Seq("q31_neardup_minhash", "q40_embedding_neardup",
+        "q51_simhash64", "q53_contamination", "q32_ngram_jaccard")) {
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
+    }
+  }
+
+  test("tiny-side cross joins stay broadcast nested-loop, never cartesian") {
+    // q29 broadcasts 5 query vectors, q42 broadcasts ≤16 centroids —
+    // BroadcastNestedLoopJoin over a bounded build side is the intended
+    // plan; an unbroadcast CartesianProduct would be a regression
+    for (q <- Seq("q29_topk_cosine", "q42_ann_ivf")) {
+      assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
+    }
+  }
+
+  test("top-k per group keeps the WindowGroupLimit partial/final pair") {
+    assert(finalPlan("q52_topk_tokens").contains("WindowGroupLimit"))
+    assert(finalPlan("q03_latest_event").contains("WindowGroupLimit"))
+  }
+
+  test("exact-dedup scan stays pruned to the needed columns") {
+    val p = finalPlan("q30_exact_dedup")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, "no parquet scan found in plan")
+    assert(schemas.forall(s => !s.contains("user_id") && !s.contains("value")),
+      s"dedup scan reads unneeded columns: $schemas")
+  }
+}
