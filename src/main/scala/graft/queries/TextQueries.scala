@@ -464,6 +464,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT-3/EXT-7 — int8 embedding quantization (the vector-store
+    * compression pass): symmetric absmax scaling (scale = max|x|/127),
+    * q_i = floor(x_i/scale + 0.5) — half-up rounding via floor keeps both
+    * engines bit-identical where banker's rounding wouldn't — plus the
+    * exact L2 reconstruction error. Per-row scalar work only; scales
+    * trivially.
+    */
+  val q54QuantizeInt8: Q = (s, d) => {
+    val emb = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val base = emb
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      // zero vectors: divide by 1, quantize to 0, reconstruct exactly
+      .withColumn("sdiv", when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
+    val qArr = transform(col("v"), x => floor(x / col("sdiv") + lit(0.5)))
+    base
+      .withColumn("err2", aggregate(
+        zip_with(col("v"), qArr, (x, q) => (x - q * col("scale")) * (x - q * col("scale"))),
+        lit(0.0), (a, b) => a + b))
+      .select(col("vec_id"), col("scale"),
+        element_at(qArr, 1).cast("int").as("q0"),
+        element_at(qArr, 2).cast("int").as("q1"),
+        element_at(qArr, 3).cast("int").as("q2"),
+        element_at(qArr, 4).cast("int").as("q3"),
+        sqrt(col("err2")).as("err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -480,6 +508,7 @@ object TextQueries {
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
     "q53_contamination"   -> q53Contamination,
+    "q54_quantize_int8"   -> q54QuantizeInt8,
   )
 
   /** q51's oracle: one (th, votes, sh) chain per 16-bit SimHash family,
@@ -813,6 +842,23 @@ object TextQueries {
         |SELECT lang, CAST(rank AS INT) AS rank, w, cnt
         |FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+    "q54_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s1 AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |s2 AS (
+        |  SELECT vec_id, v, scale, CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END AS sdiv FROM s1)
+        |SELECT vec_id, scale,
+        |  CAST(floor(v[1]/sdiv + 0.5) AS INT) AS q0,
+        |  CAST(floor(v[2]/sdiv + 0.5) AS INT) AS q1,
+        |  CAST(floor(v[3]/sdiv + 0.5) AS INT) AS q2,
+        |  CAST(floor(v[4]/sdiv + 0.5) AS INT) AS q3,
+        |  sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+        |    i -> (v[i] - floor(v[i]/sdiv + 0.5) * scale) * (v[i] - floor(v[i]/sdiv + 0.5) * scale)),
+        |    (a, b) -> a + b)) AS err
+        |FROM s2
+        |ORDER BY vec_id""".stripMargin,
     "q53_contamination" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |g AS (
