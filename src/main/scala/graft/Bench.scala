@@ -31,7 +31,13 @@ object Bench {
           // keep the JSON contract but never hide a broken query
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries persist() intermediates they branch over; drop them so 54
+      // queries in one session don't pin storage memory monotonically
+      // (cache build+use is inside the timed window — per-query timings
+      // stay honest)
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

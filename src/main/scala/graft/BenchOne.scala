@@ -23,6 +23,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"BENCHONE $name rep$rep rows=$n%8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      spark.catalog.clearCache() // measure each rep cold on its caches
     }
     spark.stop()
   }

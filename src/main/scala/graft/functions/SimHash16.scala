@@ -12,11 +12,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * polynomial hash (h ← h·mult + byte mod 65536) votes ±1 per bit; the
   * sign of each bit-sum forms the fingerprint. Bit-identical to
   * [[graft.ops.TextOps.simhash16]]'s built-in fold (ASCII input, mult =
-  * 31) — one JVM pass instead of a 16-wide zip_with per token. Distinct
-  * `mult` values give independent hash families: four of them side by
-  * side form the 64-bit banded SimHash (q51).
+  * 31, mod = 65536) — one JVM pass instead of a 16-wide zip_with per
+  * token. For INDEPENDENT hash families use distinct prime `mod` values
+  * (< 65536 so results stay 16-bit): each family is the same polynomial
+  * value reduced mod a different prime — CRT-independent residues —
+  * whereas families differing only in an odd `mult` under a power-of-2
+  * modulus share bit 0 exactly (h·mult+byte ≡ h+byte mod 2) and pair up
+  * on bit 1. Four prime-modulus families side by side form the 64-bit
+  * banded SimHash (q51).
   */
-case class SimHash16(child: Expression, mult: Long) extends UnaryExpression {
+case class SimHash16(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression {
+  require(mod > 1 && mod <= 65536, s"mod must be in (1, 65536], got $mod")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -45,7 +52,7 @@ case class SimHash16(child: Expression, mult: Long) extends UnaryExpression {
         }
         h = 0L
       } else {
-        h = (h * mult + (bytes(i) & 0xff)) % 65536
+        h = (h * mult + (bytes(i) & 0xff)) % mod
       }
       i += 1
     }
@@ -68,7 +75,7 @@ case class SimHash16(child: Expression, mult: Long) extends UnaryExpression {
 }
 
 object SimHash16 {
-  def apply(c: Column): Column = apply(c, 31L)
-  def apply(c: Column, mult: Long): Column =
-    ColumnBridge.column(SimHash16(ColumnBridge.expression(c), mult))
+  def apply(c: Column): Column = apply(c, 31L, 65536L)
+  def apply(c: Column, mult: Long, mod: Long): Column =
+    ColumnBridge.column(SimHash16(ColumnBridge.expression(c), mult, mod))
 }

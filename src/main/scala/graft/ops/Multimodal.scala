@@ -78,8 +78,11 @@ object Multimodal {
       val h = i32(b, 22)
       if (u16(b, 28) != 24 || i32(b, 30) != 0 || w <= 0 || h == 0) return None
       val rows = math.abs(h)
-      val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-      if (off < 0 || off.toLong + stride.toLong * rows > b.length) return None
+      // stride math in Long: a hostile width near Int.MaxValue would wrap
+      // w*3+3 negative and slip past the bounds check below
+      val strideL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      if (off < 0 || off.toLong + strideL * rows > b.length) return None
+      val stride = strideL.toInt
       var sumB = 0L; var sumG = 0L; var sumR = 0L
       val hist = new Array[Float](8)
       var r = 0
@@ -103,20 +106,24 @@ object Multimodal {
     def decodeWav(b: Array[Byte]): Option[Array[Float]] = {
       if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
         || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-      var pos = 12
+      // chunk-walk offsets in Long: a declared chunk length near
+      // Int.MaxValue would wrap pos+8+len negative and slip past the
+      // bounds check
+      var pos = 12L
       var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
       var dataOff = -1; var dataLen = 0
       while (pos + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
-        val id = new String(b, pos, 4, "US-ASCII")
-        val len = i32(b, pos + 4)
-        if (len < 0 || pos + 8 + len > b.length) return None
+        val p = pos.toInt
+        val id = new String(b, p, 4, "US-ASCII")
+        val len = i32(b, p + 4)
+        if (len < 0 || pos + 8 + len.toLong > b.length) return None
         if (id == "fmt " && len >= 16) {
-          fmtOk = u16(b, pos + 8) == 1 // PCM only
-          channels = u16(b, pos + 10)
-          rate = i32(b, pos + 12)
-          bits = u16(b, pos + 22)
-        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
-        pos += 8 + len + (len & 1) // chunks are word-aligned
+          fmtOk = u16(b, p + 8) == 1 // PCM only
+          channels = u16(b, p + 10)
+          rate = i32(b, p + 12)
+          bits = u16(b, p + 22)
+        } else if (id == "data") { dataOff = p + 8; dataLen = len }
+        pos += 8L + len + (len & 1) // chunks are word-aligned
       }
       if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) return None
       val n = dataLen / 2
@@ -140,7 +147,9 @@ object Multimodal {
 
     override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
       payloads.map { b =>
-        decodeBmp(b).orElse(decodeWav(b))
+        // one hostile payload must degrade to the stub, never fail the
+        // whole Spark task (and its deterministic retries)
+        (try decodeBmp(b).orElse(decodeWav(b)) catch { case _: Exception => None })
           .getOrElse(StubDecoder.decodeBatch(Seq(b)).head)
       }
   }

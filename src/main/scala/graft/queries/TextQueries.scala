@@ -380,16 +380,19 @@ object TextQueries {
       .orderBy(col("sh16"))
   }
 
-  /** q51 parameters: four independent 16-bit SimHash families (distinct
-    * polynomial multipliers) laid side by side form a 64-bit fingerprint;
-    * band = one 16-bit family. By pigeonhole, any pair within Hamming
+  /** q51 parameters: four independent 16-bit SimHash families — the SAME
+    * polynomial reduced mod four distinct primes < 65536, which makes the
+    * families CRT-independent residues (distinct odd multipliers under a
+    * power-of-2 modulus would share bit 0 exactly and pair up on bit 1) —
+    * laid side by side form a 64-bit fingerprint; band = one 16-bit
+    * family. By pigeonhole, any pair within Hamming
     * distance 3 of each other (< #bands) shares at least one whole band —
     * banding is COMPLETE for radius 3, best-effort OR-amplified beyond it
     * up to the verify threshold. q41's single 16-bit hash saturates at
     * 65k buckets (everything collides at corpus scale); 64 bits with
     * 16-bit band keys keeps per-band bucket occupancy at n/65536.
     */
-  private val SimhashMults = Seq(31L, 37L, 41L, 43L)
+  private val SimhashMods = Seq(65521L, 65519L, 65497L, 65479L)
   private val SimhashMaxDist = 6
 
   /** EXT-1 — 64-bit SimHash near-dup: banded candidate generation over
@@ -398,11 +401,11 @@ object TextQueries {
     */
   val q51Simhash64: Q = (s, d) => {
     val sig = documents(s, d).select(
-      col("doc_id") +: SimhashMults.zipWithIndex.map { case (m, b) =>
-        graft.functions.SimHash16(col("text"), m).as(s"b$b") }: _*)
+      col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
+        graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*)
       .persist()
     val bands = sig.select(col("doc_id"),
-      explode(array(SimhashMults.indices.map(b =>
+      explode(array(SimhashMods.indices.map(b =>
         struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = bands.as("a").join(bands.as("b"),
@@ -411,11 +414,11 @@ object TextQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val xa = sig.select(col("doc_id").as("da") +:
-      SimhashMults.indices.map(b => col(s"b$b").as(s"xa$b")): _*)
+      SimhashMods.indices.map(b => col(s"b$b").as(s"xa$b")): _*)
     val xb = sig.select(col("doc_id").as("db") +:
-      SimhashMults.indices.map(b => col(s"b$b").as(s"xb$b")): _*)
+      SimhashMods.indices.map(b => col(s"b$b").as(s"xb$b")): _*)
     cands.join(xa, Seq("da")).join(xb, Seq("db"))
-      .withColumn("dist", SimhashMults.indices.map(b =>
+      .withColumn("dist", SimhashMods.indices.map(b =>
         bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
       .filter(col("dist") <= SimhashMaxDist)
       .select(col("da"), col("db"), col("dist"))
@@ -474,21 +477,30 @@ object TextQueries {
   val q54QuantizeInt8: Q = (s, d) => {
     val emb = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val base = emb
-      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-      // zero vectors: divide by 1, quantize to 0, reconstruct exactly
-      .withColumn("sdiv", when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
-    val qArr = transform(col("v"), x => floor(x / col("sdiv") + lit(0.5)))
-    base
-      .withColumn("err2", aggregate(
-        zip_with(col("v"), qArr, (x, q) => (x - q * col("scale")) * (x - q * col("scale"))),
-        lit(0.0), (a, b) => a + b))
-      .select(col("vec_id"), col("scale"),
-        element_at(qArr, 1).cast("int").as("q0"),
-        element_at(qArr, 2).cast("int").as("q1"),
-        element_at(qArr, 3).cast("int").as("q2"),
-        element_at(qArr, 4).cast("int").as("q3"),
-        sqrt(col("err2")).as("err"))
+    // bindOnce everything referenced from more than one place (HOFs have
+    // no CSE and CollapseProject inlines aliases into lambda bodies —
+    // invariant 5): scale, its zero-vector-safe divisor, and the
+    // quantized array each evaluate exactly once per row
+    val packed = TextOps.bindOnce(
+      array_max(transform(col("v"), x => abs(x))) / lit(127.0)) { scale =>
+      TextOps.bindOnce(when(scale === 0.0, lit(1.0)).otherwise(scale)) { sdiv =>
+        TextOps.bindOnce(transform(col("v"), x => floor(x / sdiv + lit(0.5)))) { q =>
+          struct(
+            scale.as("scale"),
+            element_at(q, 1).cast("int").as("q0"),
+            element_at(q, 2).cast("int").as("q1"),
+            element_at(q, 3).cast("int").as("q2"),
+            element_at(q, 4).cast("int").as("q3"),
+            sqrt(aggregate(
+              zip_with(col("v"), q, (x, qi) => (x - qi * scale) * (x - qi * scale)),
+              lit(0.0), (a, b) => a + b)).as("err"))
+        }
+      }
+    }
+    emb.select(col("vec_id"), packed.as("r"))
+      .select(col("vec_id"), col("r.scale").as("scale"),
+        col("r.q0").as("q0"), col("r.q1").as("q1"),
+        col("r.q2").as("q2"), col("r.q3").as("q3"), col("r.err").as("err"))
       .orderBy(col("vec_id"))
   }
 
@@ -521,11 +533,11 @@ object TextQueries {
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |bits AS (SELECT unnest(generate_series(0, 15)) AS b),
       |""".stripMargin
-    for ((m, i) <- SimhashMults.zipWithIndex) {
+    for ((m, i) <- SimhashMods.zipWithIndex) {
       sb ++= s"""th$i AS (
         |  SELECT doc_id,
         |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
-        |      (a, x) -> (a * $m + x) % 65536) AS h
+        |      (a, x) -> (a * 31 + x) % $m) AS h
         |  FROM tok),
         |v$i AS (
         |  SELECT doc_id, b,

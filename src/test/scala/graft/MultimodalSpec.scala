@@ -104,6 +104,13 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated/corrupt headers must not crash the batch
     val junk = Seq(goldenBmp.take(20), goldenWav.take(30), Array.empty[Byte])
     assert(BinaryDecoder.decodeBatch(junk).forall(_.length == 16))
+    // hostile declared sizes (Int-overflow stride / chunk length) must
+    // degrade to the stub, not walk past the array
+    val evilBmp = goldenBmp.clone()
+    le32(1073741824).copyToArray(evilBmp, 18) // width 2^30 → stride wraps in Int
+    val evilWav = goldenWav.clone()
+    le32(0x7ffffff0).copyToArray(evilWav, 40) // data chunk claims ~2 GiB
+    assert(BinaryDecoder.decodeBatch(Seq(evilBmp, evilWav)).forall(_.length == 16))
   }
 
   test("resize stub pads/truncates payloads and rewrites metadata") {
