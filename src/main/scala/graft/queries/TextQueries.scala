@@ -504,6 +504,30 @@ object TextQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** EXT-4 — stratified source sampling (the corpus mix-weighting pass):
+    * each source stratum gets a target keep-rate; membership is a
+    * DETERMINISTIC per-doc hash test (`(doc_id·1103515245 + 12345) mod
+    * 10⁴ < rate_bp`), so the sample is reproducible, engine-independent,
+    * and needs no RNG state. The sample predicate is a pure row filter —
+    * at 100 TB it rides the scan with zero shuffle; the only exchange is
+    * the per-stratum audit aggregate emitted here.
+    */
+  val q55StratifiedSample: Q = (s, d) => {
+    val srcnum = substring(col("source"), 4, 10).cast("int")
+    val rateBp = least(lit(10000), lit(2000) + lit(700) * pmod(srcnum, lit(10)))
+    val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(10000L))
+    documents(s, d)
+      .withColumn("kept", (h < rateBp).cast("int"))
+      .withColumn("rate_bp", rateBp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        (max(col("rate_bp")).cast("double") / lit(10000.0)).as("target_rate"))
+      .withColumn("eff_rate", col("n_kept").cast("double") / col("n_docs"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("target_rate"), col("eff_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -521,6 +545,7 @@ object TextQueries {
     "q52_topk_tokens"     -> q52TopkTokens,
     "q53_contamination"   -> q53Contamination,
     "q54_quantize_int8"   -> q54QuantizeInt8,
+    "q55_stratified_sample" -> q55StratifiedSample,
   )
 
   /** q51's oracle: one (th, votes, sh) chain per 16-bit SimHash family,
@@ -854,6 +879,18 @@ object TextQueries {
         |SELECT lang, CAST(rank AS INT) AS rank, w, cnt
         |FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+    "q55_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    least(10000, 2000 + 700 * (CAST(substring(source, 4) AS INT) % 10)) AS rate_bp,
+        |    (doc_id * 1103515245 + 12345) % 10000 AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(max(rate_bp) AS DOUBLE) / 10000.0 AS target_rate,
+        |  CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS eff_rate
+        |FROM t GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q54_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
