@@ -27,6 +27,32 @@ class ExtensionsAndLogSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq === Seq(0.5 * 0.5 + 1.0, 1.0 + 4.0))
   }
 
+  test("round-2 native expressions usable from SQL (full surface)") {
+    GraftExtensions.register(spark)
+    // multi-char tokens: their hashes exceed both moduli, so the two
+    // SimHash families actually diverge (single letters would not)
+    Seq(("alpha beta gamma delta", Seq(1.0f, -2.0f, 3.0f, -4.0f)))
+      .toDF("s", "v").createOrReplaceTempView("ext_t2")
+    val row = spark.sql(
+      """SELECT
+        |  size(graft_shingle_hash(s, 1000000007, 2)) AS n_bigrams,
+        |  graft_sign_proj_bits(v, 8) AS bits,
+        |  graft_simhash16(s) AS sh_default,
+        |  graft_simhash16(s, 31, 65521) AS sh_prime,
+        |  size(graft_status_decode('{BASTATUS,7,x,9}')) AS n_routes,
+        |  graft_struct_sort_join(array(struct(2L, 'b'), struct(1L, 'a')), ',') AS joined
+        |FROM ext_t2""".stripMargin).collect().head
+    assert(row.getInt(0) === 3) // "a b","b c","c d"
+    // matches the Column-API twin bit-for-bit
+    val twin = spark.sql("SELECT v FROM ext_t2")
+      .select(graft.functions.SignProjBits(org.apache.spark.sql.functions.col("v"), 8))
+      .collect().head.getLong(0)
+    assert(row.getLong(1) === twin)
+    assert(row.getLong(2) !== row.getLong(3)) // distinct moduli ⇒ distinct family
+    assert(row.getInt(4) === 2) // 'x' dropped, positions kept
+    assert(row.getString(5) === "a,b")
+  }
+
   test("frame log round trip (OP-6 write, OP-4 batch read)") {
     val dir = Files.createTempDirectory("log").toString + "/frames"
     val frames = Seq(
