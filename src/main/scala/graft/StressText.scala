@@ -1,0 +1,40 @@
+package graft
+import org.apache.spark.sql.functions._
+
+/** Scale stress for the round-2 text operators: replicates the sf0.1
+  * documents corpus k× and runs the 64-bit banded SimHash near-dup (q51
+  * — replicas are exact dups, true pairs grow C(k,2)·n) and the
+  * contamination check (q53 — output stays one row per test doc, so wall
+  * clock should stay flat in k beyond the input scan). Pass criterion:
+  * q51 tracks output pairs, q53 tracks input size — neither goes
+  * quadratic in docs.
+  */
+object StressText {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    for (copies <- Seq(1, 2, 4, 10)) {
+      // ×10 offset keeps doc_id % 10 (q53's train/test split) intact
+      val docs = (0 until copies).map(k =>
+        base.select((col("doc_id") + k * n * 10).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+        .reduce(_ union _)
+      val dir = s"/tmp/stress_text_$copies"
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      for (q <- Seq("q51_simhash64", "q53_contamination")) {
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(q)(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS $q%-18s copies=$copies%2d docs=${n * copies}%6d rows=$rows%9d  $secs%7.2f s")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
