@@ -130,6 +130,42 @@ class SocketPathSpec extends AnyFunSuite {
     } finally fixture.close()
   }
 
+  test("processing-time trigger paces live TCP polls like the reference's poll loop") {
+    // the reference polls every 2 s (etl_controller.py TelemetryThread);
+    // here: a 300 ms trigger against the loopback device, bounded by
+    // maxPolls so the stream drains deterministically. Asserts the
+    // trigger actually spread work across multiple micro-batches (an
+    // unpaced run would take one or two).
+    val fixture = new DeviceFixtureServer(numOutputs = 4, numInputs = 8)
+    try {
+      val frames = spark.readStream
+        .format(classOf[graft.sources.TelemetrySourceProvider].getName)
+        .option("host", "127.0.0.1").option("port", fixture.port.toString)
+        .option("pollsPerBatch", "1").option("maxPolls", "4")
+        .load()
+      val state = Telemetry.routeState(Telemetry.decodeStatus(frames))
+      val q = state.writeStream.format("memory").queryName("paced_state")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (fixture.polls.get() < 4 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        q.processAllAvailable()
+        assert(fixture.polls.get() === 4)
+        // batchId advanced once per trigger firing, not all-at-once
+        assert(q.lastProgress.batchId >= 3, q.lastProgress.toString)
+        val got = spark.table("paced_state").as[(Int, Int, Long)].collect()
+          .sortBy(_._1).toSeq
+        val lastPoll = 3L
+        val expect = (1 to 4).map(o =>
+          (o, TelemetrySource.routeAt(o, lastPoll, 8), lastPoll * 2000000L))
+        assert(got === expect)
+      } finally q.stop()
+    } finally fixture.close()
+  }
+
   test("DSv2 source polls a live TCP device into the route-state pipeline") {
     val fixture = new DeviceFixtureServer(numOutputs = 4, numInputs = 8)
     try {
