@@ -68,6 +68,7 @@ case class SignProjBits(child: Expression, nBits: Int) extends UnaryExpression {
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
       val bits = ctx.freshName("bits")
+      val v = ctx.freshName("v")
       val get = if (isFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
       s"""
          |int $n = $c.numElements();
@@ -75,8 +76,8 @@ case class SignProjBits(child: Expression, nBits: Int) extends UnaryExpression {
          |for (int $j = 0; $j < $nBits; $j++) {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double v = $get;
-         |    $acc += ((($i * 37 + $j * 101 + $i * $j * 13) % 97) < 48) ? v : -v;
+         |    double $v = $get;
+         |    $acc += ((($i * 37 + $j * 101 + $i * $j * 13) % 97) < 48) ? $v : -$v;
          |  }
          |  if ($acc > 0.0) $bits |= 1L << $j;
          |}

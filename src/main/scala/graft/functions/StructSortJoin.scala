@@ -33,23 +33,32 @@ case class StructSortJoin(child: Expression, sep: String) extends UnaryExpressio
   override def nullSafeEval(input: Any): Any =
     sortJoin(input.asInstanceOf[ArrayData])
 
-  /** Public so generated code can call it. */
+  /** Public so generated code can call it. Null entries (possible via SQL
+    * `graft_struct_sort_join(array(null, ...))`, never via collect_list)
+    * and null keys are skipped rather than NPE-ing the task.
+    */
   def sortJoin(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     val keys = new Array[Long](n)
     val parts = new Array[UTF8String](n)
+    var m = 0
     var i = 0
     while (i < n) {
-      val row = arr.getStruct(i, 2)
-      keys(i) = row.getLong(0)
-      parts(i) = row.getUTF8String(1)
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (!row.isNullAt(0)) {
+          keys(m) = row.getLong(0)
+          parts(m) = row.getUTF8String(1)
+          m += 1
+        }
+      }
       i += 1
     }
     // index sort on primitive keys; stable for equal keys
-    val idx = Array.range(0, n).sortBy(keys)
-    val ordered = new Array[UTF8String](n)
+    val idx = Array.range(0, m).sortBy(keys)
+    val ordered = new Array[UTF8String](m)
     i = 0
-    while (i < n) { ordered(i) = parts(idx(i)); i += 1 }
+    while (i < m) { ordered(i) = parts(idx(i)); i += 1 }
     UTF8String.concatWs(UTF8String.fromString(sep), ordered: _*)
   }
 

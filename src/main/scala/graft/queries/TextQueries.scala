@@ -29,11 +29,10 @@ object TextQueries {
     // signature table you would write out once and reuse). Shingle hashes
     // are composed algebraically from per-token hashes; the shingle
     // *strings* are only ever built for verification candidates below.
-    val sig = documents(s, d)
+    val sig = tracked(documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
         graft.functions.ShingleHash3(col("text"), TextOps.P).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist()
+      .filter(size(col("hs")) > 0))
     val withMh = sig.select(
       col("doc_id") +:
         (0 until 8).map(j => TextOps.minhashFromHashes(col("hs"), j).as(s"mh$j")): _*)
@@ -92,10 +91,10 @@ object TextQueries {
       .select(col("doc_id"), size(col("t")).as("n"), explode(col("t")).as("w"))
     // posting-list df per shingle hash; drop stop-shingles (df > cap)
     // persisted: both sides of the self-join read it (invariant 6)
-    val rare = ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+    val rare = tracked(ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .filter(col("df") <= DfCap)
-      .select(col("doc_id"), col("n"), col("w"))
-      .persist()
+      .select(col("doc_id"), col("n"), col("w")))
     rare.as("a").join(rare.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -230,10 +229,9 @@ object TextQueries {
     */
   val q39AnnLsh: Q = (s, d) => {
     import graft.functions.DotFold
-    val emb = embeddings(s, d)
+    val emb = tracked(embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
-      .persist()
+        sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
     val bands = srpBands(emb, "vec_id")
     val qBands = srpBands(emb.filter(col("vec_id") < 5)
       .withColumnRenamed("vec_id", "query_id"), "query_id")
@@ -265,10 +263,9 @@ object TextQueries {
     */
   val q40EmbeddingNeardup: Q = (s, d) => {
     import graft.functions.DotFold
-    val emb = embeddings(s, d)
+    val emb = tracked(embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
-      .persist()
+        sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
     val bands = srpBands(emb, "vec_id")
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -313,11 +310,10 @@ object TextQueries {
   val q42AnnIvf: Q = (s, d) => {
     import graft.functions.DotFold
     import org.apache.spark.sql.DataFrame
-    val emb = embeddings(s, d).select(col("vec_id"),
+    val emb = tracked(embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("vq", transform(col("v"), x => floor(x * lit(1000000.0))))
-      .withColumn("nrm", sqrt(DotFold(col("v"), col("v"))))
-      .persist()
+      .withColumn("nrm", sqrt(DotFold(col("v"), col("v")))))
     def centv(c: DataFrame): DataFrame = c.select(col("cid"),
       transform(col("S"), q => q.cast("double") / (lit(1000000.0) * col("n"))).as("cv"))
     def withD2(base: DataFrame, c: DataFrame): DataFrame =
@@ -340,10 +336,9 @@ object TextQueries {
         .toDF("cid", "sn")
         .select(col("cid"), col("sn._1").as("S"), col("sn._2").as("n"))
       // cells that attracted no vectors keep their previous (S, n)
-      cent = cent.as("p").join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
+      cent = tracked(cent.as("p").join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
         .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
-          coalesce(col("u.n"), col("p.n")).as("n"))
-        .persist()
+          coalesce(col("u.n"), col("p.n")).as("n")))
     }
     val assigned = withD2(emb, cent)
       .groupBy(col("vec_id"))
@@ -400,10 +395,9 @@ object TextQueries {
     * (≤ [[SimhashMaxDist]]) on candidates only.
     */
   val q51Simhash64: Q = (s, d) => {
-    val sig = documents(s, d).select(
+    val sig = tracked(documents(s, d).select(
       col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
-        graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*)
-      .persist()
+        graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*))
     val bands = sig.select(col("doc_id"),
       explode(array(SimhashMods.indices.map(b =>
         struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
@@ -450,11 +444,10 @@ object TextQueries {
     * in corpus + vocabulary, never test×train.
     */
   val q53Contamination: Q = (s, d) => {
-    val hs = documents(s, d)
+    val hs = tracked(documents(s, d)
       .select(col("doc_id"),
         array_distinct(graft.functions.ShingleHash(col("text"), TextOps.P, 3)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist() // both splits derive from it
+      .filter(size(col("hs")) > 0)) // both splits derive from it
     val te = hs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id"), size(col("hs")).as("n_grams"), explode(col("hs")).as("w"))
     val trSet = hs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -513,8 +506,12 @@ object TextQueries {
     * the per-stratum audit aggregate emitted here.
     */
   val q55StratifiedSample: Q = (s, d) => {
+    // coalesce before `least`: Spark's least SKIPS nulls while other
+    // engines propagate them, so a non-numeric source id must never reach
+    // it (invariant 1 — identical expression both sides)
     val srcnum = substring(col("source"), 4, 10).cast("int")
-    val rateBp = least(lit(10000), lit(2000) + lit(700) * pmod(srcnum, lit(10)))
+    val rateBp = least(lit(10000),
+      lit(2000) + lit(700) * coalesce(pmod(srcnum, lit(10)), lit(0)))
     val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(10000L))
     documents(s, d)
       .withColumn("kept", (h < rateBp).cast("int"))
@@ -559,9 +556,12 @@ object TextQueries {
       |bits AS (SELECT unnest(generate_series(0, 15)) AS b),
       |""".stripMargin
     for ((m, i) <- SimhashMods.zipWithIndex) {
+      // list_prepend(0, …) seeds the fold at 0 so an empty token (double
+      // space in `text`) hashes to 0 exactly like the Spark fold, instead
+      // of erroring the init-less list_reduce
       sb ++= s"""th$i AS (
         |  SELECT doc_id,
-        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT))),
         |      (a, x) -> (a * 31 + x) % $m) AS h
         |  FROM tok),
         |v$i AS (
@@ -770,7 +770,7 @@ object TextQueries {
         |             generate_subscripts(string_split(text, ' '), 1) AS i) t),
         |th AS (
         |  SELECT doc_id, i, n,
-        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT))),
         |      (a, x) -> (a * 31 + x) % 1000000007) AS h
         |  FROM tok),
         |pw AS (
@@ -786,7 +786,7 @@ object TextQueries {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |th AS (
         |  SELECT doc_id,
-        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT))),
         |      (a, x) -> (a * 31 + x) % 65536) AS h
         |  FROM tok),
         |votes AS (
@@ -882,7 +882,7 @@ object TextQueries {
     "q55_stratified_sample" ->
       """WITH t AS (
         |  SELECT source, doc_id,
-        |    least(10000, 2000 + 700 * (CAST(substring(source, 4) AS INT) % 10)) AS rate_bp,
+        |    least(10000, 2000 + 700 * COALESCE(TRY_CAST(substring(source, 4, 10) AS INT) % 10, 0)) AS rate_bp,
         |    (doc_id * 1103515245 + 12345) % 10000 AS h
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
@@ -932,7 +932,7 @@ object TextQueries {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |th AS (
         |  SELECT doc_id,
-        |    list_reduce(list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT)),
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT))),
         |      (a, x) -> (a * 31 + x) % 65536) AS h
         |  FROM tok),
         |votes AS (

@@ -7,8 +7,35 @@ package object queries {
   /** A harness query: (session, sfDir) => result DataFrame.
     * Contract (SURVEY.md §5): deterministic total ORDER BY, no raw
     * float reductions (see [[dsum]]), timestamps as unix_micros.
+    *
+    * Cache contract: queries persist intermediates read by multiple DAG
+    * branches (invariant 6) via [[tracked]]; those frames stay cached
+    * after the caller's action completes. Run-many callers must either
+    * `spark.catalog.clearCache()` between queries (Bench/Verify do) or
+    * call [[releasePersisted]] after each action (specs do) — otherwise
+    * cached blocks accumulate across calls.
     */
   type Q = (SparkSession, String) => DataFrame
+
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** `df.persist()` + register the frame so [[releasePersisted]] can
+    * unpersist it once the caller's action has run. (Unpersisting inside
+    * the lazy query itself would drop the cache mark before it is ever
+    * used, so cleanup has to be the caller's post-action step.)
+    */
+  def tracked(df: DataFrame): DataFrame = { persistedFrames.add(df.persist()); df }
+
+  /** Unpersist every [[tracked]] frame (non-blocking); returns the count
+    * released. Safe to call after every action; idempotent when empty.
+    */
+  def releasePersisted(): Int = {
+    var n = 0
+    var df = persistedFrames.poll()
+    while (df != null) { df.unpersist(false); n += 1; df = persistedFrames.poll() }
+    n
+  }
 
   /** Order-independent, cross-engine-exact sum of a double expression.
     *

@@ -49,4 +49,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(schemas.forall(s => !s.contains("user_id") && !s.contains("value")),
       s"dedup scan reads unneeded columns: $schemas")
   }
+
+  test("persist hygiene: releasePersisted drains every tracked cache") {
+    spark.catalog.clearCache()
+    graft.queries.releasePersisted() // drain anything earlier tests left
+    for (q <- Seq("q31_neardup_minhash", "q32_ngram_jaccard", "q39_ann_lsh",
+        "q40_embedding_neardup", "q42_ann_ivf", "q51_simhash64",
+        "q53_contamination")) {
+      SparkEntry.queries(q)(spark, d).count()
+      assert(graft.queries.releasePersisted() > 0,
+        s"$q persists intermediates but registered none with tracked()")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q left cached frames behind after releasePersisted()")
+    }
+  }
 }
