@@ -27,11 +27,16 @@ object StressText {
         .reduce(_ union _)
       val dir = s"/tmp/stress_text_$copies"
       docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      for (q <- Seq("q51_simhash64", "q53_contamination")) {
+      // q56: every replica family is a clique (exact dups ⇒ SimHash dist
+      // 0), so the pair graph holds C(copies,2)·n edges but diameter 1 —
+      // label propagation must detect the fixpoint in 2 rounds and cost
+      // must track the pair graph, not its square
+      for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"STRESS $q%-18s copies=$copies%2d docs=${n * copies}%6d rows=$rows%9d  $secs%7.2f s")
+        graft.queries.releasePersisted()
         spark.catalog.clearCache()
       }
     }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-group resolution: turn a verified near-dup PAIR graph into
+  * connected components so a dedup pass can keep exactly one
+  * representative per cluster ("which rows do I drop?").
+  *
+  * Algorithm: min-label propagation with pointer jumping, iterated to a
+  * detected fixpoint. Each round is three shuffle-parallel steps over
+  * the label table `(id, lbl)`:
+  *
+  *  1. edge relaxation — `lbl(v) ← min(lbl(v), min over neighbors u of
+  *     lbl(u))` (a join edges⋈labels + groupBy-min, i.e. one hash
+  *     shuffle on the edge key and one on `id`);
+  *  2. pointer jump — `lbl(v) ← lbl(lbl(v))` (a self-join of the label
+  *     table on the label value; well-defined because every reachable
+  *     label IS a vertex id and the label table has one row per vertex).
+  *
+  * Labels only ever decrease (the jump target `lbl(v)` already carries
+  * a label ≤ `lbl(v)`) and the component minimum is a fixed point, so
+  * the iteration converges to `lbl(v) = min(component(v))` — relaxation
+  * alone guarantees one hop of progress per round, the jump compresses
+  * id-monotone label chains to give `2^(r+1) - 2` hops of coverage
+  * after r rounds on such chains ([[roundsFor]]; DedupGroupsSpec proves
+  * bound and tightness on path graphs; a second jump per round was
+  * measured and reverted — real near-dup graphs gain nothing, their
+  * depth is not id-monotone). Convergence is DETECTED, not assumed:
+  * each round carries the previous label alongside the new one, so the
+  * fixpoint test is a scan of the just-checkpointed table — no extra
+  * join (labels are monotone, so `lbl = prev` everywhere ⟺ done).
+  *
+  * At 100 TB: every step is an equi-join/aggregation on a long key —
+  * plain hash shuffles, no driver state beyond a per-round scalar, no
+  * collect. The label table holds only vertices that appear in some
+  * pair (callers left-join it back to the corpus; singletons never
+  * enter the propagation), so its size tracks the DUPLICATE population,
+  * not the corpus. Each round's labels are localCheckpoint'ed — the
+  * jump self-join otherwise triples the logical plan per round
+  * (3^rounds copies of the upstream pair pipeline; plan-string
+  * rendering alone OOMs) — and checkpointing is also what caps lineage
+  * for fault recovery in any iterative Spark job; on a real cluster
+  * swap for reliable `checkpoint()` to a checkpoint dir
+  * (localCheckpoint dies with a lost executor).
+  */
+object Dedup {
+
+  /** [[connectedComponents]] plus the number of rounds it ran
+    * (including the final no-change detection round).
+    */
+  def connectedComponentsWithRounds(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int = 64,
+      track: DataFrame => DataFrame = identity): (DataFrame, Int) = {
+    // symmetrize once; both directions are needed for relaxation to pull
+    // the min against the edge orientation
+    val sym = track(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var lbl = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var rounds = 0
+    var converged = lbl.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = sym
+        .join(lbl.select(col("id").as("nid"), col("lbl")), col("dst") === col("nid"))
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nm"))
+      // coalesce before least: Spark's least skips nulls, other engines
+      // propagate them (invariant 1 — identical expression both sides)
+      val relaxed = track(
+        lbl.select(col("id"), col("lbl").as("prev")).join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("prev"), coalesce(col("nm"), col("prev"))).as("lbl"),
+            col("prev")))
+      val next = relaxed.as("a")
+        .join(relaxed.select(col("id").as("pid"), col("lbl").as("plbl")),
+          col("a.lbl") === col("pid"))
+        .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
+        .localCheckpoint(true)
+      rounds += 1
+      // monotone labels: lbl = prev everywhere ⟺ fixpoint (cached scan)
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      lbl = next.select(col("id"), col("lbl"))
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components not converged after $maxRounds rounds")
+    (lbl, rounds)
+  }
+
+  /** Connected components of the pair graph: returns `(id, lbl)` with
+    * `lbl = min(component(id))`. `edges` needs columns `src`/`dst` (one
+    * row per undirected edge, either orientation); `vertices` needs
+    * `id` and must cover every endpoint. `track` lets callers register
+    * the per-round persisted frames for later release (each round's
+    * intermediates are read by multiple joins — invariant 6).
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int = 64,
+      track: DataFrame => DataFrame = identity): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, maxRounds, track)._1
+
+  /** Rounds sufficient to COVER a given maximum cluster diameter on an
+    * id-monotone chain: smallest r with `2^(r+1) - 2 ≥ d`. Detection
+    * adds one further no-change round on top.
+    */
+  def roundsFor(maxDiameter: Int): Int = {
+    var r = 1
+    while ((1L << (r + 1)) - 2 < maxDiameter) r += 1
+    r
+  }
+}

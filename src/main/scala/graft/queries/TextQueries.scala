@@ -76,15 +76,15 @@ object TextQueries {
   /** EXT-2 — 2-gram Jaccard via a df-capped inverted-index join on shared
     * bigram shingle *hashes* (native [[graft.functions.ShingleHash]]
     * arity 2 — one pass over the text, no interpreted HOF shingle
-    * strings). The 1/5 doc sample bounds the oracle's cost; the df cap is
-    * what bounds the candidate set at scale.
+    * strings). Unsampled since round 3: the df cap alone bounds the
+    * candidate set (join rows ≤ |vocab|·C²), and the measured cost
+    * confirms it (PLANS.md round-3 note).
     */
   val q32NgramJaccard: Q = (s, d) => {
     // distinct-shingle size rides along with each posting row (constant
     // per doc), so Jaccard needs no post-join back to a sizes table —
     // two fewer joins in the plan
     val ex = documents(s, d)
-      .filter(pmod(col("doc_id"), lit(5)) === 0)
       .select(col("doc_id"),
         array_distinct(graft.functions.ShingleHash(col("text"), TextOps.P, 2)).as("t"))
       .filter(size(col("t")) > 0)
@@ -390,11 +390,10 @@ object TextQueries {
   private val SimhashMods = Seq(65521L, 65519L, 65497L, 65479L)
   private val SimhashMaxDist = 6
 
-  /** EXT-1 — 64-bit SimHash near-dup: banded candidate generation over
-    * the four 16-bit components, exact Hamming-distance verification
-    * (≤ [[SimhashMaxDist]]) on candidates only.
+  /** q51/q56's shared pair generation: verified 64-bit SimHash near-dup
+    * pairs `(da < db, dist ≤ SimhashMaxDist)`, unordered.
     */
-  val q51Simhash64: Q = (s, d) => {
+  private def simhash64Pairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val sig = tracked(documents(s, d).select(
       col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
         graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*))
@@ -416,7 +415,47 @@ object TextQueries {
         bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
       .filter(col("dist") <= SimhashMaxDist)
       .select(col("da"), col("db"), col("dist"))
-      .orderBy(col("da"), col("db"))
+  }
+
+  /** EXT-1 — 64-bit SimHash near-dup: banded candidate generation over
+    * the four 16-bit components, exact Hamming-distance verification
+    * (≤ [[SimhashMaxDist]]) on candidates only.
+    */
+  val q51Simhash64: Q = (s, d) =>
+    simhash64Pairs(s, d).orderBy(col("da"), col("db"))
+
+  /** EXT-1 — duplicate-GROUP resolution: the step between "pairs
+    * detected" and "corpus deduplicated". Connected components over the
+    * [[q51Simhash64]] verified-pair graph (min-label propagation +
+    * pointer jumping to a detected fixpoint, [[graft.ops.Dedup]]),
+    * left-joined back onto the corpus: every document gets its
+    * `cluster_id` (= min doc_id of its near-dup component, itself for
+    * singletons), a `keeper` flag (the one row per cluster a dedup pass
+    * retains), and the cluster size. The propagation runs only over
+    * vertices that appear in some pair — at 100 TB the label table
+    * tracks the duplicate population, not the corpus. The oracle
+    * recomputes the components by a DIFFERENT route (recursive-CTE
+    * transitive closure + min) — labels are integer mins, so the two
+    * formulations agree bit-for-bit once both are converged.
+    */
+  val q56DupGroups: Q = (s, d) => {
+    val pairs = tracked(simhash64Pairs(s, d).select(col("da"), col("db")))
+    val verts = pairs.select(col("da").as("id"))
+      .union(pairs.select(col("db").as("id"))).distinct()
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+    val lbl = graft.ops.Dedup.connectedComponents(verts, edges, track = tracked)
+    val clustered = documents(s, d).select(col("doc_id"))
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    // sizes over the label table only (duplicate population, not the
+    // corpus) — singletons never match and coalesce to 1, so both the
+    // aggregate and the broadcastable join side stay dup-sized at scale
+    val sizes = lbl.groupBy(col("lbl").as("cluster_id")).agg(count(lit(1)).as("csz"))
+    clustered.join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keeper"),
+        coalesce(col("csz"), lit(1L)).as("cluster_size"))
+      .orderBy(col("doc_id"))
   }
 
   /** EXT-4 — per-language top-5 tokens by total occurrence count. The
@@ -543,13 +582,16 @@ object TextQueries {
     "q53_contamination"   -> q53Contamination,
     "q54_quantize_int8"   -> q54QuantizeInt8,
     "q55_stratified_sample" -> q55StratifiedSample,
+    "q56_dup_groups"      -> q56DupGroups,
   )
 
-  /** q51's oracle: one (th, votes, sh) chain per 16-bit SimHash family,
-    * mirroring q37's per-bit-vote formulation, then the same band join +
-    * Hamming verify as the Spark plan.
+  /** Shared CTE chain deriving the verified SimHash near-dup pairs
+    * (`p(da, db, dist)`): one (th, votes, sh) chain per 16-bit SimHash
+    * family, mirroring q37's per-bit-vote formulation, then the same
+    * band join + Hamming verify as the Spark plan. Used by both the q51
+    * and q56 oracles.
     */
-  private def q51OracleSql: String = {
+  private def simhashPairCtes: String = {
     val sb = new StringBuilder
     sb ++= """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -588,11 +630,45 @@ object TextQueries {
       |  SELECT c.da, c.db,
       |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
       |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS dist
-      |  FROM cands c JOIN sig x ON c.da = x.doc_id JOIN sig y ON c.db = y.doc_id)
-      |SELECT da, db, CAST(dist AS INT) AS dist FROM p WHERE dist <= $SimhashMaxDist
-      |ORDER BY da, db""".stripMargin
+      |  FROM cands c JOIN sig x ON c.da = x.doc_id JOIN sig y ON c.db = y.doc_id),
+      |pairs AS (SELECT da, db FROM p WHERE dist <= $SimhashMaxDist),
+      |""".stripMargin
     sb.toString
   }
+
+  private def q51OracleSql: String =
+    simhashPairCtes + s"""pf AS (SELECT 1)
+      |SELECT da, db, CAST(dist AS INT) AS dist FROM p WHERE dist <= $SimhashMaxDist
+      |ORDER BY da, db""".stripMargin
+
+  /** q56's oracle computes the components by a deliberately DIFFERENT
+    * algorithm than the Spark side: a recursive-CTE transitive closure
+    * over the symmetrized pair graph (`reach` accumulates every vertex
+    * reachable from `id`; BFS working-table semantics, UNION dedup
+    * terminates it), then `min(reachable)` per vertex. Quadratic in
+    * cluster size — fine for an sf0.01 oracle, and order-independent
+    * integer math, so it agrees bit-for-bit with the converged
+    * propagation labels.
+    */
+  private def q56OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """verts AS (
+      |  SELECT DISTINCT id FROM (SELECT da AS id FROM pairs UNION ALL SELECT db FROM pairs)),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+      |reach AS (
+      |  SELECT id, id AS lbl FROM verts
+      |  UNION
+      |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+      |cl AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |sz AS (SELECT lbl AS cluster_id, count(*) AS csz FROM cl GROUP BY lbl),
+      |out AS (
+      |  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.id)
+      |SELECT o.doc_id, o.cluster_id,
+      |  CASE WHEN o.doc_id = o.cluster_id THEN 1 ELSE 0 END AS keeper,
+      |  COALESCE(s.csz, 1) AS cluster_size
+      |FROM out o LEFT JOIN sz s ON o.cluster_id = s.cluster_id
+      |ORDER BY o.doc_id""".stripMargin
 
   private val charHashSql =
     "list_reduce(list_transform(generate_series(1, length(%s)), i -> CAST(ascii(%s[i]) AS BIGINT)), (a, x) -> (a * 31 + x) %% 1000000007)"
@@ -699,7 +775,7 @@ object TextQueries {
         |WHERE CAST(s.n_int AS DOUBLE) / (sa.n + sb.n - s.n_int) >= 0.1
         |ORDER BY s.da, s.db""".stripMargin,
     "q32_ngram_jaccard" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents WHERE doc_id % 5 = 0),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |bg AS (
         |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t0) - 1, 0)),
         |    i -> t0[i] || ' ' || t0[i+1]) AS gs
@@ -872,6 +948,7 @@ object TextQueries {
         |ORDER BY da, db""".stripMargin,
     "q42_ann_ivf" -> q42OracleSql,
     "q51_simhash64" -> q51OracleSql,
+    "q56_dup_groups" -> q56OracleSql,
     "q52_topk_tokens" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
