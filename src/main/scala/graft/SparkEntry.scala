@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ProtocolQueries.queries ++
-      StateQueries.queries ++ AnalyticsQueries.queries ++ TextQueries.queries ++ MiscQueries.queries
+      StateQueries.queries ++ AnalyticsQueries.queries ++ TextQueries.queries ++
+      MiscQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ProtocolQueries.oracles ++
-      StateQueries.oracles ++ AnalyticsQueries.oracles ++ TextQueries.oracles ++ MiscQueries.oracles
+      StateQueries.oracles ++ AnalyticsQueries.oracles ++ TextQueries.oracles ++
+      MiscQueries.oracles ++ PipelineQueries.oracles
 }

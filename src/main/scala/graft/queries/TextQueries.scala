@@ -390,10 +390,10 @@ object TextQueries {
   private val SimhashMods = Seq(65521L, 65519L, 65497L, 65479L)
   private val SimhashMaxDist = 6
 
-  /** q51/q56's shared pair generation: verified 64-bit SimHash near-dup
-    * pairs `(da < db, dist ≤ SimhashMaxDist)`, unordered.
+  /** q51/q56/q57's shared pair generation: verified 64-bit SimHash
+    * near-dup pairs `(da < db, dist ≤ SimhashMaxDist)`, unordered.
     */
-  private def simhash64Pairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def simhash64Pairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val sig = tracked(documents(s, d).select(
       col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
         graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*))
@@ -544,14 +544,23 @@ object TextQueries {
     * at 100 TB it rides the scan with zero shuffle; the only exchange is
     * the per-stratum audit aggregate emitted here.
     */
+  /** q55/q57's shared deterministic sampling expressions. coalesce
+    * before `least`: Spark's least SKIPS nulls while other engines
+    * propagate them, so a non-numeric source id must never reach it
+    * (invariant 1 — identical expression both sides).
+    */
+  private[queries] def sampleRateBp =
+    least(lit(10000), lit(2000) + lit(700) *
+      coalesce(pmod(substring(col("source"), 4, 10).cast("int"), lit(10)), lit(0)))
+  private[queries] def sampleHash =
+    pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(10000L))
+  private[queries] val sampleRateBpSql =
+    "least(10000, 2000 + 700 * COALESCE(TRY_CAST(substring(source, 4, 10) AS INT) % 10, 0))"
+  private[queries] val sampleHashSql = "(doc_id * 1103515245 + 12345) % 10000"
+
   val q55StratifiedSample: Q = (s, d) => {
-    // coalesce before `least`: Spark's least SKIPS nulls while other
-    // engines propagate them, so a non-numeric source id must never reach
-    // it (invariant 1 — identical expression both sides)
-    val srcnum = substring(col("source"), 4, 10).cast("int")
-    val rateBp = least(lit(10000),
-      lit(2000) + lit(700) * coalesce(pmod(srcnum, lit(10)), lit(0)))
-    val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(10000L))
+    val rateBp = sampleRateBp
+    val h = sampleHash
     documents(s, d)
       .withColumn("kept", (h < rateBp).cast("int"))
       .withColumn("rate_bp", rateBp)
@@ -591,7 +600,7 @@ object TextQueries {
     * band join + Hamming verify as the Spark plan. Used by both the q51
     * and q56 oracles.
     */
-  private def simhashPairCtes: String = {
+  private[queries] def simhashPairCtes: String = {
     val sb = new StringBuilder
     sb ++= """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -650,9 +659,11 @@ object TextQueries {
     * integer math, so it agrees bit-for-bit with the converged
     * propagation labels.
     */
-  private def q56OracleSql: String =
-    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """verts AS (
+  /** Recursive-CTE connected components over the `pairs` CTE: yields
+    * `cl(id, lbl)` with `lbl = min(component)`. Shared by q56/q57.
+    */
+  private[queries] val ccCtes: String =
+    """verts AS (
       |  SELECT DISTINCT id FROM (SELECT da AS id FROM pairs UNION ALL SELECT db FROM pairs)),
       |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
       |reach AS (
@@ -660,7 +671,11 @@ object TextQueries {
       |  UNION
       |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
       |cl AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
-      |sz AS (SELECT lbl AS cluster_id, count(*) AS csz FROM cl GROUP BY lbl),
+      |""".stripMargin
+
+  private def q56OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtes +
+      """sz AS (SELECT lbl AS cluster_id, count(*) AS csz FROM cl GROUP BY lbl),
       |out AS (
       |  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS cluster_id
       |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.id)
@@ -957,10 +972,10 @@ object TextQueries {
         |FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
     "q55_stratified_sample" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT source, doc_id,
-        |    least(10000, 2000 + 700 * COALESCE(TRY_CAST(substring(source, 4, 10) AS INT) % 10, 0)) AS rate_bp,
-        |    (doc_id * 1103515245 + 12345) % 10000 AS h
+        |    $sampleRateBpSql AS rate_bp,
+        |    $sampleHashSql AS h
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.PipelineQueries
+
+/** End-to-end corpus materialization (q57 + PipelineQueries.materialize):
+  * funnel monotonicity, stage counts consistent with the individually-
+  * proven stage queries, and the written partition layout.
+  */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  test("funnel counts are monotone and each stage drops what its stage query says") {
+    val funnel = SparkEntry.queries("q57_corpus_funnel")(spark, d)
+    funnel.persist()
+    val t = funnel.agg(
+      sum(col("n_total")), sum(col("n_dedup")), sum(col("n_quality")),
+      sum(col("n_decontam")), sum(col("n_sample"))).first()
+    val Seq(nTotal, nDedup, nQuality, nDecontam, nSample) =
+      (0 until 5).map(t.getLong)
+    assert(nTotal >= nDedup && nDedup >= nQuality &&
+      nQuality >= nDecontam && nDecontam >= nSample, s"funnel not monotone: $t")
+    assert(nSample > 0, "pipeline shipped an empty corpus")
+    // dedup stage agrees with q56's keeper count
+    val keepers = SparkEntry.queries("q56_dup_groups")(spark, d)
+      .filter(col("keeper") === 1).count()
+    assert(nDedup == keepers, s"funnel n_dedup $nDedup != q56 keepers $keepers")
+    assert(nTotal == spark.read.parquet(s"$d/documents.parquet").count())
+    funnel.unpersist()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+
+  test("materialize writes the lang-partitioned survivors and nothing else") {
+    val out = s"/tmp/graft_corpus_${System.nanoTime()}"
+    val shipped = PipelineQueries.materialize(spark, d, out)
+    val funnelSample = SparkEntry.queries("q57_corpus_funnel")(spark, d)
+      .agg(sum(col("n_sample"))).first().getLong(0)
+    assert(shipped == funnelSample,
+      s"written rows $shipped != funnel n_sample $funnelSample")
+    // partition layout: lang=<value> directories, readable back with the
+    // partition column recovered
+    val dirs = new java.io.File(s"$out/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("lang=")),
+      s"unexpected partition layout: ${dirs.mkString(",")}")
+    val back = spark.read.parquet(s"$out/corpus")
+    assert(back.columns.contains("lang"))
+    assert(back.select(col("doc_id")).distinct().count() == shipped,
+      "doc_id not unique in the shipped corpus")
+    // shipped docs all pass every stage predicate: re-derive flags
+    val flagged = back.select(col("doc_id"))
+      .join(SparkEntry.queries("q56_dup_groups")(spark, d), Seq("doc_id"))
+    assert(flagged.filter(col("keeper") =!= 1).count() == 0,
+      "a non-keeper doc was shipped")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+}
