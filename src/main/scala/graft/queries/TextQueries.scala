@@ -283,84 +283,31 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
-  /** Trained-IVF parameters shared by the Spark query and its generated
-    * oracle SQL: k cells, T unrolled Lloyd iterations, quantization
-    * scale. Training is made cross-engine bit-exact by doing the only
-    * order-sensitive step — summing member vectors — in integers:
-    * vq = floor(v·10⁶) per component, Σvq as longs (order-independent),
-    * centroid component = CAST(Σ AS DOUBLE) / (10⁶·n) with the identical
-    * expression in both engines. Distances then compare equal bitwise,
-    * so assignments (argmin by (d2, cid)) agree exactly.
-    */
-  private val IvfK = 16
-  private val IvfIters = 2
-  private val IvfProbes = 2
+  private val IvfK = graft.ops.Ivf.K
+  private val IvfIters = graft.ops.Ivf.Iters
+  private val IvfProbes = graft.ops.Ivf.Probes
 
-  /** EXT-3 — trained IVF ANN: k-means cells trained in-plan (integer-
-    * quantized Lloyd's, [[IvfIters]] unrolled iterations seeded from the
-    * first k vectors), every vector assigned to its nearest trained cell,
-    * queries probe their [[IvfProbes]] nearest cells, exact cosine +
-    * top-5 inside the probed cells only. Assignment is a broadcast
-    * crossJoin + min-struct hash aggregate (map-side partial reduction),
-    * never a global window; the whole pipeline is DataFrame-declarative —
-    * no driver-side collect. [[graft.ops.KMeans]] is the general
-    * float-precision trainer; this in-plan variant exists so the oracle
-    * can replay training exactly.
+  /** EXT-3 — trained IVF ANN ([[graft.ops.Ivf]]): k-means cells trained
+    * IN-PLAN (integer-quantized Lloyd's, [[IvfIters]] unrolled
+    * iterations seeded from the first k vectors) so the oracle can
+    * replay training exactly, every vector assigned to its nearest
+    * trained cell, queries probe their [[IvfProbes]] nearest cells,
+    * exact cosine + top-5 inside the probed cells only. Assignment is a
+    * broadcast crossJoin + min-struct hash aggregate (map-side partial
+    * reduction), never a global window; no driver-side collect. The
+    * at-scale train-ONCE composition over the same code is
+    * [[graft.ops.Ivf.buildIndex]] → [[graft.ops.Ivf.probeTopK]]
+    * (persisted centroid/assignment tables; IvfRecallSpec proves the
+    * probe-only path reproduces this query's rows bit-for-bit with no
+    * training in its plan).
     */
   val q42AnnIvf: Q = (s, d) => {
-    import graft.functions.DotFold
-    import org.apache.spark.sql.DataFrame
-    val emb = tracked(embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("vq", transform(col("v"), x => floor(x * lit(1000000.0))))
-      .withColumn("nrm", sqrt(DotFold(col("v"), col("v")))))
-    def centv(c: DataFrame): DataFrame = c.select(col("cid"),
-      transform(col("S"), q => q.cast("double") / (lit(1000000.0) * col("n"))).as("cv"))
-    def withD2(base: DataFrame, c: DataFrame): DataFrame =
-      base.crossJoin(broadcast(centv(c)))
-        .withColumn("d2", DotFold(col("v"), col("v"))
-          - lit(2.0) * DotFold(col("v"), col("cv")) + DotFold(col("cv"), col("cv")))
-    var cent: DataFrame = emb.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").cast("int").as("cid"), col("vq").as("S"), lit(1L).as("n"))
-    for (_ <- 1 to IvfIters) {
-      import s.implicits._
-      val asg = withD2(emb.select(col("vec_id"), col("v"), col("vq")), cent)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vq")).as("vq"))
-        .select(col("m.cid").as("cid"), col("vq"))
-      // one typed-aggregator pass (order-independent long sums — the
-      // DuckDB oracle's unnest+sum grouping produces identical values)
-      val sums = asg.as[(Int, Seq[Long])]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(graft.ops.Aggregators.LongVecSum.toColumn)
-        .toDF("cid", "sn")
-        .select(col("cid"), col("sn._1").as("S"), col("sn._2").as("n"))
-      // cells that attracted no vectors keep their previous (S, n)
-      cent = tracked(cent.as("p").join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
-        .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
-          coalesce(col("u.n"), col("p.n")).as("n")))
-    }
-    val assigned = withD2(emb, cent)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("m.cid").as("cell"), col("v"), col("nrm"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
-    val probes = withD2(emb.filter(col("vec_id") < 5)
-        .withColumnRenamed("vec_id", "query_id"), cent)
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= IvfProbes)
-      .select(col("query_id"), col("cid").as("cell"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-    val scored = assigned.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("cell"), col("vec_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    import graft.ops.Ivf
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val cent = Ivf.trainCells(emb, tracked)
+    val probes = Ivf.probeCells(
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+    Ivf.topk(Ivf.assignAll(emb, cent), probes)
   }
 
   /** EXT-1 — SimHash-bucket dedup: documents clustering to the same

@@ -40,5 +40,30 @@ class IvfRecallSpec extends AnyFunSuite {
     // 2/16 cells probed ≈ 12.5% of the corpus scanned; random cells would
     // land recall ≈ 0.125
     assert(recall >= 0.5, f"trained IVF recall@5 too low: $recall%.2f")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+
+  test("train-once index: probe-only search matches in-plan q42 bit-for-bit, no training in plan") {
+    val d = "/root/testdata/sf0.01"
+    val idx = s"/tmp/graft_ivf_${System.nanoTime()}"
+    graft.ops.Ivf.buildIndex(spark, d, idx)
+    val probeOnly = graft.ops.Ivf.probeTopK(spark, d, idx)
+    // the integer centroid state round-trips parquet losslessly, so the
+    // probe-only rows — including the double cosines — are IDENTICAL
+    val a = probeOnly.collect().map(_.toSeq).toSeq
+    val b = graft.queries.TextQueries.q42AnnIvf(spark, d).collect().map(_.toSeq).toSeq
+    assert(a == b, "probe-only top-5 differs from in-plan q42")
+    // and the probe plan carries no training pass: no typed-aggregator
+    // update (ObjectHashAggregate/MapGroups) — q42's in-plan trainer has
+    // both — just scans of the persisted index tables
+    val plan = probeOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate") && !plan.toLowerCase.contains("mapgroups"),
+      "probe-only plan still contains a training aggregation")
+    assert(plan.contains("centroids") && plan.contains("assignments"),
+      "probe-only plan does not read the persisted index")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
   }
 }
