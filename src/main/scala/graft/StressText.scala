@@ -1,12 +1,15 @@
 package graft
 import org.apache.spark.sql.functions._
 
-/** Scale stress for the round-2 text operators: replicates the sf0.1
+/** Scale stress for the round-2/3 text operators: replicates the sf0.1
   * documents corpus k× and runs the 64-bit banded SimHash near-dup (q51
-  * — replicas are exact dups, true pairs grow C(k,2)·n) and the
+  * — replicas are exact dups, candidate pairs grow C(k,2)·n until a
+  * family's band bucket crosses TextQueries.BandOccCap, where the
+  * saturated bucket is shed by design — r3's skew cap), the
   * contamination check (q53 — output stays one row per test doc, so wall
-  * clock should stay flat in k beyond the input scan). Pass criterion:
-  * q51 tracks output pairs, q53 tracks input size — neither goes
+  * clock should stay flat in k beyond the input scan), and the
+  * duplicate-group resolution (q56). Pass criterion: q51/q56 track
+  * surviving output pairs, q53 tracks input size — nothing goes
   * quadratic in docs.
   */
 object StressText {

@@ -36,12 +36,12 @@ object TextQueries {
     val withMh = sig.select(
       col("doc_id") +:
         (0 until 8).map(j => TextOps.minhashFromHashes(col("hs"), j).as(s"mh$j")): _*)
-    val bands = withMh.select(
+    val bands = tracked(bandOccCapped(withMh.select(
       col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           (col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -232,6 +232,10 @@ object TextQueries {
     val emb = tracked(embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
+    // no occupancy cap here (unlike the q31/q40/q51 SELF-joins): the
+    // corpus side joins the tiny query side, so a hot bucket costs
+    // |queries|·occ rows — linear, and capping would silently lose
+    // recall for queries landing in dense cells
     val bands = srpBands(emb, "vec_id")
     val qBands = srpBands(emb.filter(col("vec_id") < 5)
       .withColumnRenamed("vec_id", "query_id"), "query_id")
@@ -266,7 +270,7 @@ object TextQueries {
     val emb = tracked(embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
-    val bands = srpBands(emb, "vec_id")
+    val bands = tracked(bandOccCapped(srpBands(emb, "vec_id")))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -337,6 +341,46 @@ object TextQueries {
   private val SimhashMods = Seq(65521L, 65519L, 65497L, 65479L)
   private val SimhashMaxDist = 6
 
+  /** Band-bucket occupancy cap for the near-dup candidate self-joins
+    * (q31/q40/q51): a (band, key) bucket holding f members contributes
+    * f² candidate rows TO ONE TASK — data-dependent skew no partitioner
+    * can split. Buckets above the cap are dropped before the self-join
+    * (the q32 df-cap pattern): a saturated bucket is byte-near-identical
+    * mass that exact dedup (q30) already catches, and the OR-amplified
+    * remaining bands still see every pair whose other bands are clean.
+    * Capped, per-task join work is ≤ cap² rows. Both engines apply the
+    * same cap. Sized to bind only on pathology: the worst CLEAN bucket
+    * at sf0.1 is 176 (one legitimate near-dup family; its pairs must
+    * survive) while the 20%-identical adversarial corpus saturates a
+    * bucket at 1000+ (StressBandSkew prints both) — so 256 keeps every
+    * organic family and sheds only degenerate mass. At corpora where
+    * EXPECTED occupancy n/2^bandBits approaches the cap, widen the band
+    * keys instead (the fingerprint has the bits to spare).
+    */
+  val BandOccCap = 256
+
+  /** Drop (band, key) buckets with more than `cap` members. */
+  private def bandOccCapped(bands: org.apache.spark.sql.DataFrame,
+      cap: Int = BandOccCap): org.apache.spark.sql.DataFrame =
+    bands.withColumn("occ", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("occ") <= cap)
+      .drop("occ")
+
+  /** Diagnostic: worst (band, key) bucket occupancy of the q51 banding,
+    * pre-cap (StressBandSkew prints it to justify [[BandOccCap]]).
+    */
+  private[graft] def simhash64BandOccupancy(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val bands = documents(s, d).select(
+        col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
+          graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*)
+      .select(col("doc_id"),
+        explode(array(SimhashMods.indices.map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.groupBy(col("band"), col("key")).count()
+      .agg(max(col("count"))).first().getLong(0)
+  }
+
   /** q51/q56/q57's shared pair generation: verified 64-bit SimHash
     * near-dup pairs `(da < db, dist ≤ SimhashMaxDist)`, unordered.
     */
@@ -344,10 +388,10 @@ object TextQueries {
     val sig = tracked(documents(s, d).select(
       col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
         graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*))
-    val bands = sig.select(col("doc_id"),
+    val bands = tracked(bandOccCapped(sig.select(col("doc_id"),
       explode(array(SimhashMods.indices.map(b =>
         struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -575,10 +619,12 @@ object TextQueries {
     sb ++= s"""sig AS (
       |  SELECT s0.doc_id, s0.sh AS b0, s1.sh AS b1, s2.sh AS b2, s3.sh AS b3
       |  FROM s0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)),
-      |bands AS (
+      |bands0 AS (
       |  SELECT doc_id, b AS band,
       |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      |keepb AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= $BandOccCap),
+      |bands AS (SELECT bands0.* FROM bands0 JOIN keepb USING (band, key)),
       |cands AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -701,7 +747,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q31_neardup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
@@ -718,11 +764,13 @@ object TextQueries {
         |    min((11*h + 27) % 1000000007) AS mh4, min((13*h + 32) % 1000000007) AS mh5,
         |    min((15*h + 37) % 1000000007) AS mh6, min((17*h + 42) % 1000000007) AS mh7
         |  FROM hs GROUP BY doc_id),
-        |bands AS (
+        |bands0 AS (
         |  SELECT doc_id, b AS band,
         |    CASE b WHEN 0 THEN mh0 * 1000000007 + mh1 WHEN 1 THEN mh2 * 1000000007 + mh3
         |           WHEN 2 THEN mh4 * 1000000007 + mh5 ELSE mh6 * 1000000007 + mh7 END AS key
         |  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |keepb AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= $BandOccCap),
+        |bands AS (SELECT bands0.* FROM bands0 JOIN keepb USING (band, key)),
         |cands AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -879,7 +927,7 @@ object TextQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q40_embedding_neardup" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
@@ -894,9 +942,11 @@ object TextQueries {
         |bits AS (
         |  SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS bits
         |  FROM proj GROUP BY vec_id),
-        |bands AS (
+        |bands0 AS (
         |  SELECT vec_id, b AS band, (bits // CAST(2 ** (8*b) AS BIGINT)) % 256 AS key
         |  FROM bits, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |keepb2 AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= $BandOccCap),
+        |bands AS (SELECT bands0.* FROM bands0 JOIN keepb2 USING (band, key)),
         |cands AS (
         |  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
