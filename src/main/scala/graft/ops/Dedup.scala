@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * bound and tightness on path graphs; a second jump per round was
   * measured and reverted — real near-dup graphs gain nothing, their
   * depth is not id-monotone). Convergence is DETECTED, not assumed:
-  * each round carries the previous label alongside the new one, so the
-  * fixpoint test is a scan of the just-checkpointed table — no extra
-  * join (labels are monotone, so `lbl = prev` everywhere ⟺ done).
+  * each round carries the previous label alongside the new one and an
+  * accumulator counts changed labels WHILE the checkpoint job
+  * materializes — one job per round total (labels are monotone, so 0
+  * changes ⟺ done; a task retry can only over-count, costing at worst
+  * one harmless extra round). Vertex ids must be LONG columns (the
+  * detection map is typed).
   *
   * At 100 TB: every step is an equi-join/aggregation on a long key —
   * plain hash shuffles, no driver state beyond a per-round scalar, no
@@ -59,6 +62,8 @@ object Dedup {
     val sym = track(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val spark = vertices.sparkSession
+    import spark.implicits._
     var lbl = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     var rounds = 0
     var converged = lbl.isEmpty
@@ -72,15 +77,23 @@ object Dedup {
         lbl.select(col("id"), col("lbl").as("prev")).join(nbrMin, Seq("id"), "left")
           .select(col("id"), least(col("prev"), coalesce(col("nm"), col("prev"))).as("lbl"),
             col("prev")))
+      // convergence detection rides the checkpoint job itself: the
+      // accumulator counts changed labels while partitions materialize —
+      // no separate detection job per round. Task retries can only
+      // OVER-count, which at worst runs one harmless extra round
+      // (labels are monotone; a true fixpoint accumulates exactly 0).
+      val changed = spark.sparkContext.longAccumulator("cc_changed")
       val next = relaxed.as("a")
         .join(relaxed.select(col("id").as("pid"), col("lbl").as("plbl")),
           col("a.lbl") === col("pid"))
         .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
+        .as[(Long, Long, Long)]
+        .map { r => if (r._2 != r._3) changed.add(1L); (r._1, r._2) }
+        .toDF("id", "lbl")
         .localCheckpoint(true)
       rounds += 1
-      // monotone labels: lbl = prev everywhere ⟺ fixpoint (cached scan)
-      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
-      lbl = next.select(col("id"), col("lbl"))
+      converged = changed.value == 0L
+      lbl = next
     }
     if (!converged)
       throw new IllegalStateException(
