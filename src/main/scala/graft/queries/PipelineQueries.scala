@@ -110,8 +110,87 @@ object PipelineQueries {
     s.read.parquet(s"$outDir/corpus").count()
   }
 
+  /** Document-frequency bounds for [[q58VocabPrune]]: a token must
+    * appear in ≥ 2 documents (hapax noise) and ≤ 40% of the corpus
+    * (stopword mass). The upper bound is evaluated as the INTEGER
+    * comparison `df · 5 ≤ n_docs · 2` on both engines — no float
+    * threshold to disagree about.
+    */
+  val VocabMinDf = 2
+
+  /** EXT — df-bounded vocabulary pruning (the tokenizer-prep pass that
+    * trims hapax legomena and stopword mass before BPE training):
+    * corpus-wide token document frequencies gate a kept-vocabulary set;
+    * each document reports how much of its token stream and of its
+    * distinct vocabulary survives. Shapes: one explode, one distinct
+    * (doc, token) aggregate for df, the kept SET joined back to the
+    * postings (vocabulary-sized build side), one per-doc aggregate —
+    * all hash shuffles, linear in corpus + vocabulary.
+    */
+  val q58VocabPrune: Q = (s, d) => {
+    val tok = tracked(documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val df = tok.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val kept = df.crossJoin(broadcast(nDocs))
+      .filter(col("df") >= VocabMinDf && col("df") * 5 <= col("n_docs") * 2)
+      .select(col("w"), lit(1).as("hit"))
+    tok.join(kept, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("hit"), lit(0))).as("n_kept"),
+        countDistinct(col("w")).as("n_vocab"),
+        countDistinct(when(col("hit") === 1, col("w"))).as("n_vocab_kept"))
+      .withColumn("frac_kept", col("n_kept").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        col("n_vocab"), col("n_vocab_kept"), col("frac_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[q59BigramLift]] gates: a bigram must occur ≥ this many times. */
+  val LiftMinPair = 20
+  /** Top-k collocations reported. */
+  val LiftTopK = 25
+
+  /** EXT — collocation mining (phrase extraction for tokenizer merges /
+    * n-gram features): consecutive token pairs scored by lift =
+    * P(w1 w2) / (P(w1)·P(w2)) — computed as the exact rational
+    * `(n_pair·N_tok) / (n_w1·n_w2)` in doubles with the identical
+    * association on both engines (invariant 4: ratios, never log-PMI —
+    * transcendentals aren't cross-engine bit-stable). Shapes: the bigram
+    * explode rides the same scan as the unigram count; both aggregates
+    * are map-side-combining hash shuffles over vocabulary-sized key
+    * spaces; the final top-k sorts only the gated survivors.
+    */
+  val q59BigramLift: Q = (s, d) => {
+    val toks = documents(s, d).select(TextOps.tokens(col("text")).as("t"))
+    val uni = tracked(toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n")))
+    val nTot = uni.agg(sum(col("n")).as("n_tok"))
+    val pairs = toks
+      .select(explode(expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), (w, i) -> struct(w as w1, t[i + 1] as w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= LiftMinPair)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("lift",
+        (col("n_pair").cast("double") * col("n_tok").cast("double"))
+          / (col("n1").cast("double") * col("n2").cast("double")))
+      .select(col("w1"), col("w2"), col("n_pair"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(LiftTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
+    "q58_vocab_prune"   -> q58VocabPrune,
+    "q59_bigram_lift"   -> q59BigramLift,
   )
 
   private def q57OracleSql: String =
@@ -159,5 +238,35 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q57_corpus_funnel" -> q57OracleSql,
+    "q58_vocab_prune" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        |kept AS (SELECT w FROM dfq, nd WHERE df >= $VocabMinDf AND df * 5 <= n_docs * 2),
+        |per AS (
+        |  SELECT t.doc_id,
+        |    count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN k.w IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |    count(DISTINCT t.w) AS n_vocab,
+        |    count(DISTINCT CASE WHEN k.w IS NULL THEN NULL ELSE t.w END) AS n_vocab_kept
+        |  FROM tok t LEFT JOIN kept k ON t.w = k.w
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_kept, n_vocab, n_vocab_kept,
+        |  CAST(n_kept AS DOUBLE) / n_tokens AS frac_kept
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "q59_bigram_lift" ->
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |un AS (SELECT w, count(*) AS n FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+        |nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_tok FROM un),
+        |pr AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) s),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2 HAVING count(*) >= $LiftMinPair)
+        |SELECT pc.w1, pc.w2, pc.n_pair,
+        |  (CAST(pc.n_pair AS DOUBLE) * CAST(nt.n_tok AS DOUBLE))
+        |    / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+        |FROM pc JOIN un a ON pc.w1 = a.w JOIN un b ON pc.w2 = b.w, nt
+        |ORDER BY lift DESC, w1, w2
+        |LIMIT $LiftTopK""".stripMargin,
   )
 }
