@@ -338,8 +338,8 @@ object TextQueries {
     * 65k buckets (everything collides at corpus scale); 64 bits with
     * 16-bit band keys keeps per-band bucket occupancy at n/65536.
     */
-  private val SimhashMods = Seq(65521L, 65519L, 65497L, 65479L)
-  private val SimhashMaxDist = 6
+  private[graft] val SimhashMods = Seq(65521L, 65519L, 65497L, 65479L)
+  private[graft] val SimhashMaxDist = 6
 
   /** Band-bucket occupancy cap for the near-dup candidate self-joins
     * (q31/q40/q51): a (band, key) bucket holding f members contributes
