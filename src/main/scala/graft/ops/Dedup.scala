@@ -65,11 +65,19 @@ object Dedup {
     val spark = vertices.sparkSession
     import spark.implicits._
     var lbl = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    // delta iteration (the Pregel message optimization): only vertices
+    // whose label changed last round can tell their neighbors anything
+    // new — a vertex that changed at round k is in `changed` at round
+    // k+1, so every label update is offered to every neighbor exactly
+    // once and the edge-message join shrinks with the active frontier
+    // (at scale this is the dominant per-round term; the label table
+    // itself stays full for the jump and the final result)
+    var changed = lbl
     var rounds = 0
     var converged = lbl.isEmpty
     while (!converged && rounds < maxRounds) {
       val nbrMin = sym
-        .join(lbl.select(col("id").as("nid"), col("lbl")), col("dst") === col("nid"))
+        .join(changed.select(col("id").as("nid"), col("lbl")), col("dst") === col("nid"))
         .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nm"))
       // coalesce before least: Spark's least skips nulls, other engines
       // propagate them (invariant 1 — identical expression both sides)
@@ -82,18 +90,21 @@ object Dedup {
       // no separate detection job per round. Task retries can only
       // OVER-count, which at worst runs one harmless extra round
       // (labels are monotone; a true fixpoint accumulates exactly 0).
-      val changed = spark.sparkContext.longAccumulator("cc_changed")
+      val nChanged = spark.sparkContext.longAccumulator("cc_changed")
+      // keep (lbl, prev) through the checkpoint so the next round's
+      // frontier is a cached scan, not a recomputation
       val next = relaxed.as("a")
         .join(relaxed.select(col("id").as("pid"), col("lbl").as("plbl")),
           col("a.lbl") === col("pid"))
         .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
         .as[(Long, Long, Long)]
-        .map { r => if (r._2 != r._3) changed.add(1L); (r._1, r._2) }
-        .toDF("id", "lbl")
+        .map { r => if (r._2 != r._3) nChanged.add(1L); r }
+        .toDF("id", "lbl", "prev")
         .localCheckpoint(true)
       rounds += 1
-      converged = changed.value == 0L
-      lbl = next
+      converged = nChanged.value == 0L
+      changed = next.filter(col("lbl") =!= col("prev")).select(col("id"), col("lbl"))
+      lbl = next.select(col("id"), col("lbl"))
     }
     if (!converged)
       throw new IllegalStateException(
