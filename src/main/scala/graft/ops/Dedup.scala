@@ -80,11 +80,15 @@ object Dedup {
         .join(changed.select(col("id").as("nid"), col("lbl")), col("dst") === col("nid"))
         .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nm"))
       // coalesce before least: Spark's least skips nulls, other engines
-      // propagate them (invariant 1 — identical expression both sides)
-      val relaxed = track(
+      // propagate them (invariant 1 — identical expression both sides).
+      // persisted internally (both sides of the jump self-join read it —
+      // invariant 6) and released as soon as the eager checkpoint has
+      // materialized, independent of the caller's track
+      val relaxed =
         lbl.select(col("id"), col("lbl").as("prev")).join(nbrMin, Seq("id"), "left")
           .select(col("id"), least(col("prev"), coalesce(col("nm"), col("prev"))).as("lbl"),
-            col("prev")))
+            col("prev"))
+          .persist()
       // convergence detection rides the checkpoint job itself: the
       // accumulator counts changed labels while partitions materialize —
       // no separate detection job per round. Task retries can only
@@ -101,6 +105,7 @@ object Dedup {
         .map { r => if (r._2 != r._3) nChanged.add(1L); r }
         .toDF("id", "lbl", "prev")
         .localCheckpoint(true)
+      relaxed.unpersist(false)
       rounds += 1
       converged = nChanged.value == 0L
       changed = next.filter(col("lbl") =!= col("prev")).select(col("id"), col("lbl"))
@@ -125,6 +130,23 @@ object Dedup {
       maxRounds: Int = 64,
       track: DataFrame => DataFrame = identity): DataFrame =
     connectedComponentsWithRounds(vertices, edges, maxRounds, track)._1
+
+  /** Components straight from an undirected pair table `(da, db)` —
+    * derives the vertex set (every endpoint) and edge list and runs
+    * [[connectedComponents]]. The single entry point q56, the corpus
+    * pipeline, and diagnostics all share, so the graph derivation can
+    * never diverge between them. Callers should pass an ALREADY
+    * persisted/tracked `pairs` (it is read twice here).
+    */
+  def fromPairs(
+      pairs: DataFrame,
+      maxRounds: Int = 64,
+      track: DataFrame => DataFrame = identity): DataFrame = {
+    val verts = pairs.select(col("da").as("id"))
+      .union(pairs.select(col("db").as("id"))).distinct()
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+    connectedComponents(verts, edges, maxRounds, track)
+  }
 
   /** Rounds sufficient to COVER a given maximum cluster diameter on an
     * id-monotone chain: smallest r with `2^(r+1) - 2 ≥ d`. Detection

@@ -121,11 +121,16 @@ object Ivf {
     */
   def buildIndex(s: SparkSession, sfDir: String, indexDir: String): Unit = {
     val emb = prep(s.read.parquet(s"$sfDir/embeddings.parquet")).persist()
-    val cent = trainCells(emb)
+    // per-iteration centroid persists (each iteration's table feeds both
+    // the next update's sums and its carry-forward join — invariant 6);
+    // released once the index is on disk
+    val iterCents = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cent = trainCells(emb, df => { iterCents += df.persist(); df })
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val centBack = s.read.parquet(s"$indexDir/centroids")
     assignAll(emb, centBack).select(col("vec_id"), col("cell"))
       .write.mode("overwrite").parquet(s"$indexDir/assignments")
+    iterCents.foreach(_.unpersist(false))
     emb.unpersist()
   }
 

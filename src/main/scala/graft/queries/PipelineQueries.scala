@@ -46,10 +46,7 @@ object PipelineQueries {
   private[queries] def stageFlags(s: SparkSession, d: String): DataFrame = {
     // stage 1: connected components over the verified near-dup pairs
     val pairs = tracked(TextQueries.simhash64Pairs(s, d).select(col("da"), col("db")))
-    val verts = pairs.select(col("da").as("id"))
-      .union(pairs.select(col("db").as("id"))).distinct()
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-    val lbl = graft.ops.Dedup.connectedComponents(verts, edges, track = tracked)
+    val lbl = graft.ops.Dedup.fromPairs(pairs, track = tracked)
     // stage 3: contamination fraction of each non-eval doc's distinct
     // trigrams vs the eval split's trigram set (q53 inverted)
     val hs = tracked(documents(s, d)
@@ -164,7 +161,9 @@ object PipelineQueries {
     * spaces; the final top-k sorts only the gated survivors.
     */
   val q59BigramLift: Q = (s, d) => {
-    val toks = documents(s, d).select(TextOps.tokens(col("text")).as("t"))
+    // persisted: the unigram and bigram branches both read the tokenized
+    // corpus (invariant 6 — one scan + tokenize, not two)
+    val toks = tracked(documents(s, d).select(TextOps.tokens(col("text")).as("t")))
     val uni = tracked(toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n")))
     val nTot = uni.agg(sum(col("n")).as("n_tok"))

@@ -431,10 +431,7 @@ object TextQueries {
     */
   val q56DupGroups: Q = (s, d) => {
     val pairs = tracked(simhash64Pairs(s, d).select(col("da"), col("db")))
-    val verts = pairs.select(col("da").as("id"))
-      .union(pairs.select(col("db").as("id"))).distinct()
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-    val lbl = graft.ops.Dedup.connectedComponents(verts, edges, track = tracked)
+    val lbl = graft.ops.Dedup.fromPairs(pairs, track = tracked)
     val clustered = documents(s, d).select(col("doc_id"))
       .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -545,8 +542,10 @@ object TextQueries {
       coalesce(pmod(substring(col("source"), 4, 10).cast("int"), lit(10)), lit(0)))
   private[queries] def sampleHash =
     pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(10000L))
+  // ((x % 10) + 10) % 10 = Spark's pmod for any sign — a negative
+  // source number must not diverge (invariant 1)
   private[queries] val sampleRateBpSql =
-    "least(10000, 2000 + 700 * COALESCE(TRY_CAST(substring(source, 4, 10) AS INT) % 10, 0))"
+    "least(10000, 2000 + 700 * COALESCE(((TRY_CAST(substring(source, 4, 10) AS INT) % 10) + 10) % 10, 0))"
   private[queries] val sampleHashSql = "(doc_id * 1103515245 + 12345) % 10000"
 
   val q55StratifiedSample: Q = (s, d) => {

@@ -15,17 +15,18 @@ object CcProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val pairs = graft.SparkEntry.queries("q51_simhash64")(spark, dir)
-      .select(col("da"), col("db")).persist()
+    val pairs = graft.queries.tracked(
+      graft.SparkEntry.queries("q51_simhash64")(spark, dir).select(col("da"), col("db")))
     println(s"pairs=${pairs.count()}")
     val verts = pairs.select(col("da").as("id"))
       .union(pairs.select(col("db").as("id"))).distinct()
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
     val t0 = System.nanoTime()
     val (lbl, rounds) = graft.ops.Dedup.connectedComponentsWithRounds(
-      verts, edges, track = df => df.persist())
+      verts, edges, track = graft.queries.tracked)
     val nc = lbl.select(countDistinct(col("lbl"))).first().getLong(0)
     println(f"rounds=$rounds clusters=$nc ccSecs=${(System.nanoTime() - t0) / 1e9}%.2f")
+    graft.queries.releasePersisted()
     spark.stop()
   }
 }
