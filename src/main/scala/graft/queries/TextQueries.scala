@@ -537,10 +537,10 @@ object TextQueries {
     * propagate them, so a non-numeric source id must never reach it
     * (invariant 1 — identical expression both sides).
     */
-  private[queries] def sampleRateBp =
+  private[graft] def sampleRateBp =
     least(lit(10000), lit(2000) + lit(700) *
       coalesce(pmod(substring(col("source"), 4, 10).cast("int"), lit(10)), lit(0)))
-  private[queries] def sampleHash =
+  private[graft] def sampleHash =
     pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(10000L))
   // ((x % 10) + 10) % 10 = Spark's pmod for any sign — a negative
   // source number must not diverge (invariant 1)

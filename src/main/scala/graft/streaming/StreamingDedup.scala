@@ -60,7 +60,9 @@ object StreamingDedup {
       members.get().foreach(cohort += _)
       val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
       val fresh = scala.collection.mutable.ArrayBuffer.empty[DocSig]
-      rows.foreach { o =>
+      // shuffle iterator order is nondeterministic — process a batch's
+      // arrivals in doc_id order so cap-boundary behavior is stable
+      rows.toArray.sortBy(_.doc_id).iterator.foreach { o =>
         val sig = DocSig(o.doc_id, o.b0, o.b1, o.b2, o.b3)
         if (cohort.size < cap) {
           for (m <- cohort; if m.doc_id != sig.doc_id) {
