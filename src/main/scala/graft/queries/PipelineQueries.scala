@@ -186,10 +186,34 @@ object PipelineQueries {
       .limit(LiftTopK)
   }
 
+  /** EXT — per-source token budget under the sampling policy: what the
+    * q55 mix weights actually buy in TOKENS (the unit a training run is
+    * budgeted in), per stratum and as a share of the final corpus. One
+    * scan + one 20-group aggregate + a broadcast 1-row total — the
+    * report a data-mix owner refreshes per corpus version.
+    */
+  val q60TokenBudget: Q = (s, d) => {
+    val t = documents(s, d).select(col("source"),
+      size(TextOps.tokens(col("text"))).as("n_tok"),
+      (TextQueries.sampleHash < TextQueries.sampleRateBp).cast("int").as("kept"))
+    val per = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_tok") * col("kept")).as("n_tokens_sampled"))
+    val tot = per.agg(sum(col("n_tokens_sampled")).as("tt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens_sampled").cast("double") / col("tt").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_tokens_sampled"), col("share"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q58_vocab_prune"   -> q58VocabPrune,
     "q59_bigram_lift"   -> q59BigramLift,
+    "q60_token_budget"  -> q60TokenBudget,
   )
 
   private def q57OracleSql: String =
@@ -267,5 +291,19 @@ object PipelineQueries {
         |FROM pc JOIN un a ON pc.w1 = a.w JOIN un b ON pc.w2 = b.w, nt
         |ORDER BY lift DESC, w1, w2
         |LIMIT $LiftTopK""".stripMargin,
+    "q60_token_budget" ->
+      s"""WITH t AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_tok,
+        |    CASE WHEN ${TextQueries.sampleHashSql} < ${TextQueries.sampleRateBpSql} THEN 1 ELSE 0 END AS kept
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tok * kept) AS BIGINT) AS n_tokens_sampled
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens_sampled) AS BIGINT) AS tt FROM per)
+        |SELECT source, n_docs, n_tokens, n_tokens_sampled,
+        |  CAST(n_tokens_sampled AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+        |FROM per, tot ORDER BY source""".stripMargin,
   )
 }
