@@ -21,10 +21,24 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("banded candidate generation never plans an all-pairs join") {
     for (q <- Seq("q31_neardup_minhash", "q40_embedding_neardup",
-        "q51_simhash64", "q53_contamination", "q32_ngram_jaccard")) {
+        "q51_simhash64", "q53_contamination", "q32_ngram_jaccard",
+        "q56_dup_groups")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("pipeline aggregates never plan a cartesian product (1-row broadcast totals excepted)") {
+    // q58/q60 crossJoin a broadcast 1-row total — BroadcastNestedLoopJoin
+    // over a single row is the intended plan; CartesianProduct is not
+    for (q <- Seq("q57_corpus_funnel", "q58_vocab_prune", "q59_bigram_lift",
+        "q60_token_budget")) {
+      assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
     }
   }
 
@@ -55,7 +69,8 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.queries.releasePersisted() // drain anything earlier tests left
     for (q <- Seq("q31_neardup_minhash", "q32_ngram_jaccard", "q39_ann_lsh",
         "q40_embedding_neardup", "q42_ann_ivf", "q51_simhash64",
-        "q53_contamination")) {
+        "q53_contamination", "q56_dup_groups", "q57_corpus_funnel",
+        "q58_vocab_prune", "q59_bigram_lift")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
