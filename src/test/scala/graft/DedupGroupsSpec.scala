@@ -43,6 +43,28 @@ class DedupGroupsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: labels equal a union-find model on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      // sparse to dense-ish: isolated vertices, chains, and merged blobs
+      val m = rnd.nextInt(n * 2)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // model: classic union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) parent(find(a.toInt)) = find(b.toInt)
+      val minOf = (0 until n).groupBy(find).flatMap { case (_, vs) =>
+        val mn = vs.min.toLong; vs.map(v => v.toLong -> mn) }
+      val verts = (0L until n).toDF("id")
+      val got = Dedup.connectedComponents(verts, edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === minOf, s"seed $seed: CC labels diverge from union-find")
+    }
+  }
+
   test("q56 output is a partition: keepers = clusters, sizes consistent, pairs co-clustered") {
     val out = SparkEntry.queries("q56_dup_groups")(spark, d)
     out.persist()
