@@ -56,7 +56,8 @@ object Dedup {
       vertices: DataFrame,
       edges: DataFrame,
       maxRounds: Int = 64,
-      track: DataFrame => DataFrame = identity): (DataFrame, Int) = {
+      track: DataFrame => DataFrame = identity,
+      onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) = {
     // symmetrize once; both directions are needed for relaxation to pull
     // the min against the edge orientation
     val sym = track(
@@ -107,6 +108,9 @@ object Dedup {
         .localCheckpoint(true)
       relaxed.unpersist(false)
       rounds += 1
+      // nChanged is also next round's frontier size — surfaced so
+      // callers can watch the delta iteration shrink (CcProbe prints it)
+      onRound(rounds, nChanged.value)
       converged = nChanged.value == 0L
       changed = next.filter(col("lbl") =!= col("prev")).select(col("id"), col("lbl"))
       lbl = next.select(col("id"), col("lbl"))

@@ -23,7 +23,8 @@ object CcProbe {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
     val t0 = System.nanoTime()
     val (lbl, rounds) = graft.ops.Dedup.connectedComponentsWithRounds(
-      verts, edges, track = graft.queries.tracked)
+      verts, edges, track = graft.queries.tracked,
+      onRound = (r, changed) => println(s"round=$r frontier=$changed"))
     val nc = lbl.select(countDistinct(col("lbl"))).first().getLong(0)
     println(f"rounds=$rounds clusters=$nc ccSecs=${(System.nanoTime() - t0) / 1e9}%.2f")
     graft.queries.releasePersisted()
