@@ -34,7 +34,8 @@ object StressText {
       // 0), so the pair graph holds C(copies,2)·n edges but diameter 1 —
       // label propagation must detect the fixpoint in 2 rounds and cost
       // must track the pair graph, not its square
-      for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups")) {
+      for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups",
+          "q57_corpus_funnel")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
