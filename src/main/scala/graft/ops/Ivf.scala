@@ -116,8 +116,11 @@ object Ivf {
 
   /** Train once and persist the index: `indexDir/centroids` holds the
     * INTEGER centroid state (lossless in parquet), `indexDir/assignments`
-    * the inverted lists (vec_id → cell). The at-scale shape: both writes
-    * happen once per corpus version; queries never pay for training.
+    * the inverted lists WITH the vector payload (vec_id, cell, v, nrm —
+    * doubles round-trip parquet losslessly), so serving never re-reads
+    * or re-preps the raw embeddings. The at-scale shape: both writes
+    * happen once per corpus version; queries never pay for training and
+    * probes touch exactly one corpus-sized table.
     */
   def buildIndex(s: SparkSession, sfDir: String, indexDir: String): Unit = {
     val emb = prep(s.read.parquet(s"$sfDir/embeddings.parquet")).persist()
@@ -128,22 +131,23 @@ object Ivf {
     val cent = trainCells(emb, df => { iterCents += df.persist(); df })
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     val centBack = s.read.parquet(s"$indexDir/centroids")
-    assignAll(emb, centBack).select(col("vec_id"), col("cell"))
+    assignAll(emb, centBack)
       .write.mode("overwrite").parquet(s"$indexDir/assignments")
     iterCents.foreach(_.unpersist(false))
     emb.unpersist()
   }
 
   /** Probe-only search against a persisted index: same output contract
-    * as q42, no training in the plan.
+    * as q42, no training in the plan, and ZERO reads of the raw
+    * embeddings parquet — query vectors and corpus vectors both come
+    * from the assignments table's stored (v, nrm) payload.
     */
   def probeTopK(s: SparkSession, sfDir: String, indexDir: String, k: Int = 5): DataFrame = {
-    val emb = prep(s.read.parquet(s"$sfDir/embeddings.parquet"))
     val cent = s.read.parquet(s"$indexDir/centroids")
     val assigned = s.read.parquet(s"$indexDir/assignments")
-      .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
     val probes = probeCells(
-      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+      assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v"), col("nrm")), cent)
     topk(assigned, probes, k)
   }
 }

@@ -359,12 +359,21 @@ object TextQueries {
     */
   val BandOccCap = 256
 
-  /** Drop (band, key) buckets with more than `cap` members. */
+  /** Drop (band, key) buckets with more than `cap` members: occupancy as
+    * a map-side-combining aggregate, under-cap keys semi-joined back (the
+    * q32 df-cap shape). Cheaper than a `count() over (band, key)` window,
+    * which shuffles and sorts EVERY banded row before filtering; here the
+    * only full-width pass is the semi-join probe, and the under-cap key
+    * set is aggregate-sized (AQE broadcasts it when small).
+    */
   private def bandOccCapped(bands: org.apache.spark.sql.DataFrame,
-      cap: Int = BandOccCap): org.apache.spark.sql.DataFrame =
-    bands.withColumn("occ", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      cap: Int = BandOccCap): org.apache.spark.sql.DataFrame = {
+    val keep = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= cap)
-      .drop("occ")
+      .select(col("band"), col("key"))
+    bands.join(keep, Seq("band", "key"), "left_semi")
+  }
 
   /** Diagnostic: worst (band, key) bucket occupancy of the q51 banding,
     * pre-cap (StressBandSkew prints it to justify [[BandOccCap]]).

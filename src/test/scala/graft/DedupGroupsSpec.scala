@@ -28,7 +28,9 @@ class DedupGroupsSpec extends AnyFunSuite {
       val r = Dedup.roundsFor(dia)
       assert(cover(r) >= dia && (r == 1 || cover(r - 1) < dia),
         s"roundsFor($dia) = $r is not the minimal doubling bound")
-      val (lbl, rounds) = Dedup.connectedComponentsWithRounds(path(dia)._1, path(dia)._2)
+      // preCollapse off: this test measures the PURE propagation bound
+      val (lbl, rounds) = Dedup.connectedComponentsWithRounds(
+        path(dia)._1, path(dia)._2, preCollapse = false)
       assert(lbl.filter(col("lbl") =!= 0L).count() == 0, s"diameter $dia not fully labeled")
       // coverage is exactly 2^(r+1)-2: converged on the nose at r, +1 round to detect
       assert(rounds == r + 1,
@@ -39,8 +41,17 @@ class DedupGroupsSpec extends AnyFunSuite {
   test("a too-small maxRounds fails loudly instead of returning partial clusters") {
     val (v, e) = path(30)
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponentsWithRounds(v, e, maxRounds = 2)
+      Dedup.connectedComponentsWithRounds(v, e, maxRounds = 2, preCollapse = false)
     }
+  }
+
+  test("union-find pre-collapse: identical labels, fewer rounds than pure propagation") {
+    val (v, e) = path(30)
+    // 4 partitions → each holds a subchain; local collapse flattens it
+    val (lbl, rounds) = Dedup.connectedComponentsWithRounds(v, e.repartition(4))
+    assert(lbl.filter(col("lbl") =!= 0L).count() == 0, "pre-collapsed labels diverge")
+    val pure = Dedup.roundsFor(30) + 1
+    assert(rounds < pure, s"pre-collapse took $rounds rounds, pure propagation $pure")
   }
 
   test("property: labels equal a union-find model on seeded random graphs") {

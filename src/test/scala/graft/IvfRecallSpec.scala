@@ -62,6 +62,11 @@ class IvfRecallSpec extends AnyFunSuite {
       "probe-only plan still contains a training aggregation")
     assert(plan.contains("centroids") && plan.contains("assignments"),
       "probe-only plan does not read the persisted index")
+    // serving reads ONLY the index: the (v, nrm) payload is stored in the
+    // assignments table at build time, so probes never re-scan (or
+    // re-prep) the raw embeddings parquet
+    assert(!plan.contains("embeddings.parquet"),
+      "probe-only plan still scans the raw embeddings parquet")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
     graft.queries.releasePersisted()
     spark.catalog.clearCache()

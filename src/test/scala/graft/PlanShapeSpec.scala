@@ -51,6 +51,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("CC round plan has no typed serde boundary (observe, not Dataset.map)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lbl = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("id", "lbl")
+    val sym = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (plan, relaxed) = graft.ops.Dedup.roundPlan(lbl, lbl, sym)
+    val counted = plan.observe("probe",
+      sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("n_changed"))
+    val p = counted.queryExecution.executedPlan.toString
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"),
+      s"CC round plan re-grew a typed serde hop:\n$p")
+    relaxed.unpersist(false)
+  }
+
   test("top-k per group keeps the WindowGroupLimit partial/final pair") {
     assert(finalPlan("q52_topk_tokens").contains("WindowGroupLimit"))
     assert(finalPlan("q03_latest_event").contains("WindowGroupLimit"))
