@@ -139,6 +139,47 @@ object TextOps {
       lit(0L), (s, x) => s + x)
   }
 
+  /** Tokens per "line" for the sub-document dedup/repetition unit. The
+    * driver corpus has no newlines, so lines are fixed-width token
+    * chunks — the same explode/hash/re-aggregate plumbing applies
+    * verbatim when real newline-split lines exist.
+    */
+  val LineTokens = 8
+
+  /** Fixed-width token-chunk "lines" of a materialized token array:
+    * chunk i (1-based) = tokens (i−1)·w+1 … i·w joined by spaces; the
+    * tail chunk keeps whatever remains. Any non-empty text yields ≥ 1
+    * line (split returns ≥ 1 token), so `sequence(1, n)` never sees
+    * n < 1 (which would DESCEND — invariant 5).
+    */
+  def lineArray(t: Column, width: Int = LineTokens): Column =
+    transform(
+      sequence(lit(1), floor((size(t) + lit(width - 1)) / lit(width)).cast("int")),
+      i => concat_ws(" ", slice(t, (i - 1) * width + 1, lit(width))))
+
+  /** Fraction of n-gram OCCURRENCES that are repeats of an earlier gram
+    * in the same document: (total − distinct) / total, 0 for docs with
+    * fewer than n tokens. Exact rational in doubles — the Gopher-style
+    * repetition signal, computed over the native [[graft.functions.ShingleHash]]
+    * gram hashes (the oracle hashes its gram strings to the same values).
+    */
+  def dupNgramFrac(text: Column, n: Int): Column =
+    bindOnce(graft.functions.ShingleHash(text, P, n)) { a =>
+      when(size(a) === 0, lit(0.0))
+        .otherwise((size(a) - size(array_distinct(a))).cast("double") / size(a))
+    }
+
+  /** Fraction of "lines" ([[lineArray]]) that duplicate an earlier line
+    * of the same document — the duplicate-line-fraction quality signal.
+    * Compares line STRINGS (no hashing; strings are engine-exact).
+    */
+  def dupLineFrac(text: Column): Column =
+    bindOnce(tokens(text)) { t =>
+      bindOnce(lineArray(t)) { ls =>
+        (size(ls) - size(array_distinct(ls))).cast("double") / size(ls)
+      }
+    }
+
   /** Language marker words (subsets of the driver corpus vocabulary),
     * disjoint per language, alphabetical language order.
     */

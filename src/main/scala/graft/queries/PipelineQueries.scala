@@ -37,8 +37,26 @@ object PipelineQueries {
 
   /** Keeps ~2/3 of this corpus (score range is 0.24–0.36 at sf0.01). */
   val QualityThreshold = 0.3
+  /** Max repeated-2-gram fraction ([[graft.ops.TextOps.dupNgramFrac]])
+    * the quality stage tolerates — the Gopher-style repetition gate.
+    * Measured, not guessed: rep2 spans 0–0.18 with p99 ≈ 0.10 across
+    * sf0.01/sf0.1 (max 0.133 / 0.182), so 0.12 sheds only the most
+    * repetitious ~1% tail at both scales. Both engines compute the
+    * fraction from identical operands, so the float comparison cannot
+    * straddle engines (invariant 1).
+    */
+  val Rep2Max = 0.12
   /** Trigram-overlap fraction at/above which a doc is contaminated. */
   val ContamThreshold = 0.5
+
+  /** The funnel's quality-stage predicate — scalar score AND repetition
+    * gate — shared by [[stageFlags]] (q57), the streaming ingest twin
+    * ([[graft.streaming.StreamingCorpus]]), and their specs, so the
+    * batch and online paths can never gate differently.
+    */
+  def qualityGate(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TextOps.qualityScore(text) >= QualityThreshold &&
+      TextOps.dupNgramFrac(text, 2) <= Rep2Max
 
   /** Per-document stage flags:
     * `(doc_id, source, lang, f_dedup, f_quality, f_decontam, f_sample)`.
@@ -63,12 +81,12 @@ object PipelineQueries {
       .agg(sum(coalesce(col("hit"), lit(0))).as("nc"))
       .select(col("doc_id"), (col("nc").cast("double") / col("n")).as("frac"))
     documents(s, d).select(col("doc_id"), col("source"), col("lang"),
-        TextOps.qualityScore(col("text")).as("quality"))
+        qualityGate(col("text")).cast("int").as("f_q"))
       .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang"),
         (col("lbl").isNull || col("lbl") === col("doc_id")).cast("int").as("f_dedup"),
-        (col("quality") >= QualityThreshold).cast("int").as("f_quality"),
+        col("f_q").as("f_quality"),
         (pmod(col("doc_id"), lit(10)) =!= 0 &&
           coalesce(col("frac"), lit(0.0)) < ContamThreshold).cast("int").as("f_decontam"),
         (TextQueries.sampleHash < TextQueries.sampleRateBp).cast("int").as("f_sample"))
@@ -209,11 +227,112 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Corpus-frequency cap for [[q61LineDedup]]: a line occurring more
+    * than this many times corpus-wide is boilerplate and is dropped
+    * from every document. Non-vacuous at both test scales (sf0.01: 17
+    * distinct lines exceed it, max freq 6; sf0.1: 128, max 27) yet
+    * keeps the one-off and twice-seen content that near-dup pairs
+    * legitimately share.
+    */
+  val LineFreqCap = 2
+
+  /** EXT — line-level (sub-document) exact dedup, the C4/RefinedWeb
+    * boilerplate pass one level below q30/q56's whole-document dedup:
+    * hash each document's "lines" ([[TextOps.lineArray]] 8-token
+    * chunks; real newline corpora plug in verbatim), count each line's
+    * CORPUS-wide frequency, drop lines above [[LineFreqCap]], and
+    * re-aggregate the surviving text per document (native
+    * [[graft.functions.StructSortJoin]] — sort-by-position + join in
+    * one pass) with removed-line/char audit stats. Shapes: explode →
+    * hash-shuffle count (map-side combining) → join postings to the
+    * line-vocabulary-sized frequency table → per-doc aggregate. Linear
+    * in corpus + line vocabulary; no pairing anywhere. Funnel position:
+    * runs BEFORE document-level near-dup (q56) in a real pipeline —
+    * stripping shared boilerplate first keeps nav-bar mass from gluing
+    * unrelated pages into one near-dup cluster (PLANS.md round 4).
+    */
+  val q61LineDedup: Q = (s, d) => {
+    // persisted: the frequency aggregate and the postings join both
+    // read the exploded line table (invariant 6)
+    val lines = tracked(documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(TextOps.lineArray(col("t"))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"), col("col").as("line"),
+        TextOps.charHash(col("col"), TextOps.P).as("h")))
+    val freq = lines.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    lines.join(freq, Seq("h"))
+      .withColumn("kept", (col("f") <= LineFreqCap).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 0, length(col("line"))).otherwise(0)).as("n_chars_removed"),
+        graft.functions.StructSortJoin(
+          collect_list(when(col("kept") === 1, struct(col("idx"), col("line")))), " ")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT — Gopher-style repetition quality signals, per document and
+    * purely row-local (zero shuffle; rides the corpus scan at any
+    * scale): repeated-{2,3,4}-gram occurrence fractions over the native
+    * ShingleHash gram hashes and the duplicate-"line" fraction over
+    * [[TextOps.lineArray]] chunks — all exact rationals (invariant 4).
+    * rep2 is the signal the q57 funnel's quality stage gates on
+    * ([[Rep2Max]]); the wider battery ships for corpus QC dashboards.
+    */
+  val q62Repetition: Q = (s, d) => {
+    documents(s, d).select(
+      col("doc_id"),
+      TextOps.dupNgramFrac(col("text"), 2).as("rep2"),
+      TextOps.dupNgramFrac(col("text"), 3).as("rep3"),
+      TextOps.dupNgramFrac(col("text"), 4).as("rep4"),
+      TextOps.dupLineFrac(col("text")).as("rep_line"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT — PII scrub ([[graft.ops.Redact]]): per-document redaction of
+    * emails / IPv4s / phone-shaped runs with audit counts. The driver
+    * corpus contains no PII, so the query plants synthetic markers
+    * derived from doc_id (identically in both engines — the q17
+    * synthesized-IP pattern) and then scrubs them: docs ≡ 0 mod 3 gain
+    * an email, mod 4 an IP, mod 5 a phone, so the scrubber sees every
+    * combination including clean docs. Pure per-row regex work — the
+    * at-scale shape is the scan itself; RedactSpec covers the hostile
+    * inputs (malformed near-misses, adjacency, placeholder injection).
+    */
+  val q63PiiScrub: Q = (s, d) => {
+    import graft.ops.Redact
+    val ds = col("doc_id").cast("string")
+    val raw = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact u"), ds, lit("@mail.example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit("."), (pmod(col("doc_id"), lit(254)) + 1).cast("string"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")))
+    documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        Redact.countMatches(col("raw"), Redact.EmailRe).as("n_emails"),
+        Redact.countMatches(col("raw"), Redact.Ipv4Re).as("n_ips"),
+        Redact.countMatches(col("raw"), Redact.PhoneRe).as("n_phones"),
+        Redact.redact(col("raw")).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q58_vocab_prune"   -> q58VocabPrune,
     "q59_bigram_lift"   -> q59BigramLift,
     "q60_token_budget"  -> q60TokenBudget,
+    "q61_line_dedup"    -> q61LineDedup,
+    "q62_repetition"    -> q62Repetition,
+    "q63_pii_scrub"     -> q63PiiScrub,
   )
 
   private def q57OracleSql: String =
@@ -241,15 +360,26 @@ object PipelineQueries {
       |    + 0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(string_split(text, ' ')))
       |    - 0.1 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)))) AS quality
       |  FROM documents),
+      |rq AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN 0.0
+      |         ELSE CAST(len(hs) - len(list_distinct(hs)) AS DOUBLE) / len(hs) END AS rep2
+      |  FROM (
+      |    SELECT doc_id, list_transform(
+      |      list_transform(generate_series(1, greatest(len(t0) - 1, 0)), i -> t0[i] || ' ' || t0[i+1]),
+      |      s -> list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+      |             (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents))),
       |flags AS (
       |  SELECT d.source,
       |    CASE WHEN c.lbl IS NULL OR c.lbl = d.doc_id THEN 1 ELSE 0 END AS f_dedup,
-      |    CASE WHEN q.quality >= $QualityThreshold THEN 1 ELSE 0 END AS f_quality,
+      |    CASE WHEN q.quality >= $QualityThreshold AND r.rep2 <= $Rep2Max THEN 1 ELSE 0 END AS f_quality,
       |    CASE WHEN d.doc_id % 10 <> 0 AND COALESCE(f.frac, 0.0) < $ContamThreshold THEN 1 ELSE 0 END AS f_decontam,
       |    CASE WHEN ${TextQueries.sampleHashSql.replace("doc_id", "d.doc_id")} < ${TextQueries.sampleRateBpSql.replace("source", "d.source")} THEN 1 ELSE 0 END AS f_sample
       |  FROM documents d
       |  LEFT JOIN cl c ON d.doc_id = c.id
       |  LEFT JOIN qual q ON d.doc_id = q.doc_id
+      |  LEFT JOIN rq r ON d.doc_id = r.doc_id
       |  LEFT JOIN fr3 f ON d.doc_id = f.doc_id)
       |SELECT source, count(*) AS n_total,
       |  CAST(sum(f_dedup) AS BIGINT) AS n_dedup,
@@ -305,5 +435,67 @@ object PipelineQueries {
         |SELECT source, n_docs, n_tokens, n_tokens_sampled,
         |  CAST(n_tokens_sampled AS DOUBLE) / CAST(tt AS DOUBLE) AS share
         |FROM per, tot ORDER BY source""".stripMargin,
+    "q61_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ln AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+        |    array_to_string(t[((i-1)*${TextOps.LineTokens}+1):least(i*${TextOps.LineTokens}, len(t))], ' ') AS line
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, (len(t) + ${TextOps.LineTokens - 1}) // ${TextOps.LineTokens})) AS i) s),
+        |lh AS (
+        |  SELECT doc_id, idx, line,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(line)), k -> CAST(ascii(line[k]) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS h
+        |  FROM ln),
+        |fr AS (SELECT h, count(*) AS f FROM lh GROUP BY h)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN f <= $LineFreqCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN f > $LineFreqCap THEN length(line) ELSE 0 END) AS BIGINT) AS n_chars_removed,
+        |  COALESCE(string_agg(CASE WHEN f <= $LineFreqCap THEN line END, ' ' ORDER BY idx), '') AS clean_text
+        |FROM lh JOIN fr USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q62_repetition" -> {
+      // one (gram-build → hash → fraction) CTE chain per arity, the q32
+      // oracle's hash formulation; line chunks compare as strings
+      val perN = (2 to 4).map { n =>
+        s"""m$n AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(hs) = 0 THEN 0.0
+          |         ELSE CAST(len(hs) - len(list_distinct(hs)) AS DOUBLE) / len(hs) END AS rep$n
+          |  FROM (
+          |    SELECT doc_id, list_transform(
+          |      list_transform(generate_series(1, greatest(len(t0) - ${n - 1}, 0)),
+          |        i -> ${(0 until n).map(k => s"t0[i+$k]").mkString(" || ' ' || ")}),
+          |      s -> list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+          |             (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+          |    FROM tk)),
+          |""".stripMargin
+      }.mkString
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |$perN
+        |ml AS (
+        |  SELECT doc_id, CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) AS rep_line
+        |  FROM (
+        |    SELECT doc_id, list_transform(generate_series(1, (len(t0) + ${TextOps.LineTokens - 1}) // ${TextOps.LineTokens}),
+        |      i -> array_to_string(t0[((i-1)*${TextOps.LineTokens}+1):least(i*${TextOps.LineTokens}, len(t0))], ' ')) AS ls
+        |    FROM tk))
+        |SELECT doc_id, m2.rep2, m3.rep3, m4.rep4, ml.rep_line
+        |FROM m2 JOIN m3 USING (doc_id) JOIN m4 USING (doc_id) JOIN ml USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q63_pii_scrub" -> {
+      import graft.ops.Redact
+      val raw = "text" +
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END" +
+        " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+      s"""WITH raw AS (SELECT doc_id, $raw AS raw FROM documents)
+        |SELECT doc_id,
+        |  ${Redact.countSql("raw", Redact.EmailRe)} AS n_emails,
+        |  ${Redact.countSql("raw", Redact.Ipv4Re)} AS n_ips,
+        |  ${Redact.countSql("raw", Redact.PhoneRe)} AS n_phones,
+        |  ${Redact.redactSql("raw")} AS clean
+        |FROM raw ORDER BY doc_id""".stripMargin
+    },
   )
 }

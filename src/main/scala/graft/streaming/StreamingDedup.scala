@@ -45,13 +45,22 @@ object StreamingDedup {
 
   /** Per-bucket processor: each arriving signature is verified against
     * its bucket cohort, then joins it (until the bucket hits the cap).
+    * `ttlMs > 0` ages members out of state (processing-time mode), so
+    * an unbounded stream's bucket count tracks the ACTIVE signature
+    * working set instead of growing forever — the trade is that a dup
+    * of a cluster idle past the TTL is re-reported as new (PLANS.md
+    * round 4 states the bound).
     */
-  class BucketProcessor extends StatefulProcessor[(Int, Long), BandObs, DupPair] {
+  class BucketProcessor(ttlMs: Long = 0L)
+      extends StatefulProcessor[(Int, Long), BandObs, DupPair] {
     @transient private var members: ListState[DocSig] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[DocSig](
-        "members", Encoders.product[DocSig], org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "members", Encoders.product[DocSig],
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandObs],
         timers: TimerValues): Iterator[DupPair] = {
@@ -99,12 +108,18 @@ object StreamingDedup {
 
   /** The full ingest-dedup stream: documents in, verified near-dup
     * pairs out (per sharing band; dedup (da, db) downstream).
+    * `stateTtl` bounds bucket state on an unbounded stream (switches
+    * to processing-time mode, which TTL state requires); None keeps
+    * state forever — fine for bounded replays and the specs.
     */
-  def pairs(docs: DataFrame): Dataset[DupPair] = {
+  def pairs(docs: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): Dataset[DupPair] = {
     import docs.sparkSession.implicits._
     bandObs(docs)
       .groupByKey(o => (o.band, o.key))
-      .transformWithState(new BucketProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .transformWithState(new BucketProcessor(stateTtl.map(_.toMillis).getOrElse(0L)),
+        if (stateTtl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 }
