@@ -325,6 +325,198 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokens per packed training sequence for [[q64SeqPack]]. Small
+    * enough that sf0.01 yields ~100 sequences (non-trivial straddle
+    * structure at every test scale); a production run sets its model's
+    * context length here.
+    */
+  val SeqLen = 256L
+
+  /** EXT — sequence packing: the last pipeline step before a trainer
+    * sees the corpus. Documents are concatenated in deterministic
+    * (source, doc_id) order and cut every [[SeqLen]] tokens; docs
+    * straddle cuts (standard packed-pretraining semantics — no padding,
+    * no document loss). Emits per-sequence audit stats: how many docs
+    * touch the sequence, how many arrive mid-document from the previous
+    * cut, token fill.
+    *
+    * Packing is per SOURCE (window partition key): each source is an
+    * independent pack stream, which is exactly the shard-parallel shape
+    * a 1000-executor run needs — the running token offset is a
+    * partitioned window cumsum, never a single global task. Everything
+    * downstream of the cumsum is integer arithmetic (span intersection
+    * with cut boundaries), so both engines agree bit-for-bit.
+    */
+  val q64SeqPack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val L = SeqLen
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("strt", col("cum") - col("n_tok"))
+      // a doc spanning [strt, cum) touches sequences strt/L .. (cum-1)/L;
+      // n_tok >= 1 so the sequence() is never descending (invariant 5)
+      .select(col("source"), col("strt"), col("cum"),
+        explode(sequence(expr(s"strt DIV $L"), expr(s"(cum - 1) DIV $L"))).as("seq_id"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("strt") < col("seq_id") * L).cast("int")).cast("long").as("n_straddle"),
+        sum(least(col("cum"), (col("seq_id") + 1) * L)
+          - greatest(col("strt"), col("seq_id") * L)).as("n_tokens"))
+      .withColumn("fill", col("n_tokens").cast("double") / lit(L.toDouble))
+      .select(col("source"), col("seq_id"), col("n_docs"), col("n_straddle"),
+        col("n_tokens"), col("fill"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** EXT — bigram-LM document scoring, the CCNet/KenLM-perplexity
+    * analog that is exactly oracle-able: the corpus itself is the LM
+    * (MLE bigram conditionals cb(prev,w)/cu(prev), no smoothing, no
+    * logs — transcendentals are not cross-engine bit-stable, invariant
+    * 4), and each document scores the mean and min of its bigram
+    * conditional probabilities. Per-position division is IEEE-exact in
+    * both engines; the mean's reduction goes through [[dsum]]'s
+    * decimal-sum so accumulation order cannot matter. Low mean/min =
+    * improbable token transitions = the gibberish a perplexity filter
+    * sheds.
+    *
+    * At scale: one corpus scan builds bigrams (zip of two slices — no
+    * self-join), the two count tables are vocabulary-sized
+    * (broadcastable), and the final agg shuffles on doc_id.
+    */
+  val q65BigramLm: Q = (s, d) => {
+    val big = tracked(documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      // min doc length is >= 2 tokens corpus-wide; slice lengths stay >= 1
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w"))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w")))
+    val cb = big.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("cb"))
+    val cu = tracked(documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("prev")))
+      .groupBy(col("prev")).agg(count(lit(1)).as("cu"))
+    val p = col("cb").cast("double") / col("cu").cast("double")
+    big.join(cb, Seq("prev", "w")).join(cu, Seq("prev"))
+      .withColumn("p", p)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (dsum(col("p")) / count(lit(1))).as("mean_p"),
+        min(col("p")).as("min_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT — cross-source overlap matrix: distinct-trigram Jaccard
+    * between every source pair — the corpus-QC dashboard that tells a
+    * pipeline owner which crawls/feeds duplicate each other before
+    * mixing weights are chosen (q60's budget allocator consumes exactly
+    * this signal). Set sizes and intersections are integers; Jaccard is
+    * one exact division.
+    *
+    * At scale: the (source, gram) postings table self-joins on the GRAM
+    * hash, so cost is Σ_gram occ², with occ bounded by the number of
+    * sources (20 here, never documents) — linear in distinct grams,
+    * quadratic only in the source count.
+    */
+  val q66SourceOverlap: Q = (s, d) => {
+    val sg = tracked(documents(s, d)
+      .select(col("source"),
+        explode(array_distinct(
+          graft.functions.ShingleHash(col("text"), TextOps.P, 3))).as("h"))
+      .distinct())
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sg.as("a").join(sg.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Merge rounds for [[q67BpeTrain]]. */
+  val BpeRounds = 6
+  /** Symbol-boundary separator for the BPE word encoding — a character
+    * provably absent from the corpus alphabet (lowercase a–y + space;
+    * measured, and any real deployment picks an out-of-alphabet byte
+    * the same way).
+    */
+  val BpeSep = "~"
+
+  /** EXT — BPE tokenizer training, in-plan and oracle-verified: the
+    * q42 discipline (train inside the query with engine-exact
+    * arithmetic; mirror every iteration in SQL generated by the same
+    * Scala loop so parameters live in one place) applied to the other
+    * trained artifact every LLM pipeline ships — the tokenizer.
+    * Classic word-level BPE: vocabulary = distinct words with counts,
+    * each word starts as its character symbols, and each round merges
+    * the adjacent symbol pair with the highest corpus weight
+    * (occurrence count × word frequency; ties break lexicographically).
+    * Output = the merge table, the artifact a tokenizer serializes.
+    *
+    * The word's symbol string wraps every symbol in [[BpeSep]]
+    * (`~a~~b~…`), so "replace `~A~~B~` with `~AB~`" is exactly BPE's
+    * left-to-right non-overlapping merge in ONE `replace` call — both
+    * engines scan left-to-right and resume after the replacement, and a
+    * merged symbol can never false-match half of a later occurrence
+    * because every symbol carries its own delimiters.
+    *
+    * At scale: state is the vocabulary table (distinct words — millions,
+    * not the corpus), each round is one map (split + pair explode) plus
+    * one vocabulary-sized aggregate whose 1-row argmax the driver
+    * collects and re-embeds as literals — Lloyd-style iteration, moving
+    * one row per round off the cluster.
+    */
+  val q67BpeTrain: Q = (s, d) => {
+    val enc0 = expr(
+      s"array_join(transform(sequence(1, length(w)), i -> concat('$BpeSep', substring(w, i, 1), '$BpeSep')), '')")
+    // the one heavy input: vocabulary aggregate over the corpus scan
+    val vocab = tracked(documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), enc0.as("enc")))
+    // rounds are driver-sequenced like q42's Lloyd iterations: each
+    // round's action collects exactly the 1-row argmax (the merge — the
+    // same single row a broadcast join would ship), then the next
+    // round's plan embeds it as literals. Weights are exact long sums
+    // and the alphabet (a–y + '~') contains no quote characters, so the
+    // embedded literals replay bit-identically (invariant 7). The
+    // replace chain stays a stack of narrow projections over the cached
+    // vocabulary — at a real merge count, re-persist every few rounds.
+    var cur = vocab
+    var merges = Vector.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val row = cur
+        .select(col("cnt"),
+          split(expr("substring(enc, 2, length(enc) - 2)"), s"$BpeSep$BpeSep").as("t"))
+        .filter(size(col("t")) >= 2) // guard: sequence(1, n-1) with n<2 descends
+        .select(col("cnt"),
+          explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, wt) = (row.getString(0), row.getString(1), row.getLong(2))
+      merges = merges :+ ((r, a, b, a + b, wt))
+      cur = cur.select(col("cnt"),
+        expr(s"replace(enc, '$BpeSep$a$BpeSep$BpeSep$b$BpeSep', '$BpeSep$a$b$BpeSep')").as("enc"))
+    }
+    import s.implicits._
+    merges.toDF("round", "a", "b", "merged", "weight").orderBy(col("round"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q58_vocab_prune"   -> q58VocabPrune,
@@ -333,6 +525,10 @@ object PipelineQueries {
     "q61_line_dedup"    -> q61LineDedup,
     "q62_repetition"    -> q62Repetition,
     "q63_pii_scrub"     -> q63PiiScrub,
+    "q64_seq_pack"      -> q64SeqPack,
+    "q65_bigram_lm"     -> q65BigramLm,
+    "q66_source_overlap" -> q66SourceOverlap,
+    "q67_bpe_train"     -> q67BpeTrain,
   )
 
   private def q57OracleSql: String =
@@ -496,6 +692,96 @@ object PipelineQueries {
         |  ${Redact.countSql("raw", Redact.PhoneRe)} AS n_phones,
         |  ${Redact.redactSql("raw")} AS clean
         |FROM raw ORDER BY doc_id""".stripMargin
+    },
+    "q64_seq_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  -- window sum(BIGINT) promotes to HUGEINT; downstream integer
+        |  -- math and the seq_id output must stay BIGINT
+        |  SELECT source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t),
+        |sp AS (SELECT source, cum - n_tok AS strt, cum FROM c),
+        |e AS (
+        |  SELECT source, strt, cum, unnest(generate_series(strt // $SeqLen, (cum - 1) // $SeqLen)) AS seq_id
+        |  FROM sp)
+        |SELECT source, seq_id, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN strt < seq_id * $SeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+        |  CAST(sum(least(cum, (seq_id + 1) * $SeqLen) - greatest(strt, seq_id * $SeqLen)) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(least(cum, (seq_id + 1) * $SeqLen) - greatest(strt, seq_id * $SeqLen)) AS BIGINT) AS DOUBLE) / $SeqLen.0 AS fill
+        |FROM e GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
+    "q65_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+        |  FROM tk),
+        |cb AS (SELECT prev, w, count(*) AS cb FROM bg GROUP BY prev, w),
+        |cu AS (
+        |  SELECT w AS prev, count(*) AS cu
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mean_p,
+        |  min(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS min_p
+        |FROM bg JOIN cb USING (prev, w) JOIN cu USING (prev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q66_source_overlap" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
+        |g AS (
+        |  SELECT source, list_transform(generate_series(1, greatest(len(t0) - 2, 0)),
+        |    i -> t0[i] || ' ' || t0[i+1] || ' ' || t0[i+2]) AS gs
+        |  FROM tk WHERE len(t0) >= 3),
+        |sg AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(gs,
+        |    s -> list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+        |           (a, x) -> (a * 31 + x) % 1000000007)))) AS h
+        |  FROM g),
+        |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, za.n AS n_a, zb.n AS n_b, pr.n_common,
+        |  CAST(pr.n_common AS DOUBLE) / CAST(za.n + zb.n - pr.n_common AS DOUBLE) AS jaccard
+        |FROM pr JOIN sz za ON pr.src_a = za.source JOIN sz zb ON pr.src_b = zb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    "q67_bpe_train" -> {
+      // the same Scala loop that drives the Spark rounds emits one
+      // (split → pair-count → argmax → replace) CTE block per round, so
+      // round count and tie rules live in exactly one place (invariant 7)
+      val perRound = (1 to BpeRounds).map { r =>
+        s"""p$r AS (
+          |  SELECT t_a AS a, t_b AS b, CAST(sum(cnt) AS BIGINT) AS weight
+          |  FROM (
+          |    SELECT cnt, unnest(t[1:len(t)-1]) AS t_a, unnest(t[2:len(t)]) AS t_b
+          |    FROM (SELECT cnt, string_split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep') AS t
+          |          FROM e${r - 1})
+          |    WHERE len(t) >= 2)
+          |  GROUP BY t_a, t_b),
+          |b$r AS (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
+          |e$r AS (
+          |  SELECT cnt, replace(enc, '$BpeSep' || a || '$BpeSep$BpeSep' || b || '$BpeSep',
+          |                      '$BpeSep' || a || b || '$BpeSep') AS enc
+          |  FROM e${r - 1} CROSS JOIN b$r),
+          |""".stripMargin
+      }.mkString
+      val finalUnion = (1 to BpeRounds)
+        .map(r => s"SELECT $r AS round, a, b, a || b AS merged, weight FROM b$r")
+        .mkString("\n|UNION ALL\n|")
+      s"""WITH v0 AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |e0 AS (
+        |  SELECT cnt, array_to_string(list_transform(generate_series(1, length(w)),
+        |    i -> '$BpeSep' || w[i] || '$BpeSep'), '') AS enc
+        |  FROM v0),
+        |$perRound
+        |z AS (SELECT 1 AS zz FROM e$BpeRounds LIMIT 1)
+        |$finalUnion
+        |ORDER BY round""".stripMargin
     },
   )
 }

@@ -35,7 +35,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // q58/q60 crossJoin a broadcast 1-row total — BroadcastNestedLoopJoin
     // over a single row is the intended plan; CartesianProduct is not
     for (q <- Seq("q57_corpus_funnel", "q58_vocab_prune", "q59_bigram_lift",
-        "q60_token_budget")) {
+        "q60_token_budget", "q61_line_dedup", "q64_seq_pack", "q65_bigram_lm",
+        "q66_source_overlap", "q67_bpe_train")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
