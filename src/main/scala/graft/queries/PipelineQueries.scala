@@ -477,23 +477,26 @@ object PipelineQueries {
     * collects and re-embeds as literals — Lloyd-style iteration, moving
     * one row per round off the cluster.
     */
-  val q67BpeTrain: Q = (s, d) => {
+  /** The shared BPE trainer behind [[q67BpeTrain]] and [[q68BpeEncode]]:
+    * returns the merge table and the final per-word symbol encoding.
+    * Rounds are driver-sequenced like q42's Lloyd iterations: each
+    * round's action collects exactly the 1-row argmax (the merge — the
+    * same single row a broadcast join would ship), then the next
+    * round's plan embeds it as literals. Weights are exact long sums
+    * and the alphabet (a–y + '~') contains no quote characters, so the
+    * embedded literals replay bit-identically (invariant 7). The
+    * replace chain stays a stack of narrow projections over the cached
+    * vocabulary — at a real merge count, re-persist every few rounds.
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (Vector[(Int, String, String, String, Long)], DataFrame) = {
     val enc0 = expr(
       s"array_join(transform(sequence(1, length(w)), i -> concat('$BpeSep', substring(w, i, 1), '$BpeSep')), '')")
     // the one heavy input: vocabulary aggregate over the corpus scan
-    val vocab = tracked(documents(s, d)
+    var cur = tracked(documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), enc0.as("enc")))
-    // rounds are driver-sequenced like q42's Lloyd iterations: each
-    // round's action collects exactly the 1-row argmax (the merge — the
-    // same single row a broadcast join would ship), then the next
-    // round's plan embeds it as literals. Weights are exact long sums
-    // and the alphabet (a–y + '~') contains no quote characters, so the
-    // embedded literals replay bit-identically (invariant 7). The
-    // replace chain stays a stack of narrow projections over the cached
-    // vocabulary — at a real merge count, re-persist every few rounds.
-    var cur = vocab
+      .select(col("w"), col("cnt"), enc0.as("enc")))
     var merges = Vector.empty[(Int, String, String, String, Long)]
     for (r <- 1 to BpeRounds) {
       val row = cur
@@ -510,11 +513,69 @@ object PipelineQueries {
         .limit(1).collect()(0)
       val (a, b, wt) = (row.getString(0), row.getString(1), row.getLong(2))
       merges = merges :+ ((r, a, b, a + b, wt))
-      cur = cur.select(col("cnt"),
+      cur = cur.select(col("w"), col("cnt"),
         expr(s"replace(enc, '$BpeSep$a$BpeSep$BpeSep$b$BpeSep', '$BpeSep$a$b$BpeSep')").as("enc"))
     }
+    (merges, cur)
+  }
+
+  val q67BpeTrain: Q = (s, d) => {
     import s.implicits._
-    merges.toDF("round", "a", "b", "merged", "weight").orderBy(col("round"))
+    bpeTrain(s, d)._1.toDF("round", "a", "b", "merged", "weight").orderBy(col("round"))
+  }
+
+  /** EXT — BPE tokenizer APPLICATION: encode every document with the
+    * merges [[q67BpeTrain]] learned and report what a trainer cares
+    * about — post-BPE token count, characters per BPE token
+    * (compression), and the word→symbol fertility. Encoding joins the
+    * corpus token stream to the trained per-word symbol table, so the
+    * heavy text never re-tokenizes: at scale this is one corpus scan +
+    * one vocabulary-sized (broadcastable) join + a per-doc aggregate —
+    * the exact serving shape of a tokenizer in a data pipeline.
+    */
+  val q68BpeEncode: Q = (s, d) => {
+    val vocab = tracked(bpeTrain(s, d)._2
+      .select(col("w"),
+        size(split(expr("substring(enc, 2, length(enc) - 2)"), s"$BpeSep$BpeSep"))
+          .cast("long").as("n_syms")))
+    documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe"))
+      .withColumn("chars_per_tok", col("n_chars").cast("double") / col("n_bpe").cast("double"))
+      .withColumn("fertility", col("n_bpe").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_bpe"),
+        col("chars_per_tok"), col("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT — per-dimension embedding drift: compare each of the 64
+    * dimensions' means between two cohorts (even/odd vec_id — the
+    * old-crawl/new-crawl split a drift monitor watches). Means go
+    * through [[dsum]]'s decimal reduction so accumulation order cannot
+    * matter; float→double widening is exact in both engines. One
+    * explode + one 64-group aggregate — rides the embedding scan at any
+    * scale.
+    */
+  val q69EmbeddingDrift: Q = (s, d) => {
+    val a = col("vec_id") % 2 === 0
+    graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select((col("pos") + 1).as("dim"), col("col").cast("double").as("x"),
+        a.as("is_a"))
+      .groupBy(col("dim"))
+      .agg(
+        count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"),
+        (dsum(when(col("is_a"), col("x"))) / count(when(col("is_a"), 1))).as("mean_a"),
+        (dsum(when(!col("is_a"), col("x"))) / count(when(!col("is_a"), 1))).as("mean_b"))
+      .withColumn("drift", col("mean_a") - col("mean_b"))
+      .withColumn("abs_drift", abs(col("drift")))
+      .select(col("dim"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("drift"), col("abs_drift"))
+      .orderBy(col("dim"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -529,6 +590,8 @@ object PipelineQueries {
     "q65_bigram_lm"     -> q65BigramLm,
     "q66_source_overlap" -> q66SourceOverlap,
     "q67_bpe_train"     -> q67BpeTrain,
+    "q68_bpe_encode"    -> q68BpeEncode,
+    "q69_embedding_drift" -> q69EmbeddingDrift,
   )
 
   private def q57OracleSql: String =
@@ -748,40 +811,76 @@ object PipelineQueries {
         |FROM pr JOIN sz za ON pr.src_a = za.source JOIN sz zb ON pr.src_b = zb.source
         |ORDER BY src_a, src_b""".stripMargin,
     "q67_bpe_train" -> {
-      // the same Scala loop that drives the Spark rounds emits one
-      // (split → pair-count → argmax → replace) CTE block per round, so
-      // round count and tie rules live in exactly one place (invariant 7)
-      val perRound = (1 to BpeRounds).map { r =>
-        s"""p$r AS (
-          |  SELECT t_a AS a, t_b AS b, CAST(sum(cnt) AS BIGINT) AS weight
-          |  FROM (
-          |    SELECT cnt, unnest(t[1:len(t)-1]) AS t_a, unnest(t[2:len(t)]) AS t_b
-          |    FROM (SELECT cnt, string_split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep') AS t
-          |          FROM e${r - 1})
-          |    WHERE len(t) >= 2)
-          |  GROUP BY t_a, t_b),
-          |b$r AS (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
-          |e$r AS (
-          |  SELECT cnt, replace(enc, '$BpeSep' || a || '$BpeSep$BpeSep' || b || '$BpeSep',
-          |                      '$BpeSep' || a || b || '$BpeSep') AS enc
-          |  FROM e${r - 1} CROSS JOIN b$r),
-          |""".stripMargin
-      }.mkString
       val finalUnion = (1 to BpeRounds)
         .map(r => s"SELECT $r AS round, a, b, a || b AS merged, weight FROM b$r")
         .mkString("\n|UNION ALL\n|")
-      s"""WITH v0 AS (
-        |  SELECT w, count(*) AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w),
-        |e0 AS (
-        |  SELECT cnt, array_to_string(list_transform(generate_series(1, length(w)),
-        |    i -> '$BpeSep' || w[i] || '$BpeSep'), '') AS enc
-        |  FROM v0),
-        |$perRound
-        |z AS (SELECT 1 AS zz FROM e$BpeRounds LIMIT 1)
+      s"""$bpeOracleCtes
+        |z AS (SELECT 1 AS zz)
         |$finalUnion
         |ORDER BY round""".stripMargin
     },
+    "q68_bpe_encode" ->
+      s"""$bpeOracleCtes
+        |vs AS (
+        |  SELECT w, CAST(len(string_split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep')) AS BIGINT) AS n_syms
+        |  FROM e$BpeRounds),
+        |tok AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT doc_id, n_chars, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_bpe,
+        |  CAST(n_chars AS DOUBLE) / CAST(CAST(sum(n_syms) AS BIGINT) AS DOUBLE) AS chars_per_tok,
+        |  CAST(CAST(sum(n_syms) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+        |FROM tok JOIN vs USING (w)
+        |GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin,
+    "q69_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT CAST(dim AS INT) AS dim, CAST(v AS DOUBLE) AS x, vec_id % 2 = 0 AS is_a
+        |  FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings)),
+        |m AS (
+        |  SELECT dim,
+        |    count(CASE WHEN is_a THEN 1 END) AS n_a,
+        |    count(CASE WHEN NOT is_a THEN 1 END) AS n_b,
+        |    CAST(sum(CASE WHEN is_a THEN CAST(x AS DECIMAL(30,8)) END) AS DOUBLE) / count(CASE WHEN is_a THEN 1 END) AS mean_a,
+        |    CAST(sum(CASE WHEN NOT is_a THEN CAST(x AS DECIMAL(30,8)) END) AS DOUBLE) / count(CASE WHEN NOT is_a THEN 1 END) AS mean_b
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n_a, n_b, mean_a, mean_b,
+        |  mean_a - mean_b AS drift, abs(mean_a - mean_b) AS abs_drift
+        |FROM m ORDER BY dim""".stripMargin,
   )
+
+  /** DuckDB mirror of [[bpeTrain]]'s rounds: the same Scala loop that
+    * drives the Spark rounds emits one (split → pair-count → argmax →
+    * replace) CTE block per round, so round count and tie rules live in
+    * exactly one place (invariant 7). Ends with `e{BpeRounds}` — the
+    * final word→encoding table — and a trailing comma, so callers
+    * append at least one CTE of their own before the main SELECT.
+    */
+  private def bpeOracleCtes: String = {
+    val perRound = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+        |  SELECT t_a AS a, t_b AS b, CAST(sum(cnt) AS BIGINT) AS weight
+        |  FROM (
+        |    SELECT cnt, unnest(t[1:len(t)-1]) AS t_a, unnest(t[2:len(t)]) AS t_b
+        |    FROM (SELECT cnt, string_split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep') AS t
+        |          FROM e${r - 1})
+        |    WHERE len(t) >= 2)
+        |  GROUP BY t_a, t_b),
+        |b$r AS (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
+        |e$r AS (
+        |  SELECT w, cnt, replace(enc, '$BpeSep' || a || '$BpeSep$BpeSep' || b || '$BpeSep',
+        |                      '$BpeSep' || a || b || '$BpeSep') AS enc
+        |  FROM e${r - 1} CROSS JOIN b$r),
+        |""".stripMargin
+    }.mkString
+    s"""WITH v0 AS (
+      |  SELECT w, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |e0 AS (
+      |  SELECT w, cnt, array_to_string(list_transform(generate_series(1, length(w)),
+      |    i -> '$BpeSep' || w[i] || '$BpeSep'), '') AS enc
+      |  FROM v0),
+      |$perRound""".stripMargin
+  }
 }

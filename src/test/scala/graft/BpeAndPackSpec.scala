@@ -98,6 +98,21 @@ class BpeAndPackSpec extends AnyFunSuite {
     assert(got.filter(r => r._2 != lastPerSource(r._1)).forall(_._5 == L))
   }
 
+  test("q68 encoding is bounded by words below and characters above") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q68_bpe_encode")(spark, d)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    graft.queries.releasePersisted()
+    assert(got.size == docs().size)
+    // every word is >= 1 BPE symbol and every symbol covers >= 1 char,
+    // so n_words <= n_bpe <= total word characters < n_chars (spaces)
+    assert(got.forall { case (_, nChars, nWords, nBpe, cpt, fert) =>
+      nWords <= nBpe && nBpe < nChars &&
+        cpt == nChars.toDouble / nBpe.toDouble &&
+        fert == nBpe.toDouble / nWords.toDouble && fert >= 1.0
+    })
+  }
+
   test("q65 bigram-LM scores are probabilities and per-doc counts line up") {
     import spark.implicits._
     val nTok = docs().map(r => r._1 -> r._3.split(" ", -1).length.toLong).toMap
