@@ -34,8 +34,14 @@ object StressText {
       // 0), so the pair graph holds C(copies,2)·n edges but diameter 1 —
       // label propagation must detect the fixpoint in 2 rounds and cost
       // must track the pair graph, not its square
+      // round-4 additions: q61 (line dedup — line vocab is constant
+      // across replicas, so the postings join grows linearly), q64
+      // (packing — pure window cumsum), q65 (bigram LM — bigram vocab
+      // constant, corpus join linear), q67 (BPE — vocabulary state is
+      // IDENTICAL at every k, so wall clock must stay flat)
       for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups",
-          "q57_corpus_funnel")) {
+          "q57_corpus_funnel", "q61_line_dedup", "q64_seq_pack",
+          "q65_bigram_lm", "q67_bpe_train")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
