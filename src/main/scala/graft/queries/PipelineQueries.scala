@@ -553,29 +553,61 @@ object PipelineQueries {
 
   /** EXT — per-dimension embedding drift: compare each of the 64
     * dimensions' means between two cohorts (even/odd vec_id — the
-    * old-crawl/new-crawl split a drift monitor watches). Means go
-    * through [[dsum]]'s decimal reduction so accumulation order cannot
-    * matter; float→double widening is exact in both engines. One
-    * explode + one 64-group aggregate — rides the embedding scan at any
-    * scale.
+    * old-crawl/new-crawl split a drift monitor watches). Accumulation
+    * follows invariant 7's integer-quantization: each value becomes
+    * `floor(x·1e6)` (the double product and floor are IEEE-deterministic
+    * in both engines), sums run over longs — order-independent by
+    * construction, immune to the decimal-cast tie rounding a raw
+    * float-derived double could hit — and the mean divides back in an
+    * identical expression. One explode + one 64-group aggregate — rides
+    * the embedding scan at any scale.
     */
   val q69EmbeddingDrift: Q = (s, d) => {
     val a = col("vec_id") % 2 === 0
+    val q = floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+    def mean(sq: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sq.cast("double") / (lit(1000000.0) * n.cast("double"))
     graft.Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
-      .select((col("pos") + 1).as("dim"), col("col").cast("double").as("x"),
-        a.as("is_a"))
+      .select((col("pos") + 1).as("dim"), q.as("xq"), a.as("is_a"))
       .groupBy(col("dim"))
       .agg(
         count(when(col("is_a"), 1)).as("n_a"),
         count(when(!col("is_a"), 1)).as("n_b"),
-        (dsum(when(col("is_a"), col("x"))) / count(when(col("is_a"), 1))).as("mean_a"),
-        (dsum(when(!col("is_a"), col("x"))) / count(when(!col("is_a"), 1))).as("mean_b"))
+        sum(when(col("is_a"), col("xq"))).as("s_a"),
+        sum(when(!col("is_a"), col("xq"))).as("s_b"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        mean(col("s_a"), col("n_a")).as("mean_a"),
+        mean(col("s_b"), col("n_b")).as("mean_b"))
       .withColumn("drift", col("mean_a") - col("mean_b"))
       .withColumn("abs_drift", abs(col("drift")))
-      .select(col("dim"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
-        col("drift"), col("abs_drift"))
       .orderBy(col("dim"))
+  }
+
+  /** Exact sample size per source stratum for [[q70ExactKSample]]. */
+  val ExactK = 8
+
+  /** EXT — exact-k stratified sampling: where q55's hash-rate filter
+    * gives each stratum a BINOMIAL sample (right at scale, but sized
+    * only in expectation), this draws EXACTLY k docs per source — the
+    * eval-set/human-review shape where sample size is a contract.
+    * Deterministic min-k by the same multiplicative hash (no RNG
+    * state): rank docs per source by (hash, doc_id) and keep the first
+    * k. The per-group top-k plans as WindowGroupLimit partial/final —
+    * each map task pre-trims to k before the shuffle, so the exchange
+    * carries ≤ k·partitions rows per stratum, never the corpus.
+    */
+  val q70ExactKSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(TextQueries.sampleHash.asc, col("doc_id").asc)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextQueries.sampleHash.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ExactK)
+      .select(col("source"), col("rk"), col("doc_id"), col("lang"), col("h"))
+      .orderBy(col("source"), col("rk"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -592,6 +624,7 @@ object PipelineQueries {
     "q67_bpe_train"     -> q67BpeTrain,
     "q68_bpe_encode"    -> q68BpeEncode,
     "q69_embedding_drift" -> q69EmbeddingDrift,
+    "q70_exactk_sample" -> q70ExactKSample,
   )
 
   private def q57OracleSql: String =
@@ -834,19 +867,33 @@ object PipelineQueries {
         |GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin,
     "q69_embedding_drift" ->
       """WITH x AS (
-        |  SELECT CAST(dim AS INT) AS dim, CAST(v AS DOUBLE) AS x, vec_id % 2 = 0 AS is_a
+        |  SELECT CAST(dim AS INT) AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+        |    vec_id % 2 = 0 AS is_a
         |  FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
         |        FROM embeddings)),
         |m AS (
         |  SELECT dim,
         |    count(CASE WHEN is_a THEN 1 END) AS n_a,
         |    count(CASE WHEN NOT is_a THEN 1 END) AS n_b,
-        |    CAST(sum(CASE WHEN is_a THEN CAST(x AS DECIMAL(30,8)) END) AS DOUBLE) / count(CASE WHEN is_a THEN 1 END) AS mean_a,
-        |    CAST(sum(CASE WHEN NOT is_a THEN CAST(x AS DECIMAL(30,8)) END) AS DOUBLE) / count(CASE WHEN NOT is_a THEN 1 END) AS mean_b
-        |  FROM x GROUP BY dim)
+        |    CAST(sum(CASE WHEN is_a THEN xq END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN NOT is_a THEN xq END) AS BIGINT) AS s_b
+        |  FROM x GROUP BY dim),
+        |mm AS (
+        |  SELECT dim, n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / (1000000.0 * CAST(n_a AS DOUBLE)) AS mean_a,
+        |    CAST(s_b AS DOUBLE) / (1000000.0 * CAST(n_b AS DOUBLE)) AS mean_b
+        |  FROM m)
         |SELECT dim, n_a, n_b, mean_a, mean_b,
         |  mean_a - mean_b AS drift, abs(mean_a - mean_b) AS abs_drift
-        |FROM m ORDER BY dim""".stripMargin,
+        |FROM mm ORDER BY dim""".stripMargin,
+    "q70_exactk_sample" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, source, lang, ${TextQueries.sampleHashSql} AS h,
+        |    row_number() OVER (PARTITION BY source ORDER BY ${TextQueries.sampleHashSql}, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id, lang, h
+        |FROM r WHERE rk <= $ExactK ORDER BY source, rk""".stripMargin,
   )
 
   /** DuckDB mirror of [[bpeTrain]]'s rounds: the same Scala loop that

@@ -69,6 +69,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("top-k per group keeps the WindowGroupLimit partial/final pair") {
     assert(finalPlan("q52_topk_tokens").contains("WindowGroupLimit"))
     assert(finalPlan("q03_latest_event").contains("WindowGroupLimit"))
+    assert(finalPlan("q70_exactk_sample").contains("WindowGroupLimit"))
   }
 
   test("exact-dedup scan stays pruned to the needed columns") {
