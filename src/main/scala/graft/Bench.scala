@@ -42,8 +42,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    // Two outputs, two consumers. The driver keeps only a bounded tail of
+    // stdout, so the line it parses must stay compact: contract fields only.
+    // The full per-query map goes exclusively to SPARK_GRAFT_BENCH_OUT.
+    val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val stdoutJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     // The driver parses this JSON from stdout; round 1 failed to extract it
     // from interleaved log noise. Stop Spark FIRST (its shutdown WARNs go to
     // stderr/before us), persist a file copy, then emit the JSON as the
@@ -53,10 +58,10 @@ object Bench {
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     System.out.flush(); System.err.flush()
-    println(json)
+    println(stdoutJson)
     System.out.flush()
   }
 }

@@ -45,8 +45,11 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: every step is an equi-join/aggregation on a long key —
   * plain hash shuffles, no driver state beyond a per-round scalar, no
-  * collect; the pre-collapse state is one hash map per edge PARTITION
-  * (bounded by `spark.sql.files.maxPartitionBytes`, never the graph).
+  * collect; the pre-collapse state is one hash map per edge TASK,
+  * hard-capped at [[LocalCollapseMaxEntries]] endpoints (the map drains
+  * and restarts past the cap — a skewed range partition CAN concentrate
+  * one giant contiguous dup family in a single task, so partition size
+  * alone does not bound it).
   * The label table holds only vertices that appear in some pair
   * (callers left-join it back to the corpus; singletons never enter the
   * propagation), so its size tracks the DUPLICATE population, not the
@@ -90,13 +93,32 @@ object Dedup {
     (next, relaxed)
   }
 
+  /** Drain threshold for [[localCollapse]]'s per-task union-find map:
+    * 2^21 endpoints ≈ 100 MB of boxed map entries — comfortably inside
+    * any executor, independent of how skewed the range partitioning is.
+    */
+  private[graft] val LocalCollapseMaxEntries: Int = 1 << 21
+
   /** Partition-local union-find over the (unsymmetrized) edge list: one
     * mapPartitions pass emitting `(id, local-min-root)` for every
     * endpoint in the partition. Union always roots at the smaller id,
     * so each root IS the min vertex id of its partition-local component
     * — a valid (monotone, id-valued) head start for the propagation.
+    *
+    * Memory is bounded by DRAINING, not by partition size: when the map
+    * reaches `maxEntries` it emits every `(id, root)` and restarts empty
+    * (range partitioning can concentrate one giant contiguous dup
+    * family's endpoints in a single task, so partition byte size does
+    * not bound the endpoint count). Each drained label is the min id of
+    * a component of a SUBSET of the edges — still a valid fast-forward
+    * seed — and the caller's `groupBy(id).min(lbl)` merges labels across
+    * drains exactly as it merges them across partitions. The only cost
+    * of draining early is a weaker seed (more global rounds), never a
+    * wrong one.
     */
-  private def localCollapse(edges: DataFrame): DataFrame = {
+  private[graft] def localCollapse(
+      edges: DataFrame,
+      maxEntries: Int = LocalCollapseMaxEntries): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // range-partition by src first: near-dup cluster ids are typically
@@ -115,16 +137,25 @@ object Dedup {
           while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
           r
         }
-        it.foreach { case (s, d) =>
+        def drain(): Iterator[(Long, Long)] = {
+          val keys = parent.keySet().toArray(new Array[java.lang.Long](0))
+          val out = new Array[(Long, Long)](keys.length)
+          var i = 0
+          while (i < keys.length) {
+            val k = keys(i).longValue(); out(i) = (k, find(k)); i += 1
+          }
+          parent.clear()
+          out.iterator
+        }
+        it.flatMap { case (s, d) =>
           if (!parent.containsKey(s)) parent.put(s, s)
           if (!parent.containsKey(d)) parent.put(d, d)
           val rs = find(s)
           val rd = find(d)
           if (rs < rd) parent.put(rd, rs)
           else if (rd < rs) parent.put(rs, rd)
-        }
-        val keys = parent.keySet().toArray(new Array[java.lang.Long](0))
-        keys.iterator.map(k => (k.longValue(), find(k.longValue())))
+          if (parent.size() >= maxEntries) drain() else Iterator.empty
+        } ++ drain() // Iterator#++ is by-name: final drain runs after `it` is exhausted
       }
       .toDF("id", "lbl")
   }

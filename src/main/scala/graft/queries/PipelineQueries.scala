@@ -379,8 +379,9 @@ object PipelineQueries {
     * logs — transcendentals are not cross-engine bit-stable, invariant
     * 4), and each document scores the mean and min of its bigram
     * conditional probabilities. Per-position division is IEEE-exact in
-    * both engines; the mean's reduction goes through [[dsum]]'s
-    * decimal-sum so accumulation order cannot matter. Low mean/min =
+    * both engines; the mean's reduction goes through [[qmean8]]'s
+    * floor-quantized long sum so neither accumulation order nor a
+    * decimal rounding tie can matter (invariant 2). Low mean/min =
     * improbable token transitions = the gibberish a perplexity filter
     * sheds.
     *
@@ -406,7 +407,7 @@ object PipelineQueries {
       .withColumn("p", p)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        (dsum(col("p")) / count(lit(1))).as("mean_p"),
+        qmean8(col("p")).as("mean_p"),
         min(col("p")).as("min_p"))
       .orderBy(col("doc_id"))
   }
@@ -498,8 +499,10 @@ object PipelineQueries {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"), enc0.as("enc")))
     var merges = Vector.empty[(Int, String, String, String, Long)]
-    for (r <- 1 to BpeRounds) {
-      val row = cur
+    var r = 1
+    var exhausted = false
+    while (r <= BpeRounds && !exhausted) {
+      val best = cur
         .select(col("cnt"),
           split(expr("substring(enc, 2, length(enc) - 2)"), s"$BpeSep$BpeSep").as("t"))
         .filter(size(col("t")) >= 2) // guard: sequence(1, n-1) with n<2 descends
@@ -510,11 +513,21 @@ object PipelineQueries {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("weight"))
         .orderBy(col("weight").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, wt) = (row.getString(0), row.getString(1), row.getLong(2))
-      merges = merges :+ ((r, a, b, a + b, wt))
-      cur = cur.select(col("w"), col("cnt"),
-        expr(s"replace(enc, '$BpeSep$a$BpeSep$BpeSep$b$BpeSep', '$BpeSep$a$b$BpeSep')").as("enc"))
+        .limit(1).collect().headOption
+      best match {
+        case None =>
+          // a degenerate vocabulary (every word fully merged / single-char)
+          // has no adjacent pair left: stop with the merges learned so far
+          // (the oracle mirrors this — its per-round LEFT JOIN passes enc
+          // through when the argmax CTE is empty)
+          exhausted = true
+        case Some(row) =>
+          val (a, b, wt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges = merges :+ ((r, a, b, a + b, wt))
+          cur = cur.select(col("w"), col("cnt"),
+            expr(s"replace(enc, '$BpeSep$a$BpeSep$BpeSep$b$BpeSep', '$BpeSep$a$b$BpeSep')").as("enc"))
+          r += 1
+      }
     }
     (merges, cur)
   }
@@ -610,6 +623,67 @@ object PipelineQueries {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Shard count for [[q71CorpusShuffle]]. */
+  val NumShards = 8
+  /** Seeded multiplicative shuffle hash (Knuth 2654435761); changing
+    * the additive seed reshuffles the whole corpus reproducibly. The
+    * modulus is prime so shard = h mod [[NumShards]] stays balanced.
+    * All arithmetic fits int64 for any doc_id < 3.4e9 (DuckDB errors on
+    * BIGINT overflow rather than wrapping — at a larger id space, widen
+    * to a 128-bit or split-hash form in BOTH engines).
+    */
+  val ShuffleMul = 2654435761L
+  val ShuffleSeed = 20260812L
+  val ShuffleMod = 1000003L
+
+  /** EXT — deterministic corpus shuffle + shard materialization: the
+    * last step between [[materialize]] and a training job. The q57
+    * funnel's survivors get a seeded-hash total order (the q55 `pmod`
+    * idiom — no RNG state, same seed ⇒ same corpus order on any
+    * cluster, any partitioning, any engine), are cut into
+    * [[NumShards]] hash shards, and each doc gets its position in its
+    * shard. Training order = (shard, pos) — shard-major, exactly how a
+    * sharded loader consumes it.
+    *
+    * At scale nothing here is global: shard assignment is a pure
+    * scan-side expression and `pos` is a PARTITIONED window (one hash
+    * shuffle on shard, [[NumShards]]-way parallel sort), never a
+    * single global sort. [[materializeShuffled]] writes the same frame
+    * `partitionBy(shard)` with rows pre-sorted by (h, doc_id), so a
+    * reader streaming shard files in filename order replays the exact
+    * training order.
+    */
+  val q71CorpusShuffle: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val surv = stageFlags(s, d)
+      .filter(col("f_dedup") === 1 && col("f_quality") === 1 &&
+        col("f_decontam") === 1 && col("f_sample") === 1)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    surv
+      .withColumn("h",
+        pmod(col("doc_id") * lit(ShuffleMul) + lit(ShuffleSeed), lit(ShuffleMod)))
+      .withColumn("shard", pmod(col("h"), lit(NumShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"),
+        col("lang"), col("h"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Write [[q71CorpusShuffle]]'s training order to `outDir/shuffled`
+    * as shard-partitioned parquet, one file per shard with rows in
+    * training order (repartition on shard + sortWithinPartitions —
+    * the partitioned write never global-sorts). Returns rows shipped.
+    */
+  def materializeShuffled(s: SparkSession, d: String, outDir: String): Long = {
+    val ordered = q71CorpusShuffle(s, d)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    ordered.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shuffled")
+    s.read.parquet(s"$outDir/shuffled").count()
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q58_vocab_prune"   -> q58VocabPrune,
@@ -625,9 +699,15 @@ object PipelineQueries {
     "q68_bpe_encode"    -> q68BpeEncode,
     "q69_embedding_drift" -> q69EmbeddingDrift,
     "q70_exactk_sample" -> q70ExactKSample,
+    "q71_corpus_shuffle" -> q71CorpusShuffle,
   )
 
-  private def q57OracleSql: String =
+  /** The q57 funnel's per-document stage flags as shared oracle CTEs —
+    * ends with `flags(doc_id, source, lang, f_dedup, f_quality,
+    * f_decontam, f_sample)` so both the funnel rollup (q57) and the
+    * shuffle/shard materialization (q71) read one definition.
+    */
+  private def funnelFlagCtes: String =
     TextQueries.simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       TextQueries.ccCtes +
       s"""tk3 AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
@@ -663,7 +743,7 @@ object PipelineQueries {
       |             (a, x) -> (a * 31 + x) % 1000000007)) AS hs
       |    FROM (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents))),
       |flags AS (
-      |  SELECT d.source,
+      |  SELECT d.doc_id, d.source, d.lang,
       |    CASE WHEN c.lbl IS NULL OR c.lbl = d.doc_id THEN 1 ELSE 0 END AS f_dedup,
       |    CASE WHEN q.quality >= $QualityThreshold AND r.rep2 <= $Rep2Max THEN 1 ELSE 0 END AS f_quality,
       |    CASE WHEN d.doc_id % 10 <> 0 AND COALESCE(f.frac, 0.0) < $ContamThreshold THEN 1 ELSE 0 END AS f_decontam,
@@ -672,7 +752,12 @@ object PipelineQueries {
       |  LEFT JOIN cl c ON d.doc_id = c.id
       |  LEFT JOIN qual q ON d.doc_id = q.doc_id
       |  LEFT JOIN rq r ON d.doc_id = r.doc_id
-      |  LEFT JOIN fr3 f ON d.doc_id = f.doc_id)
+      |  LEFT JOIN fr3 f ON d.doc_id = f.doc_id),
+      |""".stripMargin
+
+  private def q57OracleSql: String =
+    funnelFlagCtes +
+      """z57 AS (SELECT 1 AS zz)
       |SELECT source, count(*) AS n_total,
       |  CAST(sum(f_dedup) AS BIGINT) AS n_dedup,
       |  CAST(sum(f_dedup * f_quality) AS BIGINT) AS n_quality,
@@ -819,7 +904,7 @@ object PipelineQueries {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY w)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(CAST(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mean_p,
+        |  CAST(CAST(sum(CAST(floor(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE) * 100000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100000000.0 / count(*) AS mean_p,
         |  min(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS min_p
         |FROM bg JOIN cb USING (prev, w) JOIN cu USING (prev)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -894,6 +979,16 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT source, CAST(rk AS INT) AS rk, doc_id, lang, h
         |FROM r WHERE rk <= $ExactK ORDER BY source, rk""".stripMargin,
+    "q71_corpus_shuffle" -> (funnelFlagCtes +
+      s"""sh71 AS (
+        |  SELECT doc_id, source, lang,
+        |    (doc_id * $ShuffleMul + $ShuffleSeed) % $ShuffleMod AS h
+        |  FROM flags
+        |  WHERE f_dedup = 1 AND f_quality = 1 AND f_decontam = 1 AND f_sample = 1)
+        |SELECT h % $NumShards AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % $NumShards ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |  doc_id, source, lang, h
+        |FROM sh71 ORDER BY shard, pos""".stripMargin),
   )
 
   /** DuckDB mirror of [[bpeTrain]]'s rounds: the same Scala loop that
@@ -915,9 +1010,11 @@ object PipelineQueries {
         |  GROUP BY t_a, t_b),
         |b$r AS (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
         |e$r AS (
-        |  SELECT w, cnt, replace(enc, '$BpeSep' || a || '$BpeSep$BpeSep' || b || '$BpeSep',
-        |                      '$BpeSep' || a || b || '$BpeSep') AS enc
-        |  FROM e${r - 1} CROSS JOIN b$r),
+        |  SELECT w, cnt,
+        |    CASE WHEN a IS NULL THEN enc
+        |         ELSE replace(enc, '$BpeSep' || a || '$BpeSep$BpeSep' || b || '$BpeSep',
+        |                      '$BpeSep' || a || b || '$BpeSep') END AS enc
+        |  FROM e${r - 1} LEFT JOIN b$r ON TRUE),
         |""".stripMargin
     }.mkString
     s"""WITH v0 AS (

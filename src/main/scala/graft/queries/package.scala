@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 package object queries {
   /** A harness query: (session, sfDir) => result DataFrame.
     * Contract (SURVEY.md §5): deterministic total ORDER BY, no raw
-    * float reductions (see [[dsum]]), timestamps as unix_micros.
+    * float reductions (see [[qsum8]]), timestamps as unix_micros.
     *
     * Cache contract: queries persist intermediates read by multiple DAG
     * branches (invariant 6) via [[tracked]]; those frames stay cached
@@ -37,20 +37,28 @@ package object queries {
     n
   }
 
-  /** Order-independent, cross-engine-exact sum of a double expression.
+  /** Order-independent, cross-engine-exact sum of a double expression,
+    * quantized to 8 decimal digits.
     *
     * Per-row double arithmetic is IEEE-754 deterministic across engines;
     * only the *reduction* order varies (Spark partial aggs vs DuckDB).
-    * Casting each row to DECIMAL(30,8) first makes the sum exact and
-    * order-independent; the final cast back to double is deterministic.
-    * DuckDB twin: CAST(sum(CAST(e AS DECIMAL(30,8))) AS DOUBLE).
+    * `floor(e*1e8)` is the same double→long mapping in both engines (no
+    * rounding mode involved — unlike a double→DECIMAL cast, whose
+    * half-even ties at the 8th digit each engine may break differently,
+    * e.g. e = 1/512 exactly). Long sums are order-independent, and the
+    * final long→double cast is deterministic.
+    * DuckDB twin: CAST(sum(CAST(floor(e*100000000.0) AS BIGINT)) AS BIGINT).
     */
-  def dsum(e: Column): Column =
-    sum(e.cast("decimal(30,8)")).cast("double")
+  def qsum8(e: Column): Column =
+    sum(floor(e * lit(1e8)).cast("long"))
 
-  /** Exact cross-engine average: decimal sum / count, divided in double. */
-  def davg(e: Column): Column =
-    dsum(e) / count(lit(1))
+  /** Exact cross-engine average of [[qsum8]]-quantized doubles: cast the
+    * long sum to double, de-quantize, divide by count — left-associated,
+    * so the DuckDB twin must also be
+    * `CAST(S AS DOUBLE) / 100000000.0 / count(*)`.
+    */
+  def qmean8(e: Column): Column =
+    qsum8(e).cast("double") / lit(1e8) / count(lit(1))
 
   /** Exact integer cents of a 2-decimal money column (driver data keeps all
     * money at 2 decimals; fp error ≤4e-9, far from any rounding tie). Sums

@@ -37,11 +37,15 @@ import graft.streaming.StreamingDedup.DocSig
   * for readers of `outDir/corpus`), skipped when that directory already
   * carries a `_SUCCESS` commit marker and OVERWRITTEN (not appended)
   * when a partial, marker-less write is left behind. Replayed batches
-  * are bit-identical — the state store rewinds to the batch's start
-  * version and admission is deterministic — so skip-or-overwrite both
-  * land the exact committed content (StreamingCorpusSpec kills the
-  * query after an uncommitted write and asserts the restarted corpus
-  * has no duplicate doc_ids).
+  * are bit-identical, which rests on two ordering guarantees — the
+  * state store rewinds to the batch's start version, and admission
+  * within the batch is deterministic because [[AdmitProcessor
+  * .handleInputRows]] sorts each bucket's arrivals by doc_id before
+  * scanning (Spark does NOT guarantee the group iterator's row order
+  * across replays) and `ListState` preserves insertion order — so
+  * skip-or-overwrite both land the exact committed content
+  * (StreamingCorpusSpec kills the query after an uncommitted write and
+  * asserts the restarted corpus has no duplicate doc_ids).
   *
   * At scale: one stateful shuffle keyed by (band, key) — the same key
   * the batch band join uses — with RocksDB-backed, cap-bounded bucket
@@ -91,6 +95,8 @@ object StreamingCorpus {
       members.get().foreach(cohort += _)
       val out = scala.collection.mutable.ArrayBuffer.empty[BandVerdict]
       val fresh = scala.collection.mutable.ArrayBuffer.empty[DocSig]
+      // sort is load-bearing for replay determinism: the group
+      // iterator's row order is NOT guaranteed stable across replays
       rows.toArray.sortBy(_.doc_id).iterator.foreach { o =>
         val sig = DocSig(o.doc_id, o.b0, o.b1, o.b2, o.b3)
         val dup = cohort.exists(m => m.doc_id != sig.doc_id &&

@@ -98,6 +98,28 @@ class BpeAndPackSpec extends AnyFunSuite {
     assert(got.filter(r => r._2 != lastPerSource(r._1)).forall(_._5 == L))
   }
 
+  test("q67 BPE stops cleanly when the vocabulary runs out of adjacent pairs") {
+    import spark.implicits._
+    // "ab a b": round 1 merges (a,b); afterwards every word is a single
+    // symbol, so rounds 2..BpeRounds find no pair — the trainer must
+    // return the 1 merge learned, not throw on an empty argmax
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_degen").toString
+    Seq((1L, "s0", "ab a b"), (2L, "s0", "b a ab"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q67_bpe_train")(spark, tmp)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    graft.queries.releasePersisted()
+    assert(got == Seq((1, "a", "b", "ab", 2L)))
+    // fully degenerate: all words single-char → zero merges, zero rows
+    Seq((1L, "s0", "a b c"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val none = SparkEntry.queries("q67_bpe_train")(spark, tmp).collect()
+    graft.queries.releasePersisted()
+    assert(none.isEmpty)
+  }
+
   test("q68 encoding is bounded by words below and characters above") {
     import spark.implicits._
     val got = SparkEntry.queries("q68_bpe_encode")(spark, d)
@@ -120,8 +142,11 @@ class BpeAndPackSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double)].collect().toSeq
     graft.queries.releasePersisted()
     assert(got.map(_._1).toSet == nTok.keySet)
+    // mean_p is floor-quantized to 1e-8 (invariant 2), so it can sit up
+    // to 1e-8 BELOW the exact mean — and below min_p when a doc has a
+    // single bigram
     assert(got.forall { case (id, nb, mean, mn) =>
-      nb == nTok(id) - 1 && mn > 0.0 && mn <= mean && mean <= 1.0
+      nb == nTok(id) - 1 && mn > 0.0 && mn <= mean + 1e-8 && mean <= 1.0
     })
   }
 

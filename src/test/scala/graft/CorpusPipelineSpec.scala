@@ -60,4 +60,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     queries.releasePersisted()
     spark.catalog.clearCache()
   }
+
+  test("materializeShuffled shard files replay q71's training order exactly") {
+    import spark.implicits._
+    val out = s"/tmp/graft_shuf_${System.nanoTime()}"
+    val shipped = PipelineQueries.materializeShuffled(spark, d, out)
+    queries.releasePersisted()
+    val expected = SparkEntry.queries("q71_corpus_shuffle")(spark, d)
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    queries.releasePersisted()
+    assert(shipped == expected.size.toLong)
+    // shard dirs exist and, read file-by-file in shard order, the row
+    // order on disk IS the (shard, pos) training order — a plain
+    // sequential reader needs no sort to replay it
+    val dirs = new java.io.File(s"$out/shuffled").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard=")))
+    val replayed = dirs.flatMap { sd =>
+      val shard = sd.stripPrefix("shard=").toLong
+      spark.read.parquet(s"$out/shuffled/$sd")
+        .select(col("pos"), col("doc_id"))
+        .as[(Long, Long)].collect() // parquet scan preserves row-group order per file
+        .map { case (pos, id) => (shard, pos, id) }
+    }.toSeq
+    assert(replayed == expected, "on-disk order diverges from q71's training order")
+    // same seed ⇒ same order on a different partitioning of the input
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    spark.catalog.clearCache()
+  }
 }

@@ -54,6 +54,25 @@ class DedupGroupsSpec extends AnyFunSuite {
     assert(rounds < pure, s"pre-collapse took $rounds rounds, pure propagation $pure")
   }
 
+  test("localCollapse skew guard: a tiny drain cap yields valid seeds and identical components") {
+    import spark.implicits._
+    // one contiguous dup family (path 0..30) forced through a single range
+    // partition with a cap far below its endpoint count — the map drains
+    // repeatedly mid-family
+    val (v, e) = path(30)
+    val seeds = Dedup.localCollapse(e.repartition(1), maxEntries = 4)
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      .as[(Long, Long)].collect().toMap
+    // every endpoint got a seed, each seed is monotone (lbl <= id) and
+    // reachable (a real vertex of the same component — on a path, any
+    // smaller id)
+    assert(seeds.keySet == (0L to 30L).toSet)
+    assert(seeds.forall { case (id, lbl) => lbl <= id && lbl >= 0L })
+    // and the full CC result is unchanged by the draining
+    val lbl = Dedup.connectedComponentsWithRounds(v, e.repartition(1))._1
+    assert(lbl.filter(col("lbl") =!= 0L).count() == 0, "drained seeds broke the fixpoint")
+  }
+
   test("property: labels equal a union-find model on seeded random graphs") {
     import spark.implicits._
     for (seed <- 1 to 8) {
