@@ -152,6 +152,71 @@ object Multimodal {
         (try decodeBmp(b).orElse(decodeWav(b)) catch { case _: Exception => None })
           .getOrElse(StubDecoder.decodeBatch(Seq(b)).head)
       }
+
+    /** Canonical DECODED content bytes — the container-independent form
+      * an exact content-dedup hashes: BMP → pixel triples row-major
+      * TOP-DOWN with the 4-byte row padding stripped (a bottom-up and a
+      * top-down encoding of the same image canonicalize equal); WAV →
+      * the raw PCM `data` chunk alone (extra LIST/INFO chunks and
+      * header fields drop out); anything else → the payload itself.
+      * Same bounds discipline as the feature decoders; a hostile
+      * payload canonicalizes to itself rather than failing the task.
+      */
+    def contentBytes(b: Array[Byte]): Array[Byte] = {
+      def bmp: Option[Array[Byte]] = {
+        if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+        val off = i32(b, 10)
+        if (i32(b, 14) < 40) return None
+        val w = i32(b, 18)
+        val h = i32(b, 22)
+        if (u16(b, 28) != 24 || i32(b, 30) != 0 || w <= 0 || h == 0) return None
+        val rows = math.abs(h)
+        val strideL = ((w.toLong * 3 + 3) / 4) * 4
+        if (off < 0 || off.toLong + strideL * rows > b.length) return None
+        val stride = strideL.toInt
+        val rowBytes = w * 3
+        val out = new Array[Byte](rowBytes * rows)
+        var r = 0
+        while (r < rows) {
+          // h > 0 stores rows bottom-up; canonical order is top-down
+          val srcRow = if (h > 0) rows - 1 - r else r
+          System.arraycopy(b, off + srcRow * stride, out, r * rowBytes, rowBytes)
+          r += 1
+        }
+        Some(out)
+      }
+      def wav: Option[Array[Byte]] = {
+        if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+          || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+        var pos = 12L
+        var dataOff = -1; var dataLen = 0
+        while (pos + 8 <= b.length && dataOff < 0) {
+          val p = pos.toInt
+          val id = new String(b, p, 4, "US-ASCII")
+          val len = i32(b, p + 4)
+          if (len < 0 || pos + 8 + len.toLong > b.length) return None
+          if (id == "data") { dataOff = p + 8; dataLen = len }
+          pos += 8L + len + (len & 1)
+        }
+        if (dataOff < 0) return None
+        Some(java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen))
+      }
+      (try bmp.orElse(wav) catch { case _: Exception => None }).getOrElse(b)
+    }
+  }
+
+  /** Canonical-content rows for exact multimodal dedup: decode each
+    * payload to its container-independent content bytes (partition-
+    * parallel, the [[extractFeatures]] iteration shape) and leave the
+    * hashing to the caller's plan (`sha2(content, 256)` stays codegen'd
+    * — the imperative part is only the decode, as with a real codec).
+    */
+  def contentRows(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.repartition(col("media_id"))
+      .map(r => (r.media_id, r.media_type,
+        BinaryDecoder.contentBytes(r.payload)))
+      .toDF("media_id", "media_type", "content")
   }
 
   /** Synthesize deterministic opaque payloads from the documents table —

@@ -366,7 +366,7 @@ object TextQueries {
     * only full-width pass is the semi-join probe, and the under-cap key
     * set is aggregate-sized (AQE broadcasts it when small).
     */
-  private def bandOccCapped(bands: org.apache.spark.sql.DataFrame,
+  private[graft] def bandOccCapped(bands: org.apache.spark.sql.DataFrame,
       cap: Int = BandOccCap): org.apache.spark.sql.DataFrame = {
     val keep = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("occ"))
@@ -572,6 +572,72 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** EXT — incremental batch dedup against a frozen snapshot
+    * ([[graft.ops.IncrementalDedup]]): the corpus is split into an
+    * existing snapshot (doc_id % 4 ≠ 0, the side a production run
+    * freezes as a parquet signature index) and a new crawl batch
+    * (doc_id % 4 = 0); each new doc reports how many verified near-dups
+    * the snapshot already holds and its nearest snapshot neighbor
+    * (min (dist, old_id) — the invariant-8 struct-min, mirrored as a
+    * two-step min in the oracle). The snapshot side is occupancy-capped
+    * at build time (q51's cap over the SNAPSHOT population); the probe
+    * side needs no cap — fan-out per bucket is batch-members × ≤cap.
+    * IncrementalDedupSpec proves the probe ≡ a full q51 recompute on
+    * the union (restricted to cross-split pairs) and that the frozen
+    * side is consumed from parquet, never rebuilt.
+    */
+  val q72IncrementalDedup: Q = (s, d) => {
+    val all = documents(s, d)
+    val oldDocs = all.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val newDocs = all.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val index = graft.ops.IncrementalDedup.buildIndex(oldDocs, track = tracked)
+    val matches = graft.ops.IncrementalDedup.probe(index, newDocs)
+    val agg = matches.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("nd"),
+        min(struct(col("dist"), col("old_id"))).as("nn"))
+      .select(col("new_id").as("doc_id"), col("nd"),
+        col("nn.dist").as("nnd"), col("nn.old_id").as("nno"))
+    newDocs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).as("n_dup"),
+        col("nd").isNotNull.cast("int").as("is_dup"),
+        coalesce(col("nnd"), lit(-1)).as("nn_dist"),
+        coalesce(col("nno"), lit(-1L)).as("nn_old"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT — exact content-hash dedup over DECODED multimodal bytes: q30's
+    * hash-groupBy shape applied to media, but the hash runs over the
+    * CANONICAL decoded content
+    * ([[graft.ops.Multimodal.BinaryDecoder.contentBytes]] — BMP pixel
+    * rows unpadded and top-down, WAV PCM `data` alone, opaque payloads
+    * as-is), so the same image/audio content in different containers,
+    * row orders, padding, or with extra metadata chunks dedups together
+    * — what hashing the raw file bytes cannot do (MultimodalSpec proves
+    * bottom-up ≡ top-down BMP and chunk-injected WAV). Decode is the
+    * one imperative step (the multimodal contract); `sha2` and the
+    * cluster aggregate stay in-plan. The fixture's synthetic payloads
+    * are opaque — the corpus alphabet can never collide with the
+    * BMP/WAV magic bytes — so they canonicalize to themselves and the
+    * oracle mirrors with sha256 over the text bytes.
+    */
+  val q73MultimodalDedup: Q = (s, d) => {
+    val media = graft.ops.Multimodal.syntheticMedia(s, documents(s, d))
+    val h = tracked(graft.ops.Multimodal.contentRows(media)
+      .select(col("media_id"), col("media_type"),
+        length(col("content")).cast("long").as("n_content_bytes"),
+        sha2(col("content"), 256).as("chash")))
+    val clusters = h.groupBy(col("chash"))
+      .agg(min(col("media_id")).as("cluster_id"), count(lit(1)).as("csz"))
+    h.join(clusters, Seq("chash"))
+      .select(col("media_id"), col("media_type"), col("n_content_bytes"),
+        col("chash"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).cast("int").as("keeper"),
+        col("csz"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -591,6 +657,8 @@ object TextQueries {
     "q54_quantize_int8"   -> q54QuantizeInt8,
     "q55_stratified_sample" -> q55StratifiedSample,
     "q56_dup_groups"      -> q56DupGroups,
+    "q72_incremental_dedup" -> q72IncrementalDedup,
+    "q73_multimodal_dedup" -> q73MultimodalDedup,
   )
 
   /** Shared CTE chain deriving the verified SimHash near-dup pairs
@@ -650,6 +718,39 @@ object TextQueries {
     simhashPairCtes + s"""pf AS (SELECT 1)
       |SELECT da, db, CAST(dist AS INT) AS dist FROM p WHERE dist <= $SimhashMaxDist
       |ORDER BY da, db""".stripMargin
+
+  /** Oracle for [[q72IncrementalDedup]]: reuses the shared sig/bands0
+    * CTEs, then mirrors the build/probe split — snapshot-side occupancy
+    * cap, band equi-join, XOR verify, two-step (min dist, then min
+    * old_id) nearest-neighbor = the Spark struct-min.
+    */
+  private def q72OracleSql: String =
+    simhashPairCtes + s"""fro AS (SELECT * FROM bands0 WHERE doc_id % 4 <> 0),
+      |fkeep AS (SELECT band, key FROM fro GROUP BY band, key HAVING count(*) <= $BandOccCap),
+      |fidx AS (SELECT fro.* FROM fro JOIN fkeep USING (band, key)),
+      |nbb AS (SELECT * FROM bands0 WHERE doc_id % 4 = 0),
+      |mt0 AS (
+      |  SELECT DISTINCT n.doc_id AS nid, f.doc_id AS old_id
+      |  FROM nbb n JOIN fidx f ON n.band = f.band AND n.key = f.key),
+      |mt AS (
+      |  SELECT m.nid, m.old_id,
+      |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INTEGER) AS dist
+      |  FROM mt0 m JOIN sig x ON m.nid = x.doc_id JOIN sig y ON m.old_id = y.doc_id),
+      |ok AS (SELECT * FROM mt WHERE dist <= $SimhashMaxDist),
+      |md AS (SELECT nid, CAST(count(*) AS BIGINT) AS n_dup, min(dist) AS nn_dist
+      |       FROM ok GROUP BY nid),
+      |ag AS (
+      |  SELECT md.nid, md.n_dup, md.nn_dist, min(ok.old_id) AS nn_old
+      |  FROM md JOIN ok ON md.nid = ok.nid AND md.nn_dist = ok.dist
+      |  GROUP BY md.nid, md.n_dup, md.nn_dist)
+      |SELECT d.doc_id, COALESCE(ag.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+      |  CASE WHEN ag.nid IS NULL THEN 0 ELSE 1 END AS is_dup,
+      |  COALESCE(ag.nn_dist, -1) AS nn_dist,
+      |  COALESCE(ag.nn_old, CAST(-1 AS BIGINT)) AS nn_old
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      |LEFT JOIN ag ON d.doc_id = ag.nid
+      |ORDER BY doc_id""".stripMargin
 
   /** q56's oracle computes the components by a deliberately DIFFERENT
     * algorithm than the Spark side: a recursive-CTE transitive closure
@@ -969,6 +1070,27 @@ object TextQueries {
     "q42_ann_ivf" -> q42OracleSql,
     "q51_simhash64" -> q51OracleSql,
     "q56_dup_groups" -> q56OracleSql,
+    "q72_incremental_dedup" -> q72OracleSql,
+    "q73_multimodal_dedup" ->
+      """WITH m73 AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    text
+        |  FROM documents),
+        |h73 AS (
+        |  SELECT media_id, media_type,
+        |    CAST(length(text) AS BIGINT) AS n_content_bytes,
+        |    sha256(text) AS chash
+        |  FROM m73),
+        |c73 AS (
+        |  SELECT chash, min(media_id) AS cluster_id,
+        |    CAST(count(*) AS BIGINT) AS csz
+        |  FROM h73 GROUP BY chash)
+        |SELECT h73.media_id, h73.media_type, h73.n_content_bytes, h73.chash,
+        |  c73.cluster_id,
+        |  CASE WHEN h73.media_id = c73.cluster_id THEN 1 ELSE 0 END AS keeper,
+        |  c73.csz
+        |FROM h73 JOIN c73 USING (chash) ORDER BY media_id""".stripMargin,
     "q52_topk_tokens" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),

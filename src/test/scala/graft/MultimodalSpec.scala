@@ -113,6 +113,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BinaryDecoder.decodeBatch(Seq(evilBmp, evilWav)).forall(_.length == 16))
   }
 
+  test("contentBytes canonicalizes decoded content across container variation") {
+    // BMP: the same 2×2 image stored bottom-up (golden, h = 2) and
+    // top-down (h = -2, rows reordered) must canonicalize equal, with
+    // the per-row padding stripped (2·2 pixels × 3 bytes = 12, not the
+    // padded 16)
+    val bottomUp = goldenBmp
+    val topDown = goldenBmp.clone()
+    le32(-2).copyToArray(topDown, 22)
+    // golden stores bottom row first at offset 54; top-down stores top row first
+    System.arraycopy(goldenBmp, 54 + 8, topDown, 54, 8)
+    System.arraycopy(goldenBmp, 54, topDown, 54 + 8, 8)
+    val cb = BinaryDecoder.contentBytes(bottomUp)
+    assert(cb.length == 12)
+    assert(cb.toSeq == BinaryDecoder.contentBytes(topDown).toSeq,
+      "bottom-up and top-down encodings of the same pixels diverge")
+    // WAV: injecting a LIST metadata chunk before `data` must not change
+    // the canonical content (the raw PCM samples)
+    val samples = goldenWav.takeRight(8)
+    val withList = goldenWav.take(36) ++
+      Array[Byte]('L', 'I', 'S', 'T') ++ le32(4) ++ Array[Byte]('I', 'N', 'F', 'O') ++
+      goldenWav.drop(36)
+    assert(BinaryDecoder.contentBytes(goldenWav).toSeq == samples.toSeq)
+    assert(BinaryDecoder.contentBytes(withList).toSeq == samples.toSeq,
+      "metadata chunk changed the canonical content")
+    // opaque payloads canonicalize to themselves
+    val opaque = "plain text payload".getBytes("UTF-8")
+    assert(BinaryDecoder.contentBytes(opaque) eq opaque)
+  }
+
+  test("q73 clusters media by decoded-content hash with min-id keepers") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q73_multimodal_dedup")(spark, "/root/testdata/sf0.001")
+      .selectExpr("media_id", "chash", "cluster_id", "keeper", "csz")
+      .as[(Long, String, Long, Int, Long)].collect().toSeq
+    graft.queries.releasePersisted()
+    assert(out.nonEmpty)
+    // keeper is exactly the cluster min, cluster sizes are consistent,
+    // and equal hashes share a cluster
+    val byCluster = out.groupBy(_._3)
+    assert(byCluster.forall { case (cid, ms) =>
+      ms.map(_._1).min == cid && ms.count(_._4 == 1) == 1 &&
+        ms.forall(_._5 == ms.size) && ms.map(_._2).distinct.size == 1
+    })
+    spark.catalog.clearCache()
+  }
+
   test("resize stub pads/truncates payloads and rewrites metadata") {
     val resized = Multimodal.resizeStub(media, 128, 128).collect()
     val budget = 128 * 128 / 64 + 1
