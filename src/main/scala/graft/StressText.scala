@@ -39,9 +39,16 @@ object StressText {
       // (packing — pure window cumsum), q65 (bigram LM — bigram vocab
       // constant, corpus join linear), q67 (BPE — vocabulary state is
       // IDENTICAL at every k, so wall clock must stay flat)
+      // round-6 additions: q71 (corpus shuffle — funnel + one partitioned
+      // window, linear), q72 (incremental dedup — replica families make
+      // every new-batch doc match its cross-split replicas; probe fan-out
+      // is bucket-capped, so cost tracks matches, never pairs²), q73
+      // (content-hash dedup — pure hash groupBy, clusters of size =
+      // copies)
       for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups",
           "q57_corpus_funnel", "q61_line_dedup", "q64_seq_pack",
-          "q65_bigram_lm", "q67_bpe_train")) {
+          "q65_bigram_lm", "q67_bpe_train",
+          "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9

@@ -22,7 +22,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("banded candidate generation never plans an all-pairs join") {
     for (q <- Seq("q31_neardup_minhash", "q40_embedding_neardup",
         "q51_simhash64", "q53_contamination", "q32_ngram_jaccard",
-        "q56_dup_groups")) {
+        "q56_dup_groups", "q72_incremental_dedup")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
@@ -70,6 +70,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan("q52_topk_tokens").contains("WindowGroupLimit"))
     assert(finalPlan("q03_latest_event").contains("WindowGroupLimit"))
     assert(finalPlan("q70_exactk_sample").contains("WindowGroupLimit"))
+  }
+
+  test("q71's training-order window is shard-partitioned, never global") {
+    val p = finalPlan("q71_corpus_shuffle")
+    assert(p.contains("hashpartitioning(shard"),
+      "pos window lost its shard partitioning — a global sort would bottleneck at scale")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
   }
 
   test("exact-dedup scan stays pruned to the needed columns") {
