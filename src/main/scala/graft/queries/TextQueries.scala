@@ -638,6 +638,52 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Verify threshold for [[q74MediaNeardup]]'s signature pairs: radius
+    * 3 is exactly what the 4-band pigeonhole makes COMPLETE (any pair
+    * within 3 bits shares a whole band), and the corpus measures a
+    * clean gap there — near-dup payloads land 0–3 bits apart under the
+    * bigram-histogram signature, unrelated ones spread smoothly from ~4
+    * up.
+    */
+  val MediaSigMaxDist = 3
+
+  /** EXT — PERCEPTUAL media near-dup: where [[q73MultimodalDedup]]
+    * catches exact decoded content, this catches content that is merely
+    * CLOSE — the perceptual-hash pass every image-dedup pipeline runs.
+    * Each payload decodes to canonical bytes, reduces to a 64-bit
+    * bigram-histogram signature
+    * ([[graft.ops.Multimodal.contentSig4]] — integer-only,
+    * cross-multiplied mean test, emitted as four 16-bit band keys), and
+    * then q51's ENTIRE banded machinery applies unchanged: band
+    * equi-join (never all-pairs), occupancy cap against degenerate
+    * buckets, XOR popcount verify ≤ [[MediaSigMaxDist]]. One new scalar
+    * hash bought a whole near-dup operator — the payoff of keeping the
+    * banding generic.
+    */
+  val q74MediaNeardup: Q = (s, d) => {
+    val media = graft.ops.Multimodal.syntheticMedia(s, documents(s, d))
+    val sig = tracked(graft.ops.Multimodal.perceptualRows(media))
+    val bands = tracked(bandOccCapped(sig.select(col("media_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"a$b").as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key"))))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .distinct()
+    val xa = sig.select(col("media_id").as("ma") +:
+      (0 until 4).map(b => col(s"a$b").as(s"xa$b")): _*)
+    val xb = sig.select(col("media_id").as("mb") +:
+      (0 until 4).map(b => col(s"a$b").as(s"xb$b")): _*)
+    cands.join(xa, Seq("ma")).join(xb, Seq("mb"))
+      .withColumn("dist", (0 until 4).map(b =>
+        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .filter(col("dist") <= MediaSigMaxDist)
+      .select(col("ma"), col("mb"), col("dist"))
+      .orderBy(col("ma"), col("mb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -659,6 +705,7 @@ object TextQueries {
     "q56_dup_groups"      -> q56DupGroups,
     "q72_incremental_dedup" -> q72IncrementalDedup,
     "q73_multimodal_dedup" -> q73MultimodalDedup,
+    "q74_media_neardup" -> q74MediaNeardup,
   )
 
   /** Shared CTE chain deriving the verified SimHash near-dup pairs
@@ -1071,6 +1118,44 @@ object TextQueries {
     "q51_simhash64" -> q51OracleSql,
     "q56_dup_groups" -> q56OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
+    "q74_media_neardup" ->
+      s"""WITH mm AS (SELECT doc_id AS media_id, text FROM documents),
+        |by74 AS (
+        |  SELECT media_id,
+        |    (CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT) * 31
+        |      + CAST(ascii(substring(text, CAST(p AS INT) + 1, 1)) AS BIGINT)) % 64 AS bk,
+        |    CAST(length(text) - 1 AS BIGINT) AS n
+        |  FROM mm, LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS p)),
+        |bs74 AS (
+        |  SELECT media_id, bk, CAST(count(*) AS BIGINT) AS c, max(n) AS n
+        |  FROM by74 GROUP BY media_id, bk),
+        |bit74 AS (
+        |  SELECT media_id, bk,
+        |    CASE WHEN c * 64 > n THEN 1 ELSE 0 END AS bit
+        |  FROM bs74),
+        |ah74 AS (
+        |  SELECT media_id,
+        |    CAST(sum(CASE WHEN bk < 16 THEN bit * CAST(2 ** bk AS BIGINT) ELSE 0 END) AS BIGINT) AS a0,
+        |    CAST(sum(CASE WHEN bk >= 16 AND bk < 32 THEN bit * CAST(2 ** (bk - 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN bk >= 32 AND bk < 48 THEN bit * CAST(2 ** (bk - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS a2,
+        |    CAST(sum(CASE WHEN bk >= 48 THEN bit * CAST(2 ** (bk - 48) AS BIGINT) ELSE 0 END) AS BIGINT) AS a3
+        |  FROM bit74 GROUP BY media_id),
+        |ab74 AS (
+        |  SELECT media_id, b AS band,
+        |    CASE b WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS key
+        |  FROM ah74, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |ak74 AS (SELECT band, key FROM ab74 GROUP BY band, key HAVING count(*) <= $BandOccCap),
+        |abn74 AS (SELECT ab74.* FROM ab74 JOIN ak74 USING (band, key)),
+        |ac74 AS (
+        |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+        |  FROM abn74 a JOIN abn74 b ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id),
+        |ap74 AS (
+        |  SELECT c.ma, c.mb,
+        |    CAST(bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1))
+        |      + bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) AS INT) AS dist
+        |  FROM ac74 c JOIN ah74 x ON c.ma = x.media_id JOIN ah74 y ON c.mb = y.media_id)
+        |SELECT ma, mb, dist FROM ap74 WHERE dist <= $MediaSigMaxDist
+        |ORDER BY ma, mb""".stripMargin,
     "q73_multimodal_dedup" ->
       """WITH m73 AS (
         |  SELECT doc_id AS media_id,

@@ -159,6 +159,40 @@ class MultimodalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("contentSig4 separates near-dup from unrelated content and ignores containers") {
+    def dist(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val base = ("the quick brown fox jumps over the lazy dog " * 50).getBytes("UTF-8")
+    val edited = ("the quick brown cat jumps over the lazy dog " +
+      "the quick brown fox jumps over the lazy dog " * 49).getBytes("UTF-8")
+    val unrelated = ("zqxj vwkp mzzr gflb " * 110).getBytes("UTF-8")
+    val dNear = dist(Multimodal.contentSig4(base), Multimodal.contentSig4(edited))
+    val dFar = dist(Multimodal.contentSig4(base), Multimodal.contentSig4(unrelated))
+    assert(dNear <= graft.queries.TextQueries.MediaSigMaxDist,
+      s"one-word edit moved the signature $dNear bits — histogram not stable")
+    assert(dFar > graft.queries.TextQueries.MediaSigMaxDist,
+      s"unrelated content landed $dFar bits away — signature not discriminative")
+    // container variation vanishes before the signature: bottom-up and
+    // top-down encodings of the same pixels sign identically
+    val topDown = goldenBmp.clone()
+    le32(-2).copyToArray(topDown, 22)
+    System.arraycopy(goldenBmp, 54 + 8, topDown, 54, 8)
+    System.arraycopy(goldenBmp, 54, topDown, 54 + 8, 8)
+    assert(Multimodal.contentSig4(BinaryDecoder.contentBytes(goldenBmp)).toSeq ==
+      Multimodal.contentSig4(BinaryDecoder.contentBytes(topDown)).toSeq)
+  }
+
+  test("q74 finds non-vacuous signature pairs within the verify radius") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q74_media_neardup")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Int)].collect().toSeq
+    graft.queries.releasePersisted()
+    assert(out.nonEmpty, "no signature pairs at sf0.001 — operator is vacuous")
+    assert(out.forall { case (ma, mb, d) =>
+      ma < mb && d >= 0 && d <= graft.queries.TextQueries.MediaSigMaxDist })
+    spark.catalog.clearCache()
+  }
+
   test("resize stub pads/truncates payloads and rewrites metadata") {
     val resized = Multimodal.resizeStub(media, 128, 128).collect()
     val budget = 128 * 128 / 64 + 1
