@@ -623,6 +623,52 @@ object PipelineQueries {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Per-epoch token budget the [[q75MixtureWeights]] quotas must hit
+    * EXACTLY (largest-remainder apportionment — the deterministic
+    * integer form of "sample sources at temperature").
+    */
+  val EpochBudget = 1000000L
+
+  /** EXT — temperature-based source mixing: the step between [[q60]]'s
+    * budget audit and [[q71CorpusShuffle]]'s training order — given
+    * per-source token masses, compute α = 0.5 temperature weights
+    * (w_s ∝ √n_s, the standard up-weighting of small sources) and an
+    * EXACT integer token quota per source for one epoch. Everything
+    * after the one allowed transcendental (sqrt — IEEE-exact in both
+    * engines, invariant 4) is integer: weights quantize to
+    * `floor(√n·1e8)` longs, quotas are `⌊E·r/W⌋` by long division, and
+    * the leftover `E − Σ⌊·⌋` goes to the largest remainders (ties by
+    * source) — so `Σ quota = E` exactly, bit-for-bit in both engines.
+    * The display weight is one double division of identical longs.
+    *
+    * At scale: one corpus scan → a source-sized aggregate (20 rows);
+    * the totals ride 1-row broadcast crossJoins (the q58/q60 shape) and
+    * the remainder rank is a window over the SOURCE dimension (20 rows
+    * — the q04 dimension-table exception), never the corpus.
+    */
+  val q75MixtureWeights: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = tracked(documents(s, d)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("r",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e8)).cast("long")))
+    val tot = perSrc.agg(sum(col("r")).cast("long").as("w_total"))
+    val joined = tracked(perSrc.crossJoin(broadcast(tot))
+      .withColumn("quota0", expr(s"($EpochBudget * r) div w_total"))
+      .withColumn("rem", pmod(lit(EpochBudget) * col("r"), col("w_total"))))
+    val defc = joined.agg((lit(EpochBudget) - sum(col("quota0"))).cast("long").as("d"))
+    // global window over the SOURCE dimension (20 rows), not the corpus
+    val w = Window.orderBy(col("rem").desc, col("source").asc)
+    joined.crossJoin(broadcast(defc))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("source"), col("n_tokens"),
+        (col("r").cast("double") / col("w_total").cast("double")).as("weight"),
+        (col("quota0") + when(col("rk") <= col("d"), 1L).otherwise(0L))
+          .cast("long").as("quota"))
+      .orderBy(col("source"))
+  }
+
   /** Shard count for [[q71CorpusShuffle]]. */
   val NumShards = 8
   /** Seeded multiplicative shuffle hash (Knuth 2654435761); changing
@@ -700,6 +746,7 @@ object PipelineQueries {
     "q69_embedding_drift" -> q69EmbeddingDrift,
     "q70_exactk_sample" -> q70ExactKSample,
     "q71_corpus_shuffle" -> q71CorpusShuffle,
+    "q75_mixture_weights" -> q75MixtureWeights,
   )
 
   /** The q57 funnel's per-document stage flags as shared oracle CTEs —
@@ -989,6 +1036,29 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY h % $NumShards ORDER BY h, doc_id) AS BIGINT) AS pos,
         |  doc_id, source, lang, h
         |FROM sh71 ORDER BY shard, pos""".stripMargin),
+    "q75_mixture_weights" ->
+      s"""WITH ps75 AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |r75 AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 100000000.0) AS BIGINT) AS r
+        |  FROM ps75),
+        |t75 AS (SELECT CAST(sum(r) AS BIGINT) AS w_total FROM r75),
+        |j75 AS (
+        |  SELECT source, n_tokens, r, w_total,
+        |    ($EpochBudget * r) // w_total AS quota0,
+        |    ($EpochBudget * r) % w_total AS rem
+        |  FROM r75, t75),
+        |d75 AS (SELECT $EpochBudget - CAST(sum(quota0) AS BIGINT) AS d FROM j75),
+        |k75 AS (
+        |  SELECT j75.*, d75.d,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM j75, d75)
+        |SELECT source, n_tokens,
+        |  CAST(r AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight,
+        |  CAST(quota0 + CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM k75 ORDER BY source""".stripMargin,
   )
 
   /** DuckDB mirror of [[bpeTrain]]'s rounds: the same Scala loop that

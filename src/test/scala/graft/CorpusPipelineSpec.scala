@@ -61,6 +61,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q75 quotas hit the epoch budget exactly and follow the temperature") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q75_mixture_weights")(spark, d)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    queries.releasePersisted()
+    assert(out.nonEmpty)
+    // largest-remainder apportionment: the integer quotas sum to the
+    // budget EXACTLY, no source is left at zero, and each is within 1
+    // token of its real-valued share
+    assert(out.map(_._4).sum == PipelineQueries.EpochBudget)
+    assert(out.forall(_._4 > 0))
+    assert(out.forall { case (_, _, w, q) =>
+      math.abs(q - w * PipelineQueries.EpochBudget) <= 1.0 })
+    // α = 0.5 temperature: weights order like token mass but flatter —
+    // the biggest source is under-weighted vs its mass share
+    val mass = out.map(_._2).sum.toDouble
+    val big = out.maxBy(_._2)
+    assert(big._3 < big._2 / mass,
+      "temperature did not flatten the largest source")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    spark.catalog.clearCache()
+  }
+
   test("materializeShuffled shard files replay q71's training order exactly") {
     import spark.implicits._
     val out = s"/tmp/graft_shuf_${System.nanoTime()}"
