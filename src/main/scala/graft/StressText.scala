@@ -48,7 +48,8 @@ object StressText {
       for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups",
           "q57_corpus_funnel", "q61_line_dedup", "q64_seq_pack",
           "q65_bigram_lm", "q67_bpe_train",
-          "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup")) {
+          "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
+          "q74_media_neardup")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
