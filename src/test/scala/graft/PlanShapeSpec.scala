@@ -94,7 +94,9 @@ class PlanShapeSpec extends AnyFunSuite {
     for (q <- Seq("q31_neardup_minhash", "q32_ngram_jaccard", "q39_ann_lsh",
         "q40_embedding_neardup", "q42_ann_ivf", "q51_simhash64",
         "q53_contamination", "q56_dup_groups", "q57_corpus_funnel",
-        "q58_vocab_prune", "q59_bigram_lift")) {
+        "q58_vocab_prune", "q59_bigram_lift",
+        "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
+        "q74_media_neardup", "q75_mixture_weights")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
