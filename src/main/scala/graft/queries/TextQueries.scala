@@ -684,6 +684,93 @@ object TextQueries {
       .orderBy(col("ma"), col("mb"))
   }
 
+  /** Within-cell duplicate threshold for [[q76SemanticDedup]]: the
+    * corpus's related-pair tail sits at cos ≈ 0.4 (the q29/q40 verify
+    * threshold — the synthetic embeddings top out near 0.5, no tighter
+    * semantic clones exist), so 0.4 marks "semantically redundant"
+    * non-vacuously here; a production corpus runs the same plan at a
+    * high-0.9x threshold.
+    */
+  val SemDupThreshold = 0.4
+
+  /** EXT — semantic dedup (the public SemDeDup shape, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with q42's trained cells
+    * (integer-quantized Lloyd's — [[graft.ops.Ivf.trainCells]], so the
+    * oracle replays training bit-exactly), then compare every vector
+    * only against its CELLMATES and mark it a duplicate when some
+    * smaller-id cellmate reaches cosine [[SemDupThreshold]] — the
+    * smallest id in a redundant pair is the kept representative. Output
+    * is one row per vector: its cell, its within-cell best smaller-id
+    * neighbor (cos desc, id asc; -1 when none), and the dup verdict.
+    *
+    * Scale shape: pairwise work is confined to cells — the quadratic
+    * all-pairs never materializes. The cell self-join is a plain
+    * equi-join shuffle on the cell id; the per-vector best neighbor is
+    * the invariant-8 max-struct aggregate (map-side partial), not a
+    * window. At 100 TB, K grows with the corpus (SemDeDup runs 50k
+    * cells on LAION) so per-cell membership stays bounded, and a
+    * saturated cell takes the q51 occupancy cap unchanged. Near pairs
+    * split across cell boundaries are missed — the documented SemDeDup
+    * approximation (q40's banded SRP is the recall-oriented
+    * complement).
+    */
+  val q76SemanticDedup: Q = (s, d) => {
+    import graft.functions.DotFold
+    import graft.ops.Ivf
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val cent = Ivf.trainCells(emb, tracked)
+    val asg = tracked(Ivf.assignAll(emb, cent))
+    val nn = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("cand"),
+        (DotFold(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("cand")).as("negid"))).as("m"))
+      .select(col("vec_id"), (-col("m.negid")).as("nn_id"), col("m.c").as("nn_cos"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("nn_id"), lit(-1L)).as("nn_id"),
+        coalesce(col("nn_cos"), lit(-1.0)).as("nn_cos"),
+        (coalesce(col("nn_cos"), lit(-1.0)) >= SemDupThreshold).cast("int").as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Terms kept per document by [[q77TfidfTopk]]. */
+  val TfidfTopK = 3
+
+  /** EXT — TF-IDF top-k terms per document, cross-engine exact: idf is
+    * quantized to ONE integer per term — idfq = (10⁶·N) DIV df, true
+    * integer division in both engines (a log-idf would break invariant 4:
+    * log isn't cross-engine bit-stable; the N/df ratio preserves the df
+    * ordering exactly) — so score = tf·idfq stays in longs and ranking
+    * ties break on the term string identically everywhere (binary
+    * collation both engines, the q52 precedent). Shapes: tf is one
+    * explode + hash agg over the corpus scan; df aggregates the tf table
+    * (text is never re-tokenized); N rides a 1-row broadcast crossJoin;
+    * per-doc top-k executes as WindowGroupLimit (partial per-partition
+    * top-k before the shuffle — q52's shape), so no global sort of the
+    * (doc, term) table ever happens. Every step is linear in token
+    * count — the 100 TB plan is the same plan.
+    */
+  val q77TfidfTopk: Q = (s, d) => {
+    val tf = tracked(documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * expr("(1000000L * n_docs) DIV df")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -706,6 +793,8 @@ object TextQueries {
     "q72_incremental_dedup" -> q72IncrementalDedup,
     "q73_multimodal_dedup" -> q73MultimodalDedup,
     "q74_media_neardup" -> q74MediaNeardup,
+    "q76_semantic_dedup" -> q76SemanticDedup,
+    "q77_tfidf_topk" -> q77TfidfTopk,
   )
 
   /** Shared CTE chain deriving the verified SimHash near-dup pairs
@@ -840,15 +929,18 @@ object TextQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  /** q42's oracle replays the integer-quantized Lloyd training CTE-by-CTE
-    * — one (cv, asg, sums, u, c) block per unrolled iteration — so the
-    * trained centroids, assignments, probes, and top-5 all hash-match the
-    * Spark plan bit-for-bit (see [[IvfK]] doc for why quantization makes
-    * that possible).
+  private def d2Sql(v: String, cv: String): String =
+    s"${dotSql(v, v)} - 2.0 * ${dotSql(v, cv)} + ${dotSql(cv, cv)}"
+
+  /** Shared oracle CTE prefix replaying the integer-quantized Lloyd
+    * training CTE-by-CTE — one (cv, asg, sums, u, c) block per unrolled
+    * iteration (see [[IvfK]] doc for why quantization makes an exact
+    * replay possible) — ending with `cvF` (trained centroids as doubles)
+    * and `af(vec_id, cell)` (every vector's nearest trained cell). Both
+    * the q42 and q76 oracles build on it, so both see bit-identical
+    * trained cells.
     */
-  private def q42OracleSql: String = {
-    val d2Sql = (v: String, cv: String) =>
-      s"${dotSql(v, v)} - 2.0 * ${dotSql(v, cv)} + ${dotSql(cv, cv)}"
+  private def ivfTrainAssignCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
       |  SELECT vec_id,
@@ -880,7 +972,19 @@ object TextQueries {
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c))
       |  WHERE rn = 1),
-      |pr AS (
+      |""".stripMargin
+    sb.toString
+  }
+
+  /** q42's oracle: the shared training/assignment prefix plus probes and
+    * exact top-5 inside the probed cells — trained centroids,
+    * assignments, probes, and top-5 all hash-match the Spark plan
+    * bit-for-bit.
+    */
+  private def q42OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainAssignCtes
+    sb ++= s"""pr AS (
       |  SELECT query_id, cid AS cell FROM (
       |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c WHERE en.vec_id < 5))
@@ -898,6 +1002,34 @@ object TextQueries {
       |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id, cos
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+    sb.toString
+  }
+
+  /** q76's oracle: the shared training/assignment prefix, then the
+    * within-cell smaller-id best neighbor (row_number mirror of the
+    * Spark max-struct argmax) and the θ dup verdict.
+    */
+  private def q76OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainAssignCtes
+    sb ++= s"""sd AS (
+      |  SELECT b.vec_id AS vec_id, a.vec_id AS cand,
+      |    ${dotSql("ea.v", "eb.v")} / (ea.nrm * eb.nrm) AS cos
+      |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN en ea ON ea.vec_id = a.vec_id
+      |  JOIN en eb ON eb.vec_id = b.vec_id),
+      |nn76 AS (
+      |  SELECT vec_id, cand AS nn_id, cos AS nn_cos FROM (
+      |    SELECT vec_id, cand, cos,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rn
+      |    FROM sd)
+      |  WHERE rn = 1)
+      |SELECT af.vec_id, af.cell,
+      |  COALESCE(nn76.nn_id, -1) AS nn_id,
+      |  COALESCE(nn76.nn_cos, -1.0) AS nn_cos,
+      |  CASE WHEN COALESCE(nn76.nn_cos, -1.0) >= $SemDupThreshold THEN 1 ELSE 0 END AS is_dup
+      |FROM af LEFT JOIN nn76 ON af.vec_id = nn76.vec_id
+      |ORDER BY af.vec_id""".stripMargin
     sb.toString
   }
 
@@ -1115,6 +1247,20 @@ object TextQueries {
         |SELECT da, db, cos FROM p WHERE cos >= 0.4
         |ORDER BY da, db""".stripMargin,
     "q42_ann_ivf" -> q42OracleSql,
+    "q76_semantic_dedup" -> q76OracleSql,
+    "q77_tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+        |    tf.tf * ((1000000 * nd.n_docs) // dft.df) AS score
+        |  FROM tf JOIN dft USING (term), nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+        |FROM r WHERE rank <= $TfidfTopK
+        |ORDER BY doc_id, rank""".stripMargin,
     "q51_simhash64" -> q51OracleSql,
     "q56_dup_groups" -> q56OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,

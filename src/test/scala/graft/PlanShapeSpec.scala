@@ -36,7 +36,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // over a single row is the intended plan; CartesianProduct is not
     for (q <- Seq("q57_corpus_funnel", "q58_vocab_prune", "q59_bigram_lift",
         "q60_token_budget", "q61_line_dedup", "q64_seq_pack", "q65_bigram_lm",
-        "q66_source_overlap", "q67_bpe_train")) {
+        "q66_source_overlap", "q67_bpe_train", "q77_tfidf_topk")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
@@ -44,11 +44,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("tiny-side cross joins stay broadcast nested-loop, never cartesian") {
-    // q29 broadcasts 5 query vectors, q42 broadcasts ≤16 centroids —
+    // q29 broadcasts 5 query vectors, q42/q76 broadcast ≤16 centroids —
     // BroadcastNestedLoopJoin over a bounded build side is the intended
     // plan; an unbroadcast CartesianProduct would be a regression
-    for (q <- Seq("q29_topk_cosine", "q42_ann_ivf")) {
+    for (q <- Seq("q29_topk_cosine", "q42_ann_ivf", "q76_semantic_dedup")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
     }
   }
 
@@ -70,6 +72,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan("q52_topk_tokens").contains("WindowGroupLimit"))
     assert(finalPlan("q03_latest_event").contains("WindowGroupLimit"))
     assert(finalPlan("q70_exactk_sample").contains("WindowGroupLimit"))
+    assert(finalPlan("q77_tfidf_topk").contains("WindowGroupLimit"))
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
   }
 
   test("q71's training-order window is shard-partitioned, never global") {
@@ -96,7 +101,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "q53_contamination", "q56_dup_groups", "q57_corpus_funnel",
         "q58_vocab_prune", "q59_bigram_lift",
         "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
-        "q74_media_neardup", "q75_mixture_weights")) {
+        "q74_media_neardup", "q75_mixture_weights", "q76_semantic_dedup",
+        "q77_tfidf_topk")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
