@@ -103,47 +103,28 @@ object Multimodal {
         sumB / n, sumG / n, sumR / n) ++ hist.map(_ / n))
     }
 
-    def decodeWav(b: Array[Byte]): Option[Array[Float]] = {
-      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
-        || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-      // chunk-walk offsets in Long: a declared chunk length near
-      // Int.MaxValue would wrap pos+8+len negative and slip past the
-      // bounds check
-      var pos = 12L
-      var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
-      var dataOff = -1; var dataLen = 0
-      while (pos + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
-        val p = pos.toInt
-        val id = new String(b, p, 4, "US-ASCII")
-        val len = i32(b, p + 4)
-        if (len < 0 || pos + 8 + len.toLong > b.length) return None
-        if (id == "fmt " && len >= 16) {
-          fmtOk = u16(b, p + 8) == 1 // PCM only
-          channels = u16(b, p + 10)
-          rate = i32(b, p + 12)
-          bits = u16(b, p + 22)
-        } else if (id == "data") { dataOff = p + 8; dataLen = len }
-        pos += 8L + len + (len & 1) // chunks are word-aligned
+    def decodeWav(b: Array[Byte]): Option[Array[Float]] =
+      wavPcm(b).map { case (channels, rate, dataOff, dataLen) =>
+        val n = dataLen / 2
+        if (n == 0) Array[Float](0f, 0f, 0f, 0f, channels.toFloat, rate / 1000f)
+        else {
+          var sumSq = 0.0; var peak = 0f; var crossings = 0; var prevNeg = false
+          var i = 0
+          while (i < n) {
+            val s = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
+            val v = s / 32768f
+            sumSq += v.toDouble * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            val neg = v < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          val durationSec = n.toFloat / (rate.toFloat * channels)
+          Array[Float](durationSec, math.sqrt(sumSq / n).toFloat,
+            crossings.toFloat / n, peak, channels.toFloat, rate / 1000f)
+        }
       }
-      if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) return None
-      val n = dataLen / 2
-      if (n == 0) return Some(Array[Float](0f, 0f, 0f, 0f, channels.toFloat, rate / 1000f))
-      var sumSq = 0.0; var peak = 0f; var crossings = 0; var prevNeg = false
-      var i = 0
-      while (i < n) {
-        val s = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
-        val v = s / 32768f
-        sumSq += v.toDouble * v
-        if (math.abs(v) > peak) peak = math.abs(v)
-        val neg = v < 0
-        if (i > 0 && neg != prevNeg) crossings += 1
-        prevNeg = neg
-        i += 1
-      }
-      val durationSec = n.toFloat / (rate.toFloat * channels)
-      Some(Array[Float](durationSec, math.sqrt(sumSq / n).toFloat,
-        crossings.toFloat / n, peak, channels.toFloat, rate / 1000f))
-    }
 
     override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
       payloads.map { b =>
@@ -203,6 +184,132 @@ object Multimodal {
       }
       (try bmp.orElse(wav) catch { case _: Exception => None }).getOrElse(b)
     }
+
+    private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def putI32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+
+    /** WAV fmt+data locator shared by [[decodeWav]] and the transforms
+      * below: PCM 16-bit only; chunk-walk offsets in Long because a
+      * declared chunk length near Int.MaxValue would wrap pos+8+len
+      * negative and slip past the bounds check.
+      * Returns (channels, sampleRate, dataOff, dataLen).
+      */
+    private def wavPcm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+        || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      var pos = 12L
+      var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+        val p = pos.toInt
+        val id = new String(b, p, 4, "US-ASCII")
+        val len = i32(b, p + 4)
+        if (len < 0 || pos + 8 + len.toLong > b.length) return None
+        if (id == "fmt " && len >= 16) {
+          fmtOk = u16(b, p + 8) == 1
+          channels = u16(b, p + 10)
+          rate = i32(b, p + 12)
+          bits = u16(b, p + 22)
+        } else if (id == "data") { dataOff = p + 8; dataLen = len }
+        pos += 8L + len + (len & 1)
+      }
+      if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) None
+      else Some((channels, rate, dataOff, dataLen))
+    }
+
+    /** REAL image resize for the format we really parse: nearest-neighbor
+      * resample of a 24-bit BMP to `tw`×`th`, re-encoded as a valid
+      * bottom-up 24-bit BMP (54-byte header, 4-byte-padded rows) that
+      * [[decodeBmp]]/[[contentBytes]] round-trip. Sampling runs in
+      * canonical top-down coordinates — src row = y·rows/th, src col =
+      * x·w/tw, integer floors — so bottom-up and top-down encodings of
+      * the same image resize to the identical output. Same hostile-input
+      * bounds discipline as the decoders; None means "not a BMP I can
+      * resize", never a thrown task.
+      */
+    def resizeBmp(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+      if (tw <= 0 || th <= 0 || tw > (1 << 14) || th > (1 << 14)) return None
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val off = i32(b, 10)
+      if (i32(b, 14) < 40) return None
+      val w = i32(b, 18)
+      val h = i32(b, 22)
+      if (u16(b, 28) != 24 || i32(b, 30) != 0 || w <= 0 || h == 0) return None
+      val rows = math.abs(h)
+      val strideL = ((w.toLong * 3 + 3) / 4) * 4
+      if (off < 0 || off.toLong + strideL * rows > b.length) return None
+      val stride = strideL.toInt
+      val outStride = ((tw * 3 + 3) / 4) * 4
+      val out = new Array[Byte](54 + outStride * th)
+      out(0) = 'B'; out(1) = 'M'
+      putI32(out, 2, out.length); putI32(out, 10, 54); putI32(out, 14, 40)
+      putI32(out, 18, tw); putI32(out, 22, th) // h > 0: bottom-up storage
+      putU16(out, 26, 1); putU16(out, 28, 24); putI32(out, 30, 0)
+      putI32(out, 34, outStride * th)
+      putI32(out, 38, 2835); putI32(out, 42, 2835)
+      var y = 0
+      while (y < th) { // y in top-down canonical space
+        val srcYtd = ((y.toLong * rows) / th).toInt
+        val srcRow = if (h > 0) rows - 1 - srcYtd else srcYtd
+        val dstRow = th - 1 - y
+        var x = 0
+        while (x < tw) {
+          val srcX = ((x.toLong * w) / tw).toInt
+          val sp = off + srcRow * stride + srcX * 3
+          val dp = 54 + dstRow * outStride + x * 3
+          out(dp) = b(sp); out(dp + 1) = b(sp + 1); out(dp + 2) = b(sp + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+
+    /** REAL audio frame-sampling for the format we really parse: keep
+      * every `stride`-th PCM frame (one frame = one 16-bit sample per
+      * channel) of a PCM WAV and re-encode a valid 44-byte-header WAV at
+      * sampleRate/stride — duration is preserved, resolution drops, and
+      * [[decodeWav]] round-trips the output. None = not decimatable PCM.
+      */
+    def decimateWav(b: Array[Byte], stride: Int): Option[Array[Byte]] = {
+      if (stride <= 0) return None
+      wavPcm(b).filter(_._2 / stride >= 1).map { case (channels, rate, dataOff, dataLen) =>
+        val blockAlign = channels * 2
+        val nFrames = dataLen / blockAlign
+        val outFrames = (nFrames + stride - 1) / stride
+        val outLen = outFrames * blockAlign
+        val out = new Array[Byte](44 + outLen)
+        out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+        putI32(out, 4, 36 + outLen)
+        out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+        out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+        putI32(out, 16, 16); putU16(out, 20, 1); putU16(out, 22, channels)
+        val newRate = rate / stride
+        putI32(out, 24, newRate); putI32(out, 28, newRate * blockAlign)
+        putU16(out, 32, blockAlign); putU16(out, 34, 16)
+        out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+        putI32(out, 40, outLen)
+        var f = 0
+        while (f < outFrames) {
+          System.arraycopy(b, dataOff + f * stride * blockAlign,
+            out, 44 + f * blockAlign, blockAlign)
+          f += 1
+        }
+        out
+      }
+    }
+
+    /** PCM frames of a WAV as (blockAlign-byte) slices — the frame
+      * iterator [[Multimodal.frameSample]] samples from. None = opaque.
+      */
+    def pcmFrameInfo(b: Array[Byte]): Option[(Int, Int, Int)] =
+      (try wavPcm(b) catch { case _: Exception => None })
+        .map { case (ch, _, off, len) => (off, len / (ch * 2), ch * 2) }
   }
 
   /** Canonical-content rows for exact multimodal dedup: decode each
@@ -308,27 +415,48 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stub for images: truncate/zero-pad the payload to the target
-    * byte budget (real impl: decode → scale → re-encode). Keeps the
-    * metadata columns in sync.
+  /** Resize: REAL decode → nearest-neighbor scale → re-encode for the
+    * format we really parse ([[BinaryDecoder.resizeBmp]] — the output is
+    * a valid BMP the decoders round-trip); payloads that aren't
+    * resizable BMPs take the deterministic byte-budget stub (truncate/
+    * zero-pad — the stand-in for codecs this container doesn't ship).
+    * Metadata stays in sync either way. Partition-parallel map — the
+    * per-row transform shape a 100 TB decode pass wants.
     */
-  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val budget = targetW * targetH / 64 + 1
-      val p = r.payload.take(budget).padTo(budget, 0.toByte)
+      val p = BinaryDecoder.resizeBmp(r.payload, targetW, targetH).getOrElse {
+        val budget = targetW * targetH / 64 + 1
+        r.payload.take(budget).padTo(budget, 0.toByte)
+      }
       r.copy(payload = p, width = targetW, height = targetH)
     }
   }
 
-  /** Frame-sampling stub for videos: every `stride`-th 16-byte chunk of
-    * the payload becomes one "frame" row (media_id, frame_idx, frame).
+  /** Frame sampling, one row per kept frame `(media_id, frame_idx,
+    * frame)`: REAL for the format we really parse — a PCM WAV's frames
+    * (one 16-bit sample per channel; [[BinaryDecoder.pcmFrameInfo]])
+    * sampled every `stride`-th — while opaque video payloads take the
+    * 16-byte-chunk stub (no public video codec ships in this container)
+    * and images are skipped (nothing to frame-sample). The companion
+    * whole-payload form is [[BinaryDecoder.decimateWav]], which
+    * re-encodes the kept frames as a valid lower-rate WAV.
     */
   def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.filter(_.media_type == "video").flatMap { r =>
-      r.payload.grouped(16).zipWithIndex.collect {
-        case (chunk, idx) if idx % stride == 0 => (r.media_id, idx, chunk)
+    media.flatMap { r =>
+      BinaryDecoder.pcmFrameInfo(r.payload) match {
+        case Some((off, nFrames, blockAlign)) =>
+          (0 until nFrames by stride).map { idx =>
+            (r.media_id, idx, java.util.Arrays.copyOfRange(
+              r.payload, off + idx * blockAlign, off + (idx + 1) * blockAlign))
+          }
+        case None if r.media_type == "video" =>
+          r.payload.grouped(16).zipWithIndex.collect {
+            case (chunk, idx) if idx % stride == 0 => (r.media_id, idx, chunk)
+          }.toSeq
+        case None => Nil
       }
     }.toDF("media_id", "frame_idx", "frame")
   }

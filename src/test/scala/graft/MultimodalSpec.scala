@@ -193,18 +193,74 @@ class MultimodalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("resize stub pads/truncates payloads and rewrites metadata") {
-    val resized = Multimodal.resizeStub(media, 128, 128).collect()
+  test("resize falls back to the byte-budget stub for opaque payloads, metadata in sync") {
+    val resized = Multimodal.resize(media, 128, 128).collect()
     val budget = 128 * 128 / 64 + 1
     assert(resized.forall(r => r.payload.length === budget))
     assert(resized.forall(r => r.width === 128 && r.height === 128))
   }
 
-  test("frame sampling emits every stride-th chunk for videos only") {
-    val frames = Multimodal.frameSample(media, stride = 2).collect()
-    assert(frames.nonEmpty)
+  test("resizeBmp really resamples: round-trips, nearest-neighbor pixels, orientation-blind") {
+    // 2×2 → 4×4: every source pixel duplicates into a 2×2 block
+    val Some(up) = BinaryDecoder.resizeBmp(goldenBmp, 4, 4)
+    val Some(f) = BinaryDecoder.decodeBmp(up)
+    assert(f.take(5).toSeq === Seq(4f, 4f, 127.5f, 127.5f, 127.5f),
+      "upscale must preserve dims and channel means exactly")
+    val px = BinaryDecoder.contentBytes(up).grouped(3).map(_.toSeq).toSeq
+    assert(px.length === 16)
+    val red = Seq[Byte](0, 0, 255.toByte); val white = Seq[Byte](255.toByte, 255.toByte, 255.toByte)
+    val blue = Seq[Byte](255.toByte, 0, 0); val green = Seq[Byte](0, 255.toByte, 0)
+    // canonical top-down rows: 2× (red red white white), 2× (blue blue green green)
+    assert(px === Seq(red, red, white, white, red, red, white, white,
+      blue, blue, green, green, blue, blue, green, green))
+    // 2×2 → 1×1 keeps the canonical top-left pixel (red)
+    val Some(one) = BinaryDecoder.resizeBmp(goldenBmp, 1, 1)
+    assert(BinaryDecoder.contentBytes(one).toSeq === red)
+    // bottom-up and top-down encodings of the same image resize identically
+    val topDown = goldenBmp.clone()
+    le32(-2).copyToArray(topDown, 22)
+    System.arraycopy(goldenBmp, 54 + 8, topDown, 54, 8)
+    System.arraycopy(goldenBmp, 54, topDown, 54 + 8, 8)
+    val Some(up2) = BinaryDecoder.resizeBmp(topDown, 4, 4)
+    assert(up.toSeq === up2.toSeq, "resize must be container-orientation blind")
+    // non-BMP payloads are refused, not mangled
+    assert(BinaryDecoder.resizeBmp(goldenWav, 4, 4).isEmpty)
+    assert(BinaryDecoder.resizeBmp("text".getBytes, 4, 4).isEmpty)
+  }
+
+  test("decimateWav keeps every stride-th frame and re-encodes a valid lower-rate WAV") {
+    val Some(out) = BinaryDecoder.decimateWav(goldenWav, 2)
+    // golden: 4 mono frames (±0.5 alternating) at 8 kHz → frames 0 and 2
+    // (both +0.5) at 4 kHz: duration preserved, zero crossings gone
+    val Some(f) = BinaryDecoder.decodeWav(out)
+    assert(f.toSeq === Seq(2f / 4000f, 0.5f, 0f, 0.5f, 1f, 4f))
+    assert(BinaryDecoder.contentBytes(out).toSeq ===
+      Seq[Byte](0, 64, 0, 64), "kept PCM must be frames 0 and 2 (+16384 each)")
+    // stride beyond the sample rate refused; opaque payloads refused
+    assert(BinaryDecoder.decimateWav(goldenWav, 9000).isEmpty)
+    assert(BinaryDecoder.decimateWav("text".getBytes, 2).isEmpty)
+  }
+
+  test("frame sampling: real PCM frames for WAV, chunk stub for opaque video, none for images") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "audio", goldenWav, 0, 0, 500L),
+      MediaRow(2L, "video", ("x" * 40).getBytes("US-ASCII"), 0, 0, 0L),
+      MediaRow(3L, "image", goldenBmp, 2, 2, 0L))
+    val frames = Multimodal.frameSample(spark.createDataset(rows), stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    val wav = frames.filter(_._1 == 1L).sortBy(_._2)
+    assert(wav.map(_._2).toSeq === Seq(0, 2), "every 2nd PCM frame")
+    assert(wav.forall(_._3.toSeq === Seq[Byte](0, 64)), "frames 0/2 are +16384")
+    val vid = frames.filter(_._1 == 2L).sortBy(_._2)
+    assert(vid.map(_._2).toSeq === Seq(0, 2), "40 bytes → chunks 0..2, strided")
+    assert(vid.map(_._3.length).toSeq === Seq(16, 8), "full chunk then the 8-byte tail")
+    assert(!frames.exists(_._1 == 3L), "images don't frame-sample")
+    // synthetic corpus (opaque text payloads): only videos emit frames
+    val synth = Multimodal.frameSample(media, stride = 2).collect()
+    assert(synth.nonEmpty)
     val vids = media.filter(_.media_type == "video").collect().map(_.media_id).toSet
-    assert(frames.map(_.getLong(0)).toSet.subsetOf(vids))
-    assert(frames.forall(_.getInt(1) % 2 === 0))
+    assert(synth.map(_.getLong(0)).toSet.subsetOf(vids))
+    assert(synth.forall(_.getInt(1) % 2 === 0))
   }
 }
