@@ -45,11 +45,14 @@ object StressText {
       // is bucket-capped, so cost tracks matches, never pairs²), q73
       // (content-hash dedup — pure hash groupBy, clusters of size =
       // copies)
+      // q77 (TF-IDF): term vocabulary is constant across replicas, so tf/df
+      // both grow linearly and idfq ≈ invariant ((10⁶·kN) div (k·df)) —
+      // wall clock must track the token scan
       for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups",
           "q57_corpus_funnel", "q61_line_dedup", "q64_seq_pack",
           "q65_bigram_lm", "q67_bpe_train",
           "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
-          "q74_media_neardup")) {
+          "q74_media_neardup", "q77_tfidf_topk")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
