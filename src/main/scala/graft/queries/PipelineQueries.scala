@@ -646,7 +646,13 @@ object PipelineQueries {
     * the remainder rank is a window over the SOURCE dimension (20 rows
     * — the q04 dimension-table exception), never the corpus.
     */
-  val q75MixtureWeights: Q = (s, d) => {
+  /** The α = 0.5 quota computation shared by [[q75MixtureWeights]] and
+    * [[q78EpochDraw]], parameterized by the token budget (one place for
+    * the math, two budgets): returns one row per source with
+    * (source, n_tokens, weight, quota), Σ quota = budget bit-exactly.
+    */
+  private def mixtureQuotaFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, budget: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perSrc = tracked(documents(s, d)
       .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
@@ -655,9 +661,9 @@ object PipelineQueries {
         floor(sqrt(col("n_tokens").cast("double")) * lit(1e8)).cast("long")))
     val tot = perSrc.agg(sum(col("r")).cast("long").as("w_total"))
     val joined = tracked(perSrc.crossJoin(broadcast(tot))
-      .withColumn("quota0", expr(s"($EpochBudget * r) div w_total"))
-      .withColumn("rem", pmod(lit(EpochBudget) * col("r"), col("w_total"))))
-    val defc = joined.agg((lit(EpochBudget) - sum(col("quota0"))).cast("long").as("d"))
+      .withColumn("quota0", expr(s"($budget * r) div w_total"))
+      .withColumn("rem", pmod(lit(budget) * col("r"), col("w_total"))))
+    val defc = joined.agg((lit(budget) - sum(col("quota0"))).cast("long").as("d"))
     // global window over the SOURCE dimension (20 rows), not the corpus
     val w = Window.orderBy(col("rem").desc, col("source").asc)
     joined.crossJoin(broadcast(defc))
@@ -666,7 +672,55 @@ object PipelineQueries {
         (col("r").cast("double") / col("w_total").cast("double")).as("weight"),
         (col("quota0") + when(col("rk") <= col("d"), 1L).otherwise(0L))
           .cast("long").as("quota"))
-      .orderBy(col("source"))
+  }
+
+  val q75MixtureWeights: Q = (s, d) =>
+    mixtureQuotaFrame(s, d, EpochBudget).orderBy(col("source"))
+
+  /** Token budget for one [[q78EpochDraw]] mini-epoch. Sized to BIND at
+    * the test SFs: the full-epoch [[EpochBudget]] exceeds the small test
+    * corpora entirely, which would admit every document and leave the
+    * greedy fill unexercised; the production epoch is the identical
+    * plan with [[EpochBudget]].
+    */
+  val DrawBudget = 20000L
+
+  /** EXT — epoch materialization from the temperature quotas: the draw
+    * itself, closing the mixing loop (quota table → concrete epoch
+    * manifest a loader consumes). Quotas come from the same α = 0.5
+    * largest-remainder machinery as [[q75MixtureWeights]]
+    * ([[mixtureQuotaFrame]], at [[DrawBudget]]); each source's
+    * documents are then ordered by the seeded sample hash (the q55/q70
+    * idiom — no RNG state, same seed ⇒ same epoch on any cluster or
+    * engine) and taken greedily until the source's TOKEN quota fills: a
+    * document is admitted iff the tokens before it in hash order are
+    * under quota, so each source overshoots by at most its last
+    * document. Output: (source, pos, doc_id, nt, cum_tokens), totally
+    * ordered.
+    *
+    * At scale: the quota side is a source-dimension broadcast (20
+    * rows); the cumulative token count is a PARTITIONED window on
+    * source (q64's packing shape — one hash shuffle, never a global
+    * sort). If a source dwarfs its quota, a scan-side hash-bound
+    * pre-filter (admit h below a bound that covers the quota with
+    * margin, then window the survivors) trims the window input — not
+    * needed at these SFs, same plan otherwise.
+    */
+  val q78EpochDraw: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = mixtureQuotaFrame(s, d, DrawBudget).select(col("source"), col("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(TextQueries.sampleHash.asc, col("doc_id").asc)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("cum") - col("nt") < col("quota"))
+      .select(col("source"), col("pos"), col("doc_id"), col("nt"),
+        col("cum").as("cum_tokens"))
+      .orderBy(col("source"), col("pos"))
   }
 
   /** Shard count for [[q71CorpusShuffle]]. */
@@ -747,6 +801,7 @@ object PipelineQueries {
     "q70_exactk_sample" -> q70ExactKSample,
     "q71_corpus_shuffle" -> q71CorpusShuffle,
     "q75_mixture_weights" -> q75MixtureWeights,
+    "q78_epoch_draw" -> q78EpochDraw,
   )
 
   /** The q57 funnel's per-document stage flags as shared oracle CTEs —
@@ -1036,30 +1091,63 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY h % $NumShards ORDER BY h, doc_id) AS BIGINT) AS pos,
         |  doc_id, source, lang, h
         |FROM sh71 ORDER BY shard, pos""".stripMargin),
-    "q75_mixture_weights" ->
-      s"""WITH ps75 AS (
-        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |r75 AS (
-        |  SELECT source, n_tokens,
-        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 100000000.0) AS BIGINT) AS r
-        |  FROM ps75),
-        |t75 AS (SELECT CAST(sum(r) AS BIGINT) AS w_total FROM r75),
-        |j75 AS (
-        |  SELECT source, n_tokens, r, w_total,
-        |    ($EpochBudget * r) // w_total AS quota0,
-        |    ($EpochBudget * r) % w_total AS rem
-        |  FROM r75, t75),
-        |d75 AS (SELECT $EpochBudget - CAST(sum(quota0) AS BIGINT) AS d FROM j75),
-        |k75 AS (
-        |  SELECT j75.*, d75.d,
-        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
-        |  FROM j75, d75)
+    "q75_mixture_weights" -> (mixtureQuotaCtes(EpochBudget) +
+      s"""
         |SELECT source, n_tokens,
         |  CAST(r AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight,
         |  CAST(quota0 + CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) AS quota
-        |FROM k75 ORDER BY source""".stripMargin,
+        |FROM k75 ORDER BY source""".stripMargin),
+    "q78_epoch_draw" -> (mixtureQuotaCtes(DrawBudget) +
+      s""",
+        |qf78 AS (
+        |  SELECT source,
+        |    CAST(quota0 + CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM k75),
+        |dd78 AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |cum78 AS (
+        |  SELECT doc_id, source, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY source
+        |      ORDER BY ${TextQueries.sampleHashSql}, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ${TextQueries.sampleHashSql}, doc_id) AS BIGINT) AS pos
+        |  FROM dd78)
+        |SELECT c.source, c.pos, c.doc_id, c.nt, c.cum AS cum_tokens
+        |FROM cum78 c JOIN qf78 q USING (source)
+        |WHERE c.cum - c.nt < q.quota
+        |ORDER BY c.source, c.pos""".stripMargin),
   )
+
+  /** The temperature-quota computation as shared oracle CTEs,
+    * parameterized by the token budget exactly like
+    * [[mixtureQuotaFrame]] — ends with `k75(source, n_tokens, r,
+    * w_total, quota0, rem, d, rk)` and NO trailing comma, so the weight
+    * report (q75) appends its final SELECT directly and the epoch draw
+    * (q78) appends `,` plus its own CTEs — one definition of the quota
+    * math (invariant 7's one-place-for-params discipline).
+    */
+  private def mixtureQuotaCtes(budget: Long): String =
+    s"""WITH ps75 AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |r75 AS (
+      |  SELECT source, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 100000000.0) AS BIGINT) AS r
+      |  FROM ps75),
+      |t75 AS (SELECT CAST(sum(r) AS BIGINT) AS w_total FROM r75),
+      |j75 AS (
+      |  SELECT source, n_tokens, r, w_total,
+      |    ($budget * r) // w_total AS quota0,
+      |    ($budget * r) % w_total AS rem
+      |  FROM r75, t75),
+      |d75 AS (SELECT $budget - CAST(sum(quota0) AS BIGINT) AS d FROM j75),
+      |k75 AS (
+      |  SELECT j75.*, d75.d,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM j75, d75)""".stripMargin
 
   /** DuckDB mirror of [[bpeTrain]]'s rounds: the same Scala loop that
     * drives the Spark rounds emits one (split → pair-count → argmax →

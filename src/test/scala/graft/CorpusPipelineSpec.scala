@@ -84,6 +84,61 @@ class CorpusPipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q78 greedily fills each source's token quota in seeded hash order") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q78_epoch_draw")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    val bySrc = out.groupBy(_._1)
+    // corpus token mass per source (to know where the quota binds)
+    val mass = Tables.documents(spark, d)
+      .select(col("source"), org.apache.spark.sql.functions.size(
+        graft.ops.TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(org.apache.spark.sql.functions.sum("nt").as("m"))
+      .as[(String, Long)].collect().toMap
+    // independent quota model: largest-remainder apportionment over
+    // r = floor(√mass·1e8), recomputed in plain Scala
+    val budget = PipelineQueries.DrawBudget
+    val rs = mass.map { case (s0, m) =>
+      s0 -> math.floor(math.sqrt(m.toDouble) * 1e8).toLong }
+    val wTotal = rs.values.sum
+    val q0 = rs.map { case (s0, r) => s0 -> (budget * r) / wTotal }
+    val topUp = rs.map { case (s0, r) => s0 -> (budget * r) % wTotal }
+      .toSeq.sortBy { case (s0, rm) => (-rm, s0) }
+      .take((budget - q0.values.sum).toInt).map(_._1).toSet
+    val quota = q0.map { case (s0, v) => s0 -> (v + (if (topUp(s0)) 1L else 0L)) }
+    assert(quota.values.sum == budget)
+    // the draw must BIND at spec scale — otherwise the operator is the
+    // identity and the greedy fill is unexercised
+    assert(bySrc.exists { case (s0, rows) => rows.map(_._4).sum < mass(s0) },
+      "quota never bound — DrawBudget is not exercising the fill")
+    for ((src, rows) <- bySrc) {
+      val sorted = rows.sortBy(_._2)
+      // positions are the hash-order prefix 1..n with consistent cumsum
+      assert(sorted.map(_._2) == (1L to sorted.length))
+      assert(sorted.scanLeft(0L)(_ + _._4).tail.toSeq == sorted.map(_._5).toSeq,
+        s"$src cum_tokens is not the running token sum")
+      // greedy fill vs the independent model: every admitted doc started
+      // under quota, and the draw stops exactly at the first doc that
+      // reaches it (or exhausts the source when mass < quota)
+      assert(sorted.forall(r => r._5 - r._4 < quota(src)),
+        s"$src admitted a doc that started at/over quota")
+      val drawn = sorted.last._5
+      if (mass(src) >= quota(src))
+        assert(drawn >= quota(src), s"$src stopped below its quota")
+      else
+        assert(drawn == mass(src), s"$src under-drew an exhausted source")
+    }
+    // determinism: a second evaluation replays the identical manifest
+    val again = SparkEntry.queries("q78_epoch_draw")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(again == out)
+  }
+
   test("materializeShuffled shard files replay q71's training order exactly") {
     import spark.implicits._
     val out = s"/tmp/graft_shuf_${System.nanoTime()}"

@@ -36,7 +36,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // over a single row is the intended plan; CartesianProduct is not
     for (q <- Seq("q57_corpus_funnel", "q58_vocab_prune", "q59_bigram_lift",
         "q60_token_budget", "q61_line_dedup", "q64_seq_pack", "q65_bigram_lm",
-        "q66_source_overlap", "q67_bpe_train", "q77_tfidf_topk")) {
+        "q66_source_overlap", "q67_bpe_train", "q77_tfidf_topk",
+        "q78_epoch_draw")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
@@ -102,7 +103,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "q58_vocab_prune", "q59_bigram_lift",
         "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
         "q74_media_neardup", "q75_mixture_weights", "q76_semantic_dedup",
-        "q77_tfidf_topk")) {
+        "q77_tfidf_topk", "q78_epoch_draw")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
