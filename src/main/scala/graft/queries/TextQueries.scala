@@ -455,6 +455,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT — duplicate-group representative selection by QUALITY: q56
+    * labels the groups (CC over verified SimHash pairs) and keeps the
+    * min-id member; a real funnel keeps the BEST member. Per cluster
+    * the representative is argmax(quality, tie → min doc_id) over the
+    * members — the invariant-8 max-struct aggregate, computed over the
+    * DUP POPULATION only (the label table, never the corpus — q56's
+    * sizes idiom, so the aggregate and its join side stay dup-sized at
+    * scale), then joined back so every document reports its cluster,
+    * its own quality, the chosen representative and whether it
+    * survives. Singletons represent themselves without entering the
+    * aggregate. Quality is [[TextOps.qualityScore]] —
+    * transcendental-free, so the doubles compare identically in both
+    * engines (q34's oracle precedent); ties break on doc_id.
+    */
+  val q79BestRep: Q = (s, d) => {
+    val pairs = tracked(simhash64Pairs(s, d).select(col("da"), col("db")))
+    val lbl = graft.ops.Dedup.fromPairs(pairs, track = tracked)
+    val qual = tracked(documents(s, d).select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality")))
+    val reps = lbl.join(qual, lbl("id") === qual("doc_id"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).as("rep_id"),
+        col("m.q").as("rep_quality"))
+    qual
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .join(reps, Seq("cluster_id"), "left")
+      .withColumn("rid", coalesce(col("rep_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("rid").as("rep_id"),
+        coalesce(col("rep_quality"), col("quality")).as("rep_quality"),
+        (col("doc_id") === col("rid")).cast("int").as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXT-4 — per-language top-5 tokens by total occurrence count. The
     * rank filter sits directly on the window, so Spark plans a
     * WindowGroupLimit pair (per-partition top-k BEFORE the shuffle) —
@@ -795,6 +832,7 @@ object TextQueries {
     "q74_media_neardup" -> q74MediaNeardup,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_tfidf_topk" -> q77TfidfTopk,
+    "q79_best_rep" -> q79BestRep,
   )
 
   /** Shared CTE chain deriving the verified SimHash near-dup pairs
@@ -921,6 +959,37 @@ object TextQueries {
       |  CASE WHEN o.doc_id = o.cluster_id THEN 1 ELSE 0 END AS keeper,
       |  COALESCE(s.csz, 1) AS cluster_size
       |FROM out o LEFT JOIN sz s ON o.cluster_id = s.cluster_id
+      |ORDER BY o.doc_id""".stripMargin
+
+  /** q79's oracle: q56's recursive-CTE closure (a DIFFERENT algorithm
+    * than the Spark label propagation — the independence discipline)
+    * plus the per-cluster quality argmax as a row_number mirror of the
+    * Spark max-struct aggregate. The quality expression is q34's,
+    * verbatim.
+    */
+  private def q79OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtes +
+      """qual79 AS (
+      |  SELECT doc_id,
+      |    greatest(0.0, least(1.0,
+      |      0.05 * (CAST(nc AS DOUBLE) / len(tok))
+      |      + 0.5 * (CAST(len(list_filter(tok, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(tok))
+      |      - 0.1 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc))) AS quality
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tok, length(text) AS nc FROM documents)),
+      |rep79 AS (
+      |  SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality FROM (
+      |    SELECT c.lbl AS cluster_id, q.doc_id, q.quality,
+      |      row_number() OVER (PARTITION BY c.lbl ORDER BY q.quality DESC, q.doc_id) AS rn
+      |    FROM cl c JOIN qual79 q ON c.id = q.doc_id)
+      |  WHERE rn = 1),
+      |o79 AS (
+      |  SELECT q.doc_id, q.quality, COALESCE(c.lbl, q.doc_id) AS cluster_id
+      |  FROM qual79 q LEFT JOIN cl c ON q.doc_id = c.id)
+      |SELECT o.doc_id, o.cluster_id, o.quality,
+      |  COALESCE(r.rep_id, o.doc_id) AS rep_id,
+      |  COALESCE(r.rep_quality, o.quality) AS rep_quality,
+      |  CASE WHEN o.doc_id = COALESCE(r.rep_id, o.doc_id) THEN 1 ELSE 0 END AS is_rep
+      |FROM o79 o LEFT JOIN rep79 r ON o.cluster_id = r.cluster_id
       |ORDER BY o.doc_id""".stripMargin
 
   private val charHashSql =
@@ -1263,6 +1332,7 @@ object TextQueries {
         |ORDER BY doc_id, rank""".stripMargin,
     "q51_simhash64" -> q51OracleSql,
     "q56_dup_groups" -> q56OracleSql,
+    "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q74_media_neardup" ->
       s"""WITH mm AS (SELECT doc_id AS media_id, text FROM documents),

@@ -22,7 +22,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("banded candidate generation never plans an all-pairs join") {
     for (q <- Seq("q31_neardup_minhash", "q40_embedding_neardup",
         "q51_simhash64", "q53_contamination", "q32_ngram_jaccard",
-        "q56_dup_groups", "q72_incremental_dedup")) {
+        "q56_dup_groups", "q72_incremental_dedup", "q79_best_rep")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
@@ -103,7 +103,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "q58_vocab_prune", "q59_bigram_lift",
         "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
         "q74_media_neardup", "q75_mixture_weights", "q76_semantic_dedup",
-        "q77_tfidf_topk", "q78_epoch_draw")) {
+        "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
