@@ -45,16 +45,11 @@ object IncrementalDedup {
     */
   def buildIndex(docs: DataFrame,
       track: DataFrame => DataFrame = identity): DataFrame = {
-    val mods = TextQueries.SimhashMods
-    val sig = docs.select(
-      col("doc_id") +: mods.zipWithIndex.map { case (m, b) =>
-        graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*)
-    val banded = track(sig.select(
-      (col("doc_id") +: mods.indices.map(b => col(s"b$b"))) :+
-        explode(array(mods.indices.map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"): _*)
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("bk.band").as("band"), col("bk.key").as("key")))
+    // the ONE fingerprint definition (TextQueries.simhashSig) — the
+    // frozen index can never desynchronize from the full recompute
+    val banded = track(TextQueries.simhashBands(
+      TextQueries.simhashSig(docs),
+      carry = Seq("doc_id", "b0", "b1", "b2", "b3")))
     TextQueries.bandOccCapped(banded)
   }
 
@@ -65,21 +60,14 @@ object IncrementalDedup {
     * side is consumed as-is.
     */
   def probe(index: DataFrame, newDocs: DataFrame): DataFrame = {
-    val mods = TextQueries.SimhashMods
-    val nb = newDocs.select(
-        col("doc_id") +: mods.zipWithIndex.map { case (m, b) =>
-          graft.functions.SimHash16(col("text"), 31L, m).as(s"nb$b") }: _*)
-      .select(
-        (col("doc_id").as("new_id") +: mods.indices.map(b => col(s"nb$b"))) :+
-          explode(array(mods.indices.map(b =>
-            struct(lit(b).as("band"), col(s"nb$b").as("key"))): _*)).as("bk"): _*)
-      .select(col("new_id"), col("nb0"), col("nb1"), col("nb2"), col("nb3"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val nb = TextQueries.simhashBands(
+        TextQueries.simhashSig(newDocs, prefix = "nb"), prefix = "nb",
+        carry = Seq("doc_id", "nb0", "nb1", "nb2", "nb3"))
+      .withColumnRenamed("doc_id", "new_id")
     val idx = index.select(col("doc_id").as("old_id"),
       col("b0"), col("b1"), col("b2"), col("b3"), col("band"), col("key"))
     nb.join(idx, Seq("band", "key"))
-      .withColumn("dist", mods.indices.map(b =>
-        bit_count(col(s"nb$b").bitwiseXOR(col(s"b$b")))).reduce(_ + _).cast("int"))
+      .withColumn("dist", TextQueries.simhashDist("nb", "b"))
       .filter(col("dist") <= TextQueries.SimhashMaxDist)
       .select(col("new_id"), col("old_id"), col("dist"))
       .distinct()

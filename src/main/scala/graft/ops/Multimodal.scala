@@ -78,6 +78,7 @@ object Multimodal {
       val h = i32(b, 22)
       if (u16(b, 28) != 24 || i32(b, 30) != 0 || w <= 0 || h == 0) return None
       val rows = math.abs(h)
+      if (rows <= 0) return None // h = Int.MinValue: abs stays negative
       // stride math in Long: a hostile width near Int.MaxValue would wrap
       // w*3+3 negative and slip past the bounds check below
       val strideL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
@@ -152,6 +153,7 @@ object Multimodal {
         val h = i32(b, 22)
         if (u16(b, 28) != 24 || i32(b, 30) != 0 || w <= 0 || h == 0) return None
         val rows = math.abs(h)
+        if (rows <= 0) return None // h = Int.MinValue: abs stays negative
         val strideL = ((w.toLong * 3 + 3) / 4) * 4
         if (off < 0 || off.toLong + strideL * rows > b.length) return None
         val stride = strideL.toInt
@@ -241,6 +243,7 @@ object Multimodal {
       val h = i32(b, 22)
       if (u16(b, 28) != 24 || i32(b, 30) != 0 || w <= 0 || h == 0) return None
       val rows = math.abs(h)
+      if (rows <= 0) return None // h = Int.MinValue: abs stays negative
       val strideL = ((w.toLong * 3 + 3) / 4) * 4
       if (off < 0 || off.toLong + strideL * rows > b.length) return None
       val stride = strideL.toInt
@@ -362,18 +365,24 @@ object Multimodal {
     out
   }
 
-  /** Per-media signature rows `(media_id, a0, a1, a2, a3)`: decode to
-    * canonical content, then [[contentSig4]] — the imperative step stays
-    * inside the decoder pass, everything after is relational.
+  /** Per-media signature rows `(media_id, n_content, a0, a1, a2, a3)`:
+    * decode to canonical content, then [[contentSig4]] — the imperative
+    * step stays inside the decoder pass, everything after is
+    * relational. `n_content` rides along so callers can exclude
+    * sub-bigram content (< 2 bytes → the all-zero signature, which
+    * would otherwise pair every empty payload with every other at
+    * distance 0).
     */
   def perceptualRows(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.repartition(col("media_id"))
       .map { r =>
-        val a = contentSig4(BinaryDecoder.contentBytes(r.payload))
-        (r.media_id, a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong)
+        val c = BinaryDecoder.contentBytes(r.payload)
+        val a = contentSig4(c)
+        (r.media_id, c.length.toLong,
+          a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong)
       }
-      .toDF("media_id", "a0", "a1", "a2", "a3")
+      .toDF("media_id", "n_content", "a0", "a1", "a2", "a3")
   }
 
   /** Synthesize deterministic opaque payloads from the documents table —
@@ -426,7 +435,10 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val p = BinaryDecoder.resizeBmp(r.payload, targetW, targetH).getOrElse {
+      // one hostile payload must fall to the stub, never fail the task —
+      // the decodeBatch discipline
+      val p = (try BinaryDecoder.resizeBmp(r.payload, targetW, targetH)
+        catch { case _: Exception => None }).getOrElse {
         val budget = targetW * targetH / 64 + 1
         r.payload.take(budget).padTo(budget, 0.toByte)
       }

@@ -629,27 +629,20 @@ object PipelineQueries {
     */
   val EpochBudget = 1000000L
 
-  /** EXT — temperature-based source mixing: the step between [[q60]]'s
-    * budget audit and [[q71CorpusShuffle]]'s training order — given
-    * per-source token masses, compute α = 0.5 temperature weights
-    * (w_s ∝ √n_s, the standard up-weighting of small sources) and an
-    * EXACT integer token quota per source for one epoch. Everything
-    * after the one allowed transcendental (sqrt — IEEE-exact in both
-    * engines, invariant 4) is integer: weights quantize to
-    * `floor(√n·1e8)` longs, quotas are `⌊E·r/W⌋` by long division, and
-    * the leftover `E − Σ⌊·⌋` goes to the largest remainders (ties by
-    * source) — so `Σ quota = E` exactly, bit-for-bit in both engines.
-    * The display weight is one double division of identical longs.
-    *
-    * At scale: one corpus scan → a source-sized aggregate (20 rows);
-    * the totals ride 1-row broadcast crossJoins (the q58/q60 shape) and
-    * the remainder rank is a window over the SOURCE dimension (20 rows
-    * — the q04 dimension-table exception), never the corpus.
-    */
   /** The α = 0.5 quota computation shared by [[q75MixtureWeights]] and
     * [[q78EpochDraw]], parameterized by the token budget (one place for
     * the math, two budgets): returns one row per source with
     * (source, n_tokens, weight, quota), Σ quota = budget bit-exactly.
+    *
+    * int64 envelope (the q71 [[ShuffleMul]] precedent): `budget·r` must
+    * stay under 2⁶³ with r = ⌊√n_tokens·1e8⌋, i.e. valid while
+    * budget·√n_max < 9.2e10 — EpochBudget = 1e6 handles up to ~8.5e9
+    * tokens in a single source. Past that, shrink the 1e8 quantization
+    * scale (the apportionment is exact at ANY scale; only weight
+    * resolution changes) or widen the products to a 128-bit form in
+    * BOTH engines (DuckDB HUGEINT ↔ Spark DECIMAL(38,0)) — DuckDB
+    * errors on BIGINT overflow rather than wrapping, so a breach is
+    * loud, not silent.
     */
   private def mixtureQuotaFrame(s: org.apache.spark.sql.SparkSession,
       d: String, budget: Long): org.apache.spark.sql.DataFrame = {
@@ -674,6 +667,23 @@ object PipelineQueries {
           .cast("long").as("quota"))
   }
 
+  /** EXT — temperature-based source mixing: the step between [[q60]]'s
+    * budget audit and [[q71CorpusShuffle]]'s training order — given
+    * per-source token masses, compute α = 0.5 temperature weights
+    * (w_s ∝ √n_s, the standard up-weighting of small sources) and an
+    * EXACT integer token quota per source for one epoch. Everything
+    * after the one allowed transcendental (sqrt — IEEE-exact in both
+    * engines, invariant 4) is integer: weights quantize to
+    * `floor(√n·1e8)` longs, quotas are `⌊E·r/W⌋` by long division, and
+    * the leftover `E − Σ⌊·⌋` goes to the largest remainders (ties by
+    * source) — so `Σ quota = E` exactly, bit-for-bit in both engines.
+    * The display weight is one double division of identical longs.
+    *
+    * At scale: one corpus scan → a source-sized aggregate (20 rows);
+    * the totals ride 1-row broadcast crossJoins (the q58/q60 shape) and
+    * the remainder rank is a window over the SOURCE dimension (20 rows
+    * — the q04 dimension-table exception), never the corpus.
+    */
   val q75MixtureWeights: Q = (s, d) =>
     mixtureQuotaFrame(s, d, EpochBudget).orderBy(col("source"))
 

@@ -375,32 +375,53 @@ object TextQueries {
     bands.join(keep, Seq("band", "key"), "left_semi")
   }
 
+  /** THE single definition of the 64-bit fingerprint layout: one row
+    * per doc `(doc_id, <prefix>0..<prefix>3)` of 16-bit [[SimhashMods]]
+    * family hashes. q51/q56/q57/q79, the frozen incremental index
+    * ([[graft.ops.IncrementalDedup]]), the streaming twins, and the
+    * occupancy diagnostic all hash through here — a change to the seed,
+    * band count, or moduli reaches every consumer at once instead of
+    * silently desynchronizing the frozen index from the full recompute.
+    */
+  private[graft] def simhashSig(docs: org.apache.spark.sql.DataFrame,
+      prefix: String = "b",
+      carry: Seq[String] = Seq("doc_id")): org.apache.spark.sql.DataFrame =
+    docs.select(carry.map(col) ++ SimhashMods.zipWithIndex.map { case (m, b) =>
+      graft.functions.SimHash16(col("text"), 31L, m).as(s"$prefix$b") }: _*)
+
+  /** Explode a [[simhashSig]] row into its four (band, key) rows,
+    * keeping the `carry` columns alongside (pass the signature columns
+    * themselves to build a self-contained index row).
+    */
+  private[graft] def simhashBands(sig: org.apache.spark.sql.DataFrame,
+      prefix: String = "b",
+      carry: Seq[String] = Seq("doc_id")): org.apache.spark.sql.DataFrame =
+    sig.select((carry.map(col) :+ explode(array(SimhashMods.indices.map(b =>
+        struct(lit(b).as("band"), col(s"$prefix$b").as("key"))): _*)).as("bk")): _*)
+      .select((carry.map(col) :+ col("bk.band").as("band") :+
+        col("bk.key").as("key")): _*)
+
+  /** XOR-popcount Hamming distance between two [[simhashSig]] column
+    * sets, as an int Column.
+    */
+  private[graft] def simhashDist(aPrefix: String, bPrefix: String): org.apache.spark.sql.Column =
+    SimhashMods.indices.map(b =>
+      bit_count(col(s"$aPrefix$b").bitwiseXOR(col(s"$bPrefix$b")))).reduce(_ + _).cast("int")
+
   /** Diagnostic: worst (band, key) bucket occupancy of the q51 banding,
     * pre-cap (StressBandSkew prints it to justify [[BandOccCap]]).
     */
-  private[graft] def simhash64BandOccupancy(s: org.apache.spark.sql.SparkSession, d: String): Long = {
-    val bands = documents(s, d).select(
-        col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
-          graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*)
-      .select(col("doc_id"),
-        explode(array(SimhashMods.indices.map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.groupBy(col("band"), col("key")).count()
+  private[graft] def simhash64BandOccupancy(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    simhashBands(simhashSig(documents(s, d)))
+      .groupBy(col("band"), col("key")).count()
       .agg(max(col("count"))).first().getLong(0)
-  }
 
   /** q51/q56/q57's shared pair generation: verified 64-bit SimHash
     * near-dup pairs `(da < db, dist ≤ SimhashMaxDist)`, unordered.
     */
   private[queries] def simhash64Pairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sig = tracked(documents(s, d).select(
-      col("doc_id") +: SimhashMods.zipWithIndex.map { case (m, b) =>
-        graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*))
-    val bands = tracked(bandOccCapped(sig.select(col("doc_id"),
-      explode(array(SimhashMods.indices.map(b =>
-        struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))))
+    val sig = tracked(simhashSig(documents(s, d)))
+    val bands = tracked(bandOccCapped(simhashBands(sig)))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -411,8 +432,7 @@ object TextQueries {
     val xb = sig.select(col("doc_id").as("db") +:
       SimhashMods.indices.map(b => col(s"b$b").as(s"xb$b")): _*)
     cands.join(xa, Seq("da")).join(xb, Seq("db"))
-      .withColumn("dist", SimhashMods.indices.map(b =>
-        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .withColumn("dist", simhashDist("xa", "xb"))
       .filter(col("dist") <= SimhashMaxDist)
       .select(col("da"), col("db"), col("dist"))
   }
@@ -695,11 +715,16 @@ object TextQueries {
     * equi-join (never all-pairs), occupancy cap against degenerate
     * buckets, XOR popcount verify ≤ [[MediaSigMaxDist]]. One new scalar
     * hash bought a whole near-dup operator — the payoff of keeping the
-    * banding generic.
+    * banding generic. Sub-bigram content (< 2 decoded bytes) is
+    * excluded — its signature is all-zero, which would pair every empty
+    * payload with every other at distance 0; the oracle's
+    * generate_series bigram explosion drops those rows on its side for
+    * the same reason.
     */
   val q74MediaNeardup: Q = (s, d) => {
     val media = graft.ops.Multimodal.syntheticMedia(s, documents(s, d))
-    val sig = tracked(graft.ops.Multimodal.perceptualRows(media))
+    val sig = tracked(graft.ops.Multimodal.perceptualRows(media)
+      .filter(col("n_content") >= 2))
     val bands = tracked(bandOccCapped(sig.select(col("media_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), col(s"a$b").as("key"))): _*)).as("bk"))

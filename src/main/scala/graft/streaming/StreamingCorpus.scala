@@ -118,18 +118,10 @@ object StreamingCorpus {
   def verdicts(docs: DataFrame,
       stateTtl: Option[java.time.Duration] = None): Dataset[BandVerdict] = {
     import docs.sparkSession.implicits._
-    val mods = graft.queries.TextQueries.SimhashMods
-    docs.select(
-        Seq(col("doc_id"), col("source"), col("lang"), col("text")) ++
-          mods.zipWithIndex.map { case (m, b) =>
-            graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"),
-        col("b0"), col("b1"), col("b2"), col("b3"),
-        explode(array(mods.indices.map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"),
-        col("b0"), col("b1"), col("b2"), col("b3"),
-        col("source"), col("lang"), col("text"))
+    import graft.queries.TextQueries.{simhashBands, simhashSig}
+    simhashBands(
+        simhashSig(docs, carry = Seq("doc_id", "source", "lang", "text")),
+        carry = Seq("doc_id", "source", "lang", "text", "b0", "b1", "b2", "b3"))
       .as[AdmitObs]
       .groupByKey(o => (o.band, o.key))
       .transformWithState(new AdmitProcessor(stateTtl.map(_.toMillis).getOrElse(0L)),

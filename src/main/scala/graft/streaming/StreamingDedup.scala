@@ -94,15 +94,9 @@ object StreamingDedup {
     */
   def bandObs(docs: DataFrame): Dataset[BandObs] = {
     import docs.sparkSession.implicits._
-    val mods = graft.queries.TextQueries.SimhashMods
-    docs.select(
-        col("doc_id") +: mods.zipWithIndex.map { case (m, b) =>
-          graft.functions.SimHash16(col("text"), 31L, m).as(s"b$b") }: _*)
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        explode(array(mods.indices.map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"),
-        col("b0"), col("b1"), col("b2"), col("b3"))
+    import graft.queries.TextQueries.{simhashBands, simhashSig}
+    simhashBands(simhashSig(docs),
+      carry = Seq("doc_id", "b0", "b1", "b2", "b3"))
       .as[BandObs]
   }
 

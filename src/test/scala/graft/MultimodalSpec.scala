@@ -226,6 +226,13 @@ class MultimodalSpec extends AnyFunSuite {
     // non-BMP payloads are refused, not mangled
     assert(BinaryDecoder.resizeBmp(goldenWav, 4, 4).isEmpty)
     assert(BinaryDecoder.resizeBmp("text".getBytes, 4, 4).isEmpty)
+    // hostile height Int.MinValue: math.abs stays negative and would slip
+    // past the stride bounds check — every BMP parser must refuse it
+    val evilH = goldenBmp.clone()
+    le32(Int.MinValue).copyToArray(evilH, 22)
+    assert(BinaryDecoder.resizeBmp(evilH, 4, 4).isEmpty)
+    assert(BinaryDecoder.decodeBmp(evilH).isEmpty)
+    assert(BinaryDecoder.contentBytes(evilH) eq evilH, "canonicalizes to itself")
   }
 
   test("decimateWav keeps every stride-th frame and re-encodes a valid lower-rate WAV") {
