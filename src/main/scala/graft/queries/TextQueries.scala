@@ -833,6 +833,116 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Gram length for [[q80NgramDecontam]]: production decontamination
+    * runs 13-gram (GPT-3) or 8-gram collision; 8 stays non-vacuous on
+    * this short-doc corpus (measured in DuckDB BEFORE wiring: 6 train
+    * docs collide with the eval split at sf0.01 — real near-verbatim
+    * leakage, not chance).
+    */
+  val DecontArity = 8
+
+  /** EXT — long-n-gram eval decontamination, the direction-reversed
+    * complement of [[q53Contamination]]: q53 scores how much of a TEST
+    * doc is already in training; this flags which TRAINING docs leak an
+    * eval benchmark (doc_id % 10 = 0 plays the benchmark) through any
+    * shared [[DecontArity]]-gram, and reports the worst-hit eval doc —
+    * the audit row a pipeline owner acts on (drop the train doc, or
+    * inspect the benchmark item). Long grams make this precision-
+    * oriented: an 8-token verbatim overlap is near-certain leakage.
+    *
+    * Scale shape — the asymmetry IS the design: the eval side is
+    * benchmark-sized (thousands of items, not a corpus), so its gram
+    * postings BROADCAST; the corpus side is one scan + explode with no
+    * shuffle before the join, and only the HIT rows (vanishingly few)
+    * reach the two downstream aggregates. q53 must hash-shuffle its
+    * train-side gram set because training is the big side; here the big
+    * side never shuffles at all.
+    */
+  val q80NgramDecontam: Q = (s, d) => {
+    val hs = tracked(documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(
+          graft.functions.ShingleHash(col("text"), P, DecontArity)).as("hs"))
+      .filter(size(col("hs")) > 0))
+    val evalPost = hs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("w"))
+    val hits = tracked(hs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"), size(col("hs")).as("n_grams"), explode(col("hs")).as("w"))
+      .join(broadcast(evalPost), Seq("w")))
+    // per (train, eval) shared-gram counts → worst eval doc by
+    // max-struct (invariant 8); distinct-gram totals aggregate the same
+    // persisted hit set (invariant 6)
+    val perEval = hits.groupBy(col("doc_id"), col("n_grams"), col("eval_id"))
+      .agg(count_distinct(col("w")).as("ns"))
+    val top = perEval.groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_eval_docs"),
+        max(struct(col("ns").as("ns"), (-col("eval_id")).as("negid"))).as("m"))
+      .select(col("doc_id"), col("n_grams"), col("n_eval_docs"),
+        (-col("m.negid")).as("top_eval"), col("m.ns").as("top_shared"))
+    val tot = hits.groupBy(col("doc_id"))
+      .agg(count_distinct(col("w")).as("n_hit"))
+    top.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"),
+        col("top_eval"), col("top_shared"),
+        (col("n_hit").cast("double") / col("n_grams")).as("frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gram length for [[q81DupSpans]]: long enough that cross-doc
+    * repetition is copying rather than idiom (5 tokens), short enough
+    * to stay non-vacuous here (measured: 1096 shared 5-gram hashes
+    * across 71 docs at sf0.01).
+    */
+  val SpanArity = 5
+
+  /** EXT — duplicated-span coverage (the postings approximation of
+    * suffix-array exact-substring dedup, Lee et al. 2021,
+    * arXiv:2107.06499 — where near-dup operators like q51 judge whole
+    * documents, this measures how much of EACH document is covered by
+    * ≥[[SpanArity]]-token runs appearing verbatim in OTHER docs):
+    * positional gram hashes, keep starts whose gram occurs in ≥ 2
+    * distinct docs, merge overlapping [pos, pos+k−1] intervals per doc
+    * (the q07 islands idiom — sorted starts, window cummax of interval
+    * ends, each start contributes only the tokens past the previous
+    * covered end), and report covered tokens + fraction per document,
+    * zero-filled for clean docs.
+    *
+    * Scale shape: positional grams are the corpus token stream ×1 (no
+    * k-fold blowup — the interval merge replaces exploding each gram
+    * into k positions); the dup-gram set is found by one hash-shuffle
+    * groupBy; the interval-merge window partitions by DOCUMENT and its
+    * input is only the dup-start rows (sparse), never the corpus. All
+    * integer math until the final fraction of identical longs.
+    */
+  val q81DupSpans: Q = (s, d) => {
+    val pg = tracked(documents(s, d)
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShingleHash(col("text"), P, SpanArity)).as(Seq("pos", "h"))))
+    val dup = pg.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = pg.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("prev_end", max(col("pos") + lit(SpanArity - 1)).over(w))
+      // coalesce BEFORE greatest: Spark's greatest skips nulls, DuckDB's
+      // propagates (invariant — round-3 find)
+      .withColumn("add", greatest(lit(0L),
+        col("pos") + lit(SpanArity - 1)
+          - greatest(col("pos") - 1, coalesce(col("prev_end"), lit(-1L)))))
+      .groupBy(col("doc_id")).agg(sum(col("add")).as("covered"))
+    documents(s, d)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("frac", col("covered").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("dup_heavy",
+        (col("covered") * 10 >= col("n_tokens") * 3).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -858,7 +968,34 @@ object TextQueries {
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_tfidf_topk" -> q77TfidfTopk,
     "q79_best_rep" -> q79BestRep,
+    "q80_ngram_decontam" -> q80NgramDecontam,
+    "q81_dup_spans" -> q81DupSpans,
   )
+
+  /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
+    * `ShingleHash(text, P, arity)` exactly (the q53 two-level-lambda
+    * shape: build each gram's space-joined string, then char-fold it —
+    * ShingleHash's algebraic residue composition equals the char-fold
+    * of the joined string by construction). `distinct` controls
+    * list_distinct; emitted from the same arity constants as the Spark
+    * side (invariant 7 — parameters live in one place). Expects a `tk`
+    * CTE providing `(doc_id, t0)` and ends with a trailing comma.
+    */
+  private def gramHashCtes(sfx: String, arity: Int, distinct: Boolean): String = {
+    val joined = (0 until arity).map(o => s"t0[i+$o]").mkString(" || ' ' || ")
+    val fold = s"""list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+      |           (a, x) -> (a * 31 + x) % $P)""".stripMargin
+    val inner = s"list_transform(gs, s -> $fold)"
+    val hsExpr = if (distinct) s"list_distinct($inner)" else inner
+    s"""g$sfx AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t0) - ${arity - 1}, 0)),
+      |    i -> $joined) AS gs
+      |  FROM tk WHERE len(t0) >= $arity),
+      |hs$sfx AS (
+      |  SELECT doc_id, $hsExpr AS hs
+      |  FROM g$sfx),
+      |""".stripMargin
+  }
 
   /** Shared CTE chain deriving the verified SimHash near-dup pairs
     * (`p(da, db, dist)`): one (th, votes, sh) chain per 16-bit SimHash
@@ -1492,5 +1629,62 @@ object TextQueries {
         |SELECT sh16, count(*) AS n_members, min(doc_id) AS keeper
         |FROM sh GROUP BY sh16 HAVING count(*) > 1
         |ORDER BY sh16""".stripMargin,
+    "q80_ngram_decontam" ->
+      (s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |""".stripMargin +
+        gramHashCtes("80", DecontArity, distinct = true) +
+        s"""ne80 AS (SELECT doc_id, hs FROM hs80 WHERE len(hs) > 0),
+        |ev80 AS (SELECT doc_id AS eval_id, unnest(hs) AS w FROM ne80 WHERE doc_id % 10 = 0),
+        |tr80 AS (SELECT doc_id, CAST(len(hs) AS INT) AS n_grams, unnest(hs) AS w
+        |         FROM ne80 WHERE doc_id % 10 <> 0),
+        |hit80 AS (SELECT tr80.doc_id, tr80.n_grams, tr80.w, ev80.eval_id
+        |          FROM tr80 JOIN ev80 ON tr80.w = ev80.w),
+        |pe80 AS (SELECT doc_id, n_grams, eval_id, CAST(count(DISTINCT w) AS BIGINT) AS ns
+        |         FROM hit80 GROUP BY doc_id, n_grams, eval_id),
+        |top80 AS (
+        |  SELECT doc_id, n_grams, eval_id AS top_eval, ns AS top_shared FROM (
+        |    SELECT doc_id, n_grams, eval_id, ns,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY ns DESC, eval_id) AS rn
+        |    FROM pe80)
+        |  WHERE rn = 1),
+        |agg80 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_docs
+        |          FROM pe80 GROUP BY doc_id),
+        |tot80 AS (SELECT doc_id, CAST(count(DISTINCT w) AS BIGINT) AS n_hit
+        |          FROM hit80 GROUP BY doc_id)
+        |SELECT top80.doc_id, top80.n_grams, tot80.n_hit, agg80.n_eval_docs,
+        |  top80.top_eval, top80.top_shared,
+        |  CAST(tot80.n_hit AS DOUBLE) / top80.n_grams AS frac
+        |FROM top80 JOIN agg80 ON top80.doc_id = agg80.doc_id
+        |JOIN tot80 ON top80.doc_id = tot80.doc_id
+        |ORDER BY top80.doc_id""".stripMargin),
+    "q81_dup_spans" ->
+      (s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |""".stripMargin +
+        gramHashCtes("81", SpanArity, distinct = false) +
+        s"""pg81 AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM hs81),
+        |dup81 AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM pg81)
+        |  GROUP BY h HAVING count(*) > 1),
+        |st81 AS (SELECT pg81.doc_id, CAST(pg81.pos AS BIGINT) AS pos
+        |         FROM pg81 JOIN dup81 ON pg81.h = dup81.h),
+        |cv81 AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + ${SpanArity - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM st81),
+        |cov81 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(greatest(0, pos + ${SpanArity - 1}
+        |      - greatest(pos - 1, COALESCE(prev_end, -1)))) AS BIGINT) AS covered
+        |  FROM cv81 GROUP BY doc_id),
+        |nt81 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |         FROM documents)
+        |SELECT nt81.doc_id, nt81.n_tokens,
+        |  COALESCE(cov81.covered, 0) AS covered,
+        |  CAST(COALESCE(cov81.covered, 0) AS DOUBLE) / nt81.n_tokens AS frac,
+        |  CASE WHEN COALESCE(cov81.covered, 0) * 10 >= nt81.n_tokens * 3
+        |       THEN 1 ELSE 0 END AS dup_heavy
+        |FROM nt81 LEFT JOIN cov81 ON nt81.doc_id = cov81.doc_id
+        |ORDER BY nt81.doc_id""".stripMargin),
   )
 }
