@@ -19,12 +19,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * (ASCII input: byte == char). Fewer than `arity` tokens ⇒ empty array.
   * Not deduplicated (downstream min/distinct aggregation is
   * dedup-insensitive).
+  *
+  * Dual-residue mode (`mod2 > 0`): each gram carries TWO independent
+  * residues from the same pass, laid into one long as
+  * `h1 · 2³¹ + h2` (h2 < mod2 < 2³¹, h1 < mod ≤ 3037000499 keeps the
+  * sum under 2⁶³). A single ~30-bit residue collides at birthday rate
+  * n²/2P — ~0.2 expected FALSE gram matches at a mere 24k distinct
+  * grams (measured: one real collision at sf0.001), hopeless at corpus
+  * scale — while the pair collides at n²/2(mod·mod2) ≈ n²/2⁶². Use it
+  * wherever a gram equality IS the verdict (q80's decontamination flag,
+  * q81's span coverage); the single-residue form stays for
+  * recall-oriented signals that verify candidates afterwards (q31) or
+  * aggregate over many grams (q53/q66 fractions).
   */
-case class ShingleHash(child: Expression, mod: Long, arity: Int)
+case class ShingleHash(child: Expression, mod: Long, arity: Int,
+    mod2: Long = 0L)
     extends UnaryExpression {
   // per-gram terms multiply two residues: mod² must stay within Long
   require(mod > 1 && mod <= 3037000499L,
     s"mod must be in (1, 3037000499], got $mod")
+  // the packed form h1·2³¹ + h2 must stay within Long: mod2 < 2³¹
+  require(mod2 == 0L || (mod2 > 1 && mod2 < 2147483648L),
+    s"mod2 must be 0 (off) or in (1, 2^31), got $mod2")
   require(arity >= 1, s"arity must be >= 1, got $arity")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -59,34 +75,50 @@ case class ShingleHash(child: Expression, mod: Long, arity: Int)
       i += 1
     }
     if (nTok < arity) return new GenericArrayData(Array.empty[Long])
-    val th = new Array[Long](nTok)
-    t = 0
-    while (t < nTok) {
-      var h = 0L
-      var j = starts(t)
-      val end = starts(t) + lens(t)
-      while (j < end) { h = (h * 31 + (bytes(j) & 0xff)) % mod; j += 1 }
-      th(t) = h
-      t += 1
+    def tokenHashes(m0: Long): Array[Long] = {
+      val th = new Array[Long](nTok)
+      var t0 = 0
+      while (t0 < nTok) {
+        var h = 0L
+        var j = starts(t0)
+        val end = starts(t0) + lens(t0)
+        while (j < end) { h = (h * 31 + (bytes(j) & 0xff)) % m0; j += 1 }
+        th(t0) = h
+        t0 += 1
+      }
+      th
     }
-    def pow31(k: Int): Long = {
+    def pow31(k: Int, m0: Long): Long = {
       var p = 1L
       var n = k
-      while (n > 0) { p = p * 31 % mod; n -= 1 }
+      while (n > 0) { p = p * 31 % m0; n -= 1 }
       p
     }
-    val out = new Array[Long](nTok - arity + 1)
-    var g = 0
-    while (g < out.length) {
-      var acc = th(g)
-      var m = 1
-      while (m < arity) {
-        acc = (acc * 31 + 32) % mod // ' '
-        acc = (acc * pow31(lens(g + m)) + th(g + m)) % mod
-        m += 1
+    def gramResidues(m0: Long): Array[Long] = {
+      val th = tokenHashes(m0)
+      val out = new Array[Long](nTok - arity + 1)
+      var g = 0
+      while (g < out.length) {
+        var acc = th(g)
+        var m = 1
+        while (m < arity) {
+          acc = (acc * 31 + 32) % m0 // ' '
+          acc = (acc * pow31(lens(g + m), m0) + th(g + m)) % m0
+          m += 1
+        }
+        out(g) = acc
+        g += 1
       }
-      out(g) = acc
-      g += 1
+      out
+    }
+    val out = gramResidues(mod)
+    if (mod2 > 0L) {
+      val out2 = gramResidues(mod2)
+      var g = 0
+      while (g < out.length) {
+        out(g) = out(g) * 2147483648L + out2(g)
+        g += 1
+      }
     }
     new GenericArrayData(out)
   }
@@ -107,6 +139,8 @@ case class ShingleHash(child: Expression, mod: Long, arity: Int)
 object ShingleHash {
   def apply(c: Column, mod: Long, arity: Int): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(c), mod, arity))
+  def apply(c: Column, mod: Long, arity: Int, mod2: Long): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(c), mod, arity, mod2))
 }
 
 /** Trigram convenience alias (the q31 MinHash signature path). */

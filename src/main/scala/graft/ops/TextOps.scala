@@ -15,6 +15,14 @@ object TextOps {
   /** Polynomial-hash modulus (1e9+7): keeps (h*31 + byte) within long. */
   val P: Long = 1000000007L
 
+  /** Second modulus for [[graft.functions.ShingleHash]]'s dual-residue
+    * mode (largest prime < 2³¹, CRT-independent of [[P]]): the packed
+    * (h mod P)·2³¹ + (h mod P2) key collides at ~n²/2⁶² instead of a
+    * single residue's n²/2³⁰ — the difference between "one false gram
+    * match per 24k grams" and "none at corpus scale".
+    */
+  val P2: Long = 2147483647L
+
   /** 16-bit hash space for SimHash. */
   val P16: Long = 65536L
 

@@ -629,13 +629,18 @@ object PipelineQueries {
     */
   val EpochBudget = 1000000L
 
-  /** The α = 0.5 quota computation shared by [[q75MixtureWeights]] and
-    * [[q78EpochDraw]], parameterized by the token budget (one place for
-    * the math, two budgets): returns one row per source with
-    * (source, n_tokens, weight, quota), Σ quota = budget bit-exactly.
+  /** Generic α = 0.5 largest-remainder apportionment over any
+    * `(keyCol, n)` dimension frame (token-mass sources for q75/q78 via
+    * [[mixtureQuotaFrame]], trained cells for q82): r = ⌊√n·1e8⌋
+    * weights, ⌊budget·r/W⌋ long-division quotas, leftover to the
+    * largest remainders (ties by key) — Σ quota = budget bit-exactly.
+    * Returns `(keyCol, n, weight, quota)`. The input must be
+    * DIMENSION-sized: the totals ride 1-row broadcast crossJoins and
+    * the remainder rank is a global window over it (the q04
+    * dimension-table exception).
     *
     * int64 envelope (the q71 [[ShuffleMul]] precedent): `budget·r` must
-    * stay under 2⁶³ with r = ⌊√n_tokens·1e8⌋, i.e. valid while
+    * stay under 2⁶³ with r = ⌊√n·1e8⌋, i.e. valid while
     * budget·√n_max < 9.2e10 — EpochBudget = 1e6 handles up to ~8.5e9
     * tokens in a single source. Past that, shrink the 1e8 quantization
     * scale (the apportionment is exact at ANY scale; only weight
@@ -644,28 +649,34 @@ object PipelineQueries {
     * errors on BIGINT overflow rather than wrapping, so a breach is
     * loud, not silent.
     */
-  private def mixtureQuotaFrame(s: org.apache.spark.sql.SparkSession,
-      d: String, budget: Long): org.apache.spark.sql.DataFrame = {
+  private[queries] def largestRemainderQuota(counts: org.apache.spark.sql.DataFrame,
+      keyCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perSrc = tracked(documents(s, d)
-      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val perKey = tracked(counts
       .withColumn("r",
-        floor(sqrt(col("n_tokens").cast("double")) * lit(1e8)).cast("long")))
-    val tot = perSrc.agg(sum(col("r")).cast("long").as("w_total"))
-    val joined = tracked(perSrc.crossJoin(broadcast(tot))
+        floor(sqrt(col("n").cast("double")) * lit(1e8)).cast("long")))
+    val tot = perKey.agg(sum(col("r")).cast("long").as("w_total"))
+    val joined = tracked(perKey.crossJoin(broadcast(tot))
       .withColumn("quota0", expr(s"($budget * r) div w_total"))
       .withColumn("rem", pmod(lit(budget) * col("r"), col("w_total"))))
     val defc = joined.agg((lit(budget) - sum(col("quota0"))).cast("long").as("d"))
-    // global window over the SOURCE dimension (20 rows), not the corpus
-    val w = Window.orderBy(col("rem").desc, col("source").asc)
+    val w = Window.orderBy(col("rem").desc, col(keyCol).asc)
     joined.crossJoin(broadcast(defc))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("source"), col("n_tokens"),
+      .select(col(keyCol), col("n"),
         (col("r").cast("double") / col("w_total").cast("double")).as("weight"),
         (col("quota0") + when(col("rk") <= col("d"), 1L).otherwise(0L))
           .cast("long").as("quota"))
   }
+
+  private def mixtureQuotaFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, budget: Long): org.apache.spark.sql.DataFrame =
+    largestRemainderQuota(
+      documents(s, d)
+        .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n")),
+      "source", budget)
+      .withColumnRenamed("n", "n_tokens")
 
   /** EXT — temperature-based source mixing: the step between [[q60]]'s
     * budget audit and [[q71CorpusShuffle]]'s training order — given
@@ -1103,7 +1114,7 @@ object PipelineQueries {
         |FROM sh71 ORDER BY shard, pos""".stripMargin),
     "q75_mixture_weights" -> (mixtureQuotaCtes(EpochBudget) +
       s"""
-        |SELECT source, n_tokens,
+        |SELECT source, n AS n_tokens,
         |  CAST(r AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight,
         |  CAST(quota0 + CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM k75 ORDER BY source""".stripMargin),
@@ -1131,33 +1142,36 @@ object PipelineQueries {
         |ORDER BY c.source, c.pos""".stripMargin),
   )
 
-  /** The temperature-quota computation as shared oracle CTEs,
-    * parameterized by the token budget exactly like
-    * [[mixtureQuotaFrame]] — ends with `k75(source, n_tokens, r,
-    * w_total, quota0, rem, d, rk)` and NO trailing comma, so the weight
-    * report (q75) appends its final SELECT directly and the epoch draw
-    * (q78) appends `,` plus its own CTEs — one definition of the quota
-    * math (invariant 7's one-place-for-params discipline).
+  /** DuckDB mirror of [[largestRemainderQuota]], generic over the
+    * dimension: emits CTEs `r$sfx/t$sfx/j$sfx/d$sfx/k$sfx` reading
+    * `($keyCol, n)` from `$inCte`; `k$sfx` carries
+    * (keyCol, n, quota0, d, rk) — consumer quota =
+    * `quota0 + CASE WHEN rk <= d THEN 1 ELSE 0 END`. No leading WITH,
+    * no trailing comma (the session-2 CTE-prefix sharing discipline).
     */
-  private def mixtureQuotaCtes(budget: Long): String =
-    s"""WITH ps75 AS (
-      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source),
-      |r75 AS (
-      |  SELECT source, n_tokens,
-      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 100000000.0) AS BIGINT) AS r
-      |  FROM ps75),
-      |t75 AS (SELECT CAST(sum(r) AS BIGINT) AS w_total FROM r75),
-      |j75 AS (
-      |  SELECT source, n_tokens, r, w_total,
+  private[queries] def quotaCtes(inCte: String, keyCol: String, sfx: String,
+      budget: Long): String =
+    s"""r$sfx AS (
+      |  SELECT $keyCol, n,
+      |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 100000000.0) AS BIGINT) AS r
+      |  FROM $inCte),
+      |t$sfx AS (SELECT CAST(sum(r) AS BIGINT) AS w_total FROM r$sfx),
+      |j$sfx AS (
+      |  SELECT $keyCol, n, r, w_total,
       |    ($budget * r) // w_total AS quota0,
       |    ($budget * r) % w_total AS rem
-      |  FROM r75, t75),
-      |d75 AS (SELECT $budget - CAST(sum(quota0) AS BIGINT) AS d FROM j75),
-      |k75 AS (
-      |  SELECT j75.*, d75.d,
-      |    row_number() OVER (ORDER BY rem DESC, source) AS rk
-      |  FROM j75, d75)""".stripMargin
+      |  FROM r$sfx, t$sfx),
+      |d$sfx AS (SELECT $budget - CAST(sum(quota0) AS BIGINT) AS d FROM j$sfx),
+      |k$sfx AS (
+      |  SELECT j$sfx.*, d$sfx.d,
+      |    row_number() OVER (ORDER BY rem DESC, $keyCol) AS rk
+      |  FROM j$sfx, d$sfx)""".stripMargin
+
+  private def mixtureQuotaCtes(budget: Long): String =
+    s"""WITH ps75 AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |""".stripMargin + quotaCtes("ps75", "source", "75", budget)
 
   /** DuckDB mirror of [[bpeTrain]]'s rounds: the same Scala loop that
     * drives the Spark rounds emits one (split → pair-count → argmax →

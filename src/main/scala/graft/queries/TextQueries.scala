@@ -857,12 +857,17 @@ object TextQueries {
     * reach the two downstream aggregates. q53 must hash-shuffle its
     * train-side gram set because training is the big side; here the big
     * side never shuffles at all.
+    *
+    * Gram keys are ShingleHash's dual-residue 62-bit form: a flag here
+    * deletes a training document, and a single ~30-bit residue falsely
+    * matched a gram pair even at sf0.001 (the birthday rate n²/2P —
+    * caught by this spec's string-level model, DecontamSpanSampleSpec).
     */
   val q80NgramDecontam: Q = (s, d) => {
     val hs = tracked(documents(s, d)
       .select(col("doc_id"),
-        array_distinct(
-          graft.functions.ShingleHash(col("text"), P, DecontArity)).as("hs"))
+        array_distinct(graft.functions.ShingleHash(
+          col("text"), P, DecontArity, TextOps.P2)).as("hs"))
       .filter(size(col("hs")) > 0))
     val evalPost = hs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id").as("eval_id"), explode(col("hs")).as("w"))
@@ -912,12 +917,14 @@ object TextQueries {
     * into k positions); the dup-gram set is found by one hash-shuffle
     * groupBy; the interval-merge window partitions by DOCUMENT and its
     * input is only the dup-start rows (sparse), never the corpus. All
-    * integer math until the final fraction of identical longs.
+    * integer math until the final fraction of identical longs. Gram
+    * keys are the dual-residue 62-bit form (q80's rationale: a single
+    * residue falsely covered two docs even at sf0.001).
     */
   val q81DupSpans: Q = (s, d) => {
     val pg = tracked(documents(s, d)
-      .select(col("doc_id"), posexplode(
-        graft.functions.ShingleHash(col("text"), P, SpanArity)).as(Seq("pos", "h"))))
+      .select(col("doc_id"), posexplode(graft.functions.ShingleHash(
+        col("text"), P, SpanArity, TextOps.P2)).as(Seq("pos", "h"))))
     val dup = pg.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select(col("h"))
@@ -941,6 +948,58 @@ object TextQueries {
       .withColumn("dup_heavy",
         (col("covered") * 10 >= col("n_tokens") * 3).cast("int"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Vectors drawn per epoch by [[q82BalancedSample]]. Sized to BIND at
+    * the test SFs (most cells hold more members than their quota, so
+    * the rank filter is exercised; a production run scales the budget
+    * with the corpus — same plan).
+    */
+  val SampleBudget = 100L
+
+  /** Seeded draw hash over vec_id — the q55/q70 multiplicative idiom
+    * (no RNG state; same seed ⇒ same draw on any cluster or engine).
+    */
+  private def vecSampleHash =
+    pmod(col("vec_id") * lit(1103515245L) + lit(12345L), lit(10000L))
+  private val vecSampleHashSql = "(vec_id * 1103515245 + 12345) % 10000"
+
+  /** EXT — cluster-balanced sample (the diversity-preserving draw:
+    * spread a sample budget across SEMANTIC clusters instead of raw
+    * frequency, so rare regions of embedding space survive selection —
+    * the cluster-coverage counterpart of q76's semantic dedup, same
+    * public motivation): q42's trained cells partition the space, each
+    * cell gets an α = 0.5 largest-remainder quota of [[SampleBudget]]
+    * ([[PipelineQueries.largestRemainderQuota]] — √n upweights small
+    * cells, Σ quota = budget bit-exactly), and each cell draws its
+    * quota in seeded-hash order (ties by vec_id). A cell smaller than
+    * its quota is exhausted and the total falls short by that much —
+    * the same documented behavior as q78's short sources.
+    *
+    * Scale shape: training and assignment are q42's broadcast-K plans;
+    * the quota side is a CELL-dimension aggregate (K rows, broadcast
+    * back); the draw is one rank window PARTITIONED by cell. The
+    * variable per-cell quota means no WindowGroupLimit pre-trim — at a
+    * scale where that matters, the q78 scan-side hash-bound pre-filter
+    * (admit h under a bound covering max quota with margin, then rank
+    * the survivors) trims the window input in the same plan.
+    */
+  val q82BalancedSample: Q = (s, d) => {
+    import graft.ops.Ivf
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val cent = Ivf.trainCells(emb, tracked)
+    val asg = tracked(Ivf.assignAll(emb, cent).select(col("vec_id"), col("cell")))
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val quotas = PipelineQueries.largestRemainderQuota(sizes, "cell", SampleBudget)
+      .select(col("cell"), col("n"), col("quota"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("h").asc, col("vec_id").asc)
+    asg.withColumn("h", vecSampleHash)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("cell"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("cell"), col("rk"), col("vec_id"), col("h"),
+        col("n").as("cell_n"), col("quota"))
+      .orderBy(col("cell"), col("rk"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -970,22 +1029,26 @@ object TextQueries {
     "q79_best_rep" -> q79BestRep,
     "q80_ngram_decontam" -> q80NgramDecontam,
     "q81_dup_spans" -> q81DupSpans,
+    "q82_balanced_sample" -> q82BalancedSample,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
-    * `ShingleHash(text, P, arity)` exactly (the q53 two-level-lambda
+    * `ShingleHash(text, P, arity, P2)` exactly (the q53 two-level-lambda
     * shape: build each gram's space-joined string, then char-fold it —
     * ShingleHash's algebraic residue composition equals the char-fold
-    * of the joined string by construction). `distinct` controls
-    * list_distinct; emitted from the same arity constants as the Spark
-    * side (invariant 7 — parameters live in one place). Expects a `tk`
-    * CTE providing `(doc_id, t0)` and ends with a trailing comma.
+    * of the joined string by construction; the dual 62-bit key packs
+    * both folds as `h1·2³¹ + h2`). `distinct` controls list_distinct;
+    * emitted from the same arity constants as the Spark side
+    * (invariant 7 — parameters live in one place). Expects a `tk` CTE
+    * providing `(doc_id, t0)` and ends with a trailing comma.
     */
   private def gramHashCtes(sfx: String, arity: Int, distinct: Boolean): String = {
     val joined = (0 until arity).map(o => s"t0[i+$o]").mkString(" || ' ' || ")
-    val fold = s"""list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
-      |           (a, x) -> (a * 31 + x) % $P)""".stripMargin
-    val inner = s"list_transform(gs, s -> $fold)"
+    def fold(m: Long) =
+      s"""list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+      |           (a, x) -> (a * 31 + x) % $m)""".stripMargin
+    val inner =
+      s"list_transform(gs, s -> (${fold(P)}) * 2147483648 + (${fold(TextOps.P2)}))"
     val hsExpr = if (distinct) s"list_distinct($inner)" else inner
     s"""g$sfx AS (
       |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t0) - ${arity - 1}, 0)),
@@ -1686,5 +1749,24 @@ object TextQueries {
         |       THEN 1 ELSE 0 END AS dup_heavy
         |FROM nt81 LEFT JOIN cov81 ON nt81.doc_id = cov81.doc_id
         |ORDER BY nt81.doc_id""".stripMargin),
+    "q82_balanced_sample" ->
+      (ivfTrainAssignCtes +
+        s"""cs82 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY cell),
+        |""".stripMargin +
+        PipelineQueries.quotaCtes("cs82", "cell", "82", SampleBudget) +
+        s""",
+        |qf82 AS (
+        |  SELECT cell, n,
+        |    CAST(quota0 + CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM k82),
+        |dr82 AS (SELECT vec_id, cell, $vecSampleHashSql AS h FROM af),
+        |rk82 AS (
+        |  SELECT cell, vec_id, h,
+        |    CAST(row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS BIGINT) AS rk
+        |  FROM dr82)
+        |SELECT r.cell, r.rk, r.vec_id, r.h, q.n AS cell_n, q.quota
+        |FROM rk82 r JOIN qf82 q USING (cell)
+        |WHERE r.rk <= q.quota
+        |ORDER BY r.cell, r.rk""".stripMargin),
   )
 }

@@ -22,7 +22,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("banded candidate generation never plans an all-pairs join") {
     for (q <- Seq("q31_neardup_minhash", "q40_embedding_neardup",
         "q51_simhash64", "q53_contamination", "q32_ngram_jaccard",
-        "q56_dup_groups", "q72_incremental_dedup", "q79_best_rep")) {
+        "q56_dup_groups", "q72_incremental_dedup", "q79_best_rep",
+        "q81_dup_spans")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
@@ -45,14 +46,28 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("tiny-side cross joins stay broadcast nested-loop, never cartesian") {
-    // q29 broadcasts 5 query vectors, q42/q76 broadcast ≤16 centroids —
-    // BroadcastNestedLoopJoin over a bounded build side is the intended
-    // plan; an unbroadcast CartesianProduct would be a regression
-    for (q <- Seq("q29_topk_cosine", "q42_ann_ivf", "q76_semantic_dedup")) {
+    // q29 broadcasts 5 query vectors, q42/q76/q82 broadcast ≤16
+    // centroids — BroadcastNestedLoopJoin over a bounded build side is
+    // the intended plan; an unbroadcast CartesianProduct would be a
+    // regression
+    for (q <- Seq("q29_topk_cosine", "q42_ann_ivf", "q76_semantic_dedup",
+        "q82_balanced_sample")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
     }
+  }
+
+  test("q80's corpus side reaches the eval-postings join without shuffling") {
+    // the decontamination asymmetry: the eval side broadcasts
+    // (benchmark-sized), so the corpus explode feeds a BroadcastHashJoin
+    // directly — a SortMergeJoin here would mean the whole corpus gram
+    // stream shuffles on the gram key
+    val p = finalPlan("q80_ngram_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval postings lost their broadcast — corpus grams would shuffle")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
   }
 
   test("CC round plan has no typed serde boundary (observe, not Dataset.map)") {
@@ -103,7 +118,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "q58_vocab_prune", "q59_bigram_lift",
         "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
         "q74_media_neardup", "q75_mixture_weights", "q76_semantic_dedup",
-        "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep")) {
+        "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep",
+        "q80_ngram_decontam", "q81_dup_spans", "q82_balanced_sample")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")

@@ -93,6 +93,24 @@ class PolyHashSpec extends AnyFunSuite {
     assert(rows.forall { case (n, h) => n == h })
   }
 
+  test("dual-residue ShingleHash packs the two single-residue arrays exactly") {
+    import graft.functions.ShingleHash
+    val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val sentence = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val batch = (1 to 200).map(_ => sentence.sample.getOrElse("a b c")) :+ "" :+ "one two three four five"
+    val df = batch.toDF("text")
+      .select(
+        ShingleHash(col("text"), TextOps.P, 5, TextOps.P2).as("dual"),
+        zip_with(
+          ShingleHash(col("text"), TextOps.P, 5),
+          ShingleHash(col("text"), TextOps.P2, 5),
+          (a, b) => a * lit(2147483648L) + b).as("packed"))
+    val rows = df.as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.forall { case (n, h) => n == h })
+    // 62-bit keys stay nonnegative (h1 < P < 2^31.5, h2 < P2 < 2^31)
+    assert(rows.forall(_._1.forall(_ >= 0L)))
+  }
+
   test("SimHash16 == HOF simhash fold on random word strings") {
     import graft.functions.SimHash16
     val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
