@@ -30,9 +30,14 @@ object StressEmbedding {
         .reduce(_ union _)
       val dir = s"/tmp/stress_emb_$copies"
       emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // q82 (balanced sample): output is capped at SampleBudget rows no
+      // matter the corpus — the train/assign scans dominate and must
+      // stay linear; the rank window's input grows with cell membership
+      // (the documented hash-bound pre-filter is the lever at real scale)
       for ((q, fn) <- Seq(
           "q40_embedding_neardup" -> graft.queries.TextQueries.q40EmbeddingNeardup,
-          "q76_semantic_dedup" -> graft.queries.TextQueries.q76SemanticDedup)) {
+          "q76_semantic_dedup" -> graft.queries.TextQueries.q76SemanticDedup,
+          "q82_balanced_sample" -> graft.queries.TextQueries.q82BalancedSample)) {
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9

@@ -48,11 +48,24 @@ object StressText {
       // q77 (TF-IDF): term vocabulary is constant across replicas, so tf/df
       // both grow linearly and idfq ≈ invariant ((10⁶·kN) div (k·df)) —
       // wall clock must track the token scan
+      // round-6 session-3: q80 (decontamination — replica hit pairs grow
+      // k×k per original leak pair but leakage mass is tiny; the
+      // broadcast eval side grows k× linear), q81 (span coverage — at
+      // copies ≥ 2 EVERY gram is cross-doc duplicated, so the interval
+      // window's "sparse dup starts" input densifies to the whole gram
+      // stream: the adversarial worst case, wall clock must stay linear
+      // in it)
       for (q <- Seq("q51_simhash64", "q53_contamination", "q56_dup_groups",
           "q57_corpus_funnel", "q61_line_dedup", "q64_seq_pack",
           "q65_bigram_lm", "q67_bpe_train",
           "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
-          "q74_media_neardup", "q77_tfidf_topk")) {
+          "q74_media_neardup", "q77_tfidf_topk",
+          "q80_ngram_decontam", "q81_dup_spans",
+          // q83/q84 (sketches): sketch size is constant in the corpus —
+          // wall clock must track the gram scan; distinct-gram counts are
+          // k-invariant (replicas add no new grams) so q83's estimates
+          // must be IDENTICAL at every k
+          "q83_kmv_distinct", "q84_cms_heavy")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9

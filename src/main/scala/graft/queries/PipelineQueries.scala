@@ -805,6 +805,113 @@ object PipelineQueries {
     s.read.parquet(s"$outDir/shuffled").count()
   }
 
+  /** Sketch size for [[q83KmvDistinct]] — the standard KMV accuracy
+    * k ≈ (1/ε)², 64 ⇒ ~12% relative error.
+    */
+  val KmvK = 64
+
+  /** EXT — KMV (k-minimum-values) distinct-count sketch per source, the
+    * DETERMINISTIC analog of HyperLogLog distinct counting (Spark's
+    * `approx_count_distinct` is HLL++ and cannot be cross-engine
+    * oracled; KMV with a fixed hash is exact to replay ANYWHERE). The
+    * sketched domain is distinct TRIGRAMS — per-source phrase richness,
+    * the stat q66's overlap matrix rests on — because the corpus's WORD
+    * vocabulary was measured first and is ~31 (every sketch over it is
+    * vacuous: k never binds, nothing collides; the CLAUDE.md
+    * measure-before-wiring rule). Each source keeps its [[KmvK]]
+    * smallest distinct dual-residue gram keys; estimate
+    * distinct ≈ (k−1)·M / h₍ₖ₎ with M = P·2³¹ the packed key space.
+    * The output carries the sketch (h₍ₖ₎), the estimate, AND the exact
+    * count, so the error is visible in the result itself (±~12% at
+    * k=64, measured ≤ ~20%).
+    *
+    * Scale shape — the plan IS the sketch's merge property: per-source
+    * min-k is a rank window over distinct keys (WindowGroupLimit: every
+    * map task keeps its LOCAL k smallest and the exchange merges them —
+    * exactly how distributed KMV sketches union; min-k of a union =
+    * min-k of merged min-ks, proven deterministically in SketchSpec).
+    * The estimate is one double division of engine-identical longs; the
+    * exact-count column is the only corpus-sized aggregate, and a
+    * production run would drop it.
+    */
+  val q83KmvDistinct: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dh = tracked(documents(s, d)
+      .select(col("source"), explode(array_distinct(graft.functions.ShingleHash(
+        col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
+      .distinct())
+    val sizes = dh.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h").asc)
+    val kth = dh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === KmvK)
+      .select(col("source"), col("h").as("kth_hash"))
+    sizes.join(kth, Seq("source"), "left")
+      .select(col("source"), col("n_distinct"),
+        coalesce(col("kth_hash"), lit(-1L)).as("kth_hash"),
+        when(col("kth_hash").isNull, col("n_distinct").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1000000007.0) * lit(2147483648.0)
+            / col("kth_hash").cast("double")).as("est"))
+      .withColumn("err_pct",
+        (col("est") - col("n_distinct").cast("double"))
+          / col("n_distinct").cast("double") * lit(100.0))
+      .orderBy(col("source"))
+  }
+
+  /** Count-min sketch geometry for [[q84CmsHeavy]]: depth-4 rows of
+    * [[CmsWidth]] counters; row i's bucket is the packed gram key
+    * reduced mod a distinct prime then mod the width (pairwise
+    * CRT-independent residues of one 62-bit key — the SimhashMods
+    * discipline). Sized so the ~20k-gram corpus puts ~10 items in
+    * every counter: collision mass is REAL at test scale (the
+    * overestimate column is non-vacuous) while heavy hitters still
+    * dominate their buckets.
+    */
+  val CmsWidth = 512
+  val CmsMods = Seq(1000000007L, 2147483647L, 999999937L, 2147483629L)
+
+  /** EXT — count-min sketch + heavy hitters over the trigram stream
+    * (the q83 domain choice — the word vocabulary is too small to
+    * collide): build the classic CMS (Cormode–Muthukrishnan) — counters
+    * are `sum` aggregates per (row, bucket), so the sketch is
+    * MERGEABLE by addition across partitions/corpora exactly as
+    * deployed — then read the top-20 heavy grams back THROUGH the
+    * sketch (est = min over the 4 rows) next to their exact counts:
+    * the one-sided overestimate guarantee (est ≥ exact, excess ≤
+    * collision mass) is visible per row and asserted in SketchSpec.
+    * Everything is integer; both engines agree bit-for-bit.
+    *
+    * Scale shape: the sketch table is 4·[[CmsWidth]] rows NO MATTER the
+    * corpus (broadcast side of the probe join); building it is one
+    * explode(4) + hash agg over the gram scan with map-side partial
+    * sums. The exact-count column is for demonstration; a production
+    * probe joins only the 2048-row sketch.
+    */
+  val q84CmsHeavy: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = tracked(documents(s, d)
+      .select(explode(graft.functions.ShingleHash(
+        col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("exact")))
+    val buckets = (c: org.apache.spark.sql.Column) =>
+      explode(array(CmsMods.zipWithIndex.map { case (m, i) =>
+        struct(lit(i).as("r"),
+          pmod(pmod(c, lit(m)), lit(CmsWidth.toLong)).as("bucket"))
+      }: _*))
+    val sketch = tok.select(col("exact"), buckets(col("g")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("exact")).as("cnt"))
+    val est = tok.select(col("g"), col("exact"), buckets(col("g")).as("rb"))
+      .select(col("g"), col("exact"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("g"), col("exact")).agg(min(col("cnt")).as("est"))
+    val wr = Window.orderBy(col("exact").desc, col("g").asc)
+    est.withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("g"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q58_vocab_prune"   -> q58VocabPrune,
@@ -823,6 +930,8 @@ object PipelineQueries {
     "q71_corpus_shuffle" -> q71CorpusShuffle,
     "q75_mixture_weights" -> q75MixtureWeights,
     "q78_epoch_draw" -> q78EpochDraw,
+    "q83_kmv_distinct" -> q83KmvDistinct,
+    "q84_cms_heavy" -> q84CmsHeavy,
   )
 
   /** The q57 funnel's per-document stage flags as shared oracle CTEs —
@@ -891,6 +1000,8 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q57_corpus_funnel" -> q57OracleSql,
+    "q83_kmv_distinct" -> q83OracleSql,
+    "q84_cms_heavy" -> q84OracleSql,
     "q58_vocab_prune" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
@@ -1141,6 +1252,50 @@ object PipelineQueries {
         |WHERE c.cum - c.nt < q.quota
         |ORDER BY c.source, c.pos""".stripMargin),
   )
+
+  private def q83OracleSql: String =
+    s"""WITH tk AS (SELECT source, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      TextQueries.gramHashCtes("83", 3, distinct = true, carry = "source") +
+      s"""dh83 AS (SELECT DISTINCT source, unnest(hs) AS h FROM hs83),
+      |sz83 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM dh83 GROUP BY source),
+      |rk83 AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM dh83),
+      |k83 AS (SELECT source, h AS kth_hash FROM rk83 WHERE rk = $KmvK),
+      |e83 AS (
+      |  SELECT sz83.source, sz83.n_distinct,
+      |    COALESCE(k83.kth_hash, -1) AS kth_hash,
+      |    CASE WHEN k83.kth_hash IS NULL THEN CAST(sz83.n_distinct AS DOUBLE)
+      |         ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(1000000007 AS DOUBLE) * CAST(2147483648 AS DOUBLE) / CAST(k83.kth_hash AS DOUBLE)
+      |    END AS est
+      |  FROM sz83 LEFT JOIN k83 ON sz83.source = k83.source)
+      |SELECT source, n_distinct, kth_hash, est,
+      |  (est - CAST(n_distinct AS DOUBLE)) / CAST(n_distinct AS DOUBLE) * 100.0 AS err_pct
+      |FROM e83 ORDER BY source""".stripMargin
+
+  private def q84OracleSql: String = {
+    val caseExpr = "CASE r " + CmsMods.zipWithIndex.dropRight(1)
+      .map { case (m, i) => s"WHEN $i THEN (g % $m) % $CmsWidth" }.mkString(" ") +
+      s" ELSE (g % ${CmsMods.last}) % $CmsWidth END"
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      TextQueries.gramHashCtes("84", 3, distinct = false) +
+      s"""tok84 AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS exact
+      |  FROM (SELECT unnest(hs) AS g FROM hs84)
+      |  GROUP BY g),
+      |rb84 AS (
+      |  SELECT g, exact, r, $caseExpr AS bucket
+      |  FROM tok84, (SELECT unnest([${CmsMods.indices.mkString(",")}]) AS r)),
+      |sk84 AS (SELECT r, bucket, CAST(sum(exact) AS BIGINT) AS cnt FROM rb84 GROUP BY r, bucket),
+      |es84 AS (
+      |  SELECT rb84.g, rb84.exact, min(sk84.cnt) AS est
+      |  FROM rb84 JOIN sk84 USING (r, bucket) GROUP BY rb84.g, rb84.exact),
+      |rk84 AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY exact DESC, g) AS INT) AS rank
+      |  FROM es84)
+      |SELECT rank, g, exact, est, est - exact AS overcount
+      |FROM rk84 WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
 
   /** DuckDB mirror of [[largestRemainderQuota]], generic over the
     * dimension: emits CTEs `r$sfx/t$sfx/j$sfx/d$sfx/k$sfx` reading

@@ -1040,9 +1040,10 @@ object TextQueries {
     * both folds as `h1·2³¹ + h2`). `distinct` controls list_distinct;
     * emitted from the same arity constants as the Spark side
     * (invariant 7 — parameters live in one place). Expects a `tk` CTE
-    * providing `(doc_id, t0)` and ends with a trailing comma.
+    * providing `($carry, t0)` and ends with a trailing comma.
     */
-  private def gramHashCtes(sfx: String, arity: Int, distinct: Boolean): String = {
+  private[queries] def gramHashCtes(sfx: String, arity: Int, distinct: Boolean,
+      carry: String = "doc_id"): String = {
     val joined = (0 until arity).map(o => s"t0[i+$o]").mkString(" || ' ' || ")
     def fold(m: Long) =
       s"""list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
@@ -1051,11 +1052,11 @@ object TextQueries {
       s"list_transform(gs, s -> (${fold(P)}) * 2147483648 + (${fold(TextOps.P2)}))"
     val hsExpr = if (distinct) s"list_distinct($inner)" else inner
     s"""g$sfx AS (
-      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(t0) - ${arity - 1}, 0)),
+      |  SELECT $carry, list_transform(generate_series(1, greatest(len(t0) - ${arity - 1}, 0)),
       |    i -> $joined) AS gs
       |  FROM tk WHERE len(t0) >= $arity),
       |hs$sfx AS (
-      |  SELECT doc_id, $hsExpr AS hs
+      |  SELECT $carry, $hsExpr AS hs
       |  FROM g$sfx),
       |""".stripMargin
   }

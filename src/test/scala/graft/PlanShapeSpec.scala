@@ -38,7 +38,7 @@ class PlanShapeSpec extends AnyFunSuite {
     for (q <- Seq("q57_corpus_funnel", "q58_vocab_prune", "q59_bigram_lift",
         "q60_token_budget", "q61_line_dedup", "q64_seq_pack", "q65_bigram_lm",
         "q66_source_overlap", "q67_bpe_train", "q77_tfidf_topk",
-        "q78_epoch_draw")) {
+        "q78_epoch_draw", "q84_cms_heavy")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
@@ -89,6 +89,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan("q03_latest_event").contains("WindowGroupLimit"))
     assert(finalPlan("q70_exactk_sample").contains("WindowGroupLimit"))
     assert(finalPlan("q77_tfidf_topk").contains("WindowGroupLimit"))
+    // q83's rk = K filter pre-trims map-side too — the plan IS the KMV
+    // sketch merge (each task keeps its local k smallest)
+    assert(finalPlan("q83_kmv_distinct").contains("WindowGroupLimit"))
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
@@ -119,7 +122,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
         "q74_media_neardup", "q75_mixture_weights", "q76_semantic_dedup",
         "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep",
-        "q80_ngram_decontam", "q81_dup_spans", "q82_balanced_sample")) {
+        "q80_ngram_decontam", "q81_dup_spans", "q82_balanced_sample",
+        "q83_kmv_distinct", "q84_cms_heavy")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
