@@ -134,6 +134,37 @@ object AnalyticsQueries {
       .orderBy(col("h"))
   }
 
+  /** EXT — exact per-group percentiles by integer rank math (p-th
+    * percentile = the value at rank ⌈n·p/100⌉ of the ascending sort),
+    * over per-doc token counts by source: the corpus length-distribution
+    * dashboard (the stat behind truncation budgets and packing
+    * efficiency). Spark's `percentile_approx` is sketch-interpolated and
+    * engine-specific; the rank pick is exact, integer, and identical in
+    * any engine — the quantile counterpart of q83's
+    * deterministic-over-approximate choice. One partitioned window
+    * (sort-shuffle per source) + one conditional aggregate; at scale
+    * this is the exact-quantile path and the window never goes global.
+    */
+  val q85Percentiles: Q = (s, d) => {
+    val nt = documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("nt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("nt").asc, col("doc_id").asc)
+    val n = nt.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nt.withColumn("rk", row_number().over(w).cast("long"))
+      .join(n, Seq("source"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(
+        min(col("nt")).as("min_nt"),
+        max(when(col("rk") === expr("(n_docs * 50 + 99) DIV 100"), col("nt"))).as("p50"),
+        max(when(col("rk") === expr("(n_docs * 90 + 99) DIV 100"), col("nt"))).as("p90"),
+        max(when(col("rk") === expr("(n_docs * 99 + 99) DIV 100"), col("nt"))).as("p99"),
+        max(col("nt")).as("max_nt"))
+      .select(col("source"), col("n_docs"), col("min_nt"),
+        col("p50"), col("p90"), col("p99"), col("max_nt"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_rollup"       -> q24Rollup,
     "q25_cube"         -> q25Cube,
@@ -142,9 +173,27 @@ object AnalyticsQueries {
     "q28_sliding"      -> q28Sliding,
     "q29_topk_cosine"  -> q29TopkCosine,
     "q30_exact_dedup"  -> q30ExactDedup,
+    "q85_percentiles"  -> q85Percentiles,
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_percentiles" ->
+      """WITH nt85 AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS nt
+        |  FROM documents),
+        |rk85 AS (
+        |  SELECT source, nt,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS BIGINT) AS rk
+        |  FROM nt85),
+        |n85 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM nt85 GROUP BY source)
+        |SELECT r.source, n.n_docs, min(r.nt) AS min_nt,
+        |  max(CASE WHEN r.rk = (n.n_docs * 50 + 99) // 100 THEN r.nt END) AS p50,
+        |  max(CASE WHEN r.rk = (n.n_docs * 90 + 99) // 100 THEN r.nt END) AS p90,
+        |  max(CASE WHEN r.rk = (n.n_docs * 99 + 99) // 100 THEN r.nt END) AS p99,
+        |  max(r.nt) AS max_nt
+        |FROM rk85 r JOIN n85 n USING (source)
+        |GROUP BY r.source, n.n_docs
+        |ORDER BY r.source""".stripMargin,
     "q24_rollup" ->
       """SELECT COALESCE(r_name, '(all)') AS r_label, COALESCE(n_name, '(all)') AS n_label,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS base_price,

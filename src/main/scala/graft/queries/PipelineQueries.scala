@@ -886,17 +886,24 @@ object PipelineQueries {
     * sums. The exact-count column is for demonstration; a production
     * probe joins only the 2048-row sketch.
     */
+  /** The CMS (row, bucket) placement of one packed gram key — THE
+    * single bucket definition shared by the batch sketch ([[q84CmsHeavy]])
+    * and the streaming maintainer ([[graft.streaming.StreamingSketch]]):
+    * explodes to [[CmsMods]].length `(r, bucket)` structs.
+    */
+  private[graft] def cmsBuckets(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    explode(array(CmsMods.zipWithIndex.map { case (m, i) =>
+      struct(lit(i).as("r"),
+        pmod(pmod(c, lit(m)), lit(CmsWidth.toLong)).as("bucket"))
+    }: _*))
+
   val q84CmsHeavy: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val tok = tracked(documents(s, d)
       .select(explode(graft.functions.ShingleHash(
         col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("exact")))
-    val buckets = (c: org.apache.spark.sql.Column) =>
-      explode(array(CmsMods.zipWithIndex.map { case (m, i) =>
-        struct(lit(i).as("r"),
-          pmod(pmod(c, lit(m)), lit(CmsWidth.toLong)).as("bucket"))
-      }: _*))
+    val buckets = cmsBuckets _
     val sketch = tok.select(col("exact"), buckets(col("g")).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(sum(col("exact")).as("cnt"))

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+import graft.queries.PipelineQueries
+
+/** Streaming maintenance of the q84 count-min sketch — the payoff of
+  * choosing a MERGEABLE-BY-ADDITION sketch: the streaming form is a
+  * plain streaming aggregation (no custom state processor at all),
+  * because incrementally summing per-batch counter deltas IS the CMS
+  * merge. The counter table stays 4·CmsWidth rows forever, so complete
+  * output mode is bounded regardless of stream length.
+  *
+  * One bucket definition ([[PipelineQueries.cmsBuckets]]) and one gram
+  * hash (dual-residue ShingleHash) are shared with the batch query, so
+  * the streaming sketch can never drift from the batch sketch —
+  * StreamingSketchSpec proves counters after N waves ≡ the batch
+  * counters over the union of the waves.
+  */
+object StreamingSketch {
+
+  /** CMS counters `(r, bucket, cnt)` over a (streaming or batch)
+    * `docs(doc_id, text)` frame. On a stream, run with complete output
+    * mode: each micro-batch's gram placements hash-aggregate into the
+    * running counters map-side first (partial sums), exactly the batch
+    * plan's shape.
+    */
+  def cmsCounters(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.ShingleHash(
+        col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
+      .select(PipelineQueries.cmsBuckets(col("g")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingSketch
+
+/** Streaming CMS maintenance ≡ batch: the counter table after each wave
+  * of arrivals must equal the batch sketch over every document seen so
+  * far — additivity IS the merge, so a plain streaming aggregation in
+  * complete mode maintains the exact sketch with no custom state.
+  */
+class StreamingSketchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  test("streaming CMS counters equal the batch sketch after every wave") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingSketch.cmsCounters(source.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      var seen = Seq.empty[(Long, String)]
+      for (chunk <- docs.grouped((docs.length + 2) / 3)) {
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+        seen = seen ++ chunk
+        val streamed = spark.table("cms_stream")
+          .as[(Int, Long, Long)].collect().toSet
+        val batch = StreamingSketch.cmsCounters(
+            seen.toDF("doc_id", "text"))
+          .as[(Int, Long, Long)].collect().toSet
+        assert(streamed == batch,
+          s"wave ${seen.length}: streaming counters diverge from batch")
+        assert(streamed.nonEmpty)
+      }
+      // the full-corpus counters also back the q84 sketch exactly
+      val full = spark.table("cms_stream").as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => (r, b) -> c }.toMap
+      val viaQ84 = SparkEntry.queries("q84_cms_heavy")(spark, d).collect()
+      queries.releasePersisted()
+      spark.catalog.clearCache()
+      // q84's est = min over this gram's counters; spot-check the top row
+      val mods = graft.queries.PipelineQueries.CmsMods
+      val wdt = graft.queries.PipelineQueries.CmsWidth
+      for (r <- viaQ84.take(5)) {
+        val g = r.getLong(1)
+        val est = mods.zipWithIndex
+          .map { case (m, i) => full((i, (g % m) % wdt)) }.min
+        assert(est == r.getLong(3),
+          s"gram $g: streaming-maintained counters give est $est, q84 says ${r.getLong(3)}")
+      }
+    } finally q.stop()
+  }
+}
