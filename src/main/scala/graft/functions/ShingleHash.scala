@@ -75,18 +75,26 @@ case class ShingleHash(child: Expression, mod: Long, arity: Int,
       i += 1
     }
     if (nTok < arity) return new GenericArrayData(Array.empty[Long])
-    def tokenHashes(m0: Long): Array[Long] = {
-      val th = new Array[Long](nTok)
-      var t0 = 0
-      while (t0 < nTok) {
-        var h = 0L
-        var j = starts(t0)
-        val end = starts(t0) + lens(t0)
-        while (j < end) { h = (h * 31 + (bytes(j) & 0xff)) % m0; j += 1 }
-        th(t0) = h
-        t0 += 1
+    val dual = mod2 > 0L
+    // one pass over the bytes folds BOTH residue streams (dual mode
+    // costs two modmuls per byte, not a second scan)
+    val th = new Array[Long](nTok)
+    val th2 = if (dual) new Array[Long](nTok) else null
+    t = 0
+    while (t < nTok) {
+      var h = 0L
+      var h2 = 0L
+      var j = starts(t)
+      val end = starts(t) + lens(t)
+      while (j < end) {
+        val b0 = bytes(j) & 0xff
+        h = (h * 31 + b0) % mod
+        if (dual) h2 = (h2 * 31 + b0) % mod2
+        j += 1
       }
-      th
+      th(t) = h
+      if (dual) th2(t) = h2
+      t += 1
     }
     def pow31(k: Int, m0: Long): Long = {
       var p = 1L
@@ -94,31 +102,23 @@ case class ShingleHash(child: Expression, mod: Long, arity: Int,
       while (n > 0) { p = p * 31 % m0; n -= 1 }
       p
     }
-    def gramResidues(m0: Long): Array[Long] = {
-      val th = tokenHashes(m0)
-      val out = new Array[Long](nTok - arity + 1)
-      var g = 0
-      while (g < out.length) {
-        var acc = th(g)
-        var m = 1
-        while (m < arity) {
-          acc = (acc * 31 + 32) % m0 // ' '
-          acc = (acc * pow31(lens(g + m), m0) + th(g + m)) % m0
-          m += 1
+    val out = new Array[Long](nTok - arity + 1)
+    var g = 0
+    while (g < out.length) {
+      var acc = th(g)
+      var acc2 = if (dual) th2(g) else 0L
+      var m = 1
+      while (m < arity) {
+        acc = (acc * 31 + 32) % mod // ' '
+        acc = (acc * pow31(lens(g + m), mod) + th(g + m)) % mod
+        if (dual) {
+          acc2 = (acc2 * 31 + 32) % mod2
+          acc2 = (acc2 * pow31(lens(g + m), mod2) + th2(g + m)) % mod2
         }
-        out(g) = acc
-        g += 1
+        m += 1
       }
-      out
-    }
-    val out = gramResidues(mod)
-    if (mod2 > 0L) {
-      val out2 = gramResidues(mod2)
-      var g = 0
-      while (g < out.length) {
-        out(g) = out(g) * 2147483648L + out2(g)
-        g += 1
-      }
+      out(g) = if (dual) acc * 2147483648L + acc2 else acc
+      g += 1
     }
     new GenericArrayData(out)
   }

@@ -146,9 +146,11 @@ object AnalyticsQueries {
     * this is the exact-quantile path and the window never goes global.
     */
   val q85Percentiles: Q = (s, d) => {
-    val nt = documents(s, d)
+    // persisted: the window chain and the per-source count both read it
+    // (invariant 6)
+    val nt = tracked(documents(s, d)
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).as("nt"))
+        size(split(col("text"), " ")).as("nt")))
     val w = Window.partitionBy(col("source")).orderBy(col("nt").asc, col("doc_id").asc)
     val n = nt.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     nt.withColumn("rk", row_number().over(w).cast("long"))

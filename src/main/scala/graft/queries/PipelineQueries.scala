@@ -903,17 +903,21 @@ object PipelineQueries {
       .select(explode(graft.functions.ShingleHash(
         col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("exact")))
-    val buckets = cmsBuckets _
-    val sketch = tok.select(col("exact"), buckets(col("g")).as("rb"))
+    val sketch = tok.select(col("exact"), cmsBuckets(col("g")).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(sum(col("exact")).as("cnt"))
-    val est = tok.select(col("g"), col("exact"), buckets(col("g")).as("rb"))
-      .select(col("g"), col("exact"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("r", "bucket"))
-      .groupBy(col("g"), col("exact")).agg(min(col("cnt")).as("est"))
+    // rank FIRST (WindowGroupLimit pre-trims map-side), then probe the
+    // broadcast sketch for only the 20 survivors — probing before
+    // ranking would explode and join the whole gram domain just to
+    // discard all but 20 rows
     val wr = Window.orderBy(col("exact").desc, col("g").asc)
-    est.withColumn("rank", row_number().over(wr).cast("int"))
+    val top = tok.withColumn("rank", row_number().over(wr).cast("int"))
       .filter(col("rank") <= 20)
+    top.select(col("rank"), col("g"), col("exact"), cmsBuckets(col("g")).as("rb"))
+      .select(col("rank"), col("g"), col("exact"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("rank"), col("g"), col("exact")).agg(min(col("cnt")).as("est"))
       .select(col("rank"), col("g"), col("exact"), col("est"),
         (col("est") - col("exact")).as("overcount"))
       .orderBy(col("rank"))

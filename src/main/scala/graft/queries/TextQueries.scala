@@ -606,13 +606,20 @@ object TextQueries {
   private[graft] def sampleRateBp =
     least(lit(10000), lit(2000) + lit(700) *
       coalesce(pmod(substring(col("source"), 4, 10).cast("int"), lit(10)), lit(0)))
-  private[graft] def sampleHash =
-    pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(10000L))
+  /** The seeded multiplicative draw hash (q55/q70/q78/q82) over any id
+    * column — LCG constants live HERE only; both engines' forms derive
+    * from the same three numbers.
+    */
+  private[graft] def sampleHashOn(id: org.apache.spark.sql.Column) =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(10000L))
+  private[queries] def sampleHashSqlOn(id: String) =
+    s"($id * 1103515245 + 12345) % 10000"
+  private[graft] def sampleHash = sampleHashOn(col("doc_id"))
   // ((x % 10) + 10) % 10 = Spark's pmod for any sign — a negative
   // source number must not diverge (invariant 1)
   private[queries] val sampleRateBpSql =
     "least(10000, 2000 + 700 * COALESCE(((TRY_CAST(substring(source, 4, 10) AS INT) % 10) + 10) % 10, 0))"
-  private[queries] val sampleHashSql = "(doc_id * 1103515245 + 12345) % 10000"
+  private[queries] val sampleHashSql = sampleHashSqlOn("doc_id")
 
   val q55StratifiedSample: Q = (s, d) => {
     val rateBp = sampleRateBp
@@ -957,12 +964,12 @@ object TextQueries {
     */
   val SampleBudget = 100L
 
-  /** Seeded draw hash over vec_id — the q55/q70 multiplicative idiom
-    * (no RNG state; same seed ⇒ same draw on any cluster or engine).
+  /** Seeded draw hash over vec_id — [[sampleHashOn]] (the q55/q70
+    * multiplicative idiom; no RNG state, same seed ⇒ same draw on any
+    * cluster or engine), parameterized rather than re-stating the LCG.
     */
-  private def vecSampleHash =
-    pmod(col("vec_id") * lit(1103515245L) + lit(12345L), lit(10000L))
-  private val vecSampleHashSql = "(vec_id * 1103515245 + 12345) % 10000"
+  private def vecSampleHash = sampleHashOn(col("vec_id"))
+  private def vecSampleHashSql = sampleHashSqlOn("vec_id")
 
   /** EXT — cluster-balanced sample (the diversity-preserving draw:
     * spread a sample budget across SEMANTIC clusters instead of raw

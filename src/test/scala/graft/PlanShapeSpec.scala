@@ -123,7 +123,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "q74_media_neardup", "q75_mixture_weights", "q76_semantic_dedup",
         "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep",
         "q80_ngram_decontam", "q81_dup_spans", "q82_balanced_sample",
-        "q83_kmv_distinct", "q84_cms_heavy")) {
+        "q83_kmv_distinct", "q84_cms_heavy", "q85_percentiles")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
