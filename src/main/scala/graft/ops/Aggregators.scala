@@ -78,4 +78,32 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** q83's KMV sketch as a typed Aggregator: the k smallest DISTINCT
+    * values seen, kept sorted. `merge` IS the KMV union (min-k of two
+    * min-ks = min-k of the union — commutative, associative, bounded at
+    * k elements), so partial aggregation gives the distributed sketch
+    * merge natively and the same aggregator maintains the sketch over a
+    * stream in complete mode with no custom state. The buffer never
+    * exceeds k longs; the saturated-and-larger fast path makes the
+    * common post-warmup insert O(1).
+    */
+  case class MinK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k >= 1)
+    def zero: Seq[Long] = Vector.empty
+    private def insert(b: Seq[Long], v: Long): Seq[Long] =
+      if (b.length == k && v >= b.last) b
+      else if (b.contains(v)) b // O(k), k is small by construction
+      else {
+        val s = (b :+ v).sorted
+        if (s.length > k) s.take(k) else s
+      }
+    def reduce(b: Seq[Long], v: Long): Seq[Long] = insert(b, v)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

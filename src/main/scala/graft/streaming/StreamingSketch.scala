@@ -33,4 +33,24 @@ object StreamingSketch {
       .select(PipelineQueries.cmsBuckets(col("g")).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Per-source KMV state `(source, minhashes)` over a (streaming or
+    * batch) `docs(source, text)` frame — q83's sketch maintained by the
+    * [[graft.ops.Aggregators.MinK]] typed aggregator: its `merge` is
+    * the KMV union, so map-side partials ARE the distributed sketch
+    * merge and complete-mode streaming keeps exactly k longs of state
+    * per source. The batch q83 window form and this aggregate form
+    * must produce the same k-th hash (StreamingSketchSpec).
+    */
+  def kmvState(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), explode(array_distinct(
+        graft.functions.ShingleHash(
+          col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.ops.Aggregators.MinK(PipelineQueries.KmvK).toColumn.name("minhashes"))
+      .toDF("source", "minhashes")
+  }
 }

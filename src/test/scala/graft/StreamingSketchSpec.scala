@@ -58,4 +58,40 @@ class StreamingSketchSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming KMV state equals batch q83's sketch after all waves") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("source"), col("text"))
+      .as[(String, String)].collect().sortBy(_.hashCode)
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = StreamingSketch.kmvState(source.toDS().toDF("source", "text"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      for (chunk <- docs.grouped((docs.length + 2) / 3)) {
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("kmv_stream")
+        .as[(String, Seq[Long])].collect().toMap
+      // buffers must be sorted, distinct, and capped at k
+      val k = graft.queries.PipelineQueries.KmvK
+      for ((src, hs) <- streamed) {
+        assert(hs == hs.distinct.sorted, s"$src buffer not a sorted set")
+        assert(hs.length <= k)
+      }
+      // the k-th smallest hash agrees with the batch q83 window form
+      val batch = SparkEntry.queries("q83_kmv_distinct")(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      queries.releasePersisted()
+      spark.catalog.clearCache()
+      assert(streamed.keySet == batch.keySet)
+      for ((src, kth) <- batch if kth != -1L)
+        assert(streamed(src)(k - 1) == kth,
+          s"$src: streaming KMV k-th ${streamed(src)(k - 1)} != batch $kth")
+    } finally q.stop()
+  }
 }
