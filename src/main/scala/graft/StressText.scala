@@ -68,7 +68,11 @@ object StressText {
           "q83_kmv_distinct", "q84_cms_heavy",
           // q86 (domain affinity): bigram vocabulary constant across
           // replicas, ratios k-invariant, cost tracks the bigram scan
-          "q86_domain_affinity")) {
+          "q86_domain_affinity",
+          // q87 (fuzzy decontam): replica families straddle the split
+          // k×k ways, but probe fan-out is bucket-capped — cost tracks
+          // flagged matches, never pairs²
+          "q87_fuzzy_decontam")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9

@@ -671,6 +671,45 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT — FUZZY eval decontamination: [[q80NgramDecontam]] flags
+    * verbatim long-gram leakage, but a lightly paraphrased or
+    * reformatted eval item escapes any exact-gram test. This probes the
+    * TRAIN split against a frozen SimHash signature index of the EVAL
+    * split — [[graft.ops.IncrementalDedup]]'s build/probe machinery
+    * verbatim, because a benchmark IS just another frozen snapshot —
+    * and flags every train doc within Hamming [[SimhashMaxDist]] of
+    * any eval doc, with the nearest leaked eval item (min dist, tie
+    * min id — the q72 two-step struct-min). Together q80 (precision,
+    * verbatim) and q87 (recall, near-dup) are the two public
+    * decontamination regimes.
+    *
+    * Scale shape: identical to q72 — the eval index is benchmark-sized
+    * and self-contained (band rows carry the signature), the train
+    * side hashes once and equi-joins on (band, key); the occupancy cap
+    * is measured on the INDEX side. Output is one row per train doc,
+    * zero-filled.
+    */
+  val q87FuzzyDecontam: Q = (s, d) => {
+    val all = documents(s, d)
+    val evalDocs = all.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val trainDocs = all.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val index = graft.ops.IncrementalDedup.buildIndex(evalDocs, track = tracked)
+    val matches = graft.ops.IncrementalDedup.probe(index, trainDocs)
+    val agg = matches.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("nd"),
+        min(struct(col("dist"), col("old_id"))).as("nn"))
+      .select(col("new_id").as("doc_id"), col("nd"),
+        col("nn.dist").as("nnd"), col("nn.old_id").as("nno"))
+    trainDocs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).as("n_near"),
+        col("nd").isNotNull.cast("int").as("is_flagged"),
+        coalesce(col("nnd"), lit(-1)).as("nn_dist"),
+        coalesce(col("nno"), lit(-1L)).as("nn_eval"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXT — exact content-hash dedup over DECODED multimodal bytes: q30's
     * hash-groupBy shape applied to media, but the hash runs over the
     * CANONICAL decoded content
@@ -1037,6 +1076,7 @@ object TextQueries {
     "q80_ngram_decontam" -> q80NgramDecontam,
     "q81_dup_spans" -> q81DupSpans,
     "q82_balanced_sample" -> q82BalancedSample,
+    "q87_fuzzy_decontam" -> q87FuzzyDecontam,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -1126,16 +1166,20 @@ object TextQueries {
       |SELECT da, db, CAST(dist AS INT) AS dist FROM p WHERE dist <= $SimhashMaxDist
       |ORDER BY da, db""".stripMargin
 
-  /** Oracle for [[q72IncrementalDedup]]: reuses the shared sig/bands0
-    * CTEs, then mirrors the build/probe split — snapshot-side occupancy
-    * cap, band equi-join, XOR verify, two-step (min dist, then min
-    * old_id) nearest-neighbor = the Spark struct-min.
+  /** Build/probe oracle mirror shared by [[q72IncrementalDedup]] and
+    * [[q87FuzzyDecontam]] (one definition — the session-2 shared-prefix
+    * discipline): reuses the shared sig/bands0 CTEs, then the frozen
+    * side's occupancy cap, band equi-join, XOR verify, two-step
+    * (min dist, then min old_id) nearest-neighbor = the Spark
+    * struct-min. Parameterized by the index/probe split predicates and
+    * the output column names.
     */
-  private def q72OracleSql: String =
-    simhashPairCtes + s"""fro AS (SELECT * FROM bands0 WHERE doc_id % 4 <> 0),
+  private def buildProbeOracleSql(idxPred: String, probePred: String,
+      cntCol: String, flagCol: String, nnCol: String): String =
+    simhashPairCtes + s"""fro AS (SELECT * FROM bands0 WHERE $idxPred),
       |fkeep AS (SELECT band, key FROM fro GROUP BY band, key HAVING count(*) <= $BandOccCap),
       |fidx AS (SELECT fro.* FROM fro JOIN fkeep USING (band, key)),
-      |nbb AS (SELECT * FROM bands0 WHERE doc_id % 4 = 0),
+      |nbb AS (SELECT * FROM bands0 WHERE $probePred),
       |mt0 AS (
       |  SELECT DISTINCT n.doc_id AS nid, f.doc_id AS old_id
       |  FROM nbb n JOIN fidx f ON n.band = f.band AND n.key = f.key),
@@ -1145,19 +1189,31 @@ object TextQueries {
       |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INTEGER) AS dist
       |  FROM mt0 m JOIN sig x ON m.nid = x.doc_id JOIN sig y ON m.old_id = y.doc_id),
       |ok AS (SELECT * FROM mt WHERE dist <= $SimhashMaxDist),
-      |md AS (SELECT nid, CAST(count(*) AS BIGINT) AS n_dup, min(dist) AS nn_dist
+      |md AS (SELECT nid, CAST(count(*) AS BIGINT) AS $cntCol, min(dist) AS nn_dist
       |       FROM ok GROUP BY nid),
       |ag AS (
-      |  SELECT md.nid, md.n_dup, md.nn_dist, min(ok.old_id) AS nn_old
+      |  SELECT md.nid, md.$cntCol, md.nn_dist, min(ok.old_id) AS $nnCol
       |  FROM md JOIN ok ON md.nid = ok.nid AND md.nn_dist = ok.dist
-      |  GROUP BY md.nid, md.n_dup, md.nn_dist)
-      |SELECT d.doc_id, COALESCE(ag.n_dup, CAST(0 AS BIGINT)) AS n_dup,
-      |  CASE WHEN ag.nid IS NULL THEN 0 ELSE 1 END AS is_dup,
+      |  GROUP BY md.nid, md.$cntCol, md.nn_dist)
+      |SELECT d.doc_id, COALESCE(ag.$cntCol, CAST(0 AS BIGINT)) AS $cntCol,
+      |  CASE WHEN ag.nid IS NULL THEN 0 ELSE 1 END AS $flagCol,
       |  COALESCE(ag.nn_dist, -1) AS nn_dist,
-      |  COALESCE(ag.nn_old, CAST(-1 AS BIGINT)) AS nn_old
-      |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      |  COALESCE(ag.$nnCol, CAST(-1 AS BIGINT)) AS $nnCol
+      |FROM (SELECT doc_id FROM documents WHERE $probePred) d
       |LEFT JOIN ag ON d.doc_id = ag.nid
       |ORDER BY doc_id""".stripMargin
+
+  private def q72OracleSql: String =
+    buildProbeOracleSql("doc_id % 4 <> 0", "doc_id % 4 = 0",
+      "n_dup", "is_dup", "nn_old")
+
+  /** Oracle for [[q87FuzzyDecontam]]: the shared build/probe mirror
+    * with the eval split (doc_id % 10 = 0) as the frozen index and the
+    * train split as the probe.
+    */
+  private def q87OracleSql: String =
+    buildProbeOracleSql("doc_id % 10 = 0", "doc_id % 10 <> 0",
+      "n_near", "is_flagged", "nn_eval")
 
   /** q56's oracle computes the components by a deliberately DIFFERENT
     * algorithm than the Spark side: a recursive-CTE transitive closure
@@ -1567,6 +1623,7 @@ object TextQueries {
     "q56_dup_groups" -> q56OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
+    "q87_fuzzy_decontam" -> q87OracleSql,
     "q74_media_neardup" ->
       s"""WITH mm AS (SELECT doc_id AS media_id, text FROM documents),
         |by74 AS (

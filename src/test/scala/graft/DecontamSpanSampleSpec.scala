@@ -87,6 +87,36 @@ class DecontamSpanSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("q87 flags exactly the train docs with a verified eval near-dup (vs q51 pairs)") {
+    val out = SparkEntry.queries("q87_fuzzy_decontam")(spark, d).collect()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val flagged = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "no eval near-dups at spec scale — vacuous")
+    assert(out.exists(_.getInt(2) == 0), "everything flagged — degenerate")
+    // q51's verified pair set, restricted to pairs straddling the split,
+    // is an independent derivation of the same flag set (the occupancy
+    // cap binds on neither at spec scale)
+    val pairs = SparkEntry.queries("q51_simhash64")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val straddle = pairs.flatMap { case (a, b) =>
+      if (a % 10 == 0 && b % 10 != 0) Some(b)
+      else if (b % 10 == 0 && a % 10 != 0) Some(a)
+      else None
+    }.toSet
+    assert(flagged == straddle,
+      s"flag set diverges from q51's straddling pairs: " +
+        s"only-q87=${(flagged -- straddle).take(5)} only-q51=${(straddle -- flagged).take(5)}")
+    // flagged rows carry a consistent nearest eval item
+    for (r <- out if r.getInt(2) == 1) {
+      assert(r.getLong(4) % 10 == 0, "nn_eval must be an eval doc")
+      assert(r.getInt(3) >= 0 &&
+        r.getInt(3) <= graft.queries.TextQueries.SimhashMaxDist)
+    }
+  }
+
   test("q82 draws each cell's largest-remainder quota in seeded hash order") {
     import graft.ops.Ivf
     val out = SparkEntry.queries("q82_balanced_sample")(spark, d).collect()
