@@ -834,12 +834,23 @@ object PipelineQueries {
     * exact-count column is the only corpus-sized aggregate, and a
     * production run would drop it.
     */
+  /** THE sketch-domain definitions — every consumer (q83/q84 batch,
+    * both streaming twins) derives its gram stream here, so a change
+    * to the arity, moduli, or per-doc dedup reaches all of them at
+    * once (the simhashSig single-definition discipline).
+    * [[gramKeys]]: every trigram occurrence as a packed dual-residue
+    * key; [[sourceGramKeys]]: per-doc-distinct keys with their source.
+    */
+  private[graft] def gramKeys(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(graft.functions.ShingleHash(
+      col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
+  private[graft] def sourceGramKeys(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("source"), explode(array_distinct(graft.functions.ShingleHash(
+      col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
+
   val q83KmvDistinct: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val dh = tracked(documents(s, d)
-      .select(col("source"), explode(array_distinct(graft.functions.ShingleHash(
-        col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
-      .distinct())
+    val dh = tracked(sourceGramKeys(documents(s, d)).distinct())
     val sizes = dh.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
     val w = Window.partitionBy(col("source")).orderBy(col("h").asc)
     val kth = dh.withColumn("rk", row_number().over(w))
@@ -899,9 +910,7 @@ object PipelineQueries {
 
   val q84CmsHeavy: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val tok = tracked(documents(s, d)
-      .select(explode(graft.functions.ShingleHash(
-        col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
+    val tok = tracked(gramKeys(documents(s, d))
       .groupBy(col("g")).agg(count(lit(1)).as("exact")))
     val sketch = tok.select(col("exact"), cmsBuckets(col("g")).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
@@ -941,10 +950,11 @@ object PipelineQueries {
     * Scale shape: one bigram scan (dual-residue ShingleHash arity 2);
     * the count table is bigram-vocabulary-sized (broadcastable); totals
     * ride a 1-row broadcast; the per-doc mean is a hash aggregate.
-    * int64 envelope: (ct+1)·(Nr+V) stays under 2⁶³ while the corpus
-    * holds < ~3e9 bigram tokens; past that, push the CAST inside the
-    * product in BOTH engines (double loses no ordering — the ratio is
-    * already double downstream).
+    * The ratio multiplies counts AS DOUBLES in both engines (one IEEE
+    * product each side — identical everywhere): an int64 product would
+    * wrap silently in Spark past ~3e9 bigram tokens while DuckDB
+    * errors, a silent engine divergence at exactly the scale this is
+    * for. Counts are double-exact up to 2⁵³ (~9e15 tokens).
     */
   val q86DomainAffinity: Q = (s, d) => {
     val bg = tracked(documents(s, d)
@@ -958,8 +968,8 @@ object PipelineQueries {
       sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("ct"))
     bg.join(ct, Seq("b")).crossJoin(broadcast(tot))
       .withColumn("ratio",
-        ((col("ct") + 1) * (col("nr") + col("v"))).cast("double")
-          / ((col("cr") + 1) * (col("nt") + col("v"))).cast("double"))
+        ((col("ct") + 1).cast("double") * (col("nr") + col("v")).cast("double"))
+          / ((col("cr") + 1).cast("double") * (col("nt") + col("v")).cast("double")))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), qmean8(col("ratio")).as("affinity"))
       .withColumn("is_domain", (col("affinity") >= 1.0).cast("int"))
@@ -1346,8 +1356,8 @@ object PipelineQueries {
       |  FROM bg86 GROUP BY b),
       |r86 AS (
       |  SELECT bg86.doc_id, bg86.lang,
-      |    CAST((ct86.ct + 1) * (tot86.nr + tot86.v) AS DOUBLE)
-      |      / CAST((ct86.cr + 1) * (tot86.nt + tot86.v) AS DOUBLE) AS ratio
+      |    (CAST(ct86.ct + 1 AS DOUBLE) * CAST(tot86.nr + tot86.v AS DOUBLE))
+      |      / (CAST(ct86.cr + 1 AS DOUBLE) * CAST(tot86.nt + tot86.v AS DOUBLE)) AS ratio
       |  FROM bg86 JOIN ct86 USING (b), tot86),
       |a86 AS (
       |  SELECT doc_id, lang, count(*) AS n_bigrams,

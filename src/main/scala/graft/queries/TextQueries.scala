@@ -650,25 +650,38 @@ object TextQueries {
     * the union (restricted to cross-split pairs) and that the frozen
     * side is consumed from parquet, never rebuilt.
     */
-  val q72IncrementalDedup: Q = (s, d) => {
-    val all = documents(s, d)
-    val oldDocs = all.filter(pmod(col("doc_id"), lit(4)) =!= 0)
-    val newDocs = all.filter(pmod(col("doc_id"), lit(4)) === 0)
-    val index = graft.ops.IncrementalDedup.buildIndex(oldDocs, track = tracked)
-    val matches = graft.ops.IncrementalDedup.probe(index, newDocs)
+  /** Shared build/probe report (the Spark twin of
+    * [[buildProbeOracleSql]] — one definition each side): freeze a
+    * SimHash index over `idxDocs`, probe `probeDocs`, and report per
+    * probe doc the match count, flag, and nearest indexed doc
+    * (min dist, tie min id — the two-step struct-min), zero-filled.
+    */
+  private def buildProbeReport(idxDocs: org.apache.spark.sql.DataFrame,
+      probeDocs: org.apache.spark.sql.DataFrame,
+      cntName: String, flagName: String, nnName: String): org.apache.spark.sql.DataFrame = {
+    val index = graft.ops.IncrementalDedup.buildIndex(idxDocs, track = tracked)
+    val matches = graft.ops.IncrementalDedup.probe(index, probeDocs)
     val agg = matches.groupBy(col("new_id"))
       .agg(count(lit(1)).as("nd"),
         min(struct(col("dist"), col("old_id"))).as("nn"))
       .select(col("new_id").as("doc_id"), col("nd"),
         col("nn.dist").as("nnd"), col("nn.old_id").as("nno"))
-    newDocs.select(col("doc_id"))
+    probeDocs.select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("nd"), lit(0L)).as("n_dup"),
-        col("nd").isNotNull.cast("int").as("is_dup"),
+        coalesce(col("nd"), lit(0L)).as(cntName),
+        col("nd").isNotNull.cast("int").as(flagName),
         coalesce(col("nnd"), lit(-1)).as("nn_dist"),
-        coalesce(col("nno"), lit(-1L)).as("nn_old"))
+        coalesce(col("nno"), lit(-1L)).as(nnName))
       .orderBy(col("doc_id"))
+  }
+
+  val q72IncrementalDedup: Q = (s, d) => {
+    val all = documents(s, d)
+    buildProbeReport(
+      all.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+      all.filter(pmod(col("doc_id"), lit(4)) === 0),
+      "n_dup", "is_dup", "nn_old")
   }
 
   /** EXT — FUZZY eval decontamination: [[q80NgramDecontam]] flags
@@ -677,11 +690,15 @@ object TextQueries {
     * TRAIN split against a frozen SimHash signature index of the EVAL
     * split — [[graft.ops.IncrementalDedup]]'s build/probe machinery
     * verbatim, because a benchmark IS just another frozen snapshot —
-    * and flags every train doc within Hamming [[SimhashMaxDist]] of
-    * any eval doc, with the nearest leaked eval item (min dist, tie
-    * min id — the q72 two-step struct-min). Together q80 (precision,
-    * verbatim) and q87 (recall, near-dup) are the two public
-    * decontamination regimes.
+    * and flags every BAND-COLLIDING train doc within Hamming
+    * [[SimhashMaxDist]] of an eval doc, with the nearest leaked eval
+    * item (min dist, tie min id — the q72 two-step struct-min). LSH
+    * recall caveat, same as every banded operator here: the 4-band
+    * pigeonhole makes candidates COMPLETE for radius ≤ 3 and
+    * best-effort OR-amplified out to the verify radius 6 (a pair whose
+    * 4–6 differing bits spread across all four bands is missed — the
+    * [[SimhashMods]] doc). Together q80 (precision, verbatim) and q87
+    * (recall, near-dup) are the two public decontamination regimes.
     *
     * Scale shape: identical to q72 — the eval index is benchmark-sized
     * and self-contained (band rows carry the signature), the train
@@ -691,23 +708,10 @@ object TextQueries {
     */
   val q87FuzzyDecontam: Q = (s, d) => {
     val all = documents(s, d)
-    val evalDocs = all.filter(pmod(col("doc_id"), lit(10)) === 0)
-    val trainDocs = all.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val index = graft.ops.IncrementalDedup.buildIndex(evalDocs, track = tracked)
-    val matches = graft.ops.IncrementalDedup.probe(index, trainDocs)
-    val agg = matches.groupBy(col("new_id"))
-      .agg(count(lit(1)).as("nd"),
-        min(struct(col("dist"), col("old_id"))).as("nn"))
-      .select(col("new_id").as("doc_id"), col("nd"),
-        col("nn.dist").as("nnd"), col("nn.old_id").as("nno"))
-    trainDocs.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("nd"), lit(0L)).as("n_near"),
-        col("nd").isNotNull.cast("int").as("is_flagged"),
-        coalesce(col("nnd"), lit(-1)).as("nn_dist"),
-        coalesce(col("nno"), lit(-1L)).as("nn_eval"))
-      .orderBy(col("doc_id"))
+    buildProbeReport(
+      all.filter(pmod(col("doc_id"), lit(10)) === 0),
+      all.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      "n_near", "is_flagged", "nn_eval")
   }
 
   /** EXT — exact content-hash dedup over DECODED multimodal bytes: q30's

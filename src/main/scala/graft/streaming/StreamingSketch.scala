@@ -28,8 +28,7 @@ object StreamingSketch {
     * plan's shape.
     */
   def cmsCounters(docs: DataFrame): DataFrame =
-    docs.select(explode(graft.functions.ShingleHash(
-        col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
+    PipelineQueries.gramKeys(docs)
       .select(PipelineQueries.cmsBuckets(col("g")).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -45,9 +44,7 @@ object StreamingSketch {
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("source"), explode(array_distinct(
-        graft.functions.ShingleHash(
-          col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
+    PipelineQueries.sourceGramKeys(docs)
       .as[(String, Long)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(graft.ops.Aggregators.MinK(PipelineQueries.KmvK).toColumn.name("minhashes"))
