@@ -978,6 +978,135 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom geometry for [[q88BloomDecontam]]: [[BloomBits]]-bit filter
+    * (⌈m/62⌉ = 529 bigint words — 62 usable bits per word because
+    * `1 << 63` overflows DuckDB's checked BIGINT shift and bit 62 is
+    * the sign; staying below both keeps every word non-negative and
+    * the layout engine-portable), [[CmsMods]].length = 4 probe bits per
+    * key via the CMS primes (pairwise CRT-independent residues of the
+    * 62-bit packed gram key — the SimhashMods discipline). Sized for
+    * the eval gram set at test SFs: n ≈ 2.4k distinct eval grams at
+    * sf0.01 gives bit load 1−e^(−kn/m) ≈ 0.25 and FP rate ≈ 0.25⁴ ≈
+    * 0.4% — real false positives in the output (the sketch is
+    * exercised, not vacuous) while exact membership stays the ground
+    * truth column.
+    */
+  val BloomBits = 32768L
+  val BloomWordBits = 62L
+
+  /** The 4 bloom bit positions of one packed gram key. */
+  private[graft] def bloomPos(h: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    pmod(pmod(h, lit(CmsMods(i))), lit(BloomBits))
+
+  /** The Bloom bitset words `(w, bits)` of a distinct-key frame — THE
+    * single build definition shared by the batch probe ([[q88BloomDecontam]])
+    * and the streaming maintainer ([[graft.streaming.StreamingSketch.bloomWords]]):
+    * `bit_or` is the Bloom merge (Bloom of a union = OR of the Blooms),
+    * so map-side partial aggregation IS the distributed sketch build.
+    */
+  private[graft] def bloomWords(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    keys.select(explode(array(CmsMods.indices.map(i => bloomPos(col("h"), i)): _*)).as("p"))
+      .select(expr(s"p DIV $BloomWordBits").as("w"), pmod(col("p"), lit(BloomWordBits)).as("b"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))").as("bits"))
+
+  /** EXT — Bloom-filter membership pre-filter for decontamination: the
+    * eval split's distinct trigram keys build a [[BloomBits]]-bit Bloom
+    * bitset, and every non-eval (source, gram) probes it next to exact
+    * membership, so the output exhibits the filter's contract per
+    * source: `n_missed` = members the Bloom missed (ALWAYS 0 — no
+    * false negatives, the one-sided guarantee) and `n_false_pos` =
+    * the measured FP mass the exact join would then discard.
+    *
+    * The 100 TB story: q80's exact decontamination broadcasts the eval
+    * POSTINGS; when the frozen side outgrows comfortable broadcast, the
+    * 4 KB bitset replaces it as the map-side gate — corpus grams probe
+    * 529 broadcast words with integer shifts (zero shuffle, FP ~0.4%)
+    * and only the surviving sliver pays the exact join. Probing is 4
+    * broadcast left joins (one per bit row) on the distinct-gram
+    * stream — no explode, no extra exchange beyond the distinct; the
+    * build side aggregates to ≤529 rows no matter the eval corpus.
+    */
+  val q88BloomDecontam: Q = (s, d) => {
+    val dh = tracked(documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(graft.functions.ShingleHash(
+          col("text"), TextOps.P, 3, TextOps.P2))).as("h")))
+    val evalSet = tracked(dh.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("h")).distinct())
+    val bits = bloomWords(evalSet)
+    var probe = dh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("source"), col("h")).distinct()
+    for (i <- CmsMods.indices) {
+      probe = probe
+        .withColumn(s"p$i", bloomPos(col("h"), i))
+        .withColumn(s"w$i", expr(s"p$i DIV $BloomWordBits"))
+        .withColumn(s"b$i", pmod(col(s"p$i"), lit(BloomWordBits)))
+        .join(broadcast(bits.select(col("w").as(s"w$i"), col("bits").as(s"bits$i"))),
+          Seq(s"w$i"), "left")
+        .withColumn(s"hit$i",
+          coalesce(expr(s"shiftright(bits$i, CAST(b$i AS INT)) & 1"), lit(0L)))
+    }
+    probe
+      .withColumn("bloom_hit", CmsMods.indices.map(i => col(s"hit$i")).reduce(_ * _))
+      .join(evalSet.withColumn("in_eval", lit(1L)), Seq("h"), "left")
+      .withColumn("in_eval", coalesce(col("in_eval"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("bloom_hit")).as("n_bloom"),
+        sum(col("in_eval")).as("n_exact"),
+        sum(col("in_eval") * (lit(1L) - col("bloom_hit"))).as("n_missed"))
+      .select(col("source"), col("n_grams"), col("n_bloom"), col("n_exact"),
+        (col("n_bloom") - col("n_exact")).as("n_false_pos"), col("n_missed"))
+      .orderBy(col("source"))
+  }
+
+  /** Sample size for [[q89PrioritySample]]. */
+  val PriorityK = 50
+
+  /** EXT — deterministic priority sampling (Duffield–Lund–Thorup):
+    * a weighted without-replacement sample of [[PriorityK]] documents
+    * with weight = token count, plus the subset-sum estimator the
+    * scheme is FOR (`est_w` = max(w, τ) with τ the (k+1)-th priority;
+    * Σ est_w over the sample is an unbiased estimate of total corpus
+    * tokens — CorpusPipelineSpec checks it lands within 15% here).
+    * Every RNG-based weighted sampler is un-oracle-able; priority
+    * sampling from the seeded LCG draw ([[TextQueries.priorityHashOn]],
+    * the q55 idiom at 2³¹ granularity) is exact to replay anywhere:
+    * u = (h+1)/2³¹ and priority = w/u are ONE IEEE division each from
+    * identical operands (invariant 4 — no accumulation at all).
+    *
+    * Scale shape: priorities ride the corpus scan; the global
+    * top-(k+1) rank filter is rewritten by LimitPushDownThroughWindow
+    * into TakeOrderedAndProject(limit=k+1) — every map task trims to
+    * its local k+1 rows and ONE merge assembles the winner set (the
+    * plan a distributed bottom-k sketch uses; PlanShapeSpec pins it) —
+    * and τ joins back as a 1-row broadcast. No corpus-sized shuffle
+    * anywhere.
+    */
+  val q89PrioritySample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("u",
+        (TextQueries.priorityHashOn(col("doc_id")).cast("double") + lit(1.0))
+          / lit(2147483647.0))
+      .withColumn("priority", col("n_tokens").cast("double") / col("u"))
+    val w = Window.orderBy(col("priority").desc, col("doc_id").asc)
+    val ranked = tracked(base.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PriorityK + 1))
+    val tau = ranked
+      .agg(max(when(col("rk") === PriorityK + 1, col("priority"))).as("tau"))
+    ranked.filter(col("rk") <= PriorityK)
+      .crossJoin(broadcast(tau))
+      .select(col("rk").cast("int").as("rank"), col("doc_id"), col("source"),
+        col("n_tokens"), col("priority"),
+        greatest(col("n_tokens").cast("double"), coalesce(col("tau"), lit(0.0)))
+          .as("est_w"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q58_vocab_prune"   -> q58VocabPrune,
@@ -999,6 +1128,8 @@ object PipelineQueries {
     "q83_kmv_distinct" -> q83KmvDistinct,
     "q84_cms_heavy" -> q84CmsHeavy,
     "q86_domain_affinity" -> q86DomainAffinity,
+    "q88_bloom_decontam" -> q88BloomDecontam,
+    "q89_priority_sample" -> q89PrioritySample,
   )
 
   /** The q57 funnel's per-document stage flags as shared oracle CTEs —
@@ -1070,6 +1201,8 @@ object PipelineQueries {
     "q83_kmv_distinct" -> q83OracleSql,
     "q84_cms_heavy" -> q84OracleSql,
     "q86_domain_affinity" -> q86OracleSql,
+    "q88_bloom_decontam" -> q88OracleSql,
+    "q89_priority_sample" -> q89OracleSql,
     "q58_vocab_prune" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
@@ -1391,6 +1524,68 @@ object PipelineQueries {
       |SELECT rank, g, exact, est, est - exact AS overcount
       |FROM rk84 WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
+
+  /** q88's oracle: same dual-residue gram keys, same 4 CRT-independent
+    * bit positions, same 62-bit word packing — bit shifts and `bit_or`
+    * are pure integer ops, so the bitset words and every probe verdict
+    * match Spark exactly. The probe mirrors the 4 LEFT JOINs (one per
+    * bit row) and the product-of-hits form verbatim.
+    */
+  private def q88OracleSql: String = {
+    val posSql = CmsMods.map(m => s"(h % $m) % $BloomBits")
+    val hits = CmsMods.indices.map { i =>
+      s"COALESCE((j$i.bits >> CAST((${posSql(i).replace("h", "pb88.h")}) % $BloomWordBits AS INT)) & 1, 0)"
+    }
+    val joins = CmsMods.indices.map { i =>
+      s"LEFT JOIN bw88 j$i ON j$i.w = (${posSql(i).replace("h", "pb88.h")}) // $BloomWordBits"
+    }
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      TextQueries.gramHashCtes("88", 3, distinct = true, carry = "doc_id, source") +
+      s"""dh88 AS (SELECT doc_id, source, unnest(hs) AS h FROM hs88),
+      |ev88 AS (SELECT DISTINCT h FROM dh88 WHERE doc_id % 10 = 0),
+      |pb88 AS (SELECT DISTINCT source, h FROM dh88 WHERE doc_id % 10 <> 0),
+      |ps88 AS (SELECT unnest([${posSql.mkString(", ")}]) AS p FROM ev88),
+      |bw88 AS (
+      |  SELECT p // $BloomWordBits AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(p % $BloomWordBits AS INT)) AS bits
+      |  FROM ps88 GROUP BY 1),
+      |pr88 AS (
+      |  SELECT pb88.source, pb88.h, ${hits.mkString(" * ")} AS bloom_hit
+      |  FROM pb88
+      |  ${joins.mkString("\n      |  ")}),
+      |fx88 AS (
+      |  SELECT pr88.source, pr88.h, pr88.bloom_hit,
+      |    CASE WHEN ev88.h IS NULL THEN 0 ELSE 1 END AS in_eval
+      |  FROM pr88 LEFT JOIN ev88 ON pr88.h = ev88.h)
+      |SELECT source, count(*) AS n_grams,
+      |  CAST(sum(bloom_hit) AS BIGINT) AS n_bloom,
+      |  CAST(sum(in_eval) AS BIGINT) AS n_exact,
+      |  CAST(sum(bloom_hit) - sum(in_eval) AS BIGINT) AS n_false_pos,
+      |  CAST(sum(in_eval * (1 - bloom_hit)) AS BIGINT) AS n_missed
+      |FROM fx88 GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q89's oracle: the LCG draw, u, and priority are each one integer/
+    * IEEE op from identical operands; row_number mirrors the Spark
+    * rank; τ comes from the same always-one-row aggregate so the
+    * n ≤ k edge (no (k+1)-th row) degrades to est_w = w on both sides.
+    */
+  private def q89OracleSql: String =
+    s"""WITH b89 AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    (CAST(${TextQueries.priorityHashSqlOn("doc_id")} AS DOUBLE) + CAST(1 AS DOUBLE))
+      |      / CAST(2147483647 AS DOUBLE) AS u
+      |  FROM documents),
+      |p89 AS (SELECT doc_id, source, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / u AS priority FROM b89),
+      |r89 AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM p89),
+      |t89 AS (SELECT max(CASE WHEN rk = ${PriorityK + 1} THEN priority END) AS tau
+      |  FROM r89 WHERE rk <= ${PriorityK + 1})
+      |SELECT CAST(rk AS INT) AS rank, doc_id, source, n_tokens, priority,
+      |  greatest(CAST(n_tokens AS DOUBLE), COALESCE(t89.tau, CAST(0 AS DOUBLE))) AS est_w
+      |FROM r89, t89 WHERE rk <= $PriorityK ORDER BY rank""".stripMargin
 
   /** DuckDB mirror of [[largestRemainderQuota]], generic over the
     * dimension: emits CTEs `r$sfx/t$sfx/j$sfx/d$sfx/k$sfx` reading

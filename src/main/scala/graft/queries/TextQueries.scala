@@ -615,6 +615,15 @@ object TextQueries {
   private[queries] def sampleHashSqlOn(id: String) =
     s"($id * 1103515245 + 12345) % 10000"
   private[graft] def sampleHash = sampleHashOn(col("doc_id"))
+  /** The same LCG reduced mod 2³¹−1 — the fine-grained draw for
+    * priority sampling (q89), where the mod-10⁴ form would tie too
+    * often to act as a uniform. Ids are non-negative, so plain `%`
+    * mirrors pmod exactly on both engines.
+    */
+  private[graft] def priorityHashOn(id: org.apache.spark.sql.Column) =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483647L))
+  private[queries] def priorityHashSqlOn(id: String) =
+    s"($id * 1103515245 + 12345) % 2147483647"
   // ((x % 10) + 10) % 10 = Spark's pmod for any sign — a negative
   // source number must not diverge (invariant 1)
   private[queries] val sampleRateBpSql =

@@ -41,6 +41,19 @@ object StreamingSketch {
     * per source. The batch q83 window form and this aggregate form
     * must produce the same k-th hash (StreamingSketchSpec).
     */
+  /** Bloom bitset words `(w, bits)` over a (streaming or batch)
+    * `docs(doc_id, text)` frame — q88's filter maintained as ONE
+    * complete-mode aggregation. The stream skips q88's per-doc
+    * `distinct` on purpose: OR is idempotent, so duplicate gram
+    * arrivals cannot change a bit, and chaining a distinct would be a
+    * second streaming aggregation (unsupported) for nothing. The batch
+    * build over distinct keys and this duplicate-tolerant form produce
+    * the identical bitset (StreamingSketchSpec proves it per wave).
+    */
+  def bloomWords(docs: DataFrame): DataFrame =
+    PipelineQueries.bloomWords(
+      PipelineQueries.gramKeys(docs).withColumnRenamed("g", "h"))
+
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

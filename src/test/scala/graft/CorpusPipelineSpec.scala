@@ -195,4 +195,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     for ((id, _, nb, _, _) <- out) assert(nb == nt(id) - 1L)
   }
+
+  test("q89 priority sample matches the Scala model and its estimator lands near the true token total") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q89_priority_sample")(spark, d)
+      .as[(Int, Long, String, Long, Double, Double)].collect()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("w"))
+      .as[(Long, Long)].collect()
+    // the exact per-row model: same LCG, same single-division u and
+    // priority — doubles must be BIT-equal, not approximately equal
+    val scored = docs.map { case (id, w) =>
+      val h = ((id * 1103515245L + 12345L) % 2147483647L + 2147483647L) % 2147483647L
+      val u = (h.toDouble + 1.0) / 2147483647.0
+      (id, w, w.toDouble / u)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val k = PipelineQueries.PriorityK
+    val tau = if (scored.length > k) scored(k)._3 else 0.0
+    val expect = scored.take(k).zipWithIndex.map { case ((id, w, p), i) =>
+      (i + 1, id, w, p, math.max(w.toDouble, tau)) }
+    assert(out.length == math.min(k, scored.length))
+    assert(out.map(r => (r._1, r._2, r._4, r._5, r._6)).toSeq == expect.toSeq,
+      "sample rows diverge from the Scala priority model")
+    // the point of the scheme: Σ max(w, τ) over the sample estimates the
+    // TOTAL weight (Duffield–Lund–Thorup unbiasedness); k=50 of ~500
+    // docs should land well within 15% on this corpus
+    val total = docs.map(_._2).sum.toDouble
+    val est = out.map(_._6).sum
+    assert(math.abs(est - total) / total < 0.15,
+      s"estimator $est vs true total $total drifts past 15%")
+    // weighted draw is real: the sample over-represents long docs
+    val meanSample = out.map(_._4).sum.toDouble / out.length
+    val meanCorpus = total / docs.length
+    assert(meanSample > meanCorpus,
+      "sample mean weight <= corpus mean — the draw ignored the weights")
+  }
 }

@@ -92,6 +92,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // q83's rk = K filter pre-trims map-side too — the plan IS the KMV
     // sketch merge (each task keeps its local k smallest)
     assert(finalPlan("q83_kmv_distinct").contains("WindowGroupLimit"))
+    // q89's global top-(k+1): LimitPushDownThroughWindow rewrites the
+    // unpartitioned rank filter into TakeOrderedAndProject (map-side
+    // partial top-k, merged once) — the same pre-trim property with an
+    // even cheaper operator; a plain global Window+Sort would regress it
+    val p89 = finalPlan("q89_priority_sample")
+    assert(p89.contains("TakeOrderedAndProject(limit=51"),
+      "q89 rank filter no longer plans as a distributed top-k")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+
+  test("q88's probe side reaches every bitset word join as a broadcast") {
+    val p = finalPlan("q88_bloom_decontam")
+    // 4 bit-row joins + the ≤529-word build side: all broadcast hash
+    // joins — the probe never shuffles the gram stream toward the words
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"expected ≥4 broadcast word joins, plan has $bhj")
+    assert(!p.contains("SortMergeJoin") || bhj >= 4,
+      "bitset word join degraded to a shuffle join")
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
@@ -124,7 +143,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep",
         "q80_ngram_decontam", "q81_dup_spans", "q82_balanced_sample",
         "q83_kmv_distinct", "q84_cms_heavy", "q85_percentiles",
-        "q86_domain_affinity", "q87_fuzzy_decontam")) {
+        "q86_domain_affinity", "q87_fuzzy_decontam", "q88_bloom_decontam",
+        "q89_priority_sample")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")

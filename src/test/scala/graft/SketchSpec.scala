@@ -88,4 +88,51 @@ class SketchSpec extends AnyFunSuite {
       top.map { case (g, c) => (g, c, est(g)) })
     assert(out.forall(r => r._5 == r._4 - r._3 && r._5 >= 0))
   }
+
+  test("q88 Bloom: zero false negatives for every gram; FP mass matches the Scala bitset; OR is the merge") {
+    val out = SparkEntry.queries("q88_bloom_decontam")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val rows = gramRows()
+    val mods = graft.queries.PipelineQueries.CmsMods
+    val mBits = graft.queries.PipelineQueries.BloomBits
+    val wBits = graft.queries.PipelineQueries.BloomWordBits
+    def positions(h: Long) = mods.map(m => (h % m) % mBits)
+    def build(keys: Iterable[Long]): Map[Long, Long] =
+      keys.flatMap(positions).groupBy(_ / wBits)
+        .map { case (w, ps) =>
+          w -> ps.map(p => 1L << (p % wBits).toInt).reduce(_ | _) }
+    val eval = rows.filter(_._1 % 10 == 0).flatMap(_._3).toSet
+    val bits = build(eval)
+    def hit(h: Long): Boolean = positions(h).forall { p =>
+      ((bits.getOrElse(p / wBits, 0L) >> (p % wBits).toInt) & 1L) == 1L }
+    val probes = rows.filter(_._1 % 10 != 0)
+      .flatMap { case (_, src, hs) => hs.map(src -> _) }.distinct
+    // the one-sided guarantee, for EVERY member gram — a Bloom filter
+    // that can miss a member is not a Bloom filter
+    for ((_, h) <- probes if eval.contains(h))
+      assert(hit(h), s"member gram $h missed by the bitset")
+    val bySrc = probes.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    for ((src, n, nb, ne, nfp, nm) <- out) {
+      val hs = bySrc(src).map(_._2)
+      assert(n == hs.length, s"$src probe count")
+      assert(nb == hs.count(hit), s"$src bloom-hit count")
+      assert(ne == hs.count(eval.contains), s"$src exact-member count")
+      assert(nfp == nb - ne && nm == 0L, s"$src fp/missed bookkeeping")
+    }
+    // FP mass must be real at this geometry (sketch exercised, not
+    // vacuous) — the load factor doc on BloomBits relies on it
+    assert(out.map(_._5).sum > 0, "no false positives — geometry vacuous")
+    // THE Bloom property: bitset(A ∪ B) = bitset(A) OR bitset(B) — what
+    // lets map tasks build local filters and bit_or them (and what the
+    // streaming twin rides; see StreamingSketch.bloomWords)
+    val (a, b) = eval.partition(_ % 2 == 0)
+    val (ba, bb) = (build(a), build(b))
+    val merged = (ba.keySet ++ bb.keySet)
+      .map(w => w -> (ba.getOrElse(w, 0L) | bb.getOrElse(w, 0L))).toMap
+    assert(merged == bits, "bit_or of split bitsets != bitset of union")
+  }
 }

@@ -59,6 +59,47 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Bloom words equal the batch bitset after every wave") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // the q88 build side: the eval split's documents arriving as a stream
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingSketch.bloomWords(source.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    try {
+      var seen = Seq.empty[(Long, String)]
+      for (chunk <- docs.grouped((docs.length + 2) / 3)) {
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+        seen = seen ++ chunk
+        val streamed = spark.table("bloom_stream")
+          .as[(Long, Long)].collect().toMap
+        // duplicate-tolerant streaming build ≡ batch build over
+        // DISTINCT keys (OR idempotence — the twin's whole premise)
+        val batch = graft.queries.PipelineQueries.bloomWords(
+            seen.toDF("doc_id", "text")
+              .select(org.apache.spark.sql.functions.explode(
+                org.apache.spark.sql.functions.array_distinct(
+                  graft.functions.ShingleHash(col("text"),
+                    graft.ops.TextOps.P, 3, graft.ops.TextOps.P2))).as("h"))
+              .distinct())
+          .as[(Long, Long)].collect().toMap
+        assert(streamed == batch,
+          s"wave ${seen.length}: streaming bitset diverges from batch")
+        assert(streamed.nonEmpty)
+        // every word stays a 62-bit non-negative payload (the layout
+        // both engines can shift without overflow)
+        assert(streamed.values.forall(b => b >= 0L && (b >> 62) == 0L))
+      }
+    } finally q.stop()
+  }
+
   test("streaming KMV state equals batch q83's sketch after all waves") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
