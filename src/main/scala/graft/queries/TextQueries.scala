@@ -314,6 +314,31 @@ object TextQueries {
     Ivf.topk(Ivf.assignAll(emb, cent), probes)
   }
 
+  /** EXT-3c — product-quantization ANN ([[graft.ops.Pq]]): per-subspace
+    * codebooks trained IN-PLAN with the q42 integer-quantized Lloyd's
+    * (so the oracle replays training, encoding, and every ADC score
+    * bit-for-bit), every vector encoded to [[graft.ops.Pq.M]] 4-bit
+    * codes, queries ADC-scored through the codes alone (integer sums
+    * of the broadcast floor(d²·10⁸) table), and the top
+    * [[graft.ops.Pq.Shortlist]] re-ranked by exact L2 — the
+    * ADC-with-re-ranking deployment shape from the PQ paper. `adc` is
+    * the 10⁸-scaled approximate squared distance, `d2` the exact one
+    * (computed for shortlist rows only). The train-once serving split
+    * over the same code is [[graft.ops.Pq.buildIndex]] →
+    * [[graft.ops.Pq.probeTopK]] (PqSpec proves the probe-only path
+    * reproduces these rows bit-for-bit and pins recall@5 vs the
+    * exact-L2 ranking).
+    */
+  val q90PqAnn: Q = (s, d) => {
+    import graft.ops.{Ivf, Pq}
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val sub = tracked(Pq.subvectors(emb))
+    val cent = Pq.trainCodebooks(sub, tracked)
+    val codes = Pq.encode(sub, cent)
+    val dts = Pq.distanceTables(sub.filter(col("vec_id") < 5), cent)
+    Pq.rerankTopK(Pq.adcShortlist(codes, dts), emb)
+  }
+
   /** EXT-1 — SimHash-bucket dedup: documents clustering to the same
     * 16-bit SimHash form a near-dup group; keep the smallest doc_id.
     */
@@ -1074,6 +1099,7 @@ object TextQueries {
     "q40_embedding_neardup" -> q40EmbeddingNeardup,
     "q41_simhash_dedup"   -> q41SimhashDedup,
     "q42_ann_ivf"         -> q42AnnIvf,
+    "q90_pq_ann"          -> q90PqAnn,
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
     "q53_contamination"   -> q53Contamination,
@@ -1311,6 +1337,78 @@ object TextQueries {
     * the q42 and q76 oracles build on it, so both see bit-identical
     * trained cells.
     */
+  /** q90's oracle: the PQ twin of [[ivfTrainAssignCtes]] — per-subspace
+    * Lloyd rounds unrolled CTE-by-CTE (the subspace id is a grouping
+    * key, so ONE chain trains all 8 codebooks, mirroring the Spark
+    * plan), then codes, the floor(d²·10⁸) distance table, the integer
+    * ADC sum, and exact cosine for the returned rows only.
+    */
+  private def q90OracleSql: String = {
+    import graft.ops.Pq
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |en AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+      |ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
+      |sub AS (SELECT vec_id, m,
+      |  list_slice(v, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS sv,
+      |  list_slice(vq, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS svq
+      |  FROM en, ms),
+      |pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, svq AS S, CAST(1 AS BIGINT) AS n
+      |  FROM sub WHERE vec_id < ${Pq.KSub}),
+      |""".stripMargin
+    for (t <- 1 to Pq.Iters) {
+      sb ++= s"""pcv$t AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM pc${t - 1}),
+        |pasg$t AS (
+        |  SELECT m, cid, svq FROM (
+        |    SELECT vec_id, m, svq, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |    FROM (SELECT s.vec_id, s.m, s.svq, c.cid, ${d2Sql("s.sv", "c.cv")} AS d2
+        |          FROM sub s JOIN pcv$t c ON s.m = c.m))
+        |  WHERE rn = 1),
+        |psum$t AS (
+        |  SELECT a.m, a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM pasg$t a, LATERAL (SELECT unnest(a.svq) AS q, generate_subscripts(a.svq, 1) AS pos) t
+        |  GROUP BY a.m, a.cid, t.pos),
+        |pu$t AS (SELECT m, cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM psum$t GROUP BY m, cid),
+        |pc$t AS (SELECT p.m, p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
+        |  FROM pc${t - 1} p LEFT JOIN pu$t u ON p.m = u.m AND p.cid = u.cid),
+        |""".stripMargin
+    }
+    sb ++= s"""pcvF AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM pc${Pq.Iters}),
+      |codes AS (
+      |  SELECT vec_id, m, cid FROM (
+      |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      |    FROM (SELECT s.vec_id, s.m, c.cid, ${d2Sql("s.sv", "c.cv")} AS d2
+      |          FROM sub s JOIN pcvF c ON s.m = c.m))
+      |  WHERE rn = 1),
+      |qdt AS (
+      |  SELECT s.vec_id AS query_id, s.m, c.cid,
+      |    CAST(floor((${d2Sql("s.sv", "c.cv")}) * 100000000.0) AS BIGINT) AS qdt
+      |  FROM sub s JOIN pcvF c ON s.m = c.m WHERE s.vec_id < 5),
+      |sc AS (
+      |  SELECT d.query_id, co.vec_id, CAST(sum(d.qdt) AS BIGINT) AS adc
+      |  FROM codes co JOIN qdt d ON co.m = d.m AND co.cid = d.cid
+      |  WHERE co.vec_id <> d.query_id
+      |  GROUP BY d.query_id, co.vec_id),
+      |sl90 AS (
+      |  SELECT query_id, vec_id, adc FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rs FROM sc)
+      |  WHERE rs <= ${Pq.Shortlist}),
+      |rr90 AS (
+      |  SELECT s.query_id, s.vec_id, s.adc,
+      |    ${d2Sql("eq.v", "ev.v")} AS d2
+      |  FROM sl90 s JOIN en ev ON s.vec_id = ev.vec_id
+      |  JOIN en eq ON s.query_id = eq.vec_id),
+      |rk90 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM rr90)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc, d2
+      |FROM rk90 WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+    sb.toString
+  }
+
   private def ivfTrainAssignCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
@@ -1618,6 +1716,7 @@ object TextQueries {
         |SELECT da, db, cos FROM p WHERE cos >= 0.4
         |ORDER BY da, db""".stripMargin,
     "q42_ann_ivf" -> q42OracleSql,
+    "q90_pq_ann" -> q90OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
     "q77_tfidf_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

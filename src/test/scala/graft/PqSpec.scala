@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Pq
+
+/** Product-quantization ANN (q90): retrieval quality against the exact
+  * L2 ranking, the structural invariants of the code table (the 16×
+  * compression claim is only real if every vector got exactly M small
+  * codes), and the train-once serving split (probe-only ≡ in-plan,
+  * bit-for-bit, with no training in the serving plan).
+  */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  /** Exact squared-L2 top-5 per query, computed from the raw parquet in
+    * Scala — the ground truth the ADC shortlist is graded against.
+    */
+  private def exactTop5(d: String): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    val vs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }
+    val queries = vs.filter(_._1 < 5)
+    queries.map { case (qid, qv) =>
+      qid -> vs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { val t = qv(i) - v(i); s += t * t; i += 1 }
+          (s, id)
+        }.sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+  }
+
+  test("q90 recall@5 vs exact L2, and the re-rank orders by true distance") {
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q90_pq_ann")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out.length == 25)
+    val truth = exactTop5(d)
+    val hits = out.count { case (q, _, v, _, _) => truth(q).contains(v) }
+    info(f"PQ recall@5 = ${hits / 25.0}%.2f ($hits/25)")
+    // measured 0.92 at sf0.01 (0.84 at sf0.001) with shortlist 20 of a
+    // 500-vector corpus; 0.6 is the loose deterministic floor a broken
+    // codebook / distance table / shortlist would crash through
+    assert(hits >= 15, s"PQ recall@5 collapsed: $hits/25")
+    // within each query the output is ordered by the EXACT distance —
+    // the re-rank really did re-rank (adc order and d2 order differ on
+    // this corpus, so a pass cannot come from adc ordering alone)
+    for ((q, rows) <- out.groupBy(_._1)) {
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._5).sliding(2).forall(p => p.head <= p.last),
+        s"query $q output not ordered by exact d2")
+    }
+    assert(out.groupBy(_._1).values.exists { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      byRank.sliding(2).exists(p => p.head > p.last)
+    }, "adc already sorted for every query — re-rank untestable here (shrink Shortlist?)")
+  }
+
+  test("codes table: every vector carries exactly M codes, each a valid small cid") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val emb = graft.ops.Ivf.prep(spark.read.parquet(s"$d/embeddings.parquet")).persist()
+    val sub = Pq.subvectors(emb).persist()
+    val iterCents = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val cent = Pq.trainCodebooks(sub, df => { iterCents += df.persist(); df })
+    val codes = Pq.encode(sub, cent).as[(Long, Int, Int)].collect()
+    val n = emb.count()
+    assert(codes.length == n * Pq.M, "a (vector, subspace) lost its code")
+    assert(codes.forall { case (_, m, cid) =>
+      m >= 0 && m < Pq.M && cid >= 0 && cid < Pq.KSub })
+    val perVec = codes.groupBy(_._1)
+    assert(perVec.values.forall(_.map(_._2).toSet.size == Pq.M))
+    // the codebook itself stays M·KSub rows with positive member counts
+    val cb = cent.select(col("m"), col("cid"), col("n")).as[(Int, Int, Long)].collect()
+    assert(cb.length == Pq.M * Pq.KSub)
+    assert(cb.forall(_._3 >= 1L))
+    iterCents.foreach(_.unpersist(false))
+    sub.unpersist(); emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("train-once index: probe-only ADC search matches in-plan q90 bit-for-bit") {
+    val d = "/root/testdata/sf0.01"
+    val idx = s"/tmp/graft_pq_${System.nanoTime()}"
+    Pq.buildIndex(spark, d, idx)
+    val probeOnly = Pq.probeTopK(spark, d, idx)
+    val a = probeOnly.collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q90_pq_ann")(spark, d).collect().map(_.toSeq).toSeq
+    queries.releasePersisted()
+    assert(a == b, "probe-only PQ top-5 differs from in-plan q90")
+    // no training in the serving plan: the typed-aggregator update only
+    // exists in the trainer; serving scans the persisted index tables
+    val plan = probeOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate") && !plan.toLowerCase.contains("mapgroups"),
+      "probe-only plan still contains a training aggregation")
+    assert(plan.contains("codebooks") && plan.contains("codes"),
+      "probe-only plan does not read the persisted index")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    spark.catalog.clearCache()
+  }
+}
