@@ -147,7 +147,8 @@ object Pq {
     * of the full vectors (`emb` is [[Ivf.prep]] output), exact squared
     * L2, top-k. Output: (query_id, rank, vec_id, adc, d2).
     */
-  def rerankTopK(shortlisted: DataFrame, emb: DataFrame, k: Int = 5): DataFrame = {
+  def rerankTopK(shortlisted: DataFrame, emb: DataFrame, k: Int = 5,
+      extra: Seq[String] = Nil): DataFrame = {
     val exact = shortlisted
       .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
       .join(emb.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
@@ -156,9 +157,74 @@ object Pq {
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("vec_id"), col("adc"), col("d2"))
+      .select((Seq(col("query_id"), col("rank").cast("int").as("rank"))
+        ++ extra.map(col) ++ Seq(col("vec_id"), col("adc"), col("d2"))): _*)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- IVFADC
+
+  /** Residual encoding for IVFADC (the PQ paper's full system, §IV):
+    * each vector is re-expressed relative to its IVF cell's centroid,
+    * r = v − c(cell), and PQ codebooks are trained on the RESIDUALS —
+    * quantizing what the coarse quantizer missed, which is where PQ's
+    * precision actually goes at scale. Input is [[Ivf.assignAll]]
+    * output (vec_id, cell, v, nrm) plus the INTEGER centroid state;
+    * the centroid double is the one canonical expression (S/10⁶n), so
+    * both engines subtract bit-identical values and the residual —
+    * and everything trained on it — replays exactly. Output has the
+    * [[subvectors]] input contract (v = residual, vq = floor(r·10⁶))
+    * with `cell` carried for the serving join.
+    */
+  def residuals(assigned: DataFrame, cent: DataFrame): DataFrame = {
+    val cv = cent.select(col("cid").as("cell"),
+      transform(col("S"), q => q.cast("double") / (lit(1000000.0) * col("n"))).as("ccv"))
+    assigned.join(broadcast(cv), Seq("cell"))
+      .withColumn("r", zip_with(col("v"), col("ccv"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("r").as("v"),
+        transform(col("r"), x => floor(x * lit(1000000.0))).as("vq"))
+  }
+
+  /** Per-probed-cell ADC distance tables: the query's residual is
+    * DIFFERENT in each probed cell (r_q = q − c(cell)), so the table
+    * is keyed (query_id, cell, m, cid) — queries × [[Ivf.Probes]] ×
+    * [[M]] × [[KSub]] rows, still broadcast-sized. Input `probes` is
+    * [[Ivf.probeCells]] output (query_id, cell, qv, qnrm).
+    */
+  def queryResidualTables(probes: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
+    val cv = cent.select(col("cid").as("cell"),
+      transform(col("S"), q => q.cast("double") / (lit(1000000.0) * col("n"))).as("ccv"))
+    val qsub = probes.join(broadcast(cv), Seq("cell"))
+      .withColumn("r", zip_with(col("qv"), col("ccv"), (a, b) => a - b))
+      .select(col("query_id"), col("cell"),
+        explode(array((0 until M).map(m => struct(lit(m).as("m"),
+          slice(col("r"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"))
+      .select(col("query_id"), col("cell"), col("s.m").as("m"), col("s.sv").as("sv"))
+    qsub.join(broadcast(centv(cb)), Seq("m"))
+      .withColumn("d2", DotFold(col("sv"), col("sv"))
+        - lit(2.0) * DotFold(col("sv"), col("cv")) + DotFold(col("cv"), col("cv")))
+      .select(col("query_id"), col("cell"), col("m"), col("cid"),
+        floor(col("d2") * lit(1e8)).cast("long").as("qdt"))
+  }
+
+  /** IVFADC shortlist: candidates are only the vectors living in a
+    * probed cell (the inverted-list cut — the scan IVF saves), scored
+    * through their residual codes against the broadcast per-cell
+    * distance table (the I/O PQ saves). `cells` is the (vec_id, cell)
+    * assignment; at scale it IS the inverted-list table and this join
+    * is the list lookup.
+    */
+  def ivfAdcShortlist(codes: DataFrame, cells: DataFrame, dts: DataFrame,
+      shortlist: Int = Shortlist): DataFrame = {
+    val scored = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(dts), Seq("cell", "m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cell"), col("vec_id"))
+      .agg(sum(col("qdt")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    scored.withColumn("rs", row_number().over(w))
+      .filter(col("rs") <= shortlist)
+      .select(col("query_id"), col("cell"), col("vec_id"), col("adc"))
   }
 
   /** Train once and persist: `indexDir/codebooks` holds the INTEGER

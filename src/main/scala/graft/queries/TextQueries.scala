@@ -339,6 +339,33 @@ object TextQueries {
     Pq.rerankTopK(Pq.adcShortlist(codes, dts), emb)
   }
 
+  /** EXT-3d — IVFADC ([[graft.ops.Pq]] §IVFADC): the PQ paper's full
+    * system composed from the two indexes this engine already oracles —
+    * the q42 coarse quantizer prunes WHICH inverted lists a query
+    * scans ([[graft.ops.Ivf.Probes]] of [[graft.ops.Ivf.K]] cells) and
+    * PQ codes over the RESIDUALS (r = v − centroid) compress WHAT a
+    * scan costs (16 B/vector). Each probed cell gets its own query
+    * residual and its own broadcast distance table; candidate scoring
+    * is the same integer ADC sum as q90, restricted to probed-cell
+    * members; exact L2 re-ranks the shortlist. Training (both
+    * quantizers), assignment, encoding, and every score replay
+    * bit-exactly in the oracle via the two factored CTE generators.
+    */
+  val q91IvfadcAnn: Q = (s, d) => {
+    import graft.ops.{Ivf, Pq}
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val cent = Ivf.trainCells(emb, tracked)
+    val assigned = tracked(Ivf.assignAll(emb, cent))
+    val res = tracked(Pq.residuals(assigned, cent))
+    val cb = Pq.trainCodebooks(tracked(Pq.subvectors(res)), tracked)
+    val codes = Pq.encode(Pq.subvectors(res), cb)
+    val probes = Ivf.probeCells(
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+    val dts = Pq.queryResidualTables(probes, cent, cb)
+    val sl = Pq.ivfAdcShortlist(codes, assigned.select(col("vec_id"), col("cell")), dts)
+    Pq.rerankTopK(sl, emb, extra = Seq("cell"))
+  }
+
   /** EXT-1 — SimHash-bucket dedup: documents clustering to the same
     * 16-bit SimHash form a near-dup group; keep the smallest doc_id.
     */
@@ -1100,6 +1127,7 @@ object TextQueries {
     "q41_simhash_dedup"   -> q41SimhashDedup,
     "q42_ann_ivf"         -> q42AnnIvf,
     "q90_pq_ann"          -> q90PqAnn,
+    "q91_ivfadc_ann"      -> q91IvfadcAnn,
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
     "q53_contamination"   -> q53Contamination,
@@ -1337,28 +1365,21 @@ object TextQueries {
     * the q42 and q76 oracles build on it, so both see bit-identical
     * trained cells.
     */
-  /** q90's oracle: the PQ twin of [[ivfTrainAssignCtes]] — per-subspace
-    * Lloyd rounds unrolled CTE-by-CTE (the subspace id is a grouping
-    * key, so ONE chain trains all 8 codebooks, mirroring the Spark
-    * plan), then codes, the floor(d²·10⁸) distance table, the integer
-    * ADC sum, and exact cosine for the returned rows only.
+  /** Shared PQ-training oracle chain — [[ivfTrainAssignCtes]]'s twin
+    * for the product quantizer: per-subspace Lloyd rounds unrolled
+    * CTE-by-CTE over ANY subvector CTE `sub(vec_id, m, sv, svq)` (the
+    * subspace id is a grouping key, so ONE chain trains all
+    * [[graft.ops.Pq.M]] codebooks, mirroring the Spark plan), ending
+    * with `pcvF` (trained codebooks as doubles) and
+    * `codes(vec_id, m, cid)`. q90 runs it on raw subvectors, q91 on
+    * IVF residual subvectors — one definition, two consumers, per the
+    * shared-prefix discipline.
     */
-  private def q90OracleSql: String = {
+  private def pqChainCtes(sub: String): String = {
     import graft.ops.Pq
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq
-      |  FROM embeddings),
-      |en AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-      |ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
-      |sub AS (SELECT vec_id, m,
-      |  list_slice(v, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS sv,
-      |  list_slice(vq, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS svq
-      |  FROM en, ms),
-      |pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, svq AS S, CAST(1 AS BIGINT) AS n
-      |  FROM sub WHERE vec_id < ${Pq.KSub}),
+    sb ++= s"""pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, svq AS S, CAST(1 AS BIGINT) AS n
+      |  FROM $sub WHERE vec_id < ${Pq.KSub}),
       |""".stripMargin
     for (t <- 1 to Pq.Iters) {
       sb ++= s"""pcv$t AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM pc${t - 1}),
@@ -1366,7 +1387,7 @@ object TextQueries {
         |  SELECT m, cid, svq FROM (
         |    SELECT vec_id, m, svq, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
         |    FROM (SELECT s.vec_id, s.m, s.svq, c.cid, ${d2Sql("s.sv", "c.cv")} AS d2
-        |          FROM sub s JOIN pcv$t c ON s.m = c.m))
+        |          FROM $sub s JOIN pcv$t c ON s.m = c.m))
         |  WHERE rn = 1),
         |psum$t AS (
         |  SELECT a.m, a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
@@ -1382,9 +1403,33 @@ object TextQueries {
       |  SELECT vec_id, m, cid FROM (
       |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
       |    FROM (SELECT s.vec_id, s.m, c.cid, ${d2Sql("s.sv", "c.cv")} AS d2
-      |          FROM sub s JOIN pcvF c ON s.m = c.m))
+      |          FROM $sub s JOIN pcvF c ON s.m = c.m))
       |  WHERE rn = 1),
-      |qdt AS (
+      |""".stripMargin
+    sb.toString
+  }
+
+  /** q90's oracle: the PQ chain on raw subvectors, then the
+    * floor(d²·10⁸) distance table, the integer ADC sum, and exact L2
+    * for the shortlist rows only.
+    */
+  private def q90OracleSql: String = {
+    import graft.ops.Pq
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |en AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+      |ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
+      |sub AS (SELECT vec_id, m,
+      |  list_slice(v, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS sv,
+      |  list_slice(vq, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS svq
+      |  FROM en, ms),
+      |""".stripMargin
+    sb ++= pqChainCtes("sub")
+    sb ++= s"""qdt AS (
       |  SELECT s.vec_id AS query_id, s.m, c.cid,
       |    CAST(floor((${d2Sql("s.sv", "c.cv")}) * 100000000.0) AS BIGINT) AS qdt
       |  FROM sub s JOIN pcvF c ON s.m = c.m WHERE s.vec_id < 5),
@@ -1405,6 +1450,68 @@ object TextQueries {
       |rk90 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM rr90)
       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc, d2
       |FROM rk90 WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+    sb.toString
+  }
+
+  /** q91's oracle: BOTH factored generators composed — the IVF chain
+    * ([[ivfTrainAssignCtes]]: trained cells `cvF`, assignments `af`)
+    * feeds element-wise residuals, the PQ chain ([[pqChainCtes]]) trains
+    * residual codebooks and codes, then per-probed-cell query residuals
+    * build the distance tables and the ADC sum runs over probed-cell
+    * members only. Residual subtraction is the same IEEE double op on
+    * bit-identical operands in both engines, so the whole tower replays
+    * exactly.
+    */
+  private def q91OracleSql: String = {
+    import graft.ops.Pq
+    val sb = new StringBuilder
+    sb ++= ivfTrainAssignCtes
+    sb ++= s"""ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
+      |res91 AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(generate_series(1, len(en.v)), i -> en.v[i] - c.cv[i]) AS r
+      |  FROM af a JOIN en ON a.vec_id = en.vec_id JOIN cvF c ON a.cell = c.cid),
+      |rsub91 AS (SELECT vec_id, m,
+      |  list_slice(r, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS sv,
+      |  list_transform(list_slice(r, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}),
+      |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS svq
+      |  FROM res91, ms),
+      |""".stripMargin
+    sb ++= pqChainCtes("rsub91")
+    sb ++= s"""pr91 AS (
+      |  SELECT query_id, cid AS cell FROM (
+      |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c WHERE en.vec_id < 5))
+      |  WHERE rn <= $IvfProbes),
+      |qres91 AS (
+      |  SELECT p.query_id, p.cell,
+      |    list_transform(generate_series(1, len(en.v)), i -> en.v[i] - c.cv[i]) AS r
+      |  FROM pr91 p JOIN en ON p.query_id = en.vec_id JOIN cvF c ON p.cell = c.cid),
+      |qdt91 AS (
+      |  SELECT q.query_id, q.cell, q.m, c.cid,
+      |    CAST(floor((${d2Sql("q.sv", "c.cv")}) * 100000000.0) AS BIGINT) AS qdt
+      |  FROM (SELECT query_id, cell, m,
+      |          list_slice(r, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS sv
+      |        FROM qres91, ms) q JOIN pcvF c ON q.m = c.m),
+      |sc91 AS (
+      |  SELECT d.query_id, d.cell, co.vec_id, CAST(sum(d.qdt) AS BIGINT) AS adc
+      |  FROM codes co JOIN af a ON co.vec_id = a.vec_id
+      |  JOIN qdt91 d ON a.cell = d.cell AND co.m = d.m AND co.cid = d.cid
+      |  WHERE co.vec_id <> d.query_id
+      |  GROUP BY d.query_id, d.cell, co.vec_id),
+      |sl91 AS (
+      |  SELECT query_id, cell, vec_id, adc FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rs FROM sc91)
+      |  WHERE rs <= ${Pq.Shortlist}),
+      |rr91 AS (
+      |  SELECT s.query_id, s.cell, s.vec_id, s.adc,
+      |    ${d2Sql("eq.v", "ev.v")} AS d2
+      |  FROM sl91 s JOIN en ev ON s.vec_id = ev.vec_id
+      |  JOIN en eq ON s.query_id = eq.vec_id),
+      |rk91 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM rr91)
+      |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id, adc, d2
+      |FROM rk91 WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
     sb.toString
   }
@@ -1717,6 +1824,7 @@ object TextQueries {
         |ORDER BY da, db""".stripMargin,
     "q42_ann_ivf" -> q42OracleSql,
     "q90_pq_ann" -> q90OracleSql,
+    "q91_ivfadc_ann" -> q91OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
     "q77_tfidf_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

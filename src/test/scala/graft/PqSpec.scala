@@ -63,6 +63,56 @@ class PqSpec extends AnyFunSuite {
     }, "adc already sorted for every query — re-rank untestable here (shrink Shortlist?)")
   }
 
+  test("q91 IVFADC: PQ loss vs exact search within the probed cells, end-to-end recall") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q91_ivfadc_ann")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out.length == 25)
+    // ground truths: global exact L2 top-5, and exact L2 top-5 restricted
+    // to the probed cells (the IVF cut — what IVFADC could possibly see)
+    val truth = exactTop5(d)
+    val emb = graft.ops.Ivf.prep(spark.read.parquet(s"$d/embeddings.parquet")).persist()
+    val iterCents = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val cent = graft.ops.Ivf.trainCells(emb, df => { iterCents += df.persist(); df })
+    val cells = graft.ops.Ivf.assignAll(emb, cent)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    val probed = graft.ops.Ivf.probeCells(
+        emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+      .select(col("query_id"), col("cell")).as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    iterCents.foreach(_.unpersist(false)); emb.unpersist()
+    val vs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }
+    val cellTruth = probed.map { case (qid, pcells) =>
+      val qv = vs.find(_._1 == qid).get._2
+      qid -> vs.filter { case (id, _) => id != qid && pcells.contains(cells(id)) }
+        .map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { val t = qv(i) - v(i); s += t * t; i += 1 }
+          (s, id)
+        }.sortBy(identity).take(5).map(_._2).toSet
+    }
+    // every returned candidate really lives in a probed cell of its query
+    assert(out.forall { case (q, _, cell, v, _, _) =>
+      probed(q).contains(cell) && cells(v) == cell })
+    val cellHits = out.count { case (q, _, _, v, _, _) => cellTruth(q).contains(v) }
+    val globalHits = out.count { case (q, _, _, v, _, _) => truth(q).contains(v) }
+    info(f"IVFADC recall@5 within probed cells = ${cellHits / 25.0}%.2f ($cellHits/25)")
+    info(f"IVFADC end-to-end recall@5 = ${globalHits / 25.0}%.2f ($globalHits/25)")
+    // measured at sf0.01: within-cell 1.00 (residual codes + exact re-rank
+    // recover EVERYTHING the IVF cut kept) and end-to-end 0.80 — exactly
+    // IvfRecallSpec's IVF-cut bound, i.e. composing PQ cost zero recall
+    // here; 0.6 is the loose floor a broken residual/codebook/table
+    // would crash through
+    assert(cellHits >= 15, s"IVFADC within-cell recall collapsed: $cellHits/25")
+    spark.catalog.clearCache()
+  }
+
   test("codes table: every vector carries exactly M codes, each a valid small cid") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"
