@@ -366,6 +366,41 @@ object TextQueries {
     Pq.rerankTopK(sl, emb, extra = Seq("cell"))
   }
 
+  /** EXT-3e — ANN index append WITHOUT retrain: the first ⌊4n/5⌋
+    * vectors (integer-exact cut both engines) are the frozen index
+    * generation — IVF cells AND residual codebooks train on them
+    * alone — and the rest is a new crawl batch that joins the index
+    * through assignment + encoding only: the frozen-quantizer append a
+    * production ANN service runs between retrains (the
+    * [[graft.ops.IncrementalDedup]] build/probe discipline applied to
+    * the q91 IVFADC tower). Search spans both generations; `is_new`
+    * marks appended candidates surfacing in the top-k. PqSpec proves
+    * the append leaves every old vector's codes identical.
+    */
+  val q92IndexAppend: Q = (s, d) => {
+    import graft.ops.{Ivf, Pq}
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val cut = broadcast(emb.agg(expr("count(1) * 4 div 5").as("cut")))
+    def oldOnly(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.crossJoin(cut).filter(col("vec_id") < col("cut")).drop("cut")
+    val cent = Ivf.trainCells(tracked(oldOnly(emb)), tracked)
+    val assigned = tracked(Ivf.assignAll(emb, cent))
+    val res = tracked(Pq.residuals(assigned, cent))
+    val rsub = tracked(Pq.subvectors(res))
+    val cb = Pq.trainCodebooks(oldOnly(rsub), tracked)
+    val codes = Pq.encode(rsub, cb)
+    val probes = Ivf.probeCells(
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+    val dts = Pq.queryResidualTables(probes, cent, cb)
+    val sl = Pq.ivfAdcShortlist(codes, assigned.select(col("vec_id"), col("cell")), dts)
+    Pq.rerankTopK(sl, emb, extra = Seq("cell"))
+      .crossJoin(cut)
+      .withColumn("is_new", col("vec_id") >= col("cut"))
+      .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
+        col("is_new"), col("adc"), col("d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** EXT-1 — SimHash-bucket dedup: documents clustering to the same
     * 16-bit SimHash form a near-dup group; keep the smallest doc_id.
     */
@@ -1128,6 +1163,7 @@ object TextQueries {
     "q42_ann_ivf"         -> q42AnnIvf,
     "q90_pq_ann"          -> q90PqAnn,
     "q91_ivfadc_ann"      -> q91IvfadcAnn,
+    "q92_index_append"    -> q92IndexAppend,
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
     "q53_contamination"   -> q53Contamination,
@@ -1375,11 +1411,12 @@ object TextQueries {
     * IVF residual subvectors — one definition, two consumers, per the
     * shared-prefix discipline.
     */
-  private def pqChainCtes(sub: String): String = {
+  private def pqChainCtes(sub: String, train: String = null): String = {
     import graft.ops.Pq
+    val trn = Option(train).getOrElse(sub)
     val sb = new StringBuilder
     sb ++= s"""pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, svq AS S, CAST(1 AS BIGINT) AS n
-      |  FROM $sub WHERE vec_id < ${Pq.KSub}),
+      |  FROM $trn WHERE vec_id < ${Pq.KSub}),
       |""".stripMargin
     for (t <- 1 to Pq.Iters) {
       sb ++= s"""pcv$t AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM pc${t - 1}),
@@ -1387,7 +1424,7 @@ object TextQueries {
         |  SELECT m, cid, svq FROM (
         |    SELECT vec_id, m, svq, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
         |    FROM (SELECT s.vec_id, s.m, s.svq, c.cid, ${d2Sql("s.sv", "c.cv")} AS d2
-        |          FROM $sub s JOIN pcv$t c ON s.m = c.m))
+        |          FROM $trn s JOIN pcv$t c ON s.m = c.m))
         |  WHERE rn = 1),
         |psum$t AS (
         |  SELECT a.m, a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
@@ -1463,11 +1500,14 @@ object TextQueries {
     * bit-identical operands in both engines, so the whole tower replays
     * exactly.
     */
-  private def q91OracleSql: String = {
+  /** Shared IVFADC middle: residuals of every vector against its
+    * assigned cell's centroid (element-wise subtraction of
+    * bit-identical doubles) and their subvectors — emitted between
+    * [[ivfTrainAssignCtes]] and [[pqChainCtes]].
+    */
+  private def ivfadcResidualCtes: String = {
     import graft.ops.Pq
-    val sb = new StringBuilder
-    sb ++= ivfTrainAssignCtes
-    sb ++= s"""ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
+    s"""ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
       |res91 AS (
       |  SELECT a.vec_id, a.cell,
       |    list_transform(generate_series(1, len(en.v)), i -> en.v[i] - c.cv[i]) AS r
@@ -1478,8 +1518,19 @@ object TextQueries {
       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS svq
       |  FROM res91, ms),
       |""".stripMargin
-    sb ++= pqChainCtes("rsub91")
-    sb ++= s"""pr91 AS (
+  }
+
+  /** Shared IVFADC search tail: probe cells, per-probed-cell query
+    * residual distance tables, the integer ADC sum over probed-cell
+    * members, shortlist, exact re-rank. `withIsNew` appends q92's
+    * append-batch flag (vec_id ≥ the training cut).
+    */
+  private def ivfadcSearchTail(withIsNew: Boolean): String = {
+    import graft.ops.Pq
+    val isNewCol = if (withIsNew) ", s.vec_id >= cut.cut AS is_new" else ""
+    val cutJoin = if (withIsNew) " CROSS JOIN cut" else ""
+    val isNewOut = if (withIsNew) ", is_new" else ""
+    s"""pr91 AS (
       |  SELECT query_id, cid AS cell FROM (
       |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c WHERE en.vec_id < 5))
@@ -1505,18 +1556,31 @@ object TextQueries {
       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rs FROM sc91)
       |  WHERE rs <= ${Pq.Shortlist}),
       |rr91 AS (
-      |  SELECT s.query_id, s.cell, s.vec_id, s.adc,
+      |  SELECT s.query_id, s.cell, s.vec_id, s.adc$isNewCol,
       |    ${d2Sql("eq.v", "ev.v")} AS d2
       |  FROM sl91 s JOIN en ev ON s.vec_id = ev.vec_id
-      |  JOIN en eq ON s.query_id = eq.vec_id),
+      |  JOIN en eq ON s.query_id = eq.vec_id$cutJoin),
       |rk91 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM rr91)
-      |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id, adc, d2
+      |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id$isNewOut, adc, d2
       |FROM rk91 WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
-    sb.toString
   }
 
-  private def ivfTrainAssignCtes: String = {
+  private def q91OracleSql: String =
+    ivfTrainAssignCtes() + ivfadcResidualCtes + pqChainCtes("rsub91") +
+      ivfadcSearchTail(withIsNew = false)
+
+  /** q92's oracle: the identical IVFADC tower with BOTH quantizers
+    * trained on the sub-cut slice only (`eno` / `rsubo`) while
+    * assignment, encoding, and search span the full corpus — the
+    * frozen-quantizer append replayed CTE-for-CTE.
+    */
+  private def q92OracleSql: String =
+    ivfTrainAssignCtes("eno") + ivfadcResidualCtes +
+      "rsubo AS (SELECT r.* FROM rsub91 r, cut WHERE r.vec_id < cut.cut),\n" +
+      pqChainCtes("rsub91", "rsubo") + ivfadcSearchTail(withIsNew = true)
+
+  private def ivfTrainAssignCtes(train: String = "en"): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
       |  SELECT vec_id,
@@ -1524,14 +1588,19 @@ object TextQueries {
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq
       |  FROM embeddings),
       |en AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
-      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n FROM en WHERE vec_id < $IvfK),
+      |""".stripMargin
+    if (train != "en")
+      sb ++= s"""cut AS (SELECT (count(*) * 4) // 5 AS cut FROM embeddings),
+        |$train AS (SELECT en.* FROM en, cut WHERE en.vec_id < cut.cut),
+        |""".stripMargin
+    sb ++= s"""c0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n FROM $train WHERE vec_id < $IvfK),
       |""".stripMargin
     for (t <- 1 to IvfIters) {
       sb ++= s"""cv$t AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM c${t - 1}),
         |asg$t AS (
         |  SELECT vec_id, vq, cid FROM (
         |    SELECT vec_id, vq, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM (SELECT en.vec_id, en.vq, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cv$t c))
+        |    FROM (SELECT en.vec_id, en.vq, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM $train en, cv$t c))
         |  WHERE rn = 1),
         |sums$t AS (
         |  SELECT a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
@@ -1559,7 +1628,7 @@ object TextQueries {
     */
   private def q42OracleSql: String = {
     val sb = new StringBuilder
-    sb ++= ivfTrainAssignCtes
+    sb ++= ivfTrainAssignCtes()
     sb ++= s"""pr AS (
       |  SELECT query_id, cid AS cell FROM (
       |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -1587,7 +1656,7 @@ object TextQueries {
     */
   private def q76OracleSql: String = {
     val sb = new StringBuilder
-    sb ++= ivfTrainAssignCtes
+    sb ++= ivfTrainAssignCtes()
     sb ++= s"""sd AS (
       |  SELECT b.vec_id AS vec_id, a.vec_id AS cand,
       |    ${dotSql("ea.v", "eb.v")} / (ea.nrm * eb.nrm) AS cos
@@ -1825,6 +1894,7 @@ object TextQueries {
     "q42_ann_ivf" -> q42OracleSql,
     "q90_pq_ann" -> q90OracleSql,
     "q91_ivfadc_ann" -> q91OracleSql,
+    "q92_index_append" -> q92OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
     "q77_tfidf_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -2035,7 +2105,7 @@ object TextQueries {
         |FROM nt81 LEFT JOIN cov81 ON nt81.doc_id = cov81.doc_id
         |ORDER BY nt81.doc_id""".stripMargin),
     "q82_balanced_sample" ->
-      (ivfTrainAssignCtes +
+      (ivfTrainAssignCtes() +
         s"""cs82 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY cell),
         |""".stripMargin +
         PipelineQueries.quotaCtes("cs82", "cell", "82", SampleBudget) +

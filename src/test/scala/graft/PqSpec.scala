@@ -113,6 +113,43 @@ class PqSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q92 index append: appended batch surfaces, old codes are append-invariant") {
+    import spark.implicits._
+    import graft.ops.{Ivf, Pq}
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q92_index_append")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getDouble(6)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out.length == 25)
+    // the flag binds both ways (measured: 3/25 new at sf0.001, and old
+    // vectors dominate) — an all-false column would be vacuous
+    assert(out.exists(_._5), "no appended vector in any top-5 — is_new vacuous")
+    assert(out.exists(!_._5))
+    // append-invariance: with the quantizers frozen on the old slice,
+    // encoding the old slice alone and encoding it as part of the full
+    // corpus yield IDENTICAL codes — nothing downstream of training may
+    // depend on corpus-global state, or an append would silently shift
+    // the existing index
+    val emb = Ivf.prep(spark.read.parquet(s"$d/embeddings.parquet")).persist()
+    val cut = emb.count() * 4 / 5
+    val old = emb.filter(col("vec_id") < cut).persist()
+    val iterCents = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val track = (df: org.apache.spark.sql.DataFrame) => { iterCents += df.persist(); df }
+    val cent = Ivf.trainCells(old, track)
+    val rsubOld = Pq.subvectors(Pq.residuals(Ivf.assignAll(old, cent), cent)).persist()
+    val cb = Pq.trainCodebooks(rsubOld, track)
+    val oldAlone = Pq.encode(rsubOld, cb).as[(Long, Int, Int)].collect().toSet
+    val rsubFull = Pq.subvectors(Pq.residuals(Ivf.assignAll(emb, cent), cent))
+    val fullOld = Pq.encode(rsubFull, cb)
+      .filter(col("vec_id") < cut).as[(Long, Int, Int)].collect().toSet
+    assert(fullOld == oldAlone, "append changed an old vector's codes")
+    iterCents.foreach(_.unpersist(false))
+    rsubOld.unpersist(); old.unpersist(); emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("codes table: every vector carries exactly M codes, each a valid small cid") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"
