@@ -73,10 +73,17 @@ object Ivf {
         .agg(Aggregators.LongVecSum.toColumn)
         .toDF("cid", "sn")
         .select(col("cid"), col("sn._1").as("S"), col("sn._2").as("n"))
-      // cells that attracted no vectors keep their previous (S, n)
+      // cells that attracted no vectors keep their previous (S, n).
+      // localCheckpoint truncates the lineage each round — without it
+      // every downstream consumer's logical plan embeds the whole
+      // training tower (multiplied per iteration by this self-join),
+      // and in stacked towers like IVFADC the PLANNING cost dwarfs the
+      // compute (measured: q91's 5k-row stages took seconds each on
+      // 4 MiB task binaries before; the 16-row checkpoint is free)
       cent = track(cent.as("p").join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
         .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
-          coalesce(col("u.n"), col("p.n")).as("n")))
+          coalesce(col("u.n"), col("p.n")).as("n"))
+        .localCheckpoint(true))
     }
     cent
   }

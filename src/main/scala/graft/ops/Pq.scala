@@ -101,10 +101,14 @@ object Pq {
         .toDF("key", "sn")
         .select(col("key._1").as("m"), col("key._2").as("cid"),
           col("sn._1").as("S"), col("sn._2").as("n"))
+      // localCheckpoint per round, as in Ivf.trainCells — the 512-row
+      // checkpoint is free and keeps downstream plans (encode, ADC,
+      // IVFADC stacking) from embedding the whole training tower
       cent = track(cent.as("p")
         .join(sums.as("u"), col("p.m") === col("u.m") && col("p.cid") === col("u.cid"), "left")
         .select(col("p.m").as("m"), col("p.cid").as("cid"),
-          coalesce(col("u.S"), col("p.S")).as("S"), coalesce(col("u.n"), col("p.n")).as("n")))
+          coalesce(col("u.S"), col("p.S")).as("S"), coalesce(col("u.n"), col("p.n")).as("n"))
+        .localCheckpoint(true))
     }
     cent
   }
