@@ -88,6 +88,39 @@ object Aggregators {
     * exceeds k longs; the saturated-and-larger fast path makes the
     * common post-warmup insert O(1).
     */
+  /** The k rows with the LARGEST (priority DESC, doc_id ASC) order —
+    * the priority-sampling reservoir (q89's streaming twin). As with
+    * [[MinK]], `merge` IS the sample-union law of the sketch: two
+    * reservoirs over disjoint streams merge into the reservoir of the
+    * union, so map-side partials and per-wave streaming states combine
+    * exactly as the batch global top-k does. Duplicate doc_ids are
+    * dropped (idempotent under re-delivery). Rows are (priority,
+    * doc_id, n_tokens).
+    */
+  case class TopPriority(k: Int)
+      extends Aggregator[(Double, Long, Long), Seq[(Double, Long, Long)], Seq[(Double, Long, Long)]] {
+    require(k >= 1)
+    private val ord: Ordering[(Double, Long, Long)] =
+      Ordering.by((t: (Double, Long, Long)) => (-t._1, t._2))
+    def zero: Seq[(Double, Long, Long)] = Vector.empty
+    private def insert(b: Seq[(Double, Long, Long)], v: (Double, Long, Long)): Seq[(Double, Long, Long)] =
+      if (b.length == k && ord.lteq(b.last, v)) b
+      else if (b.exists(_._2 == v._2)) b // O(k), k is small by construction
+      else {
+        val s = (b :+ v).sorted(ord)
+        if (s.length > k) s.take(k) else s
+      }
+    def reduce(b: Seq[(Double, Long, Long)], v: (Double, Long, Long)): Seq[(Double, Long, Long)] =
+      insert(b, v)
+    def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
+      b.foldLeft(a)(insert)
+    def finish(r: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] = r
+    def bufferEncoder: Encoder[Seq[(Double, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Long)]]()
+  }
+
   case class MinK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     require(k >= 1)
     def zero: Seq[Long] = Vector.empty

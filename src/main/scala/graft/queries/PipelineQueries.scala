@@ -1084,15 +1084,22 @@ object PipelineQueries {
     * and τ joins back as a 1-row broadcast. No corpus-sized shuffle
     * anywhere.
     */
-  val q89PrioritySample: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val base = documents(s, d)
-      .select(col("doc_id"), col("source"),
+  /** Shared q89 prefix — ONE definition of the draw and the priority
+    * for the batch query and the streaming reservoir twin
+    * ([[graft.streaming.StreamingSketch.prioritySampleState]]), so the
+    * two can never drift: (doc_id, source, n_tokens, u, priority).
+    */
+  def priorityRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("u",
         (TextQueries.priorityHashOn(col("doc_id")).cast("double") + lit(1.0))
           / lit(2147483647.0))
       .withColumn("priority", col("n_tokens").cast("double") / col("u"))
+
+  val q89PrioritySample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = priorityRows(documents(s, d))
     val w = Window.orderBy(col("priority").desc, col("doc_id").asc)
     val ranked = tracked(base.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= PriorityK + 1))

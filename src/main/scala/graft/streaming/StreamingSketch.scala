@@ -54,6 +54,30 @@ object StreamingSketch {
     PipelineQueries.bloomWords(
       PipelineQueries.gramKeys(docs).withColumnRenamed("g", "h"))
 
+  /** The q89 priority-sampling reservoir `(priority, doc_id, n_tokens)`
+    * maintained over a (streaming or batch) `docs(doc_id, source,
+    * text)` frame by [[graft.ops.Aggregators.TopPriority]]: the
+    * reservoir is the top-(k+1) rows by priority, whose union law
+    * (keep the k+1 best of both) is the aggregator's `merge` — so
+    * complete-mode streaming keeps exactly k+1 rows of state forever
+    * and equals the batch global top-(k+1) after every wave. The draw
+    * and the priority are [[PipelineQueries.priorityRows]], shared
+    * with the batch query, so the two cannot drift. The k+1-th row is
+    * τ; rows 1..k are the sample — exactly q89's read-out.
+    */
+  def prioritySampleState(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    PipelineQueries.priorityRows(docs)
+      .select(col("priority"), col("doc_id"), col("n_tokens"))
+      .as[(Double, Long, Long)]
+      .groupByKey(_ => 0).mapValues(identity)
+      .agg(graft.ops.Aggregators.TopPriority(PipelineQueries.PriorityK + 1)
+        .toColumn.name("reservoir"))
+      .toDF("g", "reservoir")
+      .select(col("reservoir"))
+  }
+
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

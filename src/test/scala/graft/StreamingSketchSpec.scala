@@ -100,6 +100,52 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming priority reservoir equals the batch top-(k+1) after every wave") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = StreamingSketch.prioritySampleState(
+        source.toDS().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("prio_stream")
+      .outputMode("complete").start()
+    try {
+      var seen = Seq.empty[(Long, String, String)]
+      val kk = graft.queries.PipelineQueries.PriorityK + 1
+      for (chunk <- docs.grouped((docs.length + 2) / 3)) {
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+        seen = seen ++ chunk
+        val streamed = spark.table("prio_stream")
+          .as[Seq[(Double, Long, Long)]].collect().head
+        val batch = graft.queries.PipelineQueries.priorityRows(
+            seen.toDF("doc_id", "source", "text"))
+          .select(col("priority"), col("doc_id"), col("n_tokens"))
+          .as[(Double, Long, Long)].collect()
+          .sortBy(t => (-t._1, t._2)).take(kk).toSeq
+        assert(streamed == batch,
+          s"wave ${seen.length}: streaming reservoir diverges from batch top-$kk")
+      }
+      // the final reservoir reads out as exactly q89: rows 1..k are the
+      // sample, row k+1's priority is tau
+      val reservoir = spark.table("prio_stream")
+        .as[Seq[(Double, Long, Long)]].collect().head
+      val viaQ89 = SparkEntry.queries("q89_priority_sample")(spark, d).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4)))
+      queries.releasePersisted()
+      spark.catalog.clearCache()
+      assert(reservoir.length == kk)
+      for ((rank, docId, priority) <- viaQ89) {
+        assert(reservoir(rank - 1)._2 == docId,
+          s"rank $rank: reservoir has ${reservoir(rank - 1)._2}, q89 has $docId")
+        assert(reservoir(rank - 1)._1 == priority)
+      }
+    } finally q.stop()
+  }
+
   test("streaming KMV state equals batch q83's sketch after all waves") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
