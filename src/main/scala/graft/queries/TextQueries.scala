@@ -401,6 +401,48 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** EXT-3f — ANN index-quality audit: recall@5 of the q91 IVFADC
+    * tower against the brute-force exact L2 ranking, COMPUTED IN-PLAN —
+    * the pre-rollout index QA a serving tier runs on a query sample
+    * (the measurement PqSpec did by hand, productized as an oracled
+    * table). The brute-force side broadcasts the 5-query sample across
+    * the corpus scan (the q29 shape); recall is one division of an
+    * integer hit count by the literal k.
+    */
+  val q93RecallAudit: Q = (s, d) => {
+    import graft.ops.{Ivf, Pq}
+    import graft.functions.DotFold
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val cent = Ivf.trainCells(emb, tracked)
+    val assigned = tracked(Ivf.assignAll(emb, cent))
+    val res = tracked(Pq.residuals(assigned, cent))
+    val rsub = tracked(Pq.subvectors(res))
+    val cb = Pq.trainCodebooks(rsub, tracked)
+    val codes = Pq.encode(rsub, cb)
+    val probes = Ivf.probeCells(
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+    val dts = Pq.queryResidualTables(probes, cent, cb)
+    val sl = Pq.ivfAdcShortlist(codes, assigned.select(col("vec_id"), col("cell")), dts)
+    val approx = Pq.rerankTopK(sl, emb, extra = Seq("cell"))
+      .select(col("query_id"), col("vec_id"))
+    val exact = emb.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", DotFold(col("qv"), col("qv"))
+        - lit(2.0) * DotFold(col("qv"), col("v")) + DotFold(col("v"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits").cast("int").as("n_hits"),
+        (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** EXT-1 — SimHash-bucket dedup: documents clustering to the same
     * 16-bit SimHash form a near-dup group; keep the smallest doc_id.
     */
@@ -1164,6 +1206,7 @@ object TextQueries {
     "q90_pq_ann"          -> q90PqAnn,
     "q91_ivfadc_ann"      -> q91IvfadcAnn,
     "q92_index_append"    -> q92IndexAppend,
+    "q93_recall_audit"    -> q93RecallAudit,
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
     "q53_contamination"   -> q53Contamination,
@@ -1526,10 +1569,21 @@ object TextQueries {
     * append-batch flag (vec_id ≥ the training cut).
     */
   private def ivfadcSearchTail(withIsNew: Boolean): String = {
+    val isNewOut = if (withIsNew) ", is_new" else ""
+    ivfadcRankCtes(withIsNew) +
+      s"""SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id$isNewOut, adc, d2
+        |FROM rk91 WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The tail's CTE portion up to `rk91` (re-ranked candidates), ending
+    * WITHOUT a trailing comma — q91/q92 append the top-k read-out
+    * SELECT directly; q93 appends `,cte ...` audit CTEs instead.
+    */
+  private def ivfadcRankCtes(withIsNew: Boolean): String = {
     import graft.ops.Pq
     val isNewCol = if (withIsNew) ", s.vec_id >= cut.cut AS is_new" else ""
     val cutJoin = if (withIsNew) " CROSS JOIN cut" else ""
-    val isNewOut = if (withIsNew) ", is_new" else ""
     s"""pr91 AS (
       |  SELECT query_id, cid AS cell FROM (
       |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -1561,9 +1615,7 @@ object TextQueries {
       |  FROM sl91 s JOIN en ev ON s.vec_id = ev.vec_id
       |  JOIN en eq ON s.query_id = eq.vec_id$cutJoin),
       |rk91 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM rr91)
-      |SELECT query_id, CAST(rank AS INT) AS rank, cell, vec_id$isNewOut, adc, d2
-      |FROM rk91 WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin
+      |""".stripMargin
   }
 
   private def q91OracleSql: String =
@@ -1579,6 +1631,28 @@ object TextQueries {
     ivfTrainAssignCtes("eno") + ivfadcResidualCtes +
       "rsubo AS (SELECT r.* FROM rsub91 r, cut WHERE r.vec_id < cut.cut),\n" +
       pqChainCtes("rsub91", "rsubo") + ivfadcSearchTail(withIsNew = true)
+
+  /** q93's oracle: the q91 tower through `rk91`, then the brute-force
+    * exact L2 top-5 and the per-query hit count — recall is one integer
+    * division by the literal 5.0.
+    */
+  private def q93OracleSql: String =
+    ivfTrainAssignCtes() + ivfadcResidualCtes + pqChainCtes("rsub91") +
+      ivfadcRankCtes(withIsNew = false) +
+      s""",ap93 AS (SELECT query_id, vec_id FROM rk91 WHERE rank <= 5),
+        |ex93 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+        |    FROM (SELECT eq.vec_id AS query_id, ev.vec_id AS vec_id, ${d2Sql("eq.v", "ev.v")} AS d2
+        |          FROM en eq, en ev WHERE eq.vec_id < 5 AND ev.vec_id <> eq.vec_id))
+        |  WHERE rn <= 5),
+        |hit93 AS (
+        |  SELECT e.query_id, count(a.vec_id) AS n_hits
+        |  FROM ex93 e LEFT JOIN ap93 a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        |  GROUP BY e.query_id)
+        |SELECT query_id, CAST(n_hits AS INT) AS n_hits,
+        |  CAST(n_hits AS DOUBLE) / 5.0 AS recall
+        |FROM hit93 ORDER BY query_id""".stripMargin
 
   private def ivfTrainAssignCtes(train: String = "en"): String = {
     val sb = new StringBuilder
@@ -1895,6 +1969,7 @@ object TextQueries {
     "q90_pq_ann" -> q90OracleSql,
     "q91_ivfadc_ann" -> q91OracleSql,
     "q92_index_append" -> q92OracleSql,
+    "q93_recall_audit" -> q93OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
     "q77_tfidf_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -150,6 +150,19 @@ class PqSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q93 recall audit: in-plan numbers equal this spec's own measurement") {
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q93_recall_audit")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out.length == 5)
+    assert(out.forall { case (_, h, rec) => h >= 0 && h <= 5 && rec == h / 5.0 })
+    // the q91 test measured end-to-end recall 0.80 (20/25) by hand; the
+    // productized audit must report the same corpus-level number
+    assert(out.map(_._2).sum == 20, s"audit total ${out.map(_._2).sum} != measured 20/25")
+  }
+
   test("codes table: every vector carries exactly M codes, each a valid small cid") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"
