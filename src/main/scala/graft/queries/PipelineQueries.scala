@@ -1114,8 +1114,86 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** Chunk geometry for [[q94Chunking]]: window/stride in tokens
+    * (overlap = [[ChunkW]] − [[ChunkS]]). Doc lengths here are 10–99
+    * tokens (median 56), so every doc yields 1–5 chunks and the
+    * overlap/truncation edges are all exercised.
+    */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** EXT — context-window chunking (the RAG / long-context prep step):
+    * each document's token stream splits into windows of [[ChunkW]]
+    * tokens every [[ChunkS]] (trailing chunks truncate, never pad),
+    * keyed (doc_id, chunk_id) with the start offset and a sha256 of
+    * the chunk text (DuckDB `sha256` ≡ Spark `sha2(·, 256)`). Pure
+    * scan-side explode — zero shuffle, linear in corpus tokens; the
+    * chunk table is what an embedding/indexing pass consumes.
+    */
+  val q94Chunking: Q = (s, d) => {
+    val base = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("nc", expr(s"(size(toks) - 1) div $ChunkS"))
+    base.select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nc"))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkS)
+      .withColumn("ch", slice(col("toks"), col("start_tok") + 1, lit(ChunkW)))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("start_tok").cast("int").as("start_tok"),
+        size(col("ch")).as("n_tok"),
+        sha2(array_join(col("ch"), " "), 256).as("chunk_sha"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** EXT — cross-source quality calibration: quality classifiers are
+    * source-biased, so a single global threshold over- or under-selects
+    * per source; the calibrated rule takes each source's own top 30%
+    * (integer rank math, `rk·10 ≤ n·3`). The query returns both
+    * verdicts and `recalibrated` = where they differ (measured BEFORE
+    * wiring: 44/500 docs flip at sf0.01 — binds). The global verdict is
+    * computed scale-safely: NO corpus-wide rank window — a 1000-bucket
+    * histogram of floor(quality·1000) (identical doubles → identical
+    * buckets), a cumulative count over the TINY bucket table picks the
+    * threshold bucket, and only that bucket's members (~n/1000 rows)
+    * get an exact in-bucket rank for the boundary — the
+    * histogram-quantile pattern an exact global top-k% uses at 100 TB.
+    */
+  val q95QualityCalibration: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val qual = tracked(documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .withColumn("qb", floor(col("quality") * lit(1000.0)).cast("int")))
+    val wsrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val ws = qual
+      .withColumn("src_rank", row_number().over(wsrc))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val hist = qual.groupBy(col("qb")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("above",
+      coalesce(sum(col("cnt")).over(Window.orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = qual.agg(expr("count(1) * 3 div 10").as("kg"))
+    val trow = broadcast(cum.crossJoin(broadcast(tot))
+      .filter(col("above") < col("kg") && col("above") + col("cnt") >= col("kg"))
+      .select(col("qb").as("tqb"), (col("kg") - col("above")).as("k_rem")))
+    val inT = qual.crossJoin(trow).filter(col("qb") === col("tqb"))
+      .withColumn("ib", row_number().over(
+        Window.orderBy(col("quality").desc, col("doc_id").asc)))
+      .select(col("doc_id"), (col("ib") <= col("k_rem")).as("sel_in_t"))
+    ws.crossJoin(trow).join(inT, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("src_rank").cast("int").as("src_rank"),
+        (col("src_rank") * 10 <= col("n_src") * 3).as("sel_src"),
+        (col("qb") > col("tqb") || coalesce(col("sel_in_t"), lit(false))).as("sel_global"))
+      .withColumn("recalibrated", col("sel_src") =!= col("sel_global"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
+    "q94_chunking"      -> q94Chunking,
+    "q95_quality_calibration" -> q95QualityCalibration,
     "q58_vocab_prune"   -> q58VocabPrune,
     "q59_bigram_lift"   -> q59BigramLift,
     "q60_token_budget"  -> q60TokenBudget,
@@ -1144,6 +1222,16 @@ object PipelineQueries {
     * f_decontam, f_sample)` so both the funnel rollup (q57) and the
     * shuffle/shard materialization (q71) read one definition.
     */
+  /** ONE DuckDB mirror of [[graft.ops.TextOps.qualityScore]] over a
+    * `text` column — shared by the q57 funnel flags and the q95
+    * calibration oracle so the two can never drift.
+    */
+  private def qualitySqlExpr: String =
+    """greatest(0.0, least(1.0,
+      |    0.05 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+      |    + 0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(string_split(text, ' ')))
+      |    - 0.1 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text))))""".stripMargin
+
   private def funnelFlagCtes: String =
     TextQueries.simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       TextQueries.ccCtes +
@@ -1164,10 +1252,7 @@ object PipelineQueries {
       |    CAST(sum(CASE WHEN ev3.w IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / co3.n AS frac
       |  FROM co3 LEFT JOIN ev3 ON co3.w = ev3.w GROUP BY co3.doc_id, co3.n),
       |qual AS (
-      |  SELECT doc_id, greatest(0.0, least(1.0,
-      |    0.05 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
-      |    + 0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(string_split(text, ' ')))
-      |    - 0.1 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)))) AS quality
+      |  SELECT doc_id, $qualitySqlExpr AS quality
       |  FROM documents),
       |rq AS (
       |  SELECT doc_id,
@@ -1205,6 +1290,43 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q57_corpus_funnel" -> q57OracleSql,
+    "q94_chunking" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, g.i AS chunk_id, g.i * $ChunkS AS start_tok,
+        |    list_slice(toks, g.i * $ChunkS + 1, g.i * $ChunkS + $ChunkW) AS ch
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $ChunkS)) AS i) g)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(start_tok AS INT) AS start_tok, CAST(len(ch) AS INT) AS n_tok,
+        |  sha256(array_to_string(ch, ' ')) AS chunk_sha
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q95_quality_calibration" ->
+      s"""WITH qual AS (
+        |  SELECT doc_id, source, $qualitySqlExpr AS quality FROM documents),
+        |qbt AS (SELECT *, CAST(floor(quality * 1000.0) AS INT) AS qb FROM qual),
+        |ws AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS src_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM qbt),
+        |hist AS (SELECT qb, count(*) AS cnt FROM qbt GROUP BY qb),
+        |cum AS (
+        |  SELECT qb, cnt, COALESCE(CAST(sum(cnt) OVER (ORDER BY qb DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS above
+        |  FROM hist),
+        |tot AS (SELECT (count(*) * 3) // 10 AS kg FROM qbt),
+        |trow AS (
+        |  SELECT c.qb AS tqb, tot.kg - c.above AS k_rem
+        |  FROM cum c, tot WHERE c.above < tot.kg AND c.above + c.cnt >= tot.kg),
+        |inT AS (
+        |  SELECT q.doc_id,
+        |    (row_number() OVER (ORDER BY q.quality DESC, q.doc_id)) <= t.k_rem AS sel_in_t
+        |  FROM qbt q, trow t WHERE q.qb = t.tqb)
+        |SELECT w.doc_id, w.source, w.quality, CAST(w.src_rank AS INT) AS src_rank,
+        |  w.src_rank * 10 <= w.n_src * 3 AS sel_src,
+        |  (w.qb > t.tqb OR COALESCE(i.sel_in_t, FALSE)) AS sel_global,
+        |  (w.src_rank * 10 <= w.n_src * 3) <> (w.qb > t.tqb OR COALESCE(i.sel_in_t, FALSE)) AS recalibrated
+        |FROM ws w CROSS JOIN trow t LEFT JOIN inT i ON w.doc_id = i.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     "q83_kmv_distinct" -> q83OracleSql,
     "q84_cms_heavy" -> q84OracleSql,
     "q86_domain_affinity" -> q86OracleSql,

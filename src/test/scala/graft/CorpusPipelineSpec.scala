@@ -196,6 +196,61 @@ class CorpusPipelineSpec extends AnyFunSuite {
     for ((id, _, nb, _, _) <- out) assert(nb == nt(id) - 1L)
   }
 
+  test("q94 chunks equal a string-level Scala model (tiling, overlap, shas)") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q94_chunking")(spark, d)
+      .as[(Long, Int, Int, Int, String)].collect()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // independent model straight from the raw STRING — recompute every
+    // chunk row including its sha; catches anything the shared slicing
+    // idiom could hide from the oracle gate
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def sha(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val W = PipelineQueries.ChunkW; val S = PipelineQueries.ChunkS
+    val expect = texts.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to (toks.length - 1) / S).map { i =>
+        val ch = toks.slice(i * S, math.min(i * S + W, toks.length))
+        (id, i, i * S, ch.length, sha(ch.mkString(" ")))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expect.toSeq, "chunk table diverges from the string model")
+    // every token position is covered by some chunk (no gaps at doc tails)
+    for ((id, text) <- texts) {
+      val n = text.split(" ", -1).length
+      val covered = out.filter(_._1 == id)
+        .flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0 until n).toSet, s"doc $id: chunk tiling left gaps")
+    }
+  }
+
+  test("q95 scale-safe global verdict equals the exact corpus-wide top-30%") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q95_quality_calibration")(spark, d)
+      .as[(Long, String, Double, Int, Boolean, Boolean, Boolean)].collect()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    // the whole point of the histogram-quantile plan: its verdict must be
+    // IDENTICAL to the naive global rank it replaces
+    val kg = out.length * 3 / 10
+    val exactSel = out.map(r => (r._3, r._1))
+      .sortBy { case (q, id) => (-q, id) }.take(kg).map(_._2).toSet
+    assert(out.filter(_._6).map(_._1).toSet == exactSel,
+      "histogram global selection != exact global top-30%")
+    // per-source rule: exactly ⌊3n/10⌋ selected per source
+    for ((src, rows) <- out.groupBy(_._2)) {
+      val k = rows.length * 3 / 10
+      assert(rows.count(_._5) == k, s"$src: per-source selection count off")
+    }
+    // calibration must DO something on this corpus (measured 44/500)
+    assert(out.count(_._7) > 0, "recalibrated never fires — vacuous")
+    assert(out.forall(r => r._7 == (r._5 != r._6)))
+  }
+
   test("q89 priority sample matches the Scala model and its estimator lands near the true token total") {
     import spark.implicits._
     val out = SparkEntry.queries("q89_priority_sample")(spark, d)
