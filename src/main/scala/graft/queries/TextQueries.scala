@@ -18,21 +18,29 @@ object TextQueries {
 
   private val P = TextOps.P
 
-  /** EXT-2 — MinHash+LSH near-duplicate detection: 3-gram shingles →
-    * 8 minhashes → 4 bands of 2 → band-equality join for candidates →
-    * exact Jaccard verification ≥ 0.1. Only banded candidates are ever
-    * paired — the all-pairs quadratic never materializes.
+  /** THE persisted MinHash signature table `(doc_id, toks, hs)` shared
+    * by the q31 detector and the q96 detector-quality audit (persisted:
+    * both sides of the band join and of the verify join read it — at
+    * cluster scale this is the materialized signature table you would
+    * write out once and reuse). Shingle hashes are composed
+    * algebraically from per-token hashes; the shingle *strings* are
+    * only ever built for verification/audit candidate rows.
     */
-  val q31NeardupMinhash: Q = (s, d) => {
-    // Signature table (persisted: both sides of the band join and of the
-    // verify join read it — at cluster scale this is the materialized
-    // signature table you would write out once and reuse). Shingle hashes
-    // are composed algebraically from per-token hashes; the shingle
-    // *strings* are only ever built for verification candidates below.
-    val sig = tracked(documents(s, d)
+  private def minhashSig(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    tracked(documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
         graft.functions.ShingleHash3(col("text"), TextOps.P).as("hs"))
       .filter(size(col("hs")) > 0))
+
+  /** ONE definition of the deployed banding stage (8 minhashes → 4
+    * bands of 2 → occupancy cap → band-equality self-join → distinct
+    * `(da, db)` candidate pairs, da < db). q31 verifies these pairs;
+    * q96 measures their recall/precision — auditing exactly the
+    * detector that runs, not a reimplementation that could drift.
+    */
+  private def bandCandPairs(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val withMh = sig.select(
       col("doc_id") +:
         (0 until 8).map(j => TextOps.minhashFromHashes(col("hs"), j).as(s"mh$j")): _*)
@@ -42,11 +50,21 @@ object TextQueries {
         struct(lit(b).as("band"),
           (col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))))
-    val cands = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** EXT-2 — MinHash+LSH near-duplicate detection: 3-gram shingles →
+    * 8 minhashes → 4 bands of 2 → band-equality join for candidates →
+    * exact Jaccard verification ≥ 0.1. Only banded candidates are ever
+    * paired — the all-pairs quadratic never materializes.
+    */
+  val q31NeardupMinhash: Q = (s, d) => {
+    val sig = minhashSig(s, d)
+    val cands = bandCandPairs(sig)
     // exact-Jaccard verification: join tokens first, build shingle
     // strings only for the (few) banded candidate rows
     cands
@@ -103,6 +121,59 @@ object TextQueries {
       .filter(col("jac") >= 0.05)
       .select(col("da"), col("db"), col("shared"), col("jac"))
       .orderBy(col("da"), col("db"))
+  }
+
+  /** EXT — near-dup detector quality audit (the q93 recall-audit
+    * discipline applied to dedup): measured catch-rate of the DEPLOYED
+    * MinHash banding stage ([[bandCandPairs]] — the exact code q31
+    * runs, not a reimplementation that could drift) against exact
+    * 3-gram Jaccard, bucketed by Jaccard decile, next to the LSH
+    * S-curve theory value E[1−(1−J²)⁴]. Ground-truth pair universe =
+    * pairs sharing ≥1 rare gram (df ≤ [[DfCap]], the q32 postings
+    * idiom): the standard candidate-bounded reference set — exhaustive
+    * exact Jaccard is quadratic — and exact J per pair comes from FULL
+    * distinct-gram lists, so the cap bounds only WHICH pairs are
+    * audited, never their J. Low deciles expose banding false alarms
+    * (the mass q31's verify stage filters); high deciles expose missed
+    * near-dups. At 100 TB the universe is drawn from a seeded document
+    * sample (the q55 idiom) and every step below is unchanged.
+    */
+  val q96DedupAudit: Q = (s, d) => {
+    val sig = minhashSig(s, d)
+    val det = bandCandPairs(sig)
+    // full distinct-gram lists: read 3× (postings explode + both pair
+    // sides), persisted (invariant 6)
+    val sh = tracked(sig.select(col("doc_id"),
+      array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)).as("sh")))
+    val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("g"))
+    val rare = grams.join(keep, Seq("g"), "left_semi")
+    val cpairs = rare.as("a").join(rare.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val withJ = cpairs
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+      .withColumn("n_int", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("n_int").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("n_int")))
+      .select(col("da"), col("db"), col("jac"))
+    // S-curve per pair: 1-(1-J²)⁴ as explicit left-assoc products (no
+    // pow — not cross-engine bit-stable), averaged via qmean8
+    val u = lit(1.0) - col("jac") * col("jac")
+    withJ
+      .join(det.withColumn("hit", lit(1)), Seq("da", "db"), "left")
+      .withColumn("p_theory", lit(1.0) - u * u * u * u)
+      .groupBy(floor(col("jac") * 10).cast("int").as("jb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0))).as("n_caught"),
+        qmean8(col("p_theory")).as("exp_catch"))
+      .withColumn("recall", col("n_caught").cast("double") / col("n_pairs"))
+      .select(col("jb"), col("n_pairs"), col("n_caught"), col("recall"),
+        col("exp_catch"))
+      .orderBy(col("jb"))
   }
 
   /** EXT-4 — n-gram-heuristic language ID with per-language marker
@@ -1193,6 +1264,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
+    "q96_dedup_audit"     -> q96DedupAudit,
     "q33_lang_id"         -> q33LangId,
     "q34_quality"         -> q34Quality,
     "q35_token_stats"     -> q35TokenStats,
@@ -1752,35 +1824,45 @@ object TextQueries {
     sb.toString
   }
 
+  /** Shared oracle CTE prefix (ends WITHOUT a trailing comma, per the
+    * factoring convention): tokenization → distinct 3-gram strings
+    * (`sh`/`ex`) → gram hashes → 8 minhashes → occupancy-capped bands →
+    * banded candidate pairs (`cands`). ONE DuckDB mirror of
+    * [[minhashSig]] + [[bandCandPairs]], read by the q31 and q96
+    * oracles so the audited detector and the audit can never drift.
+    */
+  private def minhashCandCtes: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |hs AS (SELECT doc_id, s,
+      |  list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+      |    (a, x) -> (a * 31 + x) % 1000000007) AS h
+      |  FROM ex),
+      |mh AS (
+      |  SELECT doc_id,
+      |    min((3*h + 7) % 1000000007) AS mh0, min((5*h + 12) % 1000000007) AS mh1,
+      |    min((7*h + 17) % 1000000007) AS mh2, min((9*h + 22) % 1000000007) AS mh3,
+      |    min((11*h + 27) % 1000000007) AS mh4, min((13*h + 32) % 1000000007) AS mh5,
+      |    min((15*h + 37) % 1000000007) AS mh6, min((17*h + 42) % 1000000007) AS mh7
+      |  FROM hs GROUP BY doc_id),
+      |bands0 AS (
+      |  SELECT doc_id, b AS band,
+      |    CASE b WHEN 0 THEN mh0 * 1000000007 + mh1 WHEN 1 THEN mh2 * 1000000007 + mh3
+      |           WHEN 2 THEN mh4 * 1000000007 + mh5 ELSE mh6 * 1000000007 + mh7 END AS key
+      |  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      |keepb AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= $BandOccCap),
+      |bands AS (SELECT bands0.* FROM bands0 JOIN keepb USING (band, key)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q31_neardup_minhash" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |hs AS (SELECT doc_id, s,
-        |  list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
-        |    (a, x) -> (a * 31 + x) % 1000000007) AS h
-        |  FROM ex),
-        |mh AS (
-        |  SELECT doc_id,
-        |    min((3*h + 7) % 1000000007) AS mh0, min((5*h + 12) % 1000000007) AS mh1,
-        |    min((7*h + 17) % 1000000007) AS mh2, min((9*h + 22) % 1000000007) AS mh3,
-        |    min((11*h + 27) % 1000000007) AS mh4, min((13*h + 32) % 1000000007) AS mh5,
-        |    min((15*h + 37) % 1000000007) AS mh6, min((17*h + 42) % 1000000007) AS mh7
-        |  FROM hs GROUP BY doc_id),
-        |bands0 AS (
-        |  SELECT doc_id, b AS band,
-        |    CASE b WHEN 0 THEN mh0 * 1000000007 + mh1 WHEN 1 THEN mh2 * 1000000007 + mh3
-        |           WHEN 2 THEN mh4 * 1000000007 + mh5 ELSE mh6 * 1000000007 + mh7 END AS key
-        |  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS b)),
-        |keepb AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= $BandOccCap),
-        |bands AS (SELECT bands0.* FROM bands0 JOIN keepb USING (band, key)),
-        |cands AS (
-        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    "q31_neardup_minhash" -> (minhashCandCtes +
+      s""",
         |shared AS (
         |  SELECT c.da, c.db, count(*) AS n_int
         |  FROM cands c JOIN ex a ON a.doc_id = c.da JOIN ex b ON b.doc_id = c.db AND b.s = a.s
@@ -1790,7 +1872,36 @@ object TextQueries {
         |  CAST(s.n_int AS DOUBLE) / (sa.n + sb.n - s.n_int) AS jac
         |FROM shared s JOIN sizes sa ON s.da = sa.doc_id JOIN sizes sb ON s.db = sb.doc_id
         |WHERE CAST(s.n_int AS DOUBLE) / (sa.n + sb.n - s.n_int) >= 0.1
-        |ORDER BY s.da, s.db""".stripMargin,
+        |ORDER BY s.da, s.db""".stripMargin),
+    "q96_dedup_audit" -> (minhashCandCtes +
+      s""",
+        |keepg AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $DfCap),
+        |rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN keepg USING (s)),
+        |cpairs AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |pint AS (
+        |  SELECT c.da, c.db, count(*) AS n_int
+        |  FROM cpairs c JOIN ex a ON a.doc_id = c.da JOIN ex b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY c.da, c.db),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |pairs AS (
+        |  SELECT p.da, p.db,
+        |    CAST(p.n_int AS DOUBLE) / (sa.n + sb.n - p.n_int) AS jac
+        |  FROM pint p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id),
+        |pt AS (
+        |  SELECT da, db, jac,
+        |    1.0 - (1.0 - jac*jac)*(1.0 - jac*jac)*(1.0 - jac*jac)*(1.0 - jac*jac) AS p_theory
+        |  FROM pairs),
+        |agg AS (
+        |  SELECT CAST(floor(jac * 10) AS INT) AS jb, count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        |    CAST(CAST(sum(CAST(floor(p_theory * 100000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100000000.0 / count(*) AS exp_catch
+        |  FROM pt p LEFT JOIN cands c ON p.da = c.da AND p.db = c.db
+        |  GROUP BY 1)
+        |SELECT jb, n_pairs, n_caught,
+        |  CAST(n_caught AS DOUBLE) / n_pairs AS recall, exp_catch
+        |FROM agg ORDER BY jb""".stripMargin),
     "q32_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |bg AS (
