@@ -176,6 +176,66 @@ object TextQueries {
       .orderBy(col("jb"))
   }
 
+  /** Hashed bag-of-words geometry (the hashing trick — Weinberger et
+    * al., ICML 2009; sklearn's HashingVectorizer): dimension count,
+    * retrieval depth, query-sample size.
+    */
+  val BowDims = 64
+  val BowTopK = 5
+  val BowNQueries = 5
+
+  /** EXT — vocabulary-free sparse vectorization + sparse retrieval:
+    * each token maps to dimension pmod(h, D) with a ± sign from the
+    * hash's next bit (the signed hashing-trick contract that keeps
+    * inner products unbiased under collisions) — NO vocabulary table,
+    * so vectorization is stateless and one-pass at any corpus size,
+    * which is the reason the trick exists. Retrieval: a seeded 5-doc
+    * query sample (the q89 fine-grained LCG draw — a global top-5, so
+    * it plans as TakeOrderedAndProject), cosine = integer dot /
+    * sqrt(product of integer norms) in ONE fixed double expression
+    * (sqrt is the only sanctioned transcendental), top-5 per query by
+    * (cos DESC, doc_id). Scale shape: the sparse table is |docs|·≤D
+    * rows, the query side a ≤D·5-row broadcast, scoring one equi-join
+    * on dim + hash agg, ranking a per-query WindowGroupLimit — every
+    * corpus-sized structure is linear.
+    */
+  val q97HashedBow: Q = (s, d) => {
+    val ent = documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", graft.functions.PolyHash(col("tok"), TextOps.P))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(BowDims.toLong)).cast("int").as("dim"),
+        (lit(1) - lit(2) * pmod(expr(s"h div $BowDims"), lit(2L)).cast("int")).as("sgn"))
+    // sparse signed-count vectors; v=0 dims dropped (true sparse form —
+    // they carry nothing through any inner product). Persisted: corpus
+    // side, query side, and norms all read it (invariant 6).
+    val vec = tracked(ent.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+      .filter(col("v") =!= 0))
+    val nrm = tracked(vec.groupBy(col("doc_id"))
+      .agg(sum(col("v") * col("v")).as("n2")))
+    val qids = nrm.select(col("doc_id").as("qid"),
+        priorityHashOn(col("doc_id")).as("u"))
+      .orderBy(col("u"), col("qid")).limit(BowNQueries)
+      .select(col("qid"))
+    val qvec = broadcast(vec.join(qids, col("doc_id") === col("qid"))
+      .select(col("qid"), col("dim"), col("v").as("vq")))
+    val qn = broadcast(nrm.join(qids, col("doc_id") === col("qid"))
+      .select(col("qid"), col("n2").as("n2q")))
+    val dots = vec.join(qvec, Seq("dim"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("v") * col("vq")).as("dot"))
+    val scored = dots.join(nrm, Seq("doc_id")).join(qn, Seq("qid"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("n2").cast("double") * col("n2q").cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BowTopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("dot"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** EXT-4 — n-gram-heuristic language ID with per-language marker
     * scores.
     */
@@ -1265,6 +1325,7 @@ object TextQueries {
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
     "q96_dedup_audit"     -> q96DedupAudit,
+    "q97_hashed_bow"      -> q97HashedBow,
     "q33_lang_id"         -> q33LangId,
     "q34_quality"         -> q34Quality,
     "q35_token_stats"     -> q35TokenStats,
@@ -1902,6 +1963,40 @@ object TextQueries {
         |SELECT jb, n_pairs, n_caught,
         |  CAST(n_caught AS DOUBLE) / n_pairs AS recall, exp_catch
         |FROM agg ORDER BY jb""".stripMargin),
+    "q97_hashed_bow" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hh AS (
+        |  SELECT doc_id, CASE WHEN length(tok) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(generate_series(1, length(tok)), i -> CAST(ascii(tok[i]) AS BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 1000000007) END AS h
+        |  FROM tk),
+        |bv AS (
+        |  SELECT doc_id, CAST(h % $BowDims AS INT) AS dim,
+        |    1 - 2 * CAST((h // $BowDims) % 2 AS INT) AS sgn
+        |  FROM hh),
+        |vec AS (
+        |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+        |  FROM bv GROUP BY 1, 2 HAVING CAST(sum(sgn) AS BIGINT) <> 0),
+        |nrm AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM vec GROUP BY 1),
+        |qids AS (
+        |  SELECT doc_id AS qid FROM nrm
+        |  ORDER BY ${priorityHashSqlOn("doc_id")}, doc_id LIMIT $BowNQueries),
+        |qvec AS (SELECT q.qid, v.dim, v.v AS vq FROM vec v JOIN qids q ON v.doc_id = q.qid),
+        |qn AS (SELECT q.qid, n.n2 AS n2q FROM nrm n JOIN qids q ON n.doc_id = q.qid),
+        |dots AS (
+        |  SELECT qv.qid, v.doc_id, CAST(sum(v.v * qv.vq) AS BIGINT) AS dot
+        |  FROM vec v JOIN qvec qv ON v.dim = qv.dim AND v.doc_id <> qv.qid
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.qid, d.doc_id, d.dot,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE) * CAST(qn.n2q AS DOUBLE)) AS cos
+        |  FROM dots d JOIN nrm n ON d.doc_id = n.doc_id JOIN qn ON d.qid = qn.qid),
+        |rk AS (
+        |  SELECT qid, doc_id, dot, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, dot, cos
+        |FROM rk WHERE rank <= $BowTopK ORDER BY qid, rank""".stripMargin,
     "q32_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |bg AS (
