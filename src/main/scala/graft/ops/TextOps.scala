@@ -86,6 +86,16 @@ object TextOps {
     array_distinct(when(size(t) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
+  /** Non-distinct n-gram occurrences — one entry per position, unlike
+    * [[shinglesFromTokens]] which dedups. Occurrence counting (Zipf /
+    * coverage statistics) needs the multiplicity. Same short-doc guard.
+    */
+  def shingleOccurrences(t: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+    when(size(t) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
   /** 31^k mod P for k ≤ 63, as an array literal (index k+1, 1-based). */
   private val pow31: Column =
     typedlit((0 until 64).scanLeft(1L)((a, _) => a * 31 % P).take(64))

@@ -167,6 +167,57 @@ object AnalyticsQueries {
       .orderBy(col("source"))
   }
 
+  /** Query-sample size and neighbor count for [[q98KnnLabelAudit]]. */
+  val KnnNq = 100
+  val KnnK = 5
+
+  /** EXT — kNN label-consistency audit (the standard embedding-quality
+    * probe: leave-one-out k-nearest-neighbor classification of each
+    * vector's own label): for a seeded [[KnnNq]]-query sample (the q89
+    * LCG draw — a global top-100, so it plans as
+    * TakeOrderedAndProject), the [[KnnK]] nearest neighbors by cosine
+    * (q29's DotFold discipline — bit-identical folds both engines)
+    * majority-vote a predicted label; per-key top-1 vote via
+    * `min(struct(-count, label))` (invariant 8 — map-side partial agg,
+    * no vote window). Output: per true label, sample count / correct
+    * count / accuracy (one double division of engine-identical longs).
+    * On THIS corpus the audit's verdict is "no label signal" (acc ≈
+    * chance) — which is exactly what the audit exists to measure
+    * before anyone trains on these vectors. Scale shape: sample ×
+    * corpus, never corpus² — the fact side streams once, the sample
+    * rides a broadcast, and the vote/rollup tables are sample-sized.
+    */
+  val q98KnnLabelAudit: Q = (s, d) => {
+    import graft.functions.DotFold
+    val emb = tracked(embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
+    val qs = emb
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"),
+        TextQueries.priorityHashOn(col("vec_id")).as("u"))
+      .orderBy(col("u"), col("qid")).limit(KnnNq)
+      .drop("u")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    val nn = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+    val votes = nn.groupBy(col("qid"), col("qlab"), col("label"))
+      .agg(count(lit(1)).as("nv"))
+    val pred = votes.groupBy(col("qid"), col("qlab"))
+      .agg(min(struct((-col("nv")).as("o"), col("label").as("l"))).as("m"))
+      .select(col("qid"), col("qlab"), col("m.l").as("pred"))
+    pred.groupBy(col("qlab"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("qlab"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc", col("n_correct").cast("double") / col("n_queries"))
+      .select(col("qlab").as("label"), col("n_queries"), col("n_correct"), col("acc"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_rollup"       -> q24Rollup,
     "q25_cube"         -> q25Cube,
@@ -176,6 +227,7 @@ object AnalyticsQueries {
     "q29_topk_cosine"  -> q29TopkCosine,
     "q30_exact_dedup"  -> q30ExactDedup,
     "q85_percentiles"  -> q85Percentiles,
+    "q98_knn_label_audit" -> q98KnnLabelAudit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +325,33 @@ object AnalyticsQueries {
     "q30_exact_dedup" ->
       """SELECT sha256(props) AS h, min(event_id) AS keeper, count(*) AS n_dups
         |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+    "q98_knn_label_audit" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS qid, label AS qlab, embedding AS qv, nrm AS qnrm
+        |  FROM e ORDER BY (vec_id * 1103515245 + 12345) % 2147483647, vec_id LIMIT $KnnNq),
+        |sc AS (
+        |  SELECT q.qid, q.qlab, e.vec_id, e.label,
+        |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |      / (q.qnrm * e.nrm) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |nn AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |  WHERE rank <= $KnnK),
+        |votes AS (SELECT qid, qlab, label, CAST(count(*) AS BIGINT) AS nv FROM nn GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT qid, qlab, label AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY nv DESC, label) AS vr FROM votes)
+        |  WHERE vr = 1)
+        |SELECT qlab AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN pred = qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN pred = qlab THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS acc
+        |FROM pred GROUP BY 1 ORDER BY label""".stripMargin,
   )
 }

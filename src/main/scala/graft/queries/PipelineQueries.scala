@@ -1190,6 +1190,87 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT — chunk-level exact dedup over the q94 chunk table (the RAG /
+    * retrieval-index dedup pass: near-dup documents tile into IDENTICAL
+    * windows, so the chunk index stores each once). Same derivation as
+    * [[q94Chunking]] (drift between the two would dedup a different
+    * index than the one being served), then the q30 exact-dedup idiom
+    * at chunk grain: group by chunk sha256, keeper = lexicographic min
+    * (doc_id, chunk_id) via `min(struct(..))` (invariant 8), emit only
+    * duplicated chunks with copy/doc counts. Pure hash shuffle on the
+    * sha — the q30 scale shape at chunk cardinality; the output is
+    * dup-population-sized, never corpus-sized.
+    */
+  val q99ChunkDedup: Q = (s, d) => {
+    val chunks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("nc", expr(s"(size(toks) - 1) div $ChunkS"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nc"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        sha2(array_join(
+          slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW)), " "), 256).as("h"))
+    chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id").as("kd"), col("chunk_id").as("kc"))).as("m"))
+      .filter(col("n_copies") > 1)
+      .select(col("h"), col("n_copies"), col("n_docs"),
+        col("m.kd").as("keep_doc"), col("m.kc").cast("int").as("keep_chunk"))
+      .orderBy(col("h"))
+  }
+
+  /** Coverage checkpoints for [[q100VocabCoverage]] (vocab-sizing
+    * sweep; the largest overshoots the sf0.01 type count so the
+    * `k_eff` clamp is exercised).
+    */
+  val CovKs = Seq(256L, 1024L, 4096L, 16384L)
+
+  /** EXT — vocabulary coverage / OOV curve (tokenizer-sizing
+    * dashboard): for each candidate vocab size k, the share of corpus
+    * 3-gram OCCURRENCES covered by the k most frequent gram types.
+    * Gram domain, not words — the word vocabulary here is ~31 types
+    * (vacuous); grams are ~16k types at sf0.01. Counted over gram
+    * STRINGS (no hashing — a hash collision would merge counts, the
+    * q96 birthday lesson). NO global rank window over the type table:
+    * the top-k occurrence mass comes from the count-of-counts (Zipf)
+    * histogram — all types tied at a count contribute equally, so
+    * `covered(k) = occ_above(c*) + (k − types_above(c*))·c*` at the
+    * threshold count c*, exactly the q95 histogram-quantile idiom.
+    * Corpus-sized work is ONE hash agg (gram counts); the cc table is
+    * ~distinct-count-values rows (tiny at any corpus size), and the
+    * cumulative window runs over that. All integer until the final
+    * coverage division.
+    */
+  val q100VocabCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val occ = documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(TextOps.shingleOccurrences(col("toks"), 3)).as("g"))
+    val cnt = occ.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    // count-of-counts: one row per distinct count value (tiny);
+    // persisted — the cumulative window and the totals both read it
+    // (invariant 6)
+    val cc = tracked(cnt.groupBy(col("c")).agg(count(lit(1)).as("types")))
+    val wc = Window.orderBy(col("c").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cc
+      .withColumn("types_above", coalesce(sum(col("types")).over(wc), lit(0L)))
+      .withColumn("occ_above", coalesce(sum(col("types") * col("c")).over(wc), lit(0L)))
+    val tot = broadcast(cc.agg(sum(col("types")).as("n_types"),
+      sum(col("types") * col("c")).as("total_occ")))
+    val ks = { import s.implicits._; CovKs.toDF("k") }
+    ks.crossJoin(tot)
+      .withColumn("k_eff", least(col("k"), col("n_types")))
+      .join(cum, col("types_above") < col("k_eff") &&
+        col("types_above") + col("types") >= col("k_eff"))
+      .withColumn("covered_occ",
+        col("occ_above") + (col("k_eff") - col("types_above")) * col("c"))
+      .withColumn("coverage", col("covered_occ").cast("double") / col("total_occ"))
+      .select(col("k"), col("k_eff"), col("n_types"), col("covered_occ"),
+        col("total_occ"), col("coverage"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q94_chunking"      -> q94Chunking,
@@ -1215,6 +1296,8 @@ object PipelineQueries {
     "q86_domain_affinity" -> q86DomainAffinity,
     "q88_bloom_decontam" -> q88BloomDecontam,
     "q89_priority_sample" -> q89PrioritySample,
+    "q99_chunk_dedup"   -> q99ChunkDedup,
+    "q100_vocab_coverage" -> q100VocabCoverage,
   )
 
   /** The q57 funnel's per-document stage flags as shared oracle CTEs —
@@ -1290,6 +1373,49 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q57_corpus_funnel" -> q57OracleSql,
+    "q99_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, g.i AS chunk_id,
+        |    sha256(array_to_string(list_slice(toks, g.i * $ChunkS + 1, g.i * $ChunkS + $ChunkW), ' ')) AS h
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $ChunkS)) AS i) g),
+        |rk AS (
+        |  SELECT h, doc_id, chunk_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+        |  FROM c),
+        |agg AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM c GROUP BY h HAVING count(*) > 1)
+        |SELECT a.h, a.n_copies, a.n_docs, r.doc_id AS keep_doc,
+        |  CAST(r.chunk_id AS INT) AS keep_chunk
+        |FROM agg a JOIN rk r ON a.h = r.h AND r.rn = 1
+        |ORDER BY a.h""".stripMargin,
+    "q100_vocab_coverage" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+        |  WHERE len(toks) >= 3),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY g),
+        |cc AS (SELECT c, CAST(count(*) AS BIGINT) AS types FROM cnt GROUP BY c),
+        |cum AS (
+        |  SELECT c, types,
+        |    COALESCE(CAST(sum(types) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS types_above,
+        |    COALESCE(CAST(sum(types * c) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS occ_above
+        |  FROM cc),
+        |tot AS (SELECT CAST(sum(types) AS BIGINT) AS n_types,
+        |  CAST(sum(types * c) AS BIGINT) AS total_occ FROM cc),
+        |ks AS (SELECT CAST(unnest([256, 1024, 4096, 16384]) AS BIGINT) AS k)
+        |SELECT k, least(k, n_types) AS k_eff, n_types,
+        |  occ_above + (least(k, n_types) - types_above) * c AS covered_occ,
+        |  total_occ,
+        |  CAST(occ_above + (least(k, n_types) - types_above) * c AS DOUBLE) / total_occ AS coverage
+        |FROM ks, tot, cum
+        |WHERE types_above < least(k, n_types) AND types_above + types >= least(k, n_types)
+        |ORDER BY k""".stripMargin,
     "q94_chunking" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (
