@@ -115,6 +115,46 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q98's query sample plans as a distributed top-k, scoring as one broadcast pass") {
+    val p = finalPlan("q98_knn_label_audit")
+    // the seeded 100-query draw must pre-trim map-side — a global
+    // Window+Sort over the whole embedding table would regress it
+    assert(p.contains("TakeOrderedAndProject(limit=100"),
+      "q98 sample draw no longer plans as a distributed top-k")
+    // sample × corpus via broadcast: the corpus scan streams once
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "q98 sample side lost its broadcast — scoring would shuffle the corpus")
+    assert(!p.contains("CartesianProduct"), "q98 planned a cartesian product")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+
+  test("q99's chunk derivation is join-free and column-pruned") {
+    val p = finalPlan("q99_chunk_dedup")
+    // scan → explode → sha → hash agg: no join of any kind, and the
+    // documents scan reads only (doc_id, text)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "q99 chunk table should derive without any join")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s =>
+        !s.contains("lang") && !s.contains("source") && !s.contains("n_chars")),
+      s"q99 scan reads unneeded columns: $schemas")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+
+  test("q100's only corpus-sized operator is the gram-count hash agg") {
+    val p = finalPlan("q100_vocab_coverage")
+    // the cumulative window must run over the tiny count-of-counts
+    // table, never a corpus-derived one: no rank/sort of the type
+    // table, no cartesian (the 1-row totals ride a broadcast NLJ)
+    assert(!p.contains("CartesianProduct"), "q100 planned a cartesian product")
+    assert(!p.contains("WindowGroupLimit"),
+      "q100 grew a per-type rank — coverage must come from the histogram")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+
   test("q71's training-order window is shard-partitioned, never global") {
     val p = finalPlan("q71_corpus_shuffle")
     assert(p.contains("hashpartitioning(shard"),
@@ -144,7 +184,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "q80_ngram_decontam", "q81_dup_spans", "q82_balanced_sample",
         "q83_kmv_distinct", "q84_cms_heavy", "q85_percentiles",
         "q86_domain_affinity", "q87_fuzzy_decontam", "q88_bloom_decontam",
-        "q89_priority_sample")) {
+        "q89_priority_sample", "q98_knn_label_audit", "q100_vocab_coverage")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
