@@ -1321,6 +1321,82 @@ object TextQueries {
       .orderBy(col("cell"), col("rk"))
   }
 
+  /** Winnowing parameters: [[WinnowK]]-token grams, windows of
+    * [[WinnowW]] consecutive gram hashes → guaranteed detection of any
+    * shared verbatim run of ≥ W + K − 1 = 6 tokens (the winnowing
+    * theorem); fingerprint density ≈ 2/(W+1) of grams. Occupancy cap
+    * and min-shared measured on the clean corpus FIRST: max occupancy 6
+    * at sf0.01 (cap 16 binds only on pathology); min-shared 2 prunes
+    * 3507 → 105 pairs with every true near-dup at overlap 1.0.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowCap = 16
+  val WinnowMinShared = 2L
+
+  /** EXT — winnowing fingerprints + overlap detection (Schleimer–
+    * Wilkerson–Aiken SIGMOD 2003 — the MOSS local fingerprinting
+    * algorithm): per doc, slide a [[WinnowW]]-window over the 3-gram
+    * hash sequence and keep each window's MINIMUM hash, ties broken
+    * RIGHTMOST (robust winnowing — re-selects the same position across
+    * overlapping windows, minimizing fingerprint count). Unlike minhash
+    * banding (probabilistic recall, q31/q96) winnowing carries a
+    * guarantee: every shared run of ≥ W+K−1 tokens yields a shared
+    * fingerprint. Selection key packs (31-bit residue, reversed pos)
+    * into one long — `min` gives (min hash, rightmost tie) in a single
+    * windowed agg, identical both engines; a residue collision merely
+    * picks the same position differently-labeled, so selection stays
+    * cross-engine exact. MATCHING uses the dual-residue 62-bit key (the
+    * q80/q81 rationale — a 31-bit gram equality false-matches at the
+    * birthday rate). Pair stage = the banded idiom: equi-join on
+    * fingerprint, occupancy-capped, never all-pairs; output is per-pair
+    * shared-fingerprint counts with containment overlap.
+    *
+    * Scale shape: one explode, one doc-partitioned window (docs are
+    * bounded, partition-parallel), one hash-shuffle self-join on the
+    * fingerprint key with the cap killing hub keys. The fingerprint
+    * table is ~2/(W+1) the gram table — this is also the persistable
+    * index an incremental run would probe (the q72 split).
+    */
+  val q101Winnowing: Q = (s, d) => {
+    val gr = tracked(documents(s, d)
+      .select(col("doc_id"), posexplode(graft.functions.ShingleHash(
+        col("text"), P, WinnowK, TextOps.P2)).as(Seq("p0", "h")))
+      // 1-based pos (mirrors generate_subscripts); fits the 21-bit pack
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h")))
+    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val wCnt = Window.partitionBy(col("doc_id"))
+    val sel = gr
+      .withColumn("ng", count(lit(1)).over(wCnt))
+      .withColumn("wkey", min(pmod(col("h"), lit(2147483648L)) * 2097152L
+        + (lit(2097151L) - col("pos"))).over(wSel))
+      // valid window starts only; a doc with < W grams gets one clipped
+      // window (both engines clip frames at the partition edge)
+      .filter(col("pos") <= greatest(lit(1L), col("ng") - (WinnowW - 1)))
+      .select(col("doc_id"), (lit(2097151L) - pmod(col("wkey"), lit(2097152L))).as("spos"))
+      .distinct()
+    val fp = tracked(sel.as("s")
+      .join(gr.as("g"), col("s.doc_id") === col("g.doc_id") && col("spos") === col("g.pos"))
+      .select(col("g.doc_id").as("doc_id"), col("g.h").as("h")).distinct())
+    val occ = fp.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= WinnowCap).select(col("h"))
+    val pairs = fp.select(col("doc_id").as("doc_a"), col("h"))
+      .join(occ, Seq("h"), "left_semi")
+      .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_b") > col("doc_a"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(nfp.select(col("doc_id").as("doc_a"), col("n").as("n_fp_a")), Seq("doc_a"))
+      .join(nfp.select(col("doc_id").as("doc_b"), col("n").as("n_fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+        (col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")).cast("double"))
+          .as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -1356,6 +1432,7 @@ object TextQueries {
     "q81_dup_spans" -> q81DupSpans,
     "q82_balanced_sample" -> q82BalancedSample,
     "q87_fuzzy_decontam" -> q87FuzzyDecontam,
+    "q101_winnowing" -> q101Winnowing,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2195,6 +2272,35 @@ object TextQueries {
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
+    "q101_winnowing" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
+        |  SELECT doc_id, u.pos, u.h FROM hsw,
+        |  LATERAL (SELECT unnest(hs) AS h, generate_subscripts(hs, 1) AS pos) u),
+        |wk AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng,
+        |    min((h % 2147483648) * 2097152 + (2097151 - pos))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wkey
+        |  FROM gr),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, 2097151 - (wkey % 2097152) AS spos
+        |  FROM wk WHERE pos <= greatest(1, ng - ${WinnowW - 1})),
+        |fpw AS (
+        |  SELECT DISTINCT s.doc_id, g2.h
+        |  FROM sel s JOIN gr g2 ON g2.doc_id = s.doc_id AND g2.pos = s.spos),
+        |occw AS (SELECT h FROM fpw GROUP BY h HAVING count(*) <= $WinnowCap),
+        |pairsw AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fpw a JOIN occw o ON a.h = o.h JOIN fpw b ON b.h = a.h AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |nfpw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fpw GROUP BY doc_id)
+        |SELECT p.doc_a, p.doc_b, p.n_shared, na.n AS n_fp_a, nb.n AS n_fp_b,
+        |  CAST(p.n_shared AS DOUBLE) / least(na.n, nb.n) AS overlap
+        |FROM pairsw p JOIN nfpw na ON na.doc_id = p.doc_a JOIN nfpw nb ON nb.doc_id = p.doc_b
+        |WHERE p.n_shared >= $WinnowMinShared
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "q74_media_neardup" ->
       s"""WITH mm AS (SELECT doc_id AS media_id, text FROM documents),
         |by74 AS (
