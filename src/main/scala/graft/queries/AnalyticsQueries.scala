@@ -218,6 +218,53 @@ object AnalyticsQueries {
       .orderBy(col("label"))
   }
 
+  /** Context length for [[q103SessionSeq]] (up to this many preceding
+    * events feed each prediction example).
+    */
+  val SeqCtx = 4
+
+  /** EXT — session-sequence training pairs (next-event prediction
+    * examples — the behavioral-sequence analog of q94's text chunking):
+    * q26's EXACT session derivation (same 30-min gap rule, same
+    * (ts, event_id) total order — drift would train on sessions the
+    * dashboard doesn't report), then per session each step ≥ 2 emits
+    * (context = up to [[SeqCtx]] preceding event types joined by " ",
+    * label = current type) via `collect_list` over a bounded ROWS
+    * frame — frame order is the window order, so the context string is
+    * deterministic cross-engine. Scale shape: both windows are
+    * user/session-partitioned (partition-parallel, bounded frames, no
+    * global sort); output rows = Σ (session length − 1), linear in
+    * events.
+    */
+  /** The q103 pipeline factored over any (user_id, event_id, ts_us,
+    * event_type) frame so the spec can drive a synthetic long session —
+    * THIS corpus's sessions max out at 3 events (measured at every SF),
+    * so the [[SeqCtx]] truncation branch never binds on real data; the
+    * frame semantics are proven on the synthetic case.
+    */
+  private[graft] def sessionPairs(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = ev
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
+      .withColumn("sess",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts_us"), col("event_id"))
+    sess
+      .withColumn("step", row_number().over(ws).cast("long"))
+      .withColumn("context", array_join(
+        collect_list(col("event_type")).over(ws.rowsBetween(-SeqCtx, -1)), " "))
+      .filter(col("step") >= 2)
+      .select(col("user_id"), col("sess").cast("long").as("sess"), col("step"),
+        col("context"), col("event_type").as("label"))
+  }
+
+  val q103SessionSeq: Q = (s, d) =>
+    sessionPairs(events(s, d)).orderBy(col("user_id"), col("sess"), col("step"))
+
   val queries: Map[String, Q] = Map(
     "q24_rollup"       -> q24Rollup,
     "q25_cube"         -> q25Cube,
@@ -228,6 +275,7 @@ object AnalyticsQueries {
     "q30_exact_dedup"  -> q30ExactDedup,
     "q85_percentiles"  -> q85Percentiles,
     "q98_knn_label_audit" -> q98KnnLabelAudit,
+    "q103_session_seq" -> q103SessionSeq,
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +316,29 @@ object AnalyticsQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_s, g_p, status, priority""".stripMargin,
+    "q103_session_seq" ->
+      s"""WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS brk FROM g),
+        |i AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM b),
+        |p AS (
+        |  SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |    CAST(row_number() OVER ws AS BIGINT) AS step,
+        |    array_to_string(list(event_type) OVER
+        |      (ws ROWS BETWEEN $SeqCtx PRECEDING AND 1 PRECEDING), ' ') AS context,
+        |    event_type AS label
+        |  FROM i
+        |  WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts_us, event_id))
+        |SELECT user_id, sess, step, context, label FROM p
+        |WHERE step >= 2
+        |ORDER BY user_id, sess, step""".stripMargin,
     "q26_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,

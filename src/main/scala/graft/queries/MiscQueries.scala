@@ -125,6 +125,34 @@ object MiscQueries {
       .orderBy(col("o_custkey"), col("od_us"), col("o_orderkey"))
   }
 
+  /** Unpivot (melt): q44's wide per-user event-type counts back to long
+    * form — the wide→long reshape a feature-store export needs
+    * (`Dataset.unpivot`, the variable/value relational form). The
+    * fixed value-column list keeps the schema static, like q44's pivot.
+    * Densified first (`na.fill(0)`), so every (user, type) combo
+    * appears exactly once — unpivot emits the dense grid. The oracle
+    * mirrors with an independent formulation: dense user × type grid
+    * LEFT JOINed to the plain GROUP BY counts.
+    */
+  /** The q102 pipeline factored over any (user_id, event_type) frame so
+    * the spec can drive a sparse synthetic grid — THIS corpus is fully
+    * dense at every SF (measured), so the `na.fill(0)` densification
+    * branch never binds on real data.
+    */
+  private[graft] def unpivotCounts(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = ev
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+  }
+
+  val q102Unpivot: Q = (s, d) =>
+    unpivotCounts(events(s, d)).orderBy(col("user_id"), col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "q47_asof_join"    -> q47AsofJoin,
     "q48_leadlag_ntile" -> q48LeadLagNtile,
@@ -134,6 +162,7 @@ object MiscQueries {
     "q44_pivot_events" -> q44PivotEvents,
     "q45_percentiles"  -> q45Percentiles,
     "q46_intersect_all" -> q46IntersectAll,
+    "q102_unpivot"     -> q102Unpivot,
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,6 +205,14 @@ object MiscQueries {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q102_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+        |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+        |FROM u CROSS JOIN t LEFT JOIN c USING (user_id, event_type)
+        |ORDER BY user_id, event_type""".stripMargin,
     "q44_pivot_events" ->
       """SELECT user_id,
         |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
