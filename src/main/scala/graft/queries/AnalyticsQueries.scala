@@ -56,14 +56,24 @@ object AnalyticsQueries {
   /** EXT-5 — sessionization, batch twin (gaps-and-islands on >30 min gaps;
     * the streaming twin uses session_window, see graft.streaming).
     */
-  val q26Sessionize: Q = (s, d) => {
+  /** ONE definition of the session tagging (30-min gap rule, (ts,
+    * event_id) total order) shared by q26 (dashboard), q103 (training
+    * pairs), and q104 (overlap join) — the derived artifacts provably
+    * describe the same sessions.
+    */
+  private[graft] def tagSessions(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    events(s, d)
+    ev
       .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
       .withColumn("brk", when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
       .withColumn("sess",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val q26Sessionize: Q = (s, d) => {
+    tagSessions(events(s, d))
       .groupBy(col("user_id"), col("sess"))
       .agg(
         min(col("ts_us")).as("session_start"),
@@ -244,16 +254,9 @@ object AnalyticsQueries {
     */
   private[graft] def sessionPairs(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val gapUs = 30L * 60 * 1000000
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val sess = ev
-      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
-      .withColumn("brk", when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
-      .withColumn("sess",
-        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val ws = Window.partitionBy(col("user_id"), col("sess"))
       .orderBy(col("ts_us"), col("event_id"))
-    sess
+    tagSessions(ev)
       .withColumn("step", row_number().over(ws).cast("long"))
       .withColumn("context", array_join(
         collect_list(col("event_type")).over(ws.rowsBetween(-SeqCtx, -1)), " "))
@@ -264,6 +267,46 @@ object AnalyticsQueries {
 
   val q103SessionSeq: Q = (s, d) =>
     sessionPairs(events(s, d)).orderBy(col("user_id"), col("sess"), col("step"))
+
+  /** Temporal bin width for [[q104SessionOverlap]]'s equi-join: sessions
+    * here span ≤ 1 h (3-event cap × 30-min gaps), so each explodes into
+    * ≤ 2 buckets.
+    */
+  val OverlapBucketUs = 3600L * 1000000
+
+  /** EXT — interval-overlap join via temporal binning (the genomics /
+    * temporal-join pattern: overlap is NOT an equi-predicate, and a
+    * naive plan is a cartesian): concurrent-session detection — pairs
+    * of DIFFERENT users whose sessions overlap in time. Each session
+    * interval explodes into its covering [[OverlapBucketUs]] buckets
+    * (bounded fan-out — interval length / bucket), candidates equi-join
+    * on bucket, the EXACT overlap predicate verifies, and `distinct`
+    * collapses pairs that straddle a bucket boundary (matched in 2
+    * buckets). Oracle: DuckDB's native inequality join (IEJoin) — a
+    * genuinely different algorithm for the same semantics. Scale: the
+    * only quadratic term is per-bucket occupancy (concurrency), the
+    * quantity the query measures — a hot bucket is real concurrency,
+    * handled by a narrower bucket + AQE skew split, never a cartesian.
+    */
+  val q104SessionOverlap: Q = (s, d) => {
+    val sess = tracked(tagSessions(events(s, d))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+      .select(col("user_id"), col("sess").cast("long").as("sess"),
+        col("s_us"), col("e_us")))
+    val binned = sess.withColumn("bk",
+      explode(sequence(col("s_us") - pmod(col("s_us"), lit(OverlapBucketUs)),
+        col("e_us") - pmod(col("e_us"), lit(OverlapBucketUs)), lit(OverlapBucketUs))))
+    binned.as("a").join(binned.as("b"),
+        col("a.bk") === col("b.bk") && col("a.user_id") < col("b.user_id") &&
+          col("a.s_us") <= col("b.e_us") && col("b.s_us") <= col("a.e_us"))
+      .select(col("a.user_id").as("user_a"), col("a.sess").as("sess_a"),
+        col("b.user_id").as("user_b"), col("b.sess").as("sess_b"),
+        (least(col("a.e_us"), col("b.e_us"))
+          - greatest(col("a.s_us"), col("b.s_us"))).as("overlap_us"))
+      .distinct()
+      .orderBy(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"))
+  }
 
   val queries: Map[String, Q] = Map(
     "q24_rollup"       -> q24Rollup,
@@ -276,6 +319,7 @@ object AnalyticsQueries {
     "q85_percentiles"  -> q85Percentiles,
     "q98_knn_label_audit" -> q98KnnLabelAudit,
     "q103_session_seq" -> q103SessionSeq,
+    "q104_session_overlap" -> q104SessionOverlap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -316,6 +360,28 @@ object AnalyticsQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_s, g_p, status, priority""".stripMargin,
+    "q104_session_overlap" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS brk FROM g),
+        |i AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM b),
+        |s AS (
+        |  SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |    min(ts_us) AS s_us, max(ts_us) AS e_us
+        |  FROM i GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, a.sess AS sess_a,
+        |  b2.user_id AS user_b, b2.sess AS sess_b,
+        |  least(a.e_us, b2.e_us) - greatest(a.s_us, b2.s_us) AS overlap_us
+        |FROM s a JOIN s b2
+        |  ON a.user_id < b2.user_id AND a.s_us <= b2.e_us AND b2.s_us <= a.e_us
+        |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin,
     "q103_session_seq" ->
       s"""WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,

@@ -1397,6 +1397,55 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** EXT — exact set-similarity join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. WWW 2007, Xiao et al. — the EXACT
+    * counterpart of q31's probabilistic LSH): all doc pairs with
+    * 3-gram-set Jaccard ≥ 0.6, no recall loss. Grams order globally by
+    * (df, gram) ascending — rarest first — and each doc indexes only
+    * its first m − ⌈0.6·m⌉ + 1 grams (the prefix); the prefix-filter
+    * lemma guarantees every qualifying pair shares a prefix gram, so
+    * candidates come from an equi-join on PREFIX postings only (165
+    * candidates vs 11,533 all-sharing pairs at sf0.01 — measured 70×
+    * pruning, 0 missed). Verification is exact: intersection count via
+    * the full postings, threshold as pure integers (J ≥ 3/5 ⟺
+    * 8·i ≥ 3·(ma+mb)), jaccard emitted as ONE division of identical
+    * longs. Gram identity = dual-residue 62-bit keys (gram equality IS
+    * the verdict — the q80/q96 birthday rationale). The ORACLE runs the
+    * brute-force all-sharing-pairs algorithm with no prefix, so the
+    * gate independently proves the filter's completeness on this
+    * corpus. Scale shape: df ranking is one hash agg + a doc-
+    * partitioned window; candidate generation touches only prefix
+    * postings (rare grams by construction — df-skew-proof); nothing is
+    * ever all-pairs.
+    */
+  val q105SimJoin: Q = (s, d) => {
+    val pg = tracked(documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash(col("text"), P, 3, TextOps.P2))).as("h")))
+    val m = pg.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val dfh = pg.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val pref = pg.join(dfh, Seq("h"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .join(m, Seq("doc_id"))
+      .filter(col("rk") <= col("m") - expr("(3 * m + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    cand
+      .join(pg.select(col("doc_id").as("da"), col("h")), Seq("da"))
+      .join(pg.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(m.select(col("doc_id").as("da"), col("m").as("ma")), Seq("da"))
+      .join(m.select(col("doc_id").as("db"), col("m").as("mb")), Seq("db"))
+      .filter(col("inter") * 8 >= (col("ma") + col("mb")) * 3)
+      .select(col("da"), col("db"), col("inter"), col("ma"), col("mb"),
+        (col("inter").cast("double") / (col("ma") + col("mb") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -1433,6 +1482,7 @@ object TextQueries {
     "q82_balanced_sample" -> q82BalancedSample,
     "q87_fuzzy_decontam" -> q87FuzzyDecontam,
     "q101_winnowing" -> q101Winnowing,
+    "q105_simjoin" -> q105SimJoin,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2272,6 +2322,20 @@ object TextQueries {
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
+    "q105_simjoin" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |${gramHashCtes("s5", 3, distinct = true)}pg5 AS (
+        |  SELECT doc_id, unnest(hs) AS h FROM hss5),
+        |m5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM pg5 GROUP BY 1),
+        |ix5 AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+        |  FROM pg5 a JOIN pg5 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, i AS inter, ma.m AS ma, mb.m AS mb,
+        |  CAST(i AS DOUBLE) / (ma.m + mb.m - i) AS jaccard
+        |FROM ix5 JOIN m5 ma ON ma.doc_id = da JOIN m5 mb ON mb.doc_id = db
+        |WHERE 8 * i >= 3 * (ma.m + mb.m)
+        |ORDER BY da, db""".stripMargin,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (

@@ -23,7 +23,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for (q <- Seq("q31_neardup_minhash", "q40_embedding_neardup",
         "q51_simhash64", "q53_contamination", "q32_ngram_jaccard",
         "q56_dup_groups", "q72_incremental_dedup", "q79_best_rep",
-        "q81_dup_spans", "q87_fuzzy_decontam", "q101_winnowing")) {
+        "q81_dup_spans", "q87_fuzzy_decontam", "q101_winnowing",
+        "q104_session_overlap", "q105_simjoin")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join")
@@ -185,7 +186,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "q83_kmv_distinct", "q84_cms_heavy", "q85_percentiles",
         "q86_domain_affinity", "q87_fuzzy_decontam", "q88_bloom_decontam",
         "q89_priority_sample", "q98_knn_label_audit", "q100_vocab_coverage",
-        "q101_winnowing")) {
+        "q101_winnowing", "q104_session_overlap", "q105_simjoin")) {
       SparkEntry.queries(q)(spark, d).count()
       assert(graft.queries.releasePersisted() > 0,
         s"$q persists intermediates but registered none with tracked()")
