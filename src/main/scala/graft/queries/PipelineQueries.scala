@@ -125,6 +125,27 @@ object PipelineQueries {
     s.read.parquet(s"$outDir/corpus").count()
   }
 
+  /** Export the SAME funnel survivors as lang-partitioned JSONL
+    * (`outDir/corpus_jsonl`, one JSON object per line) — the hand-off
+    * format external tokenizers and sequence trainers consume. The
+    * line is `to_json(struct(...))` with a fixed field order; the
+    * write is the same one-pass flags join + a text sink (one `value`
+    * column + the partition column — no extra shuffle). Returns rows
+    * shipped. Corpus text is newline-free by construction; a general
+    * corpus would escape via to_json's own string encoding anyway.
+    */
+  def materializeJsonl(s: SparkSession, d: String, outDir: String): Long = {
+    val flags = stageFlags(s, d)
+      .filter(col("f_dedup") === 1 && col("f_quality") === 1 &&
+        col("f_decontam") === 1 && col("f_sample") === 1)
+      .select(col("doc_id"))
+    documents(s, d).join(flags, Seq("doc_id"))
+      .select(col("lang"),
+        to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
+      .write.mode("overwrite").partitionBy("lang").text(s"$outDir/corpus_jsonl")
+    s.read.text(s"$outDir/corpus_jsonl").count()
+  }
+
   /** Document-frequency bounds for [[q58VocabPrune]]: a token must
     * appear in ≥ 2 documents (hapax noise) and ≤ 40% of the corpus
     * (stopword mass). The upper bound is evaluated as the INTEGER

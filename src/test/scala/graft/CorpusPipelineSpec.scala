@@ -61,6 +61,32 @@ class CorpusPipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("materializeJsonl ships the same survivors as the parquet export, as valid JSONL") {
+    val out = s"/tmp/graft_jsonl_${System.nanoTime()}"
+    val pq = s"/tmp/graft_jsonl_pq_${System.nanoTime()}"
+    val shipped = PipelineQueries.materializeJsonl(spark, d, out)
+    val shippedPq = PipelineQueries.materialize(spark, d, pq)
+    assert(shipped == shippedPq, "JSONL and parquet exports ship different row counts")
+    // read back through the JSON reader: partition column recovered,
+    // every field equal to the parquet export's
+    val back = spark.read.json(s"$out/corpus_jsonl")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    val ref = spark.read.parquet(s"$pq/corpus")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    assert(back.exceptAll(ref).count() == 0 && ref.exceptAll(back).count() == 0,
+      "JSONL and parquet exports disagree on content")
+    // a raw line is one self-contained JSON object with the fixed keys
+    val line = spark.read.text(s"$out/corpus_jsonl").head().getString(0)
+    assert(line.startsWith("{") && line.endsWith("}") &&
+      line.contains("\"doc_id\"") && line.contains("\"text\""),
+      s"unexpected JSONL line shape: ${line.take(80)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pq))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+
   test("q75 quotas hit the epoch budget exactly and follow the temperature") {
     import spark.implicits._
     val out = SparkEntry.queries("q75_mixture_weights")(spark, d)
