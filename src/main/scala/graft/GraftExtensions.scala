@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.functions.PolyHashFusion)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     e.injectPlannerStrategy(_ => graft.ops.AsOf.AsOfStrategy)
   }
 }
