@@ -1446,6 +1446,74 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Results kept per query by [[q106Bm25]]. */
+  val Bm25TopK = 5
+
+  /** Posting-list df cap for [[q106Bm25]] — the df-skew guard (q32's
+    * precedent): a gram present in more than this many corpus docs is
+    * dropped from scoring (its idf is negligible anyway — classic
+    * stopword pruning). Measured max df at sf0.01 is 7, so the cap
+    * never binds on clean data; it exists so a pathological common
+    * gram at scale cannot turn the postings join quadratic.
+    */
+  val Bm25DfCap = 256L
+
+  /** EXT — BM25 retrieval (Robertson–Spärck Jones, k1 = 1.2, b = 0.75)
+    * of corpus documents for each eval-split query (doc_id % 10 = 0
+    * plays the benchmark, the q80 convention), over 3-gram terms — the
+    * corpus WORD vocabulary is ~31 (measured; any word-level retrieval
+    * is a dense all-pairs join and vacuous), while the trigram domain
+    * is ~15 k with max df 7, so postings joins stay sparse.
+    *
+    * Cross-engine-exact scoring with NO floats and NO log: every
+    * factor is an integer DIV computed identically in both engines —
+    * idfq = (10⁵·N) DIV df (the q77 integer idf: preserves the df
+    * ordering exactly); the tf-saturation weight with k1 = 6/5,
+    * b = 3/4 reduces algebraically to
+    * wtf = (22·10¹⁰·tf) DIV (10⁷·tf + 3·10⁶ + (9·10¹²·dl) DIV A),
+    * A = (10⁶·T) DIV N the micro-avgdl; term score = idfq·wtf summed
+    * per (query, doc) in longs. Scale constants bound every product
+    * under 2⁶³ to N ≈ 4·10⁸ docs; beyond that, shrink the idf scale.
+    *
+    * Scale shape (q80's asymmetry): the benchmark side is small and
+    * BROADCASTS; the corpus side is one scan + explode + hash agg,
+    * shuffling only (doc, gram) weights. Per-query top-5 executes as
+    * WindowGroupLimit (partial top-k before the shuffle). Gram
+    * identity is ShingleHash's dual-residue 62-bit key; Bm25Spec
+    * re-proves ranking on gram STRINGS (the q96 birthday lesson).
+    */
+  val q106Bm25: Q = (s, d) => {
+    val tf = tracked(documents(s, d)
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleHash(col("text"), P, 3, TextOps.P2)).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf")))
+    val corpus = tracked(tf.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+    val qry = tf.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("qid"), col("h"))
+    val dl = tracked(corpus.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val dft = corpus.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Bm25DfCap)
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val scored = broadcast(qry)
+      .join(corpus, Seq("h"))
+      .join(dft, Seq("h"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("qid"), col("doc_id"),
+        (expr("(100000L * n) DIV df") *
+          expr("""(220000000000L * tf) DIV
+                 (10000000L * tf + 3000000L +
+                  (9000000000000L * dl) DIV ((1000000L * t) DIV n))""")).as("ts"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("ts")).as("score"), count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score"), col("n_shared"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -1483,6 +1551,7 @@ object TextQueries {
     "q87_fuzzy_decontam" -> q87FuzzyDecontam,
     "q101_winnowing" -> q101Winnowing,
     "q105_simjoin" -> q105SimJoin,
+    "q106_bm25" -> q106Bm25,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2336,6 +2405,33 @@ object TextQueries {
         |FROM ix5 JOIN m5 ma ON ma.doc_id = da JOIN m5 mb ON mb.doc_id = db
         |WHERE 8 * i >= 3 * (ma.m + mb.m)
         |ORDER BY da, db""".stripMargin,
+    "q106_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+        |${gramHashCtes("b6", 3, distinct = false)}px6 AS (
+        |  SELECT doc_id, unnest(hs) AS h FROM hsb6),
+        |tf6 AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+        |  FROM px6 GROUP BY doc_id, h),
+        |corp6 AS (SELECT * FROM tf6 WHERE doc_id % 10 <> 0),
+        |qry6 AS (SELECT doc_id AS qid, h FROM tf6 WHERE doc_id % 10 = 0),
+        |dl6 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM corp6 GROUP BY 1),
+        |dft6 AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM corp6
+        |  GROUP BY 1 HAVING count(*) <= $Bm25DfCap),
+        |st6 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl6),
+        |sc6 AS (
+        |  SELECT q.qid, c.doc_id,
+        |    CAST(sum(((100000 * st6.n) // dft6.df) *
+        |      ((220000000000 * c.tf) //
+        |       (10000000 * c.tf + 3000000 +
+        |        (9000000000000 * dl6.dl) // ((1000000 * st6.t) // st6.n)))) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM qry6 q JOIN corp6 c USING (h) JOIN dft6 USING (h)
+        |    JOIN dl6 ON c.doc_id = dl6.doc_id, st6
+        |  GROUP BY q.qid, c.doc_id),
+        |r6 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc6)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score, n_shared
+        |FROM r6 WHERE rank <= $Bm25TopK
+        |ORDER BY qid, rank""".stripMargin,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
