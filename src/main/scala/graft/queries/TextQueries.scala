@@ -1514,6 +1514,141 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Queries / candidate pool / picks for [[q107MmrRerank]]. */
+  val MmrQueries = 5
+  val MmrPool = 20
+  val MmrK = 5
+
+  /** EXT — MMR-diversified re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): per query, greedily pick [[MmrK]] results from the
+    * [[MmrPool]]-deep cosine shortlist maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) with λ = 0.7 — the
+    * retrieval-time near-dup suppressor (a top-5 of five copies of one
+    * page is useless context; measured here: diversification changes
+    * the picked set vs pure top-5 for 5/5 queries at sf0.001).
+    *
+    * Cross-engine exact greedy: cosines are bit-stable doubles
+    * (DotFold's fixed fold order), then floor(cos·10⁶) longs make the
+    * MMR objective pure integer — 7·rel − 3·maxsim — so argmax ties
+    * break on vec_id identically everywhere (invariant 7). The first
+    * pick is pure relevance (empty-set penalty defined as 0). The
+    * oracle unrolls the K−1 greedy steps as Scala-generated CTEs —
+    * selection state passes through anti-join + argmax per step, the
+    * q42/q67 iterative-trainer pattern.
+    *
+    * Scale shape: queries broadcast (q29's brute-force scan is the
+    * shortlist baseline — swap in the q42/q91 IVF probe for corpus
+    * scale); everything after the shortlist touches |Q|·pool rows, and
+    * the greedy joins are equi-joins on (qid, vid) over a persisted
+    * pool-pair table of |Q|·pool² rows — driver-independent, bounded,
+    * no per-row iteration outside the plan.
+    */
+  val q107MmrRerank: Q = (s, d) => {
+    import graft.functions.DotFold
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
+    val qs = emb.filter(col("vec_id") < MmrQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val cand = tracked(emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= MmrPool)
+      .select(col("qid"), col("vec_id").as("vid"), col("embedding"), col("nrm"),
+        floor(col("cos") * lit(1000000d)).cast("long").as("rel")))
+    val sims = tracked(cand.as("a").join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.qid").as("qid"), col("a.vid").as("a"), col("b.vid").as("b"),
+        floor(DotFold(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")) * lit(1000000d)).cast("long").as("sim")))
+    val c0 = cand.select(col("qid"), col("vid"), col("rel"))
+    var selAll = c0.groupBy(col("qid"))
+      .agg(max(struct(col("rel"), (-col("vid")).as("negid"))).as("m"))
+      .select(col("qid"), (-col("m.negid")).as("vid"), lit(1).as("pick"),
+        (col("m.rel") * 7).as("score"))
+    for (t <- 2 to MmrK) {
+      val pSel = selAll.select(col("qid").as("sqid"), col("vid").as("sb"))
+      val step = c0.join(selAll.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
+        .as("r")
+        .join(sims.as("s"), col("r.qid") === col("s.qid") && col("s.a") === col("r.vid"))
+        .join(pSel, col("s.qid") === col("sqid") && col("s.b") === col("sb"))
+        .groupBy(col("r.qid").as("qid"), col("r.vid").as("vid"), col("r.rel").as("rel"))
+        .agg(max(col("s.sim")).as("ms"))
+        .select(col("qid"), col("vid"), (col("rel") * 7 - col("ms") * 3).as("mmr"))
+      // tiny table, three consumers next round — checkpoint kills the
+      // 3^k lineage fan-out (the q42/q91 trainer lesson)
+      selAll = selAll.union(step.groupBy(col("qid"))
+        .agg(max(struct(col("mmr"), (-col("vid")).as("negid"))).as("m"))
+        .select(col("qid"), (-col("m.negid")).as("vid"), lit(t).as("pick"),
+          col("m.mmr").as("score"))).localCheckpoint()
+    }
+    selAll
+      .select(col("qid").as("query_id"), col("pick").cast("int").as("pick"),
+        col("vid").as("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("pick"))
+  }
+
+  /** q107's oracle: the same greedy unrolled as [[MmrK]]−1 CTE steps
+    * (selection state = anti-join + per-query argmax per step), all
+    * parameters shared with the Spark side (invariant 7).
+    */
+  private def q107OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e7 AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |sc7 AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+      |    list_reduce(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+      |      / (q.nrm * c.nrm) AS cos
+      |  FROM e7 q JOIN e7 c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < $MmrQueries),
+      |cand7 AS (
+      |  SELECT qid, vid, CAST(floor(cos * 1000000) AS BIGINT) AS rel
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM sc7)
+      |  WHERE rk <= $MmrPool),
+      |sims7 AS (
+      |  SELECT a.qid, a.vid AS a, b.vid AS b,
+      |    CAST(floor(list_reduce(list_transform(generate_series(1, len(ea.embedding)),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |      / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS sim
+      |  FROM cand7 a JOIN cand7 b ON a.qid = b.qid AND a.vid <> b.vid
+      |    JOIN e7 ea ON ea.vec_id = a.vid JOIN e7 eb ON eb.vec_id = b.vid),
+      |selall1 AS (
+      |  SELECT qid, vid, 1 AS pick, 7 * rel AS score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vid) AS rn FROM cand7)
+      |  WHERE rn = 1),
+      |""".stripMargin
+    for (t <- 2 to MmrK) {
+      sb ++= s"""step$t AS (
+        |  SELECT c.qid, c.vid, c.rel, max(s.sim) AS ms
+        |  FROM cand7 c
+        |  LEFT JOIN selall${t - 1} d ON d.qid = c.qid AND d.vid = c.vid
+        |  JOIN sims7 s ON s.qid = c.qid AND s.a = c.vid
+        |  JOIN selall${t - 1} p ON p.qid = s.qid AND p.vid = s.b
+        |  WHERE d.vid IS NULL
+        |  GROUP BY c.qid, c.vid, c.rel),
+        |pick$t AS (
+        |  SELECT qid, vid, $t AS pick, 7 * rel - 3 * ms AS score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY 7 * rel - 3 * ms DESC, vid) AS rn
+        |  FROM step$t),
+        |selall$t AS (
+        |  SELECT qid, vid, pick, score FROM selall${t - 1}
+        |  UNION ALL
+        |  SELECT qid, vid, pick, score FROM pick$t WHERE rn = 1),
+        |""".stripMargin
+    }
+    sb ++= s"""fin7 AS (SELECT 1)
+      |SELECT qid AS query_id, CAST(pick AS INT) AS pick, vid AS vec_id, score
+      |FROM selall$MmrK
+      |ORDER BY query_id, pick""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -1552,6 +1687,7 @@ object TextQueries {
     "q101_winnowing" -> q101Winnowing,
     "q105_simjoin" -> q105SimJoin,
     "q106_bm25" -> q106Bm25,
+    "q107_mmr_rerank" -> q107MmrRerank,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2432,6 +2568,7 @@ object TextQueries {
         |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score, n_shared
         |FROM r6 WHERE rank <= $Bm25TopK
         |ORDER BY qid, rank""".stripMargin,
+    "q107_mmr_rerank" -> q107OracleSql,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
