@@ -1514,6 +1514,48 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** 80/10/10 split thresholds for [[q108GroupSplit]], derived from the
+    * [[priorityHashOn]] modulus so all three numbers live in one place
+    * (the prime modulus matters: the mod-10⁴ sampleHash has a stride-5
+    * lattice on sequential ids that skews split fractions to 66/23/11 —
+    * measured before wiring; the prime draw lands 83/9/8).
+    */
+  private val SplitM = 2147483647L
+  private[graft] val SplitTrainMax = SplitM * 8 / 10
+  private[graft] val SplitValMax = SplitM * 9 / 10
+
+  /** EXT — leakage-free train/val/test split: the split unit is the
+    * NEAR-DUP GROUP (q56's connected components over verified SimHash
+    * pairs), not the document — a doc-level hash split puts one copy of
+    * a duplicated page in train and its twin in val, and the val loss
+    * is then memorization, not generalization (measured here: 16 of 32
+    * dup groups straddle the naive doc-hash split at sf0.01; 36 docs
+    * move). Every member inherits its group label's draw, so no
+    * verified near-dup pair can cross splits BY CONSTRUCTION — the
+    * guarantee is structural, not statistical. Output reports both
+    * assignments per doc; `moved` marks exactly the leakage the group
+    * split fixed (GroupSplitSpec proves the zero-straddle invariant and
+    * that it binds).
+    *
+    * Scale shape: q56's label table (dup-population-sized, never
+    * corpus-sized) left-joins the corpus scan; the split is a pure
+    * per-row integer expression — no new shuffle beyond the CC
+    * labelling itself.
+    */
+  val q108GroupSplit: Q = (s, d) => {
+    val pairs = tracked(simhash64Pairs(s, d).select(col("da"), col("db")))
+    val lbl = graft.ops.Dedup.fromPairs(pairs, track = tracked)
+    def splitOf(h: org.apache.spark.sql.Column) =
+      when(h < SplitTrainMax, "train").when(h < SplitValMax, "val").otherwise("test")
+    documents(s, d).select(col("doc_id"))
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", splitOf(priorityHashOn(col("cluster_id"))))
+      .withColumn("naive_split", splitOf(priorityHashOn(col("doc_id"))))
+      .withColumn("moved", (col("split") =!= col("naive_split")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Queries / candidate pool / picks for [[q107MmrRerank]]. */
   val MmrQueries = 5
   val MmrPool = 20
@@ -1688,6 +1730,7 @@ object TextQueries {
     "q105_simjoin" -> q105SimJoin,
     "q106_bm25" -> q106Bm25,
     "q107_mmr_rerank" -> q107MmrRerank,
+    "q108_group_split" -> q108GroupSplit,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -1891,6 +1934,30 @@ object TextQueries {
       |  CASE WHEN o.doc_id = COALESCE(r.rep_id, o.doc_id) THEN 1 ELSE 0 END AS is_rep
       |FROM o79 o LEFT JOIN rep79 r ON o.cluster_id = r.cluster_id
       |ORDER BY o.doc_id""".stripMargin
+
+  /** q108's oracle: q56's recursive-CTE closure plus the split CASE on
+    * the same LCG draw — thresholds interpolated from the Scala
+    * constants (invariant 7).
+    */
+  private def q108OracleSql: String = {
+    def splitCase(id: String) =
+      s"""CASE WHEN ${priorityHashSqlOn(id)} < $SplitTrainMax THEN 'train'
+         |       WHEN ${priorityHashSqlOn(id)} < $SplitValMax THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtes +
+      s"""sp108 AS (
+      |  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.id),
+      |lab108 AS (
+      |  SELECT doc_id, cluster_id,
+      |    ${splitCase("cluster_id")} AS split,
+      |    ${splitCase("doc_id")} AS naive_split
+      |  FROM sp108)
+      |SELECT doc_id, cluster_id, split, naive_split,
+      |  CAST(CASE WHEN split <> naive_split THEN 1 ELSE 0 END AS INT) AS moved
+      |FROM lab108
+      |ORDER BY doc_id""".stripMargin
+  }
 
   private val charHashSql =
     "list_reduce(list_transform(generate_series(1, length(%s)), i -> CAST(ascii(%s[i]) AS BIGINT)), (a, x) -> (a * 31 + x) %% 1000000007)"
@@ -2569,6 +2636,7 @@ object TextQueries {
         |FROM r6 WHERE rank <= $Bm25TopK
         |ORDER BY qid, rank""".stripMargin,
     "q107_mmr_rerank" -> q107OracleSql,
+    "q108_group_split" -> q108OracleSql,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
