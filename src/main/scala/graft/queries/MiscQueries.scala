@@ -153,6 +153,77 @@ object MiscQueries {
   val q102Unpivot: Q = (s, d) =>
     unpivotCounts(events(s, d)).orderBy(col("user_id"), col("event_type"))
 
+  /** Profiled columns per table — numeric vs string — the SINGLE source
+    * for the Spark profile, the generated DuckDB mirror, and the
+    * ProfileSpec assertions (invariant 7: parameters in one place).
+    * Timestamps enter as epoch-micros longs (`tsUs` / `epoch_us`).
+    */
+  private[graft] val ProfileCols: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("documents", Seq("doc_id", "n_chars"), Seq("text", "lang", "source")),
+    ("events", Seq("event_id", "ts_us", "user_id", "value"),
+      Seq("event_type", "props")),
+    ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate_us"),
+      Seq("o_orderstatus", "o_orderpriority")))
+
+  /** One-pass per-table column profile: every stat for every column
+    * computed in a SINGLE aggregate over one scan (Spark plans the
+    * multi-distinct via Expand — k distinct columns cost one k-way row
+    * multiplication, still one scan and one shuffle), then the 1-row
+    * result melts into one row per column. Numeric min/max surface as
+    * exact doubles (all profiled numerics are < 2⁵³); string min/max
+    * use binary collation, identical in both engines (the q52
+    * precedent). Factored over the input frame so ProfileSpec can prove
+    * the null-counting branch on a synthetic frame — the driver corpus
+    * has zero nulls (measured), so n_null is dormant on real data.
+    *
+    * At 100 TB: exact count-distinct per column is the expensive term —
+    * swap in the q83 KMV sketch per column when an estimate suffices;
+    * the melt and min/max terms are free (map-side partial agg).
+    */
+  private[graft] def profileTable(df: org.apache.spark.sql.DataFrame,
+      table: String, num: Seq[String], str: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val aggs = (num.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"), count_distinct(col(c)).as(s"d_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))) ++
+      str.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"), count_distinct(col(c)).as(s"d_$c"),
+        min(col(c)).as(s"mns_$c"), max(col(c)).as(s"mxs_$c"))))
+    val row = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val entries =
+      num.map(c => struct(lit(table).as("table_name"), lit(c).as("col_name"),
+        col("n").as("n_rows"), (col("n") - col(s"c_$c")).as("n_null"),
+        col(s"d_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))) ++
+      str.map(c => struct(lit(table).as("table_name"), lit(c).as("col_name"),
+        col("n").as("n_rows"), (col("n") - col(s"c_$c")).as("n_null"),
+        col(s"d_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str")))
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /** EXT — data profiling: per-column n_rows / n_null / n_distinct /
+    * min / max across the three live tables — the first thing a
+    * pipeline owner runs on a new 100 TB drop (schema sanity, null
+    * regressions, cardinality drift). One scan + one aggregate per
+    * table, three tables unioned.
+    */
+  val q109Profile: Q = (s, d) => {
+    val frames = Map(
+      "documents" -> documents(s, d),
+      "events" -> events(s, d),
+      "orders" -> orders(s, d)
+        .withColumn("o_orderdate_us", tsUs(col("o_orderdate"))))
+    ProfileCols.map { case (t, num, str) => profileTable(frames(t), t, num, str) }
+      .reduce(_.union(_))
+      .orderBy(col("table_name"), col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_asof_join"    -> q47AsofJoin,
     "q48_leadlag_ntile" -> q48LeadLagNtile,
@@ -163,9 +234,41 @@ object MiscQueries {
     "q45_percentiles"  -> q45Percentiles,
     "q46_intersect_all" -> q46IntersectAll,
     "q102_unpivot"     -> q102Unpivot,
+    "q109_profile"     -> q109Profile,
   )
 
+  /** q109's oracle: one SELECT per profiled column generated from
+    * [[ProfileCols]], UNION ALLed — same projections (timestamps →
+    * epoch micros), same stats, same types.
+    */
+  private def q109OracleSql: String = {
+    val projections = Map(
+      "orders" -> "(SELECT *, epoch_us(o_orderdate) AS o_orderdate_us FROM orders)",
+      "events" -> "(SELECT *, epoch_us(ts) AS ts_us FROM events)",
+      "documents" -> "documents")
+    val rows = ProfileCols.flatMap { case (t, num, str) =>
+      num.map(c =>
+        s"""SELECT '$t' AS table_name, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM ${projections(t)}""".stripMargin) ++
+      str.map(c =>
+        s"""SELECT '$t' AS table_name, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM ${projections(t)}""".stripMargin)
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, col_name")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q109_profile" -> q109OracleSql,
     "q48_leadlag_ntile" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, o_totalprice FROM orders)
