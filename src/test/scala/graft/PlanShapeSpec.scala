@@ -59,6 +59,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q106's query side broadcasts; retrieval/split/profile plans stay cartesian-free") {
+    // BM25's benchmark asymmetry (the q80 shape): the eval postings are
+    // small and must broadcast into the corpus postings join
+    val p106 = finalPlan("q106_bm25")
+    assert(p106.contains("BroadcastHashJoin"),
+      "q106 query postings lost their broadcast — corpus postings would shuffle")
+    assert(!p106.contains("CartesianProduct"), "q106 planned a cartesian product")
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+    // q107's pool joins, q108's CC labelling, q109's profile melt:
+    // equi-joins and single aggregates only (q107's query-vs-corpus
+    // shortlist broadcasts 5 vectors — BNLJ over a bounded side is the
+    // q29 intended plan)
+    for (q <- Seq("q107_mmr_rerank", "q108_group_split", "q109_profile")) {
+      assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q80's corpus side reaches the eval-postings join without shuffling") {
     // the decontamination asymmetry: the eval side broadcasts
     // (benchmark-sized), so the corpus explode feeds a BroadcastHashJoin
