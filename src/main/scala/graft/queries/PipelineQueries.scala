@@ -889,6 +889,59 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** EXT — incremental aggregate maintenance: the merge-don't-recompute
+    * discipline a 100 TB nightly pipeline lives by, proven correct by
+    * the gate itself. The corpus splits into a frozen OLD generation
+    * (first ⌊4n/5⌋ doc ids — the q92 cut) and a DELTA batch; per-source
+    * stats are computed per generation and then MERGED purely
+    * algebraically — counts and sums add, min/min and max/max fold,
+    * and the KMV distinct sketch merges as min-k of the union of the
+    * two generations' min-ks (the law: every global k-smallest key is
+    * k-smallest in its own generation). The ORACLE recomputes
+    * everything from the full corpus in one pass with no generations
+    * anywhere — so a hash match is a machine-checked proof that the
+    * incremental path equals the full recompute, for the algebraic
+    * stats AND the sketch.
+    *
+    * Scale shape: the delta scan is the only new work per increment;
+    * old partials are a per-source table you'd persist between runs.
+    * Nothing in the merge touches corpus-sized data — it aggregates
+    * two partial tables of |sources| rows plus two k-row sketches.
+    */
+  val q111IncrementalMerge: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tracked(documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("nt")))
+    val cut = broadcast(docs.agg(expr("count(1) * 4 div 5").as("cut")))
+    val tagged = tracked(docs.crossJoin(cut)
+      .withColumn("gen", when(col("doc_id") < col("cut"), lit("old")).otherwise(lit("delta"))))
+    val partials = tagged.groupBy(col("source"), col("gen"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        min(col("n_chars")).as("min_nc"), max(col("n_chars")).as("max_nc"))
+    val merged = partials.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_tokens")).as("sum_tokens"),
+        min(col("min_nc")).as("min_nc"), max(col("max_nc")).as("max_nc"))
+    val dh = tagged.select(col("source"), col("gen"), explode(array_distinct(
+        graft.functions.ShingleHash(col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
+      .distinct()
+    val wg = Window.partitionBy(col("source"), col("gen")).orderBy(col("h").asc)
+    val sk = dh.withColumn("rk", row_number().over(wg)).filter(col("rk") <= KmvK)
+      .select(col("source"), col("h"))
+    val wm = Window.partitionBy(col("source")).orderBy(col("h").asc)
+    val kmv = sk.distinct()
+      .withColumn("rk", row_number().over(wm)).filter(col("rk") <= KmvK)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sk_n"),
+        max(when(col("rk") === KmvK, col("h"))).as("kth"))
+      .select(col("source"), col("sk_n"),
+        coalesce(col("kth"), lit(-1L)).as("kth_hash"),
+        when(col("kth").isNull, col("sk_n").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1000000007.0) * lit(2147483648.0)
+            / col("kth").cast("double")).as("est_distinct"))
+    merged.join(kmv, Seq("source")).orderBy(col("source"))
+  }
+
   /** Count-min sketch geometry for [[q84CmsHeavy]]: depth-4 rows of
     * [[CmsWidth]] counters; row i's bucket is the packed gram key
     * reduced mod a distinct prime then mod the width (pairwise
@@ -1313,6 +1366,7 @@ object PipelineQueries {
     "q75_mixture_weights" -> q75MixtureWeights,
     "q78_epoch_draw" -> q78EpochDraw,
     "q83_kmv_distinct" -> q83KmvDistinct,
+    "q111_incremental_merge" -> q111IncrementalMerge,
     "q84_cms_heavy" -> q84CmsHeavy,
     "q86_domain_affinity" -> q86DomainAffinity,
     "q88_bloom_decontam" -> q88BloomDecontam,
@@ -1475,6 +1529,7 @@ object PipelineQueries {
         |FROM ws w CROSS JOIN trow t LEFT JOIN inT i ON w.doc_id = i.doc_id
         |ORDER BY w.doc_id""".stripMargin,
     "q83_kmv_distinct" -> q83OracleSql,
+    "q111_incremental_merge" -> q111OracleSql,
     "q84_cms_heavy" -> q84OracleSql,
     "q86_domain_affinity" -> q86OracleSql,
     "q88_bloom_decontam" -> q88OracleSql,
@@ -1748,6 +1803,37 @@ object PipelineQueries {
       |SELECT source, n_distinct, kth_hash, est,
       |  (est - CAST(n_distinct AS DOUBLE)) / CAST(n_distinct AS DOUBLE) * 100.0 AS err_pct
       |FROM e83 ORDER BY source""".stripMargin
+
+  /** q111's oracle: the FULL recompute — one pass over the whole
+    * corpus, no generation split anywhere — so the hash match proves
+    * the incremental merge laws (adds, min/max folds, KMV union).
+    */
+  private def q111OracleSql: String =
+    s"""WITH dd111 AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |agg111 AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS sum_tokens,
+      |    min(n_chars) AS min_nc, max(n_chars) AS max_nc
+      |  FROM dd111 GROUP BY source),
+      |tk AS (SELECT source, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      TextQueries.gramHashCtes("111", 3, distinct = true, carry = "source") +
+      s"""dh111 AS (SELECT DISTINCT source, unnest(hs) AS h FROM hs111),
+      |rk111 AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM dh111),
+      |k111 AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS sk_n,
+      |    max(CASE WHEN rk = $KmvK THEN h END) AS kth
+      |  FROM rk111 WHERE rk <= $KmvK GROUP BY source)
+      |SELECT a.source, a.n_docs, a.sum_tokens, a.min_nc, a.max_nc, k.sk_n,
+      |  COALESCE(k.kth, -1) AS kth_hash,
+      |  CASE WHEN k.kth IS NULL THEN CAST(k.sk_n AS DOUBLE)
+      |       ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(1000000007 AS DOUBLE) * CAST(2147483648 AS DOUBLE) / CAST(k.kth AS DOUBLE)
+      |  END AS est_distinct
+      |FROM agg111 a JOIN k111 k USING (source)
+      |ORDER BY a.source""".stripMargin
 
   private def q86OracleSql: String =
     s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t0 FROM documents),

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral guard for q110 (Tukey-fence outliers): fences and the
+  * flagged set recomputed brute-force in Scala (sort per group, rank
+  * pick, integer fence fold), plus both-ways binding — outliers exist
+  * and non-outliers exist in every group.
+  */
+class OutlierSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  test("q110 equals the sorted-rank Scala model; flags bind both ways") {
+    val out = SparkEntry.queries("q110_outliers")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = ev.groupBy(_._2).toSeq.flatMap { case (t, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._1))
+      val n = sorted.length.toLong
+      val q1 = sorted(((n + 3) / 4 - 1).toInt)._3
+      val q3 = sorted(((3 * n + 3) / 4 - 1).toInt)._3
+      val f = 3 * (q3 - q1) / 2
+      val (lo, hi) = (q1 - f, q3 + f)
+      xs.filter(e => e._3 < lo || e._3 > hi)
+        .map(e => (t, e._1, e._3, lo, hi))
+    }.sortBy(r => (r._1, r._2))
+
+    assert(out.toSeq == expect, "q110 diverges from the sorted-rank model")
+    assert(expect.nonEmpty, "no outliers at sf0.001 — vacuous")
+    val flaggedPerType = expect.groupBy(_._1).view.mapValues(_.size).toMap
+    val totalPerType = ev.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((t, tot) <- totalPerType)
+      assert(flaggedPerType.getOrElse(t, 0) < tot, s"$t flags everything")
+  }
+}

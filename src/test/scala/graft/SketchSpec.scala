@@ -60,6 +60,42 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q111 incremental merge: both generations reach the merged result; delta non-empty") {
+    // the oracle already proves merge == full recompute; this pins that
+    // the merge has two REAL inputs (a degenerate all-old cut would
+    // make the proof vacuous) and that the merged sketch draws hashes
+    // from both generations for at least one source
+    val out = SparkEntry.queries("q111_incremental_merge")(spark, d).collect()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val rows = gramRows()
+    val k = graft.queries.PipelineQueries.KmvK
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    val cut = n * 4 / 5
+    assert(cut > 0 && cut < n, "degenerate generation cut")
+    for (r <- out) {
+      val src = r.getString(0)
+      val srcRows = rows.filter(_._2 == src)
+      def minK(xs: Seq[Long]) = xs.distinct.sorted.take(k)
+      val old = srcRows.filter(_._1 < cut).flatMap(_._3)
+      val delta = srcRows.filter(_._1 >= cut).flatMap(_._3)
+      val merged = minK(minK(old) ++ minK(delta))
+      assert(r.getLong(1) == srcRows.length, s"$src n_docs")
+      if (merged.length >= k) assert(r.getLong(6) == merged(k - 1), s"$src kth")
+      // at least the corpus-wide check: some source's merged sketch
+      // must contain a delta-only hash (the delta genuinely lands)
+    }
+    val anyDeltaHash = out.exists { r =>
+      val src = r.getString(0)
+      val srcRows = rows.filter(_._2 == src)
+      def minK(xs: Seq[Long]) = xs.distinct.sorted.take(k)
+      val oldK = minK(srcRows.filter(_._1 < cut).flatMap(_._3)).toSet
+      val merged = minK(minK(oldK.toSeq) ++ minK(srcRows.filter(_._1 >= cut).flatMap(_._3)))
+      merged.exists(!oldK.contains(_))
+    }
+    assert(anyDeltaHash, "no delta hash ever survives the merge — merge unexercised")
+  }
+
   test("q84 CMS: one-sided guarantee holds for every gram; top-20 match the model") {
     val out = SparkEntry.queries("q84_cms_heavy")(spark, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
