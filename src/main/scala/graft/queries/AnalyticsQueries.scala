@@ -216,6 +216,53 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Query-sample size for [[q112HardNegatives]]. */
+  val MineNq = 20
+
+  /** EXT — hard-negative mining, the contrastive-training data op
+    * (triplet/InfoNCE pipelines): for each sampled anchor, the nearest
+    * SAME-label vector (the positive) and the nearest CROSS-label
+    * vector (the hardest negative), with the margin between them and a
+    * `hard` flag when the negative wins — exactly the rows an
+    * embedding-model trainer feeds back as hard triplets, and the
+    * per-anchor view behind q98's aggregate accuracy (measured first:
+    * 18/20 anchors at sf0.001 have a winning cross-label neighbor, so
+    * both flag values appear). Cosines are DotFold's bit-stable
+    * doubles; both argmaxes are invariant-8 max-structs (ties on
+    * vec_id); the margin is one subtraction of engine-identical
+    * doubles. Anchors whose label has no second member drop out (no
+    * positive exists — inner join).
+    *
+    * Scale shape: the anchor sample broadcasts across one corpus scan
+    * (the q29/q98 shape); the per-(anchor, same?) argmax is a map-side
+    * partial aggregate, so the shuffle carries ≤ 2·|anchors| rows.
+    */
+  val q112HardNegatives: Q = (s, d) => {
+    import graft.functions.DotFold
+    val emb = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
+    val qs = emb.filter(col("vec_id") < MineNq)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"),
+        (col("label") === col("qlabel")).as("same"),
+        (DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val agg = scored.groupBy(col("query_id"), col("qlabel"), col("same"))
+      .agg(max(struct(col("cos").as("c"), (-col("vec_id")).as("negid"))).as("m"))
+    val pos = agg.filter(col("same")).select(col("query_id"), col("qlabel"),
+      (-col("m.negid")).as("pos_id"), col("m.c").as("pos_cos"))
+    val neg = agg.filter(!col("same")).select(col("query_id"),
+      (-col("m.negid")).as("neg_id"), col("m.c").as("neg_cos"))
+    pos.join(neg, Seq("query_id"))
+      .select(col("query_id"), col("qlabel").as("label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"),
+        (col("neg_cos") > col("pos_cos")).cast("int").as("hard"))
+      .orderBy(col("query_id"))
+  }
+
   /** Query-sample size and neighbor count for [[q98KnnLabelAudit]]. */
   val KnnNq = 100
   val KnnK = 5
@@ -360,9 +407,36 @@ object AnalyticsQueries {
     "q103_session_seq" -> q103SessionSeq,
     "q104_session_overlap" -> q104SessionOverlap,
     "q110_outliers"    -> q110Outliers,
+    "q112_hard_negatives" -> q112HardNegatives,
   )
 
   val oracles: Map[String, String] = Map(
+    "q112_hard_negatives" ->
+      s"""WITH e112 AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |sc112 AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel, c.vec_id, c.label,
+        |    list_reduce(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |      / (q.nrm * c.nrm) AS cos
+        |  FROM e112 q JOIN e112 c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < $MineNq),
+        |r112 AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id, (label = qlabel) ORDER BY cos DESC, vec_id) AS rn
+        |  FROM sc112),
+        |pos112 AS (SELECT query_id, qlabel, vec_id AS pos_id, cos AS pos_cos
+        |  FROM r112 WHERE label = qlabel AND rn = 1),
+        |neg112 AS (SELECT query_id, vec_id AS neg_id, cos AS neg_cos
+        |  FROM r112 WHERE label <> qlabel AND rn = 1)
+        |SELECT p.query_id, p.qlabel AS label, p.pos_id, p.pos_cos,
+        |  n.neg_id, n.neg_cos, p.pos_cos - n.neg_cos AS margin,
+        |  CAST(CASE WHEN n.neg_cos > p.pos_cos THEN 1 ELSE 0 END AS INT) AS hard
+        |FROM pos112 p JOIN neg112 n USING (query_id)
+        |ORDER BY p.query_id""".stripMargin,
     "q110_outliers" ->
       """WITH v110 AS (
         |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc

@@ -66,6 +66,39 @@ class CoverageAuditSpec extends AnyFunSuite {
     assert(out.map(r => r._2 - r._3).sum > 0, "all predictions correct — implausible here")
   }
 
+  test("q112 hard negatives equal the brute-force triplet model; flag binds both ways") {
+    val out = SparkEntry.queries("q112_hard_negatives")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+
+    val rows = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toIndexedSeq))
+    def dot(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = rows.map(r => r._1 -> math.sqrt(dot(r._3, r._3))).toMap
+    val expect = rows.filter(_._1 < graft.queries.AnalyticsQueries.MineNq)
+      .sortBy(_._1).flatMap { case (q, ql, qv) =>
+        def best(same: Boolean) = rows
+          .filter(r => r._1 != q && (r._2 == ql) == same)
+          .map(r => (dot(qv, r._3) / (nrm(q) * nrm(r._1)), r._1))
+          .sortBy { case (c, id) => (-c, id) }.headOption
+        (best(true), best(false)) match {
+          case (Some((pc, pid)), Some((nc, nid))) =>
+            Some((q, ql, pid, pc, nid, nc, pc - nc, if (nc > pc) 1 else 0))
+          case _ => None
+        }
+      }
+    assert(out.toSeq == expect.toSeq, "q112 diverges from the brute-force triplet model")
+    assert(expect.exists(_._8 == 1) && expect.exists(_._8 == 0),
+      "hard flag never varies — vacuous")
+  }
+
   test("q99 chunk dedup equals a string-level chunk model") {
     val out = SparkEntry.queries("q99_chunk_dedup")(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
