@@ -942,6 +942,48 @@ object PipelineQueries {
     merged.join(kmv, Seq("source")).orderBy(col("source"))
   }
 
+  /** EXT — cross-source quantile normalization (quantile matching): map
+    * each doc's per-source token-count rank onto the GLOBAL length
+    * distribution — norm(doc) = the global value at rank
+    * ⌈r·N/n_s⌉ — so scores from sources with different length regimes
+    * (medians 45–70 here, measured; 463/500 docs change value at
+    * sf0.01) become comparable before any cross-source cut. The q95
+    * calibration decides a top-k% VERDICT; this produces the full
+    * calibrated VALUE, integer-exact: ranks are row_number over
+    * (nt, doc_id), the mapped rank is `(r·N + n_s − 1) DIV n_s`, and
+    * the global lookup is an interval join against the cumulative
+    * value histogram — `lo..hi` per distinct value — NOT a global rank
+    * window (the q04 broadcast-interval idiom; the cum window runs
+    * over the ~|distinct values| histogram only).
+    *
+    * Scale shape: per-source windows are partition-parallel; the
+    * histogram is one hash agg; the interval table broadcasts. Nothing
+    * global ever sorts the corpus.
+    */
+  val q113QuantileNorm: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val nt = tracked(documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("nt")))
+    val ws = Window.partitionBy(col("source")).orderBy(col("nt"), col("doc_id"))
+    val ns = nt.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val n = nt.agg(count(lit(1)).as("n"))
+    val ranked = nt.withColumn("r", row_number().over(ws).cast("long"))
+      .join(ns, Seq("source")).crossJoin(broadcast(n))
+      .withColumn("grk", expr("(r * n + ns - 1) DIV ns"))
+    val h = nt.groupBy(col("nt").as("v")).agg(count(lit(1)).as("c"))
+    // tiny table: one row per distinct value — the only unpartitioned
+    // window, same as q95/q100's histogram cum
+    val wcum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("hi", sum(col("c")).over(wcum))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .select(col("v"), col("lo"), col("hi"))
+    ranked.join(broadcast(cum), col("grk") >= col("lo") && col("grk") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("nt"), col("r"), col("grk"),
+        col("v").as("norm_nt"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-min sketch geometry for [[q84CmsHeavy]]: depth-4 rows of
     * [[CmsWidth]] counters; row i's bucket is the packed gram key
     * reduced mod a distinct prime then mod the width (pairwise
@@ -1367,6 +1409,7 @@ object PipelineQueries {
     "q78_epoch_draw" -> q78EpochDraw,
     "q83_kmv_distinct" -> q83KmvDistinct,
     "q111_incremental_merge" -> q111IncrementalMerge,
+    "q113_quantile_norm" -> q113QuantileNorm,
     "q84_cms_heavy" -> q84CmsHeavy,
     "q86_domain_affinity" -> q86DomainAffinity,
     "q88_bloom_decontam" -> q88BloomDecontam,
@@ -1530,6 +1573,26 @@ object PipelineQueries {
         |ORDER BY w.doc_id""".stripMargin,
     "q83_kmv_distinct" -> q83OracleSql,
     "q111_incremental_merge" -> q111OracleSql,
+    "q113_quantile_norm" ->
+      """WITH nt113 AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |ns113 AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM nt113 GROUP BY 1),
+        |n113 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nt113),
+        |r113 AS (
+        |  SELECT t.doc_id, t.source, t.nt,
+        |    CAST(row_number() OVER (PARTITION BY t.source ORDER BY t.nt, t.doc_id) AS BIGINT) AS r,
+        |    s.ns, n113.n
+        |  FROM nt113 t JOIN ns113 s USING (source), n113),
+        |g113 AS (SELECT *, (r * n + ns - 1) // ns AS grk FROM r113),
+        |h113 AS (SELECT nt AS v, CAST(count(*) AS BIGINT) AS c FROM nt113 GROUP BY 1),
+        |cum113 AS (
+        |  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+        |    CAST(sum(c) OVER (ORDER BY v) - c + 1 AS BIGINT) AS lo
+        |  FROM h113)
+        |SELECT g.doc_id, g.source, g.nt, g.r, g.grk, cum113.v AS norm_nt
+        |FROM g113 g JOIN cum113 ON g.grk BETWEEN cum113.lo AND cum113.hi
+        |ORDER BY g.doc_id""".stripMargin,
     "q84_cms_heavy" -> q84OracleSql,
     "q86_domain_affinity" -> q86OracleSql,
     "q88_bloom_decontam" -> q88OracleSql,
