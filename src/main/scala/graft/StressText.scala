@@ -72,7 +72,19 @@ object StressText {
           // q87 (fuzzy decontam): replica families straddle the split
           // k×k ways, but probe fan-out is bucket-capped — cost tracks
           // flagged matches, never pairs²
-          "q87_fuzzy_decontam")) {
+          "q87_fuzzy_decontam",
+          // session-6 additions: q106 (BM25 — replica queries match
+          // replica corpus docs, so candidate pairs grow k² per original
+          // pair, but df only reaches ~7k < the 256 cap at k=10 and the
+          // join stays postings-sparse; output is fixed top-5 per query),
+          // q108 (group split — q56's CC over replica cliques plus a
+          // per-row split expression; cost must track q56), q111
+          // (incremental merge — linear scans, k-invariant sketches:
+          // replicas add no new grams so kth_hash/est must be IDENTICAL
+          // at every k), q113 (quantile norm — per-source windows linear,
+          // value histogram k-invariant, broadcast interval join)
+          "q106_bm25", "q108_group_split", "q111_incremental_merge",
+          "q113_quantile_norm")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9

@@ -1556,6 +1556,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT — dedup-corrected effective corpus size: every doc weighs
+    * 1/cluster_size (q56's CC groups), so a family of k near-dups
+    * contributes ONE doc's worth of tokens no matter how often it was
+    * crawled — the "effective dataset size" number a scaling-law
+    * budget actually wants, per source. Integer-exact: the weighted
+    * token count folds as Σ (nt·10⁶) DIV csz in longs (the q42
+    * quantize-then-sum discipline; one weight DIV per doc, identical
+    * both engines), de-quantized once at the end with the qmean8
+    * association. Measured before wiring: EVERY source carries dup
+    * families (ratios 0.58–0.78 at sf0.01, no ratio-1 source exists at
+    * either test SF), and singleton docs exercise the unweighted path
+    * at doc grain inside every source (DedupWeightSpec).
+    *
+    * Scale shape: q56's label table (dup-population-sized) left-joins
+    * the corpus scan; everything after is one per-source hash agg.
+    */
+  val q114EffectiveSize: Q = (s, d) => {
+    val pairs = tracked(simhash64Pairs(s, d).select(col("da"), col("db")))
+    val lbl = graft.ops.Dedup.fromPairs(pairs, track = tracked)
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .join(sizes, Seq("lbl"), "left")
+      .withColumn("csz", coalesce(col("csz"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("nt")).as("raw_tokens"),
+        sum(expr("(nt * 1000000L) DIV csz")).as("eff_q6"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"), col("raw_tokens"),
+        col("eff_q6"),
+        (col("eff_q6").cast("double") / lit(1e6) / col("raw_tokens")).as("eff_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** Queries / candidate pool / picks for [[q107MmrRerank]]. */
   val MmrQueries = 5
   val MmrPool = 20
@@ -1731,6 +1768,7 @@ object TextQueries {
     "q106_bm25" -> q106Bm25,
     "q107_mmr_rerank" -> q107MmrRerank,
     "q108_group_split" -> q108GroupSplit,
+    "q114_effective_size" -> q114EffectiveSize,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -1958,6 +1996,29 @@ object TextQueries {
       |FROM lab108
       |ORDER BY doc_id""".stripMargin
   }
+
+  /** q114's oracle: q56's recursive closure + the same integer
+    * weighted fold, de-quantized with the qmean8 association.
+    */
+  private def q114OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtes +
+      s"""sz114 AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csz FROM cl GROUP BY lbl),
+      |d114 AS (
+      |  SELECT d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+      |    COALESCE(s.csz, 1) AS csz
+      |  FROM documents d
+      |  LEFT JOIN cl c ON d.doc_id = c.id
+      |  LEFT JOIN sz114 s ON c.lbl = s.lbl),
+      |a114 AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |    CAST(sum(nt) AS BIGINT) AS raw_tokens,
+      |    CAST(sum((nt * 1000000) // csz) AS BIGINT) AS eff_q6
+      |  FROM d114 GROUP BY source)
+      |SELECT source, n_docs, n_dup_docs, raw_tokens, eff_q6,
+      |  CAST(eff_q6 AS DOUBLE) / 1000000.0 / raw_tokens AS eff_ratio
+      |FROM a114
+      |ORDER BY source""".stripMargin
 
   private val charHashSql =
     "list_reduce(list_transform(generate_series(1, length(%s)), i -> CAST(ascii(%s[i]) AS BIGINT)), (a, x) -> (a * 31 + x) %% 1000000007)"
@@ -2637,6 +2698,7 @@ object TextQueries {
         |ORDER BY qid, rank""".stripMargin,
     "q107_mmr_rerank" -> q107OracleSql,
     "q108_group_split" -> q108OracleSql,
+    "q114_effective_size" -> q114OracleSql,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
