@@ -9,6 +9,11 @@ object Verify {
     // optional extra args: run only these queries (local iteration; the
     // driver always passes exactly two args → full run)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] unknown query name(s): ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

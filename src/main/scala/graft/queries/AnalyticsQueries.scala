@@ -239,8 +239,10 @@ object AnalyticsQueries {
     */
   val q112HardNegatives: Q = (s, d) => {
     import graft.functions.DotFold
-    val emb = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
-      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
+    // persisted: the anchor branch and the corpus side both read it
+    // (invariant 6 — the q98 shape)
+    val emb = tracked(embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
     val qs = emb.filter(col("vec_id") < MineNq)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("embedding").as("qv"), col("nrm").as("qnrm"))

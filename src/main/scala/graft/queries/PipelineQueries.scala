@@ -865,9 +865,19 @@ object PipelineQueries {
   private[graft] def gramKeys(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(explode(graft.functions.ShingleHash(
       col("text"), TextOps.P, 3, TextOps.P2)).as("g"))
-  private[graft] def sourceGramKeys(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.select(col("source"), explode(array_distinct(graft.functions.ShingleHash(
-      col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
+  private[graft] def sourceGramKeys(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Seq("source")): org.apache.spark.sql.DataFrame =
+    docs.select(carry.map(col) :+ explode(array_distinct(graft.functions.ShingleHash(
+      col("text"), TextOps.P, 3, TextOps.P2))).as("h"): _*)
+
+  /** The KMV estimate (k−1)·M / h₍ₖ₎ with the exact-count fallback when
+    * the sketch never filled — ONE definition for q83 and q111 (their
+    * oracles mirror the same constants). */
+  private[graft] def kmvEstimate(exactWhenUnfilled: org.apache.spark.sql.Column,
+      kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(kth.isNull, exactWhenUnfilled.cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(1000000007.0) * lit(2147483648.0)
+        / kth.cast("double"))
 
   val q83KmvDistinct: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -880,9 +890,7 @@ object PipelineQueries {
     sizes.join(kth, Seq("source"), "left")
       .select(col("source"), col("n_distinct"),
         coalesce(col("kth_hash"), lit(-1L)).as("kth_hash"),
-        when(col("kth_hash").isNull, col("n_distinct").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) * lit(1000000007.0) * lit(2147483648.0)
-            / col("kth_hash").cast("double")).as("est"))
+        kmvEstimate(col("n_distinct"), col("kth_hash")).as("est"))
       .withColumn("err_pct",
         (col("est") - col("n_distinct").cast("double"))
           / col("n_distinct").cast("double") * lit(100.0))
@@ -922,9 +930,7 @@ object PipelineQueries {
     val merged = partials.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_tokens")).as("sum_tokens"),
         min(col("min_nc")).as("min_nc"), max(col("max_nc")).as("max_nc"))
-    val dh = tagged.select(col("source"), col("gen"), explode(array_distinct(
-        graft.functions.ShingleHash(col("text"), TextOps.P, 3, TextOps.P2))).as("h"))
-      .distinct()
+    val dh = sourceGramKeys(tagged, carry = Seq("source", "gen")).distinct()
     val wg = Window.partitionBy(col("source"), col("gen")).orderBy(col("h").asc)
     val sk = dh.withColumn("rk", row_number().over(wg)).filter(col("rk") <= KmvK)
       .select(col("source"), col("h"))
@@ -936,9 +942,7 @@ object PipelineQueries {
         max(when(col("rk") === KmvK, col("h"))).as("kth"))
       .select(col("source"), col("sk_n"),
         coalesce(col("kth"), lit(-1L)).as("kth_hash"),
-        when(col("kth").isNull, col("sk_n").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) * lit(1000000007.0) * lit(2147483648.0)
-            / col("kth").cast("double")).as("est_distinct"))
+        kmvEstimate(col("sk_n"), col("kth")).as("est_distinct"))
     merged.join(kmv, Seq("source")).orderBy(col("source"))
   }
 

@@ -880,10 +880,11 @@ object TextQueries {
     * often to act as a uniform. Ids are non-negative, so plain `%`
     * mirrors pmod exactly on both engines.
     */
+  private[graft] val PriorityMod = 2147483647L
   private[graft] def priorityHashOn(id: org.apache.spark.sql.Column) =
-    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483647L))
+    pmod(id * lit(1103515245L) + lit(12345L), lit(PriorityMod))
   private[queries] def priorityHashSqlOn(id: String) =
-    s"($id * 1103515245 + 12345) % 2147483647"
+    s"($id * 1103515245 + 12345) % $PriorityMod"
   // ((x % 10) + 10) % 10 = Spark's pmod for any sign — a negative
   // source number must not diverge (invariant 1)
   private[queries] val sampleRateBpSql =
@@ -1520,9 +1521,8 @@ object TextQueries {
     * lattice on sequential ids that skews split fractions to 66/23/11 —
     * measured before wiring; the prime draw lands 83/9/8).
     */
-  private val SplitM = 2147483647L
-  private[graft] val SplitTrainMax = SplitM * 8 / 10
-  private[graft] val SplitValMax = SplitM * 9 / 10
+  private[graft] val SplitTrainMax = PriorityMod * 8 / 10
+  private[graft] val SplitValMax = PriorityMod * 9 / 10
 
   /** EXT — leakage-free train/val/test split: the split unit is the
     * NEAR-DUP GROUP (q56's connected components over verified SimHash
@@ -1622,10 +1622,17 @@ object TextQueries {
     * pool-pair table of |Q|·pool² rows — driver-independent, bounded,
     * no per-row iteration outside the plan.
     */
-  val q107MmrRerank: Q = (s, d) => {
+  /** q107's shortlist stage, factored so PlanShapeSpec can inspect the
+    * REAL join plans: the localCheckpoint in the greedy loop hides
+    * every join from the final plan, so a guard on q107's output plan
+    * would be vacuous (the session-5 measure-your-assertions lesson).
+    * Returns (cand, sims), both persisted.
+    */
+  private[graft] def mmrPool(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.functions.DotFold
-    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
+    val emb = tracked(embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
     val qs = emb.filter(col("vec_id") < MmrQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -1641,6 +1648,11 @@ object TextQueries {
       .select(col("a.qid").as("qid"), col("a.vid").as("a"), col("b.vid").as("b"),
         floor(DotFold(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")) * lit(1000000d)).cast("long").as("sim")))
+    (cand, sims)
+  }
+
+  val q107MmrRerank: Q = (s, d) => {
+    val (cand, sims) = mmrPool(s, d)
     val c0 = cand.select(col("qid"), col("vid"), col("rel"))
     var selAll = c0.groupBy(col("qid"))
       .agg(max(struct(col("rel"), (-col("vid")).as("negid"))).as("m"))

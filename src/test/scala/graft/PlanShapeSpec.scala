@@ -68,15 +68,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p106.contains("CartesianProduct"), "q106 planned a cartesian product")
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
-    // q107's pool joins, q108's CC labelling, q109's profile melt:
-    // equi-joins and single aggregates only (q107's query-vs-corpus
-    // shortlist broadcasts 5 vectors — BNLJ over a bounded side is the
-    // q29 intended plan)
-    for (q <- Seq("q107_mmr_rerank", "q108_group_split", "q109_profile")) {
+    // q108's CC labelling, q109's profile melt: equi-joins and single
+    // aggregates only
+    for (q <- Seq("q108_group_split", "q109_profile")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
     }
+    // q107's greedy loop localCheckpoints, which would make a guard on
+    // the OUTPUT plan vacuous (it shows only the checkpoint scan) — so
+    // inspect the real shortlist stages directly: the query-vs-corpus
+    // cross join must broadcast (BNLJ over 5 vectors, the q29 intended
+    // plan, never CartesianProduct) and the pool-pair self-join is an
+    // equi-join
+    val (cand, sims) = graft.queries.TextQueries.mmrPool(spark, d)
+    for (df <- Seq(cand, sims)) {
+      df.count()
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "q107 shortlist planned a cartesian product")
+    }
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
   }
 
   test("q80's corpus side reaches the eval-postings join without shuffling") {
