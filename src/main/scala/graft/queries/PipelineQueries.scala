@@ -143,7 +143,39 @@ object PipelineQueries {
       .select(col("lang"),
         to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
       .write.mode("overwrite").partitionBy("lang").text(s"$outDir/corpus_jsonl")
+    writeJsonlManifest(s, outDir)
     s.read.text(s"$outDir/corpus_jsonl").count()
+  }
+
+  /** The export's data-card: one manifest row per lang partition with
+    * the row count and an ORDER-INDEPENDENT content digest — the exact
+    * decimal sum of each line's first-15-hex-chars sha256 prefix,
+    * reduced mod 2⁶⁰ (ANSI long sums throw on overflow; a decimal(38)
+    * accumulator is exact to ~10²⁰ rows, and the final mod keeps the
+    * digest a long). Order independence is the point: a consumer
+    * re-verifies a shard after any repartition/merge without sorting,
+    * and two shards' digests ADD (mod 2⁶⁰) when concatenated — the
+    * q111 merge discipline applied to integrity checking. Computed by
+    * READING BACK the written files (`input_file_name` → lang), so the
+    * manifest attests the sink's actual bytes, not the pre-write
+    * DataFrame. Written as single-file JSONL at
+    * `outDir/corpus_jsonl_manifest`.
+    */
+  val ManifestMod = 1152921504606846976L // 2^60
+
+  def writeJsonlManifest(s: SparkSession, outDir: String): Unit = {
+    val lines = s.read.text(s"$outDir/corpus_jsonl")
+      .withColumn("lang",
+        regexp_extract(input_file_name(), "lang=([^/]+)/", 1))
+    lines
+      .withColumn("d",
+        conv(substring(sha2(col("value"), 256), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("d").cast("decimal(30,0)")) % lit(ManifestMod)).cast("long").as("digest"))
+      .select(to_json(struct(col("lang"), col("n_rows"), col("digest"))).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$outDir/corpus_jsonl_manifest")
   }
 
   /** Document-frequency bounds for [[q58VocabPrune]]: a token must
