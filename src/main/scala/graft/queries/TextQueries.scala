@@ -1556,6 +1556,59 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT — filtered vector search (predicate + ANN, the
+    * metadata-constrained retrieval every vector store now ships) with
+    * its recall audit IN-PLAN: each query searches only vectors whose
+    * label equals its own, through the q42 trained-IVF probe, and the
+    * result is graded against the exact filtered brute force — the
+    * filtered counterpart of q93. Filtering happens INSIDE the probed
+    * cells (post-filtering), so selective predicates thin the
+    * candidate set and filtered recall sits below unfiltered recall —
+    * the exact failure mode a serving tier must monitor (labels are
+    * uncorrelated with cells here, so the effect is real; the spec
+    * proves recall binds both ways). Training, assignment, probing,
+    * and every cosine replay bit-exactly in the oracle via the shared
+    * CTE generator.
+    *
+    * Scale shape: identical to q42 (probes touch [[graft.ops.Ivf.Probes]]
+    * cells per query) plus one label equi-join; the exact side is the
+    * q29 broadcast scan and exists only because this IS the audit —
+    * a serving path would run the approx side alone.
+    */
+  val q115FilteredAnn: Q = (s, d) => {
+    import graft.ops.Ivf
+    import graft.functions.DotFold
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+    val cent = Ivf.trainCells(emb, tracked)
+    val assigned = tracked(Ivf.assignAll(emb, cent).join(lbl, Seq("vec_id")))
+    val qs = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    val qlbl = lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val probes = Ivf.probeCells(qs, cent).join(qlbl, Seq("query_id"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val approx = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val exact = tracked(emb.join(lbl, Seq("vec_id"))
+      .crossJoin(broadcast(qs
+        .select(col("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .join(qlbl, Seq("query_id"))))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("qlabel"), col("vec_id")))
+    exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"), col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("label"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** EXT — dedup-corrected effective corpus size: every doc weighs
     * 1/cluster_size (q56's CC groups), so a family of k near-dups
     * contributes ONE doc's worth of tokens no matter how often it was
@@ -1781,6 +1834,7 @@ object TextQueries {
     "q107_mmr_rerank" -> q107MmrRerank,
     "q108_group_split" -> q108GroupSplit,
     "q114_effective_size" -> q114EffectiveSize,
+    "q115_filtered_ann" -> q115FilteredAnn,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2329,6 +2383,52 @@ object TextQueries {
     sb.toString
   }
 
+  /** q115's oracle: the shared training/assignment prefix + probes,
+    * both sides label-filtered — approx top-5 inside probed cells,
+    * exact top-5 over the full corpus — and the per-query hit rollup.
+    */
+  private def q115OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainAssignCtes()
+    sb ++= s"""lb AS (SELECT vec_id, label FROM embeddings),
+      |pr115 AS (
+      |  SELECT query_id, cid AS cell FROM (
+      |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c WHERE en.vec_id < 5))
+      |  WHERE rn <= $IvfProbes),
+      |ql115 AS (SELECT p.query_id, p.cell, lb.label AS qlabel
+      |  FROM pr115 p JOIN lb ON p.query_id = lb.vec_id),
+      |apx115 AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ${dotSql("eq.v", "ev.v")} / (eq.nrm * ev.nrm) DESC, a.vec_id) AS rank
+      |    FROM af a JOIN ql115 p ON a.cell = p.cell
+      |      JOIN lb ON a.vec_id = lb.vec_id AND lb.label = p.qlabel
+      |      JOIN en ev ON a.vec_id = ev.vec_id
+      |      JOIN en eq ON p.query_id = eq.vec_id
+      |    WHERE a.vec_id <> p.query_id)
+      |  WHERE rank <= 5),
+      |ex115 AS (
+      |  SELECT query_id, qlabel, vec_id FROM (
+      |    SELECT q.vec_id AS query_id, ql.label AS qlabel, ev.vec_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${dotSql("q.v", "ev.v")} / (q.nrm * ev.nrm) DESC, ev.vec_id) AS rank
+      |    FROM en q JOIN lb ql ON q.vec_id = ql.vec_id
+      |      JOIN en ev ON ev.vec_id <> q.vec_id
+      |      JOIN lb lc ON ev.vec_id = lc.vec_id AND lc.label = ql.label
+      |    WHERE q.vec_id < 5)
+      |  WHERE rank <= 5)
+      |SELECT e.query_id, e.qlabel AS label,
+      |  CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+      |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS recall
+      |FROM ex115 e LEFT JOIN apx115 a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      |GROUP BY e.query_id, e.qlabel
+      |ORDER BY e.query_id""".stripMargin
+    sb.toString
+  }
+
   /** q76's oracle: the shared training/assignment prefix, then the
     * within-cell smaller-id best neighbor (row_number mirror of the
     * Spark max-struct argmax) and the θ dup verdict.
@@ -2711,6 +2811,7 @@ object TextQueries {
     "q107_mmr_rerank" -> q107OracleSql,
     "q108_group_split" -> q108OracleSql,
     "q114_effective_size" -> q114OracleSql,
+    "q115_filtered_ann" -> q115OracleSql,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
