@@ -68,9 +68,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p106.contains("CartesianProduct"), "q106 planned a cartesian product")
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
-    // q108's CC labelling, q109's profile melt: equi-joins and single
-    // aggregates only
-    for (q <- Seq("q108_group_split", "q109_profile")) {
+    // q108's CC labelling, q109's profile melt, q110's fence join,
+    // q111's merge, q113's interval lookup, q114's weighted fold:
+    // equi-joins, bounded broadcast lookups, and single aggregates only
+    // (q112/q115 broadcast ≤20 anchors/queries — BNLJ is the q29
+    // intended plan, CartesianProduct is not)
+    for (q <- Seq("q108_group_split", "q109_profile", "q110_outliers",
+        "q111_incremental_merge", "q112_hard_negatives", "q113_quantile_norm",
+        "q114_effective_size", "q115_filtered_ann")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
