@@ -78,6 +78,23 @@ object StreamingSketch {
       .select(col("reservoir"))
   }
 
+  /** q111's algebraic partials maintained as a streaming aggregation:
+    * per-source (n_docs, sum_tokens, min_nc, max_nc) over a (streaming
+    * or batch) `docs(source, text, n_chars)` frame. Counts and sums
+    * add, min/max fold — every stat is mergeable, so complete-mode
+    * state is |sources| rows forever and the nightly-merge discipline
+    * (q111) and the always-on stream are the SAME aggregation plan.
+    * StreamingSketchSpec proves state ≡ batch recompute after every
+    * wave.
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        min(col("n_chars")).as("min_nc"), max(col("n_chars")).as("max_nc"))
+
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

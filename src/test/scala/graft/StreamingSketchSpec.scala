@@ -146,6 +146,36 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source stats equal the batch recompute after every wave") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("source"), col("text"), col("n_chars"))
+      .as[(String, String, Long)].collect().sortBy(_.hashCode)
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long)]
+    val q = StreamingSketch.sourceStats(source.toDS().toDF("source", "text", "n_chars"))
+      .writeStream.format("memory").queryName("stats_stream")
+      .outputMode("complete").start()
+    try {
+      var seen = Seq.empty[(String, String, Long)]
+      for (chunk <- docs.grouped((docs.length + 2) / 3)) {
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+        seen = seen ++ chunk
+        val streamed = spark.table("stats_stream")
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+        val batch = seen.groupBy(_._1).map { case (src, xs) =>
+          src -> (xs.size.toLong,
+            xs.map(_._2.split(" ", -1).length.toLong).sum,
+            xs.map(_._3).min, xs.map(_._3).max)
+        }
+        assert(streamed == batch, s"state diverged after ${seen.size} docs")
+      }
+    } finally q.stop()
+  }
+
   test("streaming KMV state equals batch q83's sketch after all waves") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
