@@ -148,7 +148,9 @@ object TextQueries {
     val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("g"))
-    val rare = grams.join(keep, Seq("g"), "left_semi")
+    // persisted: both sides of the pair self-join read it — without
+    // this each side re-runs the explode + df aggregate (invariant 6)
+    val rare = tracked(grams.join(keep, Seq("g"), "left_semi"))
     val cpairs = rare.as("a").join(rare.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
