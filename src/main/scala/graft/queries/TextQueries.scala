@@ -1428,11 +1428,13 @@ object TextQueries {
     val m = pg.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
     val dfh = pg.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val pref = pg.join(dfh, Seq("h"))
+    // persisted: both sides of the prefix self-join read it — without
+    // this each side re-runs the df join + rank window (invariant 6)
+    val pref = tracked(pg.join(dfh, Seq("h"))
       .withColumn("rk", row_number().over(wr).cast("long"))
       .join(m, Seq("doc_id"))
       .filter(col("rk") <= col("m") - expr("(3 * m + 4) div 5") + 1)
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h")))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
