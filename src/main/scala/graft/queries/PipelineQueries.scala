@@ -178,6 +178,31 @@ object PipelineQueries {
       .write.mode("overwrite").text(s"$outDir/corpus_jsonl_manifest")
   }
 
+  /** Compact a JSONL export's lang partitions to ~[[CompactTargetBytes]]
+    * files (the small-files problem: a 100 TB pipeline that writes one
+    * file per task per partition drowns the namenode and makes every
+    * downstream scan seek-bound). Per lang, the file count is
+    * ⌈bytes/target⌉ from the actual partition byte size; rewrite is
+    * one coalesce write per lang — no shuffle, no decode (lines pass
+    * through verbatim). Integrity is proven by the SAME manifest
+    * digest: order-independent, so the compacted layout must reproduce
+    * it exactly (CompactionSpec) — the q111 merge discipline closing
+    * the loop on file layout.
+    */
+  val CompactTargetBytes = 64L * 1024
+
+  def compactJsonl(s: SparkSession, outDir: String): Unit = {
+    val root = new java.io.File(s"$outDir/corpus_jsonl")
+    val langs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    for (dir <- langs) {
+      val bytes = dir.listFiles().filter(_.getName.endsWith(".txt")).map(_.length).sum
+      val nFiles = math.max(1, ((bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt)
+      s.read.text(dir.getAbsolutePath)
+        .coalesce(nFiles)
+        .write.mode("overwrite").text(s"$outDir/corpus_jsonl_compact/${dir.getName}")
+    }
+  }
+
   /** Document-frequency bounds for [[q58VocabPrune]]: a token must
     * appear in ≥ 2 documents (hapax noise) and ≤ 40% of the corpus
     * (stopword mass). The upper bound is evaluated as the INTEGER
