@@ -183,8 +183,10 @@ object PipelineQueries {
     * file per task per partition drowns the namenode and makes every
     * downstream scan seek-bound). Per lang, the file count is
     * ⌈bytes/target⌉ from the actual partition byte size; rewrite is
-    * one coalesce write per lang — no shuffle, no decode (lines pass
-    * through verbatim). Integrity is proven by the SAME manifest
+    * one write per lang — coalesce (shuffle-free) when narrowing,
+    * repartition only when the existing layout is coarser than the
+    * target — and no decode (lines pass through verbatim). Integrity
+    * is proven by the SAME manifest
     * digest: order-independent, so the compacted layout must reproduce
     * it exactly (CompactionSpec) — the q111 merge discipline closing
     * the loop on file layout.
@@ -197,9 +199,15 @@ object PipelineQueries {
     for (dir <- langs) {
       val bytes = dir.listFiles().filter(_.getName.endsWith(".txt")).map(_.length).sum
       val nFiles = math.max(1, ((bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt)
-      s.read.text(dir.getAbsolutePath)
-        .coalesce(nFiles)
-        .write.mode("overwrite").text(s"$outDir/corpus_jsonl_compact/${dir.getName}")
+      val df = s.read.text(dir.getAbsolutePath)
+      // coalesce only REDUCES partition count — when the layout is
+      // already wider than the target it is the shuffle-free path, but
+      // a lang sitting in fewer-than-target files (one oversized file,
+      // a re-compaction) must repartition or the file-count contract
+      // is silently unmet
+      val sized = if (df.rdd.getNumPartitions >= nFiles) df.coalesce(nFiles)
+                  else df.repartition(nFiles)
+      sized.write.mode("overwrite").text(s"$outDir/corpus_jsonl_compact/${dir.getName}")
     }
   }
 

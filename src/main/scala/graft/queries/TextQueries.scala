@@ -1585,7 +1585,7 @@ object TextQueries {
     val emb = tracked(Ivf.prep(embeddings(s, d)))
     val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
     val cent = Ivf.trainCells(emb, tracked)
-    val assigned = tracked(Ivf.assignAll(emb, cent).join(lbl, Seq("vec_id")))
+    val assigned = Ivf.assignAll(emb, cent).join(lbl, Seq("vec_id"))
     val qs = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     val qlbl = lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
     val probes = Ivf.probeCells(qs, cent).join(qlbl, Seq("query_id"))
@@ -1596,7 +1596,7 @@ object TextQueries {
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id"))
-    val exact = tracked(emb.join(lbl, Seq("vec_id"))
+    val exact = emb.join(lbl, Seq("vec_id"))
       .crossJoin(broadcast(qs
         .select(col("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
         .join(qlbl, Seq("query_id"))))
@@ -1604,7 +1604,7 @@ object TextQueries {
       .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("qlabel"), col("vec_id")))
+      .select(col("query_id"), col("qlabel"), col("vec_id"))
     exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"), col("qlabel").as("label"))
       .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))

@@ -82,26 +82,21 @@ class CorpusPipelineSpec extends AnyFunSuite {
       line.contains("\"doc_id\"") && line.contains("\"text\""),
       s"unexpected JSONL line shape: ${line.take(80)}")
     // the manifest attests the written bytes: recompute every lang's
-    // row count and order-independent digest from the raw files in
-    // plain Scala (wrapping Long sum of sha256's first 15 hex chars)
+    // row count and order-independent digest from the raw files via
+    // the shared reference model (exact BigInt sum mod 2^60 — NOT a
+    // wrapping long sum, which would diverge from Spark's decimal
+    // accumulator past 2^64)
     val manifest = spark.read.json(s"$out/corpus_jsonl_manifest")
       .select(col("lang"), col("n_rows").cast("long"), col("digest").cast("long"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val langDirs = new java.io.File(s"$out/corpus_jsonl").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("lang="))
     assert(langDirs.nonEmpty && manifest.size == langDirs.length)
-    val md = java.security.MessageDigest.getInstance("SHA-256")
     for (dir <- langDirs) {
       val lang = dir.getName.stripPrefix("lang=")
       val raw = dir.listFiles().filter(_.getName.endsWith(".txt"))
         .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
-      val digest = raw.map { l =>
-        val hex = md.digest(l.getBytes("UTF-8")).take(8)
-          .map(b => f"$b%02x").mkString.take(15)
-        BigInt(java.lang.Long.parseLong(hex, 16))
-      }.foldLeft(BigInt(0))(_ + _)
-        .mod(BigInt(PipelineQueries.ManifestMod)).toLong
-      assert(manifest(lang) == ((raw.length.toLong, digest)),
+      assert(manifest(lang) == ((raw.length.toLong, TestDigest.of(raw))),
         s"manifest mismatch for $lang")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
