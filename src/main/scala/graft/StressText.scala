@@ -84,7 +84,13 @@ object StressText {
           // at every k), q113 (quantile norm — per-source windows linear,
           // value histogram k-invariant, broadcast interval join)
           "q106_bm25", "q108_group_split", "q111_incremental_merge",
-          "q113_quantile_norm")) {
+          "q113_quantile_norm",
+          // q114 (effective size — q56's CC plus one weighted agg; the
+          // replica cliques make csz = copies·base, so eff_ratio must
+          // FALL as copies grow), q116 (KS drift — value histogram is
+          // k-invariant, so both the grid and every ks are IDENTICAL
+          // at every k; cost tracks the two corpus hash aggs)
+          "q114_effective_size", "q116_drift_ks")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
