@@ -216,6 +216,40 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** EXT — per-user inter-event time statistics + burstiness (Goh &
+    * Barabási 2008: B = (σ−µ)/(σ+µ) over the gap distribution, −1 =
+    * metronome, 0 = Poisson, →1 = bursty) — the temporal behavioral
+    * feature behind bot/automation detection and session-gap tuning.
+    * Gaps are integer SECONDS (epoch-micros DIV 10⁶ keeps every square
+    * and the n·Σg² product far under 2⁶³ — measured max Σg² ≈ 2.9·10¹¹
+    * at sf0.01); µ and σ come off the exact integer moment sums in ONE
+    * fixed expression each (sqrt is the sanctioned transcendental), so
+    * the doubles compare bit-equal cross-engine. Measured first: B
+    * spans −0.13..0.12 across the 150 users — both the regular and the
+    * bursty side are populated.
+    *
+    * Scale shape: one per-user window (partition-parallel) + one hash
+    * aggregate; output is |users| rows.
+    */
+  val q117Burstiness: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val g = events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts_us DIV 1000000").as("ts_s"))
+      .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("s1"),
+        sum(col("gap") * col("gap")).as("s2"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("sigma",
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) / col("n"))
+      .withColumn("burstiness",
+        (col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+      .select(col("user_id"), col("n"), col("s1"), col("s2"),
+        col("mu"), col("sigma"), col("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
   /** Query-sample size for [[q112HardNegatives]]. */
   val MineNq = 20
 
@@ -410,9 +444,30 @@ object AnalyticsQueries {
     "q104_session_overlap" -> q104SessionOverlap,
     "q110_outliers"    -> q110Outliers,
     "q112_hard_negatives" -> q112HardNegatives,
+    "q117_burstiness"  -> q117Burstiness,
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_burstiness" ->
+      """WITH e117 AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+        |g117 AS (
+        |  SELECT user_id,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+        |  FROM e117),
+        |st117 AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(gap) AS BIGINT) AS s1, CAST(sum(gap * gap) AS BIGINT) AS s2
+        |  FROM g117 WHERE gap IS NOT NULL GROUP BY user_id),
+        |b117 AS (
+        |  SELECT user_id, n, s1, s2,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS sigma
+        |  FROM st117)
+        |SELECT user_id, n, s1, s2, mu, sigma,
+        |  (sigma - mu) / (sigma + mu) AS burstiness
+        |FROM b117
+        |ORDER BY user_id""".stripMargin,
     "q112_hard_negatives" ->
       s"""WITH e112 AS (
         |  SELECT vec_id, label, embedding,

@@ -3,15 +3,41 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Behavioral guard for q110 (Tukey-fence outliers): fences and the
-  * flagged set recomputed brute-force in Scala (sort per group, rank
-  * pick, integer fence fold), plus both-ways binding — outliers exist
-  * and non-outliers exist in every group.
+/** Behavioral guards for the event-statistics operators: q110
+  * (Tukey-fence outliers — fences and the flagged set recomputed
+  * brute-force in Scala, both-ways binding) and q117 (burstiness —
+  * exact moment sums recomputed from sorted gaps, B straddling zero).
   */
 class OutlierSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.session
   private val d = "/root/testdata/sf0.001"
+
+  test("q117 equals the sorted-gaps moment model; B straddles zero") {
+    val out = SparkEntry.queries("q117_burstiness")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val ts = xs.sortBy(e => (e._3, e._2)).map(_._3)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      val n = gaps.length.toLong
+      val s1 = gaps.sum
+      val s2 = gaps.map(g => g * g).sum
+      val mu = s1.toDouble / n
+      val sigma = math.sqrt((n * s2 - s1 * s1).toDouble) / n
+      (u, n, s1, s2, mu, sigma, (sigma - mu) / (sigma + mu))
+    }.sortBy(_._1)
+
+    assert(out.toSeq == expect.toSeq, "q117 diverges from the moment model")
+    assert(out.exists(_._7 > 0) && out.exists(_._7 < 0),
+      "burstiness never straddles zero — weakly exercised")
+  }
 
   test("q110 equals the sorted-rank Scala model; flags bind both ways") {
     val out = SparkEntry.queries("q110_outliers")(spark, d)
