@@ -1613,6 +1613,37 @@ object TextQueries {
       .orderBy(col("query_id"))
   }
 
+  /** EXT — IVF cell-purity audit: per trained cell, the dominant label
+    * and its share — the clustering-quality complement of q93's recall
+    * audit (recall asks "does the probe find the true neighbors";
+    * purity asks "do the cells carve label structure at all" — the
+    * first diagnostic when filtered search (q115) underperforms, since
+    * label-concentrated cells are what make post-filtering cheap).
+    * Measured first: purity spans ~0.14–0.29 against the 0.1 ten-label
+    * chance line — modest but real concentration, with spread. All
+    * integer until the one share division; the argmax is an
+    * invariant-8 max-struct (ties → smaller label).
+    *
+    * Scale shape: assignment is the q42 trained path; the audit itself
+    * is two hash aggregates over (cell, label) — K·|labels| rows.
+    */
+  val q118CellPurity: Q = (s, d) => {
+    import graft.ops.Ivf
+    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+    val cent = Ivf.trainCells(emb, tracked)
+    val perLab = Ivf.assignAll(emb, cent).select(col("vec_id"), col("cell"))
+      .join(lbl, Seq("vec_id"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("c"))
+    perLab.groupBy(col("cell"))
+      .agg(sum(col("c")).as("n"),
+        max(struct(col("c").as("c"), (-col("label")).as("neglab"))).as("m"))
+      .select(col("cell"), col("n"), (-col("m.neglab")).cast("int").as("top_label"),
+        col("m.c").as("top_n"),
+        (col("m.c").cast("double") / col("n")).as("purity"))
+      .orderBy(col("cell"))
+  }
+
   /** EXT — dedup-corrected effective corpus size: every doc weighs
     * 1/cluster_size (q56's CC groups), so a family of k near-dups
     * contributes ONE doc's worth of tokens no matter how often it was
@@ -1839,6 +1870,7 @@ object TextQueries {
     "q108_group_split" -> q108GroupSplit,
     "q114_effective_size" -> q114EffectiveSize,
     "q115_filtered_ann" -> q115FilteredAnn,
+    "q118_cell_purity" -> q118CellPurity,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2433,6 +2465,28 @@ object TextQueries {
     sb.toString
   }
 
+  /** q118's oracle: the shared training/assignment prefix + the
+    * per-cell label argmax as a row_number mirror of the max-struct.
+    */
+  private def q118OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainAssignCtes()
+    sb ++= s"""lb118 AS (SELECT vec_id, label FROM embeddings),
+      |pl118 AS (
+      |  SELECT af.cell, lb.label, CAST(count(*) AS BIGINT) AS c
+      |  FROM af JOIN lb118 lb USING (vec_id) GROUP BY af.cell, lb.label),
+      |r118 AS (
+      |  SELECT cell, label, c,
+      |    row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn,
+      |    CAST(sum(c) OVER (PARTITION BY cell) AS BIGINT) AS n
+      |  FROM pl118)
+      |SELECT cell, n, CAST(label AS INT) AS top_label, c AS top_n,
+      |  CAST(c AS DOUBLE) / n AS purity
+      |FROM r118 WHERE rn = 1
+      |ORDER BY cell""".stripMargin
+    sb.toString
+  }
+
   /** q76's oracle: the shared training/assignment prefix, then the
     * within-cell smaller-id best neighbor (row_number mirror of the
     * Spark max-struct argmax) and the θ dup verdict.
@@ -2816,6 +2870,7 @@ object TextQueries {
     "q108_group_split" -> q108OracleSql,
     "q114_effective_size" -> q114OracleSql,
     "q115_filtered_ann" -> q115OracleSql,
+    "q118_cell_purity" -> q118OracleSql,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (

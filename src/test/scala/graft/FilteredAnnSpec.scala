@@ -16,6 +16,27 @@ class FilteredAnnSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   private val d = "/root/testdata/sf0.001"
 
+  test("q118 purity accounts for every vector and sits above the chance line") {
+    val out = SparkEntry.queries("q118_cell_purity")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.map(_._2).sum == emb.length.toLong, "cells do not partition the corpus")
+    val nLabels = emb.map(_._2).distinct.length
+    for ((cell, n, _, topN, purity) <- out) {
+      assert(topN <= n && purity == topN.toDouble / n, s"cell $cell arithmetic")
+    }
+    // modest-but-real concentration (measured): mean purity clears the
+    // uniform-chance line with margin, and cells genuinely differ
+    val meanPurity = out.map(_._5).sum / out.length
+    assert(meanPurity > 1.2 / nLabels, f"mean purity $meanPurity%.3f at chance")
+    assert(out.map(_._5).distinct.length > 1, "purity constant across cells")
+  }
+
   test("q115 grades against the true filtered brute force; filter effect binds") {
     val out = SparkEntry.queries("q115_filtered_ann")(spark, d)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
