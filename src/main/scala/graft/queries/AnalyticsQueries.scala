@@ -243,8 +243,14 @@ object AnalyticsQueries {
       .withColumn("mu", col("s1").cast("double") / col("n"))
       .withColumn("sigma",
         sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) / col("n"))
+      // all-zero gaps (every event in one second) make σ + µ = 0; the
+      // metric's limit for a perfectly regular emitter is −1, and an
+      // explicit CASE keeps both engines off 0/0 (NaN-vs-NULL is
+      // engine-version-dependent)
       .withColumn("burstiness",
-        (col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+        when(col("sigma") + col("mu") > 0.0,
+          (col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+          .otherwise(lit(-1.0)))
       .select(col("user_id"), col("n"), col("s1"), col("s2"),
         col("mu"), col("sigma"), col("burstiness"))
       .orderBy(col("user_id"))
@@ -465,7 +471,8 @@ object AnalyticsQueries {
         |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS sigma
         |  FROM st117)
         |SELECT user_id, n, s1, s2, mu, sigma,
-        |  (sigma - mu) / (sigma + mu) AS burstiness
+        |  CASE WHEN sigma + mu > 0.0 THEN (sigma - mu) / (sigma + mu)
+        |       ELSE -1.0 END AS burstiness
         |FROM b117
         |ORDER BY user_id""".stripMargin,
     "q112_hard_negatives" ->

@@ -1072,13 +1072,15 @@ object PipelineQueries {
     */
   val q116DriftKs: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val nt = tracked(documents(s, d).select(col("doc_id"), col("source"),
+    val nt = tracked(documents(s, d).select(col("source"),
       size(split(col("text"), " ")).cast("long").as("v")))
-    val vals = nt.select(col("v")).distinct()
     val srcs = nt.groupBy(col("source")).agg(count(lit(1)).as("ns"))
     val n = nt.agg(count(lit(1)).as("n"))
     val h = nt.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
-    val grid = srcs.crossJoin(vals)
+    // the global histogram is both the grid's value axis and the global
+    // ECDF source — tiny, persisted for its two consumers
+    val gh = tracked(nt.groupBy(col("v")).agg(count(lit(1)).as("cg0")))
+    val grid = srcs.crossJoin(gh.select(col("v")))
       .join(h, Seq("source", "v"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
     val wc = Window.partitionBy(col("source")).orderBy(col("v"))
@@ -1086,8 +1088,7 @@ object PipelineQueries {
     val cums = grid.withColumn("cs", sum(col("c")).over(wc))
     val wg = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumg = nt.groupBy(col("v")).agg(count(lit(1)).as("cg0"))
-      .withColumn("cg", sum(col("cg0")).over(wg)).select(col("v"), col("cg"))
+    val cumg = gh.withColumn("cg", sum(col("cg0")).over(wg)).select(col("v"), col("cg"))
     cums.join(cumg, Seq("v")).crossJoin(broadcast(n))
       .groupBy(col("source"), col("ns"), col("n"))
       .agg(max(abs(col("cs") * col("n") - col("cg") * col("ns"))).as("ks_num"))
@@ -1688,48 +1689,21 @@ object PipelineQueries {
     "q111_incremental_merge" -> q111OracleSql,
     "q116_drift_ks" ->
       """WITH nt116 AS (
-        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
         |  FROM documents),
-        |vals116 AS (SELECT DISTINCT v FROM nt116),
         |srcs116 AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM nt116 GROUP BY 1),
         |n116 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nt116),
         |h116 AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM nt116 GROUP BY 1, 2),
+        |gh116 AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM nt116 GROUP BY 1),
         |grid116 AS (
-        |  SELECT s.source, s.ns, vals116.v, COALESCE(h.c, 0) AS c
-        |  FROM srcs116 s CROSS JOIN vals116
-        |  LEFT JOIN h116 h ON h.source = s.source AND h.v = vals116.v),
+        |  SELECT s.source, s.ns, gh116.v, COALESCE(h.c, 0) AS c
+        |  FROM srcs116 s CROSS JOIN gh116
+        |  LEFT JOIN h116 h ON h.source = s.source AND h.v = gh116.v),
         |cums116 AS (
         |  SELECT source, ns, v,
         |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cs
         |  FROM grid116),
-        |cumg116 AS (
-        |  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cg
-        |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM nt116 GROUP BY 1))
-        |SELECT c.source, c.ns,
-        |  max(abs(c.cs * n116.n - g.cg * c.ns)) AS ks_num,
-        |  CAST(max(abs(c.cs * n116.n - g.cg * c.ns)) AS DOUBLE) / (n116.n * c.ns) AS ks
-        |FROM cums116 c JOIN cumg116 g USING (v), n116
-        |GROUP BY c.source, c.ns, n116.n
-        |ORDER BY c.source""".stripMargin,
-    "q116_drift_ks" ->
-      """WITH nt116 AS (
-        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
-        |  FROM documents),
-        |vals116 AS (SELECT DISTINCT v FROM nt116),
-        |srcs116 AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM nt116 GROUP BY 1),
-        |n116 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nt116),
-        |h116 AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM nt116 GROUP BY 1, 2),
-        |grid116 AS (
-        |  SELECT s.source, s.ns, vals116.v, COALESCE(h.c, 0) AS c
-        |  FROM srcs116 s CROSS JOIN vals116
-        |  LEFT JOIN h116 h ON h.source = s.source AND h.v = vals116.v),
-        |cums116 AS (
-        |  SELECT source, ns, v,
-        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cs
-        |  FROM grid116),
-        |cumg116 AS (
-        |  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cg
-        |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM nt116 GROUP BY 1))
+        |cumg116 AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cg FROM gh116)
         |SELECT c.source, c.ns,
         |  max(abs(c.cs * n116.n - g.cg * c.ns)) AS ks_num,
         |  CAST(max(abs(c.cs * n116.n - g.cg * c.ns)) AS DOUBLE) / (n116.n * c.ns) AS ks

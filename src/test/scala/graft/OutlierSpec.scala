@@ -23,16 +23,19 @@ class OutlierSpec extends AnyFunSuite {
     val ev = spark.read.parquet(s"$d/events.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val expect = ev.groupBy(_._1).toSeq.map { case (u, xs) =>
-      val ts = xs.sortBy(e => (e._3, e._2)).map(_._3)
-      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
-      val n = gaps.length.toLong
-      val s1 = gaps.sum
-      val s2 = gaps.map(g => g * g).sum
-      val mu = s1.toDouble / n
-      val sigma = math.sqrt((n * s2 - s1 * s1).toDouble) / n
-      (u, n, s1, s2, mu, sigma, (sigma - mu) / (sigma + mu))
-    }.sortBy(_._1)
+    val expect = ev.groupBy(_._1).toSeq
+      .filter(_._2.length >= 2) // single-event users have no gaps — the query drops them
+      .map { case (u, xs) =>
+        val ts = xs.sortBy(e => (e._3, e._2)).map(_._3)
+        val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+        val n = gaps.length.toLong
+        val s1 = gaps.sum
+        val s2 = gaps.map(g => g * g).sum
+        val mu = s1.toDouble / n
+        val sigma = math.sqrt((n * s2 - s1 * s1).toDouble) / n
+        val b = if (sigma + mu > 0.0) (sigma - mu) / (sigma + mu) else -1.0
+        (u, n, s1, s2, mu, sigma, b)
+      }.sortBy(_._1)
 
     assert(out.toSeq == expect.toSeq, "q117 diverges from the moment model")
     assert(out.exists(_._7 > 0) && out.exists(_._7 < 0),

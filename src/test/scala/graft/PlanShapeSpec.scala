@@ -73,9 +73,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // equi-joins, bounded broadcast lookups, and single aggregates only
     // (q112/q115 broadcast ≤20 anchors/queries — BNLJ is the q29
     // intended plan, CartesianProduct is not)
+    // (q116's source×histogram grid and q117's per-user window are
+    // bounded; q118 rides the trained-IVF path)
     for (q <- Seq("q108_group_split", "q109_profile", "q110_outliers",
         "q111_incremental_merge", "q112_hard_negatives", "q113_quantile_norm",
-        "q114_effective_size", "q115_filtered_ann")) {
+        "q114_effective_size", "q115_filtered_ann", "q116_drift_ks",
+        "q117_burstiness", "q118_cell_purity")) {
       assert(!finalPlan(q).contains("CartesianProduct"), s"$q planned a cartesian product")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
