@@ -20,11 +20,13 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * a long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench
-    * sessions). Canonicalize to `ts_us` (epoch micros, bigint) so every
-    * query sees one schema regardless of the session's parquet settings;
-    * DuckDB's epoch_us() truncates nanos identically.
+  /** `events.ts`'s parquet physical type has changed between testdata
+    * generations: TIMESTAMP(NANOS) (reads as long under
+    * spark.sql.legacy.parquet.nanosAsLong=true) in early rounds,
+    * `timestamp[us]` (reads as TIMESTAMP_NTZ) as of round 7. Branch on
+    * the observed schema and canonicalize to `ts_us` (epoch micros,
+    * bigint) so every query — and every spec model — sees one schema.
+    * Never read events.ts raw. DuckDB's epoch_us() matches both ways.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")

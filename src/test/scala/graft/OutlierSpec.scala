@@ -20,8 +20,8 @@ class OutlierSpec extends AnyFunSuite {
     queries.releasePersisted()
     spark.catalog.clearCache()
 
-    val ev = spark.read.parquet(s"$d/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"))
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), expr("ts_us div 1000000").as("ts_s"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expect = ev.groupBy(_._1).toSeq
       .filter(_._2.length >= 2) // single-event users have no gaps — the query drops them

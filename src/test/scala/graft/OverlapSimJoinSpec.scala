@@ -23,8 +23,8 @@ class OverlapSimJoinSpec extends AnyFunSuite {
     queries.releasePersisted()
     spark.catalog.clearCache()
 
-    val ev = spark.read.parquet(s"$d/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val gapUs = 30L * 60 * 1000000
     val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>

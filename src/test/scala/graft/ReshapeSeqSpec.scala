@@ -56,12 +56,11 @@ class ReshapeSeqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getString(4)))
 
-    // events.ts is parquet NANOS read as long (nanosAsLong) — integer
-    // div matches Tables.events' canonicalization (double division
-    // would lose precision above 2^53 nanos)
-    val ev = spark.read.parquet(s"$d/events.parquet")
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+    // Tables.events canonicalizes ts to ts_us whatever the parquet
+    // physical type is (nanos-long vs timestamp[us] — it has changed
+    // between testdata generations; never read events.ts raw in models)
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
     val rows = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
 
     val gapUs = 30L * 60 * 1000000
