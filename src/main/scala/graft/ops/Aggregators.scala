@@ -121,6 +121,65 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Long)]]()
   }
 
+  /** q119's HDR/DDSketch bin math, ONE definition for the SQL
+    * expression form (PipelineQueries.q119HdrQuantile mirrors this
+    * integer-for-integer), the typed [[HdrHist]] aggregator, and the
+    * spec models — bit-length × sub + linear sub-bucket, all shifts
+    * and truncating division.
+    */
+  object HdrBins {
+    /** Bin id of a positive value: bl·sub + ((v − 2^(bl−1))·sub) div
+      * 2^(bl−1). Domain: 1 ≤ v < 2⁵⁹ (the (v−lo)·sub product must stay
+      * under 2⁶³ — ANSI Spark throws on overflow); money-cents and
+      * token counts sit ~40 bits below the bound.
+      */
+    def binOf(v: Long, sub: Int): Int = {
+      require(v >= 1 && v < (1L << 59), "HDR bins are defined for 1 <= v < 2^59")
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val lo = 1L << (bl - 1)
+      (bl * sub + ((v - lo) * sub) / lo).toInt
+    }
+    /** Guaranteed lower bound of a bin (relative error ≤ 1/(2·sub)). */
+    def binLo(bin: Int, sub: Int): Long = {
+      val lo = 1L << (bin / sub - 1)
+      lo + (bin % sub).toLong * lo / sub
+    }
+    /** p-th percentile lower bound from a sketch (ceil-rank, as q119). */
+    def quantileLo(counts: Seq[(Int, Long)], p: Int, sub: Int): Long = {
+      val sorted = counts.sortBy(_._1)
+      val n = sorted.map(_._2).sum
+      val rank = (n * p + 99) / 100
+      var cum = 0L
+      val bin = sorted.collectFirst {
+        case (b, c) if { cum += c; cum >= rank } => b
+      }.getOrElse(sorted.last._1)
+      binLo(bin, sub)
+    }
+  }
+
+  /** The q119 mergeable quantile sketch as a typed Aggregator: a sparse
+    * (bin → count) map over [[HdrBins]]. `merge` IS the sketch union
+    * (bin-count addition — commutative, associative, state bounded by
+    * sub·64 entries), so map-side partials and complete-mode streaming
+    * wave states combine exactly as the batch sketch does
+    * (StreamingSketchSpec proves wave ≡ batch; QuantileSketchSpec pins
+    * the error bound and the merge law itself).
+    */
+  case class HdrHist(sub: Int) extends Aggregator[Long, Map[Int, Long], Seq[(Int, Long)]] {
+    require(sub >= 1)
+    def zero: Map[Int, Long] = Map.empty
+    def reduce(b: Map[Int, Long], v: Long): Map[Int, Long] =
+      if (v < 1) b
+      else { val k = HdrBins.binOf(v, sub); b.updated(k, b.getOrElse(k, 0L) + 1L) }
+    def merge(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
+      b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+    def finish(r: Map[Int, Long]): Seq[(Int, Long)] = r.toSeq.sortBy(_._1)
+    def bufferEncoder: Encoder[Map[Int, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Int, Long]]()
+    def outputEncoder: Encoder[Seq[(Int, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Int, Long)]]()
+  }
+
   case class MinK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     require(k >= 1)
     def zero: Seq[Long] = Vector.empty

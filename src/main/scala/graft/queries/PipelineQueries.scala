@@ -1011,6 +1011,70 @@ object PipelineQueries {
     merged.join(kmv, Seq("source")).orderBy(col("source"))
   }
 
+  /** HDR/DDSketch geometry: [[HdrSub]] linear sub-buckets per power-of-2
+    * bucket → relative error ≤ 1/(2·[[HdrSub]]) ≈ 3% on every reported
+    * quantile bound; [[HdrShards]] partial sketches prove the merge law
+    * in-plan. All bucket math is INTEGER (bit-length via
+    * `length(bin(v))`, bounds via shiftleft + DIV), so — unlike
+    * KLL/t-digest, whose randomized/centroid compactions can't replay
+    * cross-engine — the sketch is deterministic and oracle-able.
+    */
+  private[graft] val HdrSub = 16
+  private[graft] val HdrShards = 8
+
+  /** EXT — mergeable quantile sketch (HDR-histogram / DDSketch family:
+    * log₂ buckets × [[HdrSub]] linear sub-buckets, integer-exact):
+    * order-value quantiles per priority class, computed the way a
+    * 100 TB pipeline must — each of [[HdrShards]] shards builds its own
+    * PARTIAL sketch (the per-executor / per-ingest-day state), partials
+    * merge by pure bin-count addition, and p50/p90/p99 read off the
+    * merged sketch's cumulative counts as guaranteed lower bounds with
+    * relative error ≤ 1/(2·[[HdrSub]]). The ORACLE recomputes the same
+    * sketch from the full table with no shard split anywhere (the q111
+    * discipline), so the hash match machine-proves the merge law. The
+    * same bin math backs [[graft.ops.Aggregators.HdrHist]], whose
+    * streaming twin keeps the sketch wave-equal to batch
+    * (StreamingSketchSpec); QuantileSketchSpec pins the error bound
+    * against exact ranks.
+    *
+    * Scale shape: one scan → hash-agg to (grp, shard, bin) partials →
+    * hash-agg merge to (grp, bin); the only window runs over the
+    * ~[[HdrSub]]·log₂(max) sketch rows per group, never the data. The
+    * sketch state is O(bins) longs regardless of row count.
+    */
+  val q119HdrQuantile: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val binned = orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        cents(col("o_totalprice")).as("vc"),
+        pmod(col("o_orderkey"), lit(HdrShards.toLong)).as("shard"))
+      .filter(col("vc") >= 1)
+      .withColumn("bl", length(bin(col("vc"))))
+      .withColumn("lo", expr("shiftleft(CAST(1 AS BIGINT), bl - 1)"))
+      .withColumn("bin", col("bl").cast("long") * HdrSub
+        + expr(s"((vc - lo) * $HdrSub) DIV lo"))
+    val partials = binned.groupBy(col("grp"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("pc"))
+    // the sketch merge law: union of partials = bin-count addition
+    val merged = partials.groupBy(col("grp"), col("bin")).agg(sum(col("pc")).as("c"))
+    val wcum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("grp"))
+    val cum = merged.withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+    def qbin(p: Int) =
+      min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("bin"))).as(s"b$p")
+    def binLo(b: String) = expr(
+      s"shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)" +
+        s" + (($b % $HdrSub) * shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)) DIV $HdrSub")
+    cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        qbin(50), qbin(90), qbin(99))
+      .select(col("grp"), col("n"), col("n_bins"),
+        binLo("b50").as("p50_lo"), binLo("b90").as("p90_lo"), binLo("b99").as("p99_lo"))
+      .orderBy(col("grp"))
+  }
+
   /** EXT — cross-source quantile normalization (quantile matching): map
     * each doc's per-source token-count rank onto the GLOBAL length
     * distribution — norm(doc) = the global value at rank
@@ -1523,6 +1587,7 @@ object PipelineQueries {
     "q83_kmv_distinct" -> q83KmvDistinct,
     "q111_incremental_merge" -> q111IncrementalMerge,
     "q113_quantile_norm" -> q113QuantileNorm,
+    "q119_hdr_quantile" -> q119HdrQuantile,
     "q116_drift_ks" -> q116DriftKs,
     "q84_cms_heavy" -> q84CmsHeavy,
     "q86_domain_affinity" -> q86DomainAffinity,
@@ -1687,6 +1752,7 @@ object PipelineQueries {
         |ORDER BY w.doc_id""".stripMargin,
     "q83_kmv_distinct" -> q83OracleSql,
     "q111_incremental_merge" -> q111OracleSql,
+    "q119_hdr_quantile" -> q119OracleSql,
     "q116_drift_ks" ->
       """WITH nt116 AS (
         |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
@@ -2003,6 +2069,47 @@ object PipelineQueries {
       |SELECT source, n_distinct, kth_hash, est,
       |  (est - CAST(n_distinct AS DOUBLE)) / CAST(n_distinct AS DOUBLE) * 100.0 AS err_pct
       |FROM e83 ORDER BY source""".stripMargin
+
+  /** q119's oracle: the same integer HDR bin math over the FULL table —
+    * no shard split anywhere — so the hash match proves the partial-
+    * sketch merge law (the q111 discipline). Bit-length comes from
+    * `length(format('{:b}', v))`, DuckDB's exact twin of Spark's
+    * `length(bin(v))`; everything else is shifts and `//`.
+    */
+  private def q119OracleSql: String = {
+    def binLo(b: String) =
+      s"(CAST(1 AS BIGINT) << (CAST($b // $HdrSub AS INT) - 1))" +
+        s" + (($b % $HdrSub) * (CAST(1 AS BIGINT) << (CAST($b // $HdrSub AS INT) - 1))) // $HdrSub"
+    s"""WITH b119 AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+      |  FROM orders),
+      |bb119 AS (
+      |  SELECT grp, vc,
+      |    CAST(length(format('{:b}', vc)) AS BIGINT) AS bl,
+      |    (CAST(1 AS BIGINT) << (CAST(length(format('{:b}', vc)) AS INT) - 1)) AS lo
+      |  FROM b119 WHERE vc >= 1),
+      |bin119 AS (
+      |  SELECT grp, bl * $HdrSub + ((vc - lo) * $HdrSub) // lo AS bin
+      |  FROM bb119),
+      |m119 AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS c FROM bin119 GROUP BY grp, bin),
+      |cum119 AS (
+      |  SELECT grp, bin, c,
+      |    sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+      |    sum(c) OVER (PARTITION BY grp) AS n
+      |  FROM m119),
+      |sel119 AS (
+      |  SELECT grp, CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
+      |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50,
+      |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS b90,
+      |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99
+      |  FROM cum119 GROUP BY grp)
+      |SELECT grp, n, n_bins,
+      |  ${binLo("b50")} AS p50_lo,
+      |  ${binLo("b90")} AS p90_lo,
+      |  ${binLo("b99")} AS p99_lo
+      |FROM sel119 ORDER BY grp""".stripMargin
+  }
 
   /** q111's oracle: the FULL recompute — one pass over the whole
     * corpus, no generation split anywhere — so the hash match proves

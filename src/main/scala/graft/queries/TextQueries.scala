@@ -136,11 +136,42 @@ object TextQueries {
     * audited, never their J. Low deciles expose banding false alarms
     * (the mass q31's verify stage filters); high deciles expose missed
     * near-dups. At 100 TB the universe is drawn from a seeded document
-    * sample (the q55 idiom) and every step below is unchanged.
+    * sample (the q55 idiom): past [[AuditSampleThreshold]] docs the
+    * audit restricts BOTH truth-pair endpoints to the seeded
+    * priority-hash sample ([[AuditSampleBound]] — the mod-2³¹−1 form;
+    * the mod-10⁴ LCG stride-lattices on sequential ids) while the
+    * DEPLOYED detector stays full — recall over a uniform doc
+    * subsample estimates full recall (Q96SampleModeSpec measures the
+    * agreement at sf0.01), and the truth-side pair universe cost drops
+    * by the sample rate squared. Test corpora sit under the threshold,
+    * so the oracled query always runs full.
     */
   val q96DedupAudit: Q = (s, d) => {
-    val sig = minhashSig(s, d)
-    val det = bandCandPairs(sig)
+    val full = documents(s, d).count() <= AuditSampleThreshold
+    dedupAuditCore(s, d, if (full) None else Some(AuditSampleBound))
+  }
+
+  /** Docs beyond this count switch q96 to sample mode. */
+  private[graft] val AuditSampleThreshold = 100000L
+  /** Sample-mode admission bound: h(doc_id) < mod/5 keeps ~20%.
+    * (lazy: [[PriorityMod]] is declared further down this object — an
+    * eager val here reads 0 before initialization)
+    */
+  private[graft] lazy val AuditSampleBound = PriorityMod / 5
+
+  /** The q96 audit body, parameterized by the optional truth-universe
+    * sample bound (None = exhaustive rare-gram universe).
+    */
+  private[graft] def dedupAuditCore(s: org.apache.spark.sql.SparkSession,
+      d: String, sampleBound: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val sigAll = minhashSig(s, d)
+    // always audit the detector THAT RUNS — banding is never sampled
+    val det = bandCandPairs(sigAll)
+    val sig = sampleBound match {
+      case Some(bound) =>
+        tracked(sigAll.filter(priorityHashOn(col("doc_id")) < lit(bound)))
+      case None => sigAll
+    }
     // full distinct-gram lists: read 3× (postings explode + both pair
     // sides), persisted (invariant 6)
     val sh = tracked(sig.select(col("doc_id"),
@@ -439,12 +470,8 @@ object TextQueries {
     * training in its plan).
     */
   val q42AnnIvf: Q = (s, d) => {
-    import graft.ops.Ivf
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
-    val cent = Ivf.trainCells(emb, tracked)
-    val probes = Ivf.probeCells(
-      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
-    Ivf.topk(Ivf.assignAll(emb, cent), probes)
+    import graft.ops.{Ivf, TowerMemo}
+    Ivf.topk(TowerMemo.assigned(s, d), TowerMemo.probes5(s, d))
   }
 
   /** EXT-3c — product-quantization ANN ([[graft.ops.Pq]]): per-subspace
@@ -463,8 +490,8 @@ object TextQueries {
     * exact-L2 ranking).
     */
   val q90PqAnn: Q = (s, d) => {
-    import graft.ops.{Ivf, Pq}
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    import graft.ops.{Pq, TowerMemo}
+    val emb = TowerMemo.prep(s, d)
     val sub = tracked(Pq.subvectors(emb))
     val cent = Pq.trainCodebooks(sub, tracked)
     val codes = Pq.encode(sub, cent)
@@ -485,18 +512,9 @@ object TextQueries {
     * bit-exactly in the oracle via the two factored CTE generators.
     */
   val q91IvfadcAnn: Q = (s, d) => {
-    import graft.ops.{Ivf, Pq}
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
-    val cent = Ivf.trainCells(emb, tracked)
-    val assigned = tracked(Ivf.assignAll(emb, cent))
-    val res = tracked(Pq.residuals(assigned, cent))
-    val cb = Pq.trainCodebooks(tracked(Pq.subvectors(res)), tracked)
-    val codes = Pq.encode(Pq.subvectors(res), cb)
-    val probes = Ivf.probeCells(
-      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
-    val dts = Pq.queryResidualTables(probes, cent, cb)
-    val sl = Pq.ivfAdcShortlist(codes, assigned.select(col("vec_id"), col("cell")), dts)
-    Pq.rerankTopK(sl, emb, extra = Seq("cell"))
+    import graft.ops.{Pq, TowerMemo}
+    Pq.rerankTopK(TowerMemo.ivfadcShortlist(s, d), TowerMemo.prep(s, d),
+      extra = Seq("cell"))
   }
 
   /** EXT-3e — ANN index append WITHOUT retrain: the first ⌊4n/5⌋
@@ -511,8 +529,8 @@ object TextQueries {
     * the append leaves every old vector's codes identical.
     */
   val q92IndexAppend: Q = (s, d) => {
-    import graft.ops.{Ivf, Pq}
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    import graft.ops.{Ivf, Pq, TowerMemo}
+    val emb = TowerMemo.prep(s, d)
     val cut = broadcast(emb.agg(expr("count(1) * 4 div 5").as("cut")))
     def oldOnly(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       df.crossJoin(cut).filter(col("vec_id") < col("cut")).drop("cut")
@@ -543,20 +561,10 @@ object TextQueries {
     * integer hit count by the literal k.
     */
   val q93RecallAudit: Q = (s, d) => {
-    import graft.ops.{Ivf, Pq}
+    import graft.ops.{Pq, TowerMemo}
     import graft.functions.DotFold
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
-    val cent = Ivf.trainCells(emb, tracked)
-    val assigned = tracked(Ivf.assignAll(emb, cent))
-    val res = tracked(Pq.residuals(assigned, cent))
-    val rsub = tracked(Pq.subvectors(res))
-    val cb = Pq.trainCodebooks(rsub, tracked)
-    val codes = Pq.encode(rsub, cb)
-    val probes = Ivf.probeCells(
-      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
-    val dts = Pq.queryResidualTables(probes, cent, cb)
-    val sl = Pq.ivfAdcShortlist(codes, assigned.select(col("vec_id"), col("cell")), dts)
-    val approx = Pq.rerankTopK(sl, emb, extra = Seq("cell"))
+    val emb = TowerMemo.prep(s, d)
+    val approx = Pq.rerankTopK(TowerMemo.ivfadcShortlist(s, d), emb, extra = Seq("cell"))
       .select(col("query_id"), col("vec_id"))
     val exact = emb.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(emb.filter(col("vec_id") < 5)
@@ -1100,10 +1108,8 @@ object TextQueries {
     */
   val q76SemanticDedup: Q = (s, d) => {
     import graft.functions.DotFold
-    import graft.ops.Ivf
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
-    val cent = Ivf.trainCells(emb, tracked)
-    val asg = tracked(Ivf.assignAll(emb, cent))
+    import graft.ops.TowerMemo
+    val asg = TowerMemo.assigned(s, d)
     val nn = asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("cand"),
@@ -1307,10 +1313,8 @@ object TextQueries {
     * the survivors) trims the window input in the same plan.
     */
   val q82BalancedSample: Q = (s, d) => {
-    import graft.ops.Ivf
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
-    val cent = Ivf.trainCells(emb, tracked)
-    val asg = tracked(Ivf.assignAll(emb, cent).select(col("vec_id"), col("cell")))
+    import graft.ops.TowerMemo
+    val asg = TowerMemo.assigned(s, d).select(col("vec_id"), col("cell"))
     val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val quotas = PipelineQueries.largestRemainderQuota(sizes, "cell", SampleBudget)
       .select(col("cell"), col("n"), col("quota"))
@@ -1580,15 +1584,14 @@ object TextQueries {
     * a serving path would run the approx side alone.
     */
   val q115FilteredAnn: Q = (s, d) => {
-    import graft.ops.Ivf
+    import graft.ops.TowerMemo
     import graft.functions.DotFold
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    val emb = TowerMemo.prep(s, d)
     val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
-    val cent = Ivf.trainCells(emb, tracked)
-    val assigned = Ivf.assignAll(emb, cent).join(lbl, Seq("vec_id"))
+    val assigned = TowerMemo.assigned(s, d).join(lbl, Seq("vec_id"))
     val qs = emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     val qlbl = lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
-    val probes = Ivf.probeCells(qs, cent).join(qlbl, Seq("query_id"))
+    val probes = TowerMemo.probes5(s, d).join(qlbl, Seq("query_id"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     val approx = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
@@ -1628,11 +1631,9 @@ object TextQueries {
     * is two hash aggregates over (cell, label) — K·|labels| rows.
     */
   val q118CellPurity: Q = (s, d) => {
-    import graft.ops.Ivf
-    val emb = tracked(Ivf.prep(embeddings(s, d)))
+    import graft.ops.TowerMemo
     val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
-    val cent = Ivf.trainCells(emb, tracked)
-    val perLab = Ivf.assignAll(emb, cent).select(col("vec_id"), col("cell"))
+    val perLab = TowerMemo.assigned(s, d).select(col("vec_id"), col("cell"))
       .join(lbl, Seq("vec_id"))
       .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("c"))
     perLab.groupBy(col("cell"))

@@ -95,6 +95,25 @@ object StreamingSketch {
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
         min(col("n_chars")).as("min_nc"), max(col("n_chars")).as("max_nc"))
 
+  /** Per-group HDR quantile-sketch state `(grp, bins)` over a
+    * (streaming or batch) `(grp, vc)` frame — q119's sketch maintained
+    * by [[graft.ops.Aggregators.HdrHist]]: `merge` is bin-count
+    * addition (the sketch union), so complete-mode streaming keeps
+    * ≤ 64·HdrSub counters per group forever and equals the batch
+    * sketch after every wave (StreamingSketchSpec). Quantile read-out
+    * is [[graft.ops.Aggregators.HdrBins.quantileLo]], the same math
+    * q119's SQL computes in-plan.
+    */
+  def hdrState(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("grp"), col("vc"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.ops.Aggregators.HdrHist(PipelineQueries.HdrSub).toColumn.name("bins"))
+      .toDF("grp", "bins")
+  }
+
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
