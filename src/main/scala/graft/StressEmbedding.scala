@@ -44,6 +44,10 @@ object StressEmbedding {
         println(f"STRESS $q%-21s copies=$copies%2d vecs=${n * copies}%7d rows=$rows%9d  $secs%7.2f s")
         graft.queries.releasePersisted()
         spark.catalog.clearCache()
+        // drop the session tower memo so every stress point pays its own
+        // train+assign (the thing being measured) and per-dir entries
+        // don't accumulate across the copies loop
+        graft.ops.TowerMemo.clear()
       }
     }
     spark.stop()

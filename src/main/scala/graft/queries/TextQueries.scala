@@ -1645,6 +1645,47 @@ object TextQueries {
       .orderBy(col("cell"))
   }
 
+  /** EXT — first-occurrence novelty scoring (incremental-contribution
+    * curation): per doc, the share of its distinct trigrams that are
+    * NEW to the corpus when the doc arrives in crawl order (doc_id) —
+    * the "what did this crawl add" metric behind novelty-ordered
+    * training and diminishing-returns curves; per-source cumulative
+    * (cum_novel, cum_grams) gives the Heaps-style saturation curve in
+    * the same pass. Measured before wiring: novelty spans the full
+    * 0..1 range with 472/500 docs strictly between (14 pure re-crawls,
+    * 14 all-novel). Gram EQUALITY is the verdict here, so grams are
+    * dual-residue 62-bit keys (the q80/q81 birthday-collision rule);
+    * NoveltySpec recomputes from gram STRINGS to catch what
+    * hash-level gates can't. All integer until the one novelty
+    * division (two longs — bit-identical both engines).
+    *
+    * Scale shape: one explode + two hash aggs (gram→min(doc_id) is a
+    * map-side-combining min) + one postings equi-join on gram; the cum
+    * window is per-source over doc-grain rows (partition-parallel,
+    * never corpus-global). Nothing quadratic anywhere: the join fans
+    * out only to each doc's own gram count.
+    */
+  val q120GramNovelty: Q = (s, d) => {
+    val posts = tracked(documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(graft.functions.ShingleHash(
+          col("text"), TextOps.P, 3, TextOps.P2))).as("g")))
+    val firsts = posts.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = posts.join(firsts, Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("cum_grams", sum(col("n_grams")).over(w))
+      .withColumn("cum_novel", sum(col("n_novel")).over(w))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"),
+        col("cum_novel"), col("cum_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXT — dedup-corrected effective corpus size: every doc weighs
     * 1/cluster_size (q56's CC groups), so a family of k near-dups
     * contributes ONE doc's worth of tokens no matter how often it was
@@ -1872,6 +1913,7 @@ object TextQueries {
     "q114_effective_size" -> q114EffectiveSize,
     "q115_filtered_ann" -> q115FilteredAnn,
     "q118_cell_purity" -> q118CellPurity,
+    "q120_gram_novelty" -> q120GramNovelty,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2552,7 +2594,29 @@ object TextQueries {
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** q120's oracle: the identical dual-residue gram keys
+    * ([[gramHashCtes]]) over the full corpus; first occurrence is one
+    * min-group, novelty one long/long division, cums per-source
+    * windows (doc_id unique, so the default RANGE frame equals ROWS).
+    */
+  private def q120OracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      gramHashCtes("120", 3, distinct = true, carry = "doc_id, source") +
+      s"""e120 AS (SELECT doc_id, source, unnest(hs) AS g FROM hs120),
+      |f120 AS (SELECT g, min(doc_id) AS first_doc FROM e120 GROUP BY g),
+      |p120 AS (
+      |  SELECT e.doc_id, e.source, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM e120 e JOIN f120 f USING (g) GROUP BY e.doc_id, e.source)
+      |SELECT doc_id, source, n_grams, n_novel,
+      |  CAST(n_novel AS DOUBLE) / n_grams AS novelty,
+      |  CAST(sum(n_novel) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_novel,
+      |  CAST(sum(n_grams) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_grams
+      |FROM p120 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q120_gram_novelty" -> q120OracleSql,
     "q31_neardup_minhash" -> (minhashCandCtes +
       s""",
         |shared AS (
