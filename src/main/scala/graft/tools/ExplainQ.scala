@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit helper: `runMain graft.tools.ExplainQ q119_hdr_quantile
+  * [q120_gram_novelty ...]` prints each query's formatted physical
+  * plan at sf0.001 (override with SPARK_GRAFT_SF_DIR) — the per-round
+  * `.explain("formatted")` discipline, one command.
+  */
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names) {
+      println(s"===== $q =====")
+      graft.SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
