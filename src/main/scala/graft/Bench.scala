@@ -45,11 +45,23 @@ object Bench {
     // run and report the min — the warm run is cheap and strips transient
     // CPU-steal from the signal without hiding genuinely slow plans.
     val RerunThresholdSec = 3.0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val first = timeOnce(name, fn)
-      val best = if (first > RerunThresholdSec) math.min(first, timeOnce(name, fn)) else first
-      name -> best
+    // Build the session tower memo OUTSIDE any query's timed window and
+    // charge it as its own line item: the first ANN query would pay
+    // training, exceed the rerun threshold, and its memo-hit rerun
+    // would erase the training cost from the total via min() — charging
+    // the build explicitly keeps the artifact's total equal to what a
+    // fresh session actually costs.
+    val tmem0 = System.nanoTime()
+    try { graft.ops.TowerMemo.ivfadcShortlist(spark, sfDir).count() } catch {
+      case e: Throwable => System.err.println(s"[bench] tower memo build FAILED: ${e.getMessage}")
     }
+    val towerSecs = (System.nanoTime() - tmem0) / 1e9
+    val results = Map("tower_memo_build" -> towerSecs) ++
+      SparkEntry.queries.map { case (name, fn) =>
+        val first = timeOnce(name, fn)
+        val best = if (first > RerunThresholdSec) math.min(first, timeOnce(name, fn)) else first
+        name -> best
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

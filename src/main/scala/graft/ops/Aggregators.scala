@@ -146,6 +146,7 @@ object Aggregators {
     }
     /** p-th percentile lower bound from a sketch (ceil-rank, as q119). */
     def quantileLo(counts: Seq[(Int, Long)], p: Int, sub: Int): Long = {
+      require(counts.nonEmpty, "quantileLo of an empty sketch is undefined")
       val sorted = counts.sortBy(_._1)
       val n = sorted.map(_._2).sum
       val rank = (n * p + 99) / 100

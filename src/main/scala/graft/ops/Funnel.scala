@@ -42,10 +42,15 @@ object Funnel {
   def funnelStages(ev: DataFrame, stages: Seq[String], windowUs: Long): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val byType = ev.select(col("user_id"), col("ts_us"), col("event_type"))
-    // per-user reach table for stage 0: earliest stage-0 event
+    // per-user reach table for stage 0: earliest stage-0 event.
+    // Each reach table is read by TWO consumers (the next stage's join
+    // and its own count) — invariant 6: without the per-stage
+    // localCheckpoint the union re-derives the whole stage prefix per
+    // stage (O(S²) event scans). The table is user-grained and tiny.
     var reach = byType.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t"))
       .withColumn("t0", col("t"))
+      .localCheckpoint(true)
     val counts = scala.collection.mutable.ArrayBuffer(
       reach.agg(count(lit(1)).as("n")).select(lit(0).as("stage_idx"), col("n")))
     for ((st, i) <- stages.zipWithIndex.drop(1)) {
@@ -54,6 +59,7 @@ object Funnel {
         .filter(col("ts_us") > col("t") && col("ts_us") <= col("t0") + lit(windowUs))
         .groupBy(col("user_id"))
         .agg(min(col("ts_us")).as("t"), first(col("t0")).as("t0"))
+        .localCheckpoint(true)
       counts += reach.agg(count(lit(1)).as("n")).select(lit(i).as("stage_idx"), col("n"))
     }
     val stageNames = stages.zipWithIndex.map { case (st, i) => (i, st) }
@@ -75,10 +81,13 @@ object Funnel {
     * hash aggs — linear, no windows.
     */
   def retentionCohorts(ev: DataFrame, periodUs: Long): DataFrame = {
+    // integer div, not double division + cast: a correctly-rounded
+    // double quotient can round UP across a period boundary for values
+    // above 2^53 (the Tables.events precision lesson)
     val firsts = ev.groupBy(col("user_id"))
-      .agg((min(col("ts_us")).cast("long") / periodUs).cast("long").as("cohort"))
+      .agg(expr(s"min(ts_us) div $periodUs").as("cohort"))
     val active = ev.select(col("user_id"),
-        (col("ts_us").cast("long") / periodUs).cast("long").as("period"))
+        expr(s"ts_us div $periodUs").as("period"))
       .distinct()
     val sizes = firsts.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
     active.join(firsts, Seq("user_id"))

@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,25 +31,37 @@ import org.apache.spark.sql.functions._
   */
 object TowerMemo {
 
-  private val memo = new ConcurrentHashMap[String, DataFrame]()
-
-  private def key(s: SparkSession, sfDir: String, what: String): String =
-    s"${System.identityHashCode(s)}|$sfDir|$what"
-
-  /** Double-checked get-or-build; synchronized (reentrant — builders
-    * call each other) because ConcurrentHashMap.computeIfAbsent
-    * forbids the recursive update a cent→prep dependency would make.
+  /** Keyed by the session itself through a WeakHashMap (identity
+    * semantics — SparkSession doesn't override equals): a stopped
+    * session's entries become collectable instead of pinning dead-
+    * context frames forever, and two sessions can never alias (the
+    * identityHashCode-string keying this replaced could collide).
     */
-  private def get(s: SparkSession, d: String, what: String)(build: => DataFrame): DataFrame = {
-    val k = key(s, d, what)
-    val hit = memo.get(k)
-    if (hit != null) hit
-    else this.synchronized {
-      val again = memo.get(k)
-      if (again != null) again
-      else { val df = build.localCheckpoint(true); memo.put(k, df); df }
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** Synchronized get-or-build (reentrant — builders call each other;
+    * explicit get/put rather than getOrElseUpdate because a nested
+    * build inserts other keys mid-evaluation).
+    */
+  private def get(s: SparkSession, d: String, what: String)(build: => DataFrame): DataFrame =
+    this.synchronized {
+      val perSession = {
+        val e = memo.get(s)
+        if (e != null) e
+        else {
+          val n = scala.collection.mutable.Map.empty[String, DataFrame]
+          memo.put(s, n); n
+        }
+      }
+      val k = s"$d|$what"
+      perSession.get(k) match {
+        case Some(df) => df
+        case None =>
+          val df = build.localCheckpoint(true)
+          perSession.put(k, df); df
+      }
     }
-  }
 
   /** [[Ivf.prep]] of the corpus embeddings. */
   def prep(s: SparkSession, d: String): DataFrame =
@@ -95,5 +106,5 @@ object TowerMemo {
   /** Drop all references (blocks freed by the ContextCleaner once
     * unreachable). For loop-over-many-dirs tools, not Bench/Verify.
     */
-  def clear(): Unit = memo.clear()
+  def clear(): Unit = this.synchronized { memo.clear() }
 }

@@ -140,7 +140,10 @@ object TextQueries {
     * audit restricts BOTH truth-pair endpoints to the seeded
     * priority-hash sample ([[AuditSampleBound]] — the mod-2³¹−1 form;
     * the mod-10⁴ LCG stride-lattices on sequential ids) while the
-    * DEPLOYED detector stays full — recall over a uniform doc
+    * DEPLOYED detector AND the df-cap statistics stay full-corpus (a
+    * df recomputed on the sample admits ~1/rate-commoner grams — the
+    * sampled universe must stay a subset of the full one) — recall
+    * over a uniform doc
     * subsample estimates full recall (Q96SampleModeSpec measures the
     * agreement at sf0.01), and the truth-side pair universe cost drops
     * by the sample rate squared. Test corpora sit under the threshold,
@@ -167,21 +170,26 @@ object TextQueries {
     val sigAll = minhashSig(s, d)
     // always audit the detector THAT RUNS — banding is never sampled
     val det = bandCandPairs(sigAll)
-    val sig = sampleBound match {
-      case Some(bound) =>
-        tracked(sigAll.filter(priorityHashOn(col("doc_id")) < lit(bound)))
-      case None => sigAll
-    }
     // full distinct-gram lists: read 3× (postings explode + both pair
-    // sides), persisted (invariant 6)
-    val sh = tracked(sig.select(col("doc_id"),
+    // sides), persisted (invariant 6). Built from ALL docs even in
+    // sample mode: the df cap must come from FULL-corpus statistics —
+    // a df recomputed on the ~20% sample admits grams ~5× commoner
+    // than full mode does, so the sampled truth universe would NOT be
+    // a subset of the full one and the recall estimate would be biased
+    // toward common-gram pairs. Sampling restricts only WHICH postings
+    // enter the pair join, never the statistics.
+    val sh = tracked(sigAll.select(col("doc_id"),
       array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)).as("sh")))
     val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("g"))
+    val postings = sampleBound match {
+      case Some(bound) => grams.filter(priorityHashOn(col("doc_id")) < lit(bound))
+      case None => grams
+    }
     // persisted: both sides of the pair self-join read it — without
     // this each side re-runs the explode + df aggregate (invariant 6)
-    val rare = tracked(grams.join(keep, Seq("g"), "left_semi"))
+    val rare = tracked(postings.join(keep, Seq("g"), "left_semi"))
     val cpairs = rare.as("a").join(rare.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))

@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   * [q120_gram_novelty ...]` prints each query's formatted physical
   * plan at sf0.001 (override with SPARK_GRAFT_SF_DIR) — the per-round
   * `.explain("formatted")` discipline, one command.
+  *
+  * Caveats: query CONSTRUCTION can execute real jobs (TowerMemo's
+  * eager checkpoints train the IVF/PQ towers once; q96 runs a
+  * documents count for its threshold), so run at sf0.001 unless you
+  * mean to pay for it — and the memoized ANN queries' plans show a
+  * checkpoint-RDD scan, not the tower: audit tower shapes via the
+  * Ivf/Pq builders directly (see PlanShapeSpec's memo-independent
+  * test).
   */
 object ExplainQ {
   def main(args: Array[String]): Unit = {

@@ -59,6 +59,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF tower building blocks broadcast their centroid side (memo-independent)") {
+    // The memoized queries' OUTPUT plans scan TowerMemo checkpoints, so
+    // a cartesian regression inside the tower would be invisible there
+    // (the q107 output-plan-vacuity lesson) — assert on the builders'
+    // own plans directly
+    import org.apache.spark.sql.functions._
+    val emb = graft.ops.Ivf.prep(spark.read.parquet(s"$d/embeddings.parquet"))
+    val cent = graft.ops.Ivf.trainCells(emb)
+    val probes = graft.ops.Ivf.probeCells(
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+    for ((nm, df) <- Seq(
+        "assignAll" -> graft.ops.Ivf.assignAll(emb, cent), "probeCells" -> probes)) {
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"Ivf.$nm planned a cartesian product")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"Ivf.$nm lost its broadcast centroid side")
+    }
+  }
+
   test("q106's query side broadcasts; retrieval/split/profile plans stay cartesian-free") {
     // BM25's benchmark asymmetry (the q80 shape): the eval postings are
     // small and must broadcast into the corpus postings join

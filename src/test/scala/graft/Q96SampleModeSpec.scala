@@ -42,7 +42,10 @@ class Q96SampleModeSpec extends AnyFunSuite {
     val estimable = samp.filter(_._2._1 >= 30).keys.toSeq
     assert(estimable.nonEmpty, "no decile keeps >=30 sampled pairs — sample too small to audit")
     for (jb <- estimable) {
-      val rf = full(jb)._3
+      // sampled postings ⊆ full postings under the shared full-corpus
+      // df cap, so every sampled decile must exist in the full audit
+      val rf = full.getOrElse(jb,
+        fail(s"decile $jb exists only in sample mode — universe is not a subset"))._3
       val rs = samp(jb)._3
       assert(math.abs(rf - rs) <= 0.15,
         s"decile $jb: sampled recall $rs vs full $rf — estimator off")
