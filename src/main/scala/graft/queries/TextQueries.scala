@@ -1694,6 +1694,68 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** b-bit minhash geometry: [[BbitPerms]] permutations (the q31
+    * family (2j+3)·h + (5j+7) mod P), low b = 2 bits kept per value
+    * ([[BbitMod]] = 2^b).
+    */
+  private val BbitPerms = 32
+  private val BbitMod = 4L
+
+  /** EXT — b-bit minwise hashing (Li & König, WWW 2010): store only
+    * the lowest b = 2 bits of each of [[BbitPerms]] minhash values —
+    * 16× signature compression at this geometry (2 bits vs a 32-bit
+    * value per permutation), the storage lever that makes
+    * billion-document signature tables feasible — and estimate
+    * Jaccard from b-bit collision rates with the paper's unbiasing
+    * Ĵ = (ĉ − 1/2^b)/(1 − 1/2^b), next to the full-width estimate
+    * â/k and the exact Jaccard ground truth per candidate pair. The
+    * audit shape: per banding candidate pair, integer agreement
+    * counts (a32 full, c32 b-bit — c32 ≥ a32 by construction, the
+    * gap is the chance-collision mass the unbiasing removes), then
+    * three fixed double expressions (invariant 4 — one association,
+    * both engines). Candidates come from the DEPLOYED banding stage,
+    * so the estimates are measured exactly where a production dedup
+    * would apply them.
+    *
+    * Scale shape: signatures are one linear pass (32 array_min folds
+    * over the pre-hashed shingle array); the pair stage joins the
+    * candidate list (banded, occupancy-capped — never all-pairs) to
+    * the signature table twice by doc id. At 100 TB only the 2-bit
+    * packed signatures need to live in the serving store.
+    */
+  val q121BbitMinhash: Q = (s, d) => {
+    val sig = minhashSig(s, d)
+    val det = bandCandPairs(sig)
+    val withMh = tracked(sig.select(
+      col("doc_id") +:
+        (0 until BbitPerms).map(j => TextOps.minhashFromHashes(col("hs"), j).as(s"mh$j")): _*))
+    val sh = tracked(sig.select(col("doc_id"),
+      array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)).as("sh")))
+    val aSide = withMh.select(
+      col("doc_id").as("da") +: (0 until BbitPerms).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val bSide = withMh.select(
+      col("doc_id").as("db") +: (0 until BbitPerms).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val agree = det.join(aSide, Seq("da")).join(bSide, Seq("db"))
+      .withColumn("a32", (0 until BbitPerms)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("c32", (0 until BbitPerms)
+        .map(j => when(col(s"a$j") % BbitMod === col(s"b$j") % BbitMod, 1L).otherwise(0L))
+        .reduce(_ + _))
+      .select(col("da"), col("db"), col("a32"), col("c32"))
+    agree
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+      .withColumn("n_int", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("n_int").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("n_int")))
+      .select(col("da"), col("db"), col("a32"), col("c32"),
+        (col("a32").cast("double") / lit(32.0)).as("jhat_full"),
+        greatest(lit(0.0),
+          (col("c32").cast("double") / lit(32.0) - lit(0.25)) / lit(0.75)).as("jhat_b2"),
+        col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** EXT — dedup-corrected effective corpus size: every doc weighs
     * 1/cluster_size (q56's CC groups), so a family of k near-dups
     * contributes ONE doc's worth of tokens no matter how often it was
@@ -1922,6 +1984,7 @@ object TextQueries {
     "q115_filtered_ann" -> q115FilteredAnn,
     "q118_cell_purity" -> q118CellPurity,
     "q120_gram_novelty" -> q120GramNovelty,
+    "q121_bbit_minhash" -> q121BbitMinhash,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2623,8 +2686,46 @@ object TextQueries {
       |  CAST(sum(n_grams) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_grams
       |FROM p120 ORDER BY doc_id""".stripMargin
 
+  /** q121's oracle: the q31 candidate CTEs extended to 32 permutations
+    * of the same (2j+3)·h + (5j+7) family; agreements are CASE sums,
+    * the estimators the identical fixed double expressions.
+    */
+  private def q121OracleSql: String = {
+    val mins = (0 until BbitPerms).map(j =>
+      s"min((${2 * j + 3}*h + ${5 * j + 7}) % 1000000007) AS m$j").mkString(",\n      |    ")
+    val a32 = (0 until BbitPerms).map(j =>
+      s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val c32 = (0 until BbitPerms).map(j =>
+      s"(CASE WHEN a.m$j % $BbitMod = b.m$j % $BbitMod THEN 1 ELSE 0 END)").mkString(" + ")
+    minhashCandCtes +
+      s""",
+      |mh32 AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM hs GROUP BY doc_id),
+      |ag121 AS (
+      |  SELECT c.da, c.db,
+      |    CAST($a32 AS BIGINT) AS a32,
+      |    CAST($c32 AS BIGINT) AS c32
+      |  FROM cands c JOIN mh32 a ON a.doc_id = c.da JOIN mh32 b ON b.doc_id = c.db),
+      |shared121 AS (
+      |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS n_int
+      |  FROM cands c JOIN ex a ON a.doc_id = c.da JOIN ex b ON b.doc_id = c.db AND b.s = a.s
+      |  GROUP BY c.da, c.db),
+      |sizes121 AS (SELECT doc_id, len(sh) AS n FROM sh)
+      |SELECT g.da, g.db, g.a32, g.c32,
+      |  CAST(g.a32 AS DOUBLE) / 32.0 AS jhat_full,
+      |  greatest(0.0, (CAST(g.c32 AS DOUBLE) / 32.0 - 0.25) / 0.75) AS jhat_b2,
+      |  CAST(COALESCE(s.n_int, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(s.n_int, 0)) AS jac
+      |FROM ag121 g
+      |LEFT JOIN shared121 s ON g.da = s.da AND g.db = s.db
+      |JOIN sizes121 sa ON g.da = sa.doc_id JOIN sizes121 sb ON g.db = sb.doc_id
+      |ORDER BY g.da, g.db""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q120_gram_novelty" -> q120OracleSql,
+    "q121_bbit_minhash" -> q121OracleSql,
     "q31_neardup_minhash" -> (minhashCandCtes +
       s""",
         |shared AS (
