@@ -1756,6 +1756,50 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  /** EXT — longest verbatim token run per near-dup candidate pair (the
+    * ExactSubstr decision metric — Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022: their cut fires on
+    * shared substrings ≥ 50 tokens; corpus docs here are 10–99 tokens
+    * and measured max-runs span 10–95 with both sides of a 20-token
+    * threshold populated). Computed the dotplot way, entirely
+    * relational: positional dual-residue 3-gram keys (positions
+    * matter — NO distinct; equality is the verdict → 62-bit keys, the
+    * q80/q81 rule), matched (pa, pb) position pairs per candidate,
+    * and a gaps-and-islands pass over each diagonal pa − pb — a run
+    * of L consecutive matched grams IS a shared run of L + 2 tokens.
+    * Output per pair: total matches, distinct runs, and the longest
+    * shared token run. BbitMinhashSpec's sibling ExactSubstrSpec
+    * recomputes from token STRINGS (a DP longest-common-substring),
+    * closing the hash-collision blind spot.
+    *
+    * Scale shape: candidates come from the DEPLOYED banding stage
+    * (occupancy-capped, never all-pairs); the match join fans out to
+    * each pair's shared-gram mass (the dotplot size); the islands
+    * window partitions by (pair, diagonal) — bounded by doc length,
+    * partition-parallel. Nothing corpus-quadratic.
+    */
+  val q122ExactSubstr: Q = (s, d) => {
+    val sig = minhashSig(s, d)
+    val det = bandCandPairs(sig)
+    // 1-based positions to mirror DuckDB generate_subscripts
+    val pos = tracked(documents(s, d)
+      .select(col("doc_id"), posexplode(graft.functions.ShingleHash(
+        col("text"), TextOps.P, 3, TextOps.P2)).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
+    val m = det
+      .join(pos.select(col("doc_id").as("da"), col("pos").as("pa"), col("g")), Seq("da"))
+      .join(pos.select(col("doc_id").as("db"), col("pos").as("pb"), col("g")), Seq("db", "g"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+    val rl = m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_grams"))
+    rl.groupBy(col("da"), col("db"))
+      .agg(sum(col("run_grams")).as("n_match"), count(lit(1)).as("n_runs"),
+        (max(col("run_grams")) + 2).as("max_run_tokens"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** EXT — dedup-corrected effective corpus size: every doc weighs
     * 1/cluster_size (q56's CC groups), so a family of k near-dups
     * contributes ONE doc's worth of tokens no matter how often it was
@@ -1985,6 +2029,7 @@ object TextQueries {
     "q118_cell_purity" -> q118CellPurity,
     "q120_gram_novelty" -> q120GramNovelty,
     "q121_bbit_minhash" -> q121BbitMinhash,
+    "q122_exact_substr" -> q122ExactSubstr,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2723,9 +2768,37 @@ object TextQueries {
       |ORDER BY g.da, g.db""".stripMargin
   }
 
+  /** q122's oracle: the q31 candidate CTEs + positional dual-residue
+    * grams (generate_subscripts — the round-2 LATERAL idiom) + the
+    * same diagonal gaps-and-islands, all integer.
+    */
+  private def q122OracleSql: String =
+    minhashCandCtes +
+      s""",
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      gramHashCtes("122", 3, distinct = false) +
+      s"""pg122 AS (SELECT doc_id, unnest(hs) AS g, generate_subscripts(hs, 1) AS pos FROM hs122),
+      |m122 AS (
+      |  SELECT c.da, c.db, a.pos AS pa, b.pos AS pb
+      |  FROM cands c JOIN pg122 a ON a.doc_id = c.da
+      |  JOIN pg122 b ON b.doc_id = c.db AND b.g = a.g),
+      |runs122 AS (
+      |  SELECT da, db, pa - pb AS diag, pa,
+      |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+      |  FROM m122),
+      |rl122 AS (
+      |  SELECT da, db, CAST(count(*) AS BIGINT) AS run_grams
+      |  FROM runs122 GROUP BY da, db, diag, grp)
+      |SELECT da, db, CAST(sum(run_grams) AS BIGINT) AS n_match,
+      |  CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(max(run_grams) + 2 AS BIGINT) AS max_run_tokens
+      |FROM rl122 GROUP BY da, db ORDER BY da, db""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q120_gram_novelty" -> q120OracleSql,
     "q121_bbit_minhash" -> q121OracleSql,
+    "q122_exact_substr" -> q122OracleSql,
     "q31_neardup_minhash" -> (minhashCandCtes +
       s""",
         |shared AS (
