@@ -1373,12 +1373,21 @@ object TextQueries {
     * table is ~2/(W+1) the gram table — this is also the persistable
     * index an incremental run would probe (the q72 split).
     */
-  val q101Winnowing: Q = (s, d) => {
-    val gr = tracked(documents(s, d)
+  /** Positional dual-residue gram table `(doc_id, pos, h)` — 1-based
+    * pos (mirrors DuckDB generate_subscripts; fits q101's 21-bit
+    * pack), 62-bit keys, NO distinct (positions matter), tracked. ONE
+    * builder for q101 and q122 so the gram-key parameters live in one
+    * place (the factored-prefix rule).
+    */
+  private def posGrams(s: org.apache.spark.sql.SparkSession, d: String,
+      arity: Int): org.apache.spark.sql.DataFrame =
+    tracked(documents(s, d)
       .select(col("doc_id"), posexplode(graft.functions.ShingleHash(
-        col("text"), P, WinnowK, TextOps.P2)).as(Seq("p0", "h")))
-      // 1-based pos (mirrors generate_subscripts); fits the 21-bit pack
+        col("text"), P, arity, TextOps.P2)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h")))
+
+  val q101Winnowing: Q = (s, d) => {
+    val gr = posGrams(s, d, WinnowK)
     val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
     val wCnt = Window.partitionBy(col("doc_id"))
@@ -1781,14 +1790,10 @@ object TextQueries {
   val q122ExactSubstr: Q = (s, d) => {
     val sig = minhashSig(s, d)
     val det = bandCandPairs(sig)
-    // 1-based positions to mirror DuckDB generate_subscripts
-    val pos = tracked(documents(s, d)
-      .select(col("doc_id"), posexplode(graft.functions.ShingleHash(
-        col("text"), TextOps.P, 3, TextOps.P2)).as(Seq("pos0", "g")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
+    val pos = posGrams(s, d, 3)
     val m = det
-      .join(pos.select(col("doc_id").as("da"), col("pos").as("pa"), col("g")), Seq("da"))
-      .join(pos.select(col("doc_id").as("db"), col("pos").as("pb"), col("g")), Seq("db", "g"))
+      .join(pos.select(col("doc_id").as("da"), col("pos").as("pa"), col("h")), Seq("da"))
+      .join(pos.select(col("doc_id").as("db"), col("pos").as("pb"), col("h")), Seq("db", "h"))
       .withColumn("diag", col("pa") - col("pb"))
     val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
     val rl = m.withColumn("grp", col("pa") - row_number().over(w))

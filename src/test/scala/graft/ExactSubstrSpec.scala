@@ -61,6 +61,9 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
     val runs = out.map(_._5)
     assert(runs.min < runs.max, "all pairs share the same max run — weakly exercised")
+    // both sides of the documented 20-token cut must stay populated
+    // (measured: min 3 / max 95 at sf0.001 on banding pairs)
     assert(runs.max >= 20, "no pair reaches the ExactSubstr-scale run — unexpected for this corpus")
+    assert(runs.min < 20, "no pair below the 20-token cut — the threshold no longer discriminates")
   }
 }
