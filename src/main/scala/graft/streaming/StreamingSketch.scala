@@ -114,6 +114,24 @@ object StreamingSketch {
       .toDF("grp", "bins")
   }
 
+  /** First-seen-wave gram state `(g, first_batch)` over a (streaming
+    * or batch) `(batch_id, text)` frame — q120's first-occurrence
+    * novelty maintained online: ONE complete-mode min-aggregation per
+    * distinct gram (min is mergeable, so map-side partials and wave
+    * re-aggregation are exact), and the per-wave read-out
+    * `groupBy(first_batch).count` IS the novelty curve an ingestion
+    * monitor alarms on ("this crawl added almost nothing new").
+    * State is the distinct-gram table; at 100 TB the same read-out
+    * runs over a KMV/Bloom-bounded state instead (the q83/q88
+    * swap, documented not implemented — min-exactness is the twin
+    * contract here). NoveltySpec proves wave ≡ batch prefix.
+    */
+  def gramFirstSeen(docs: DataFrame): DataFrame =
+    docs.select(col("batch_id"),
+        explode(array_distinct(graft.functions.ShingleHash(
+          col("text"), TextOps.P, 3, TextOps.P2))).as("g"))
+      .groupBy(col("g")).agg(min(col("batch_id")).as("first_batch"))
+
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -58,4 +58,41 @@ class NoveltySpec extends AnyFunSuite {
         s"$src: cumulative tail disagrees with the per-doc sums")
     }
   }
+
+  test("streaming first-seen-wave state equals the batch prefix after every wave") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingSketch.gramFirstSeen(
+        source.toDS().toDF("batch_id", "text"))
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("complete").start()
+    try {
+      var wave = 0L
+      var seen = Seq.empty[(Long, String)]
+      for (chunk <- docs.grouped((docs.length + 2) / 3)) {
+        wave += 1
+        val tagged = chunk.map { case (_, t) => (wave, t) }
+        source.addData(tagged.toSeq: _*)
+        q.processAllAvailable()
+        seen = seen ++ tagged
+        val streamed = spark.table("novelty_stream")
+          .as[(Long, Long)].collect().toMap
+        val batch = graft.streaming.StreamingSketch.gramFirstSeen(
+            seen.toDF("batch_id", "text"))
+          .as[(Long, Long)].collect().toMap
+        assert(streamed == batch, s"wave $wave: streaming first-seen state diverges from batch")
+        // novelty curve read-out: every completed wave has an entry and
+        // wave 1 claims the most grams (first-arrival dominance)
+        val perWave = streamed.values.groupBy(identity).view.mapValues(_.size).toMap
+        assert((1L to wave).forall(w => perWave.getOrElse(w, 0) >= 0))
+        assert(perWave(1L) == streamed.values.count(_ == 1L))
+        if (wave > 1) assert(perWave(1L) >= perWave(wave),
+          "later wave claims more first-seen grams than wave 1 — unexpected for a replayed corpus")
+      }
+    } finally q.stop()
+  }
 }
