@@ -436,6 +436,48 @@ object AnalyticsQueries {
       .orderBy(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"))
   }
 
+  /** EXT — A/B experiment readout (the experimentation-platform core):
+    * users deterministically split into two arms by the prime-modulus
+    * draw's parity (the mod-10⁴ LCG stride-lattices on sequential ids —
+    * the q108 lesson), per event-type arm sizes, means, sample
+    * variances, and the two-sample z statistic. Cross-engine exact by
+    * the integer-moments discipline (invariant 7): values quantize as
+    * floor(value·100) longs — floor, NOT round: events.value is not
+    * clean 2-decimal (1149/10000 rows off at sf0.01, measured), so a
+    * round() would sit on cross-engine half-way ties — moments (n, Σv,
+    * Σv²) are exact long sums, and mean/var/z are fixed double
+    * expressions with identical association both engines (sqrt is the
+    * one sanctioned transcendental). Assignment balance is part of the
+    * readout (a skewed split means a broken hash, the first thing an
+    * experiment platform checks).
+    *
+    * Scale shape: one scan, one hash agg keyed by event_type with
+    * conditional partials (map-side combine; arm never shuffles
+    * separately), K-row output. The 100 TB plan is the same plan.
+    */
+  val q123AbReadout: Q = (s, d) => {
+    val e = events(s, d).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("vc"),
+      pmod(pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L)), lit(2L)).as("arm"))
+    e.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("vc")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") === 1, col("vc")).otherwise(0L)).as("s_b"),
+        sum(when(col("arm") === 0, col("vc") * col("vc")).otherwise(0L)).as("ss_a"),
+        sum(when(col("arm") === 1, col("vc") * col("vc")).otherwise(0L)).as("ss_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        expr("CAST(s_a AS DOUBLE) / 100.0 / n_a").as("mean_a"),
+        expr("CAST(s_b AS DOUBLE) / 100.0 / n_b").as("mean_b"),
+        expr("CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / 10000.0").as("var_a"),
+        expr("CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / 10000.0").as("var_b"))
+      .withColumn("z", (col("mean_a") - col("mean_b"))
+        / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_rollup"       -> q24Rollup,
     "q25_cube"         -> q25Cube,
@@ -451,9 +493,34 @@ object AnalyticsQueries {
     "q110_outliers"    -> q110Outliers,
     "q112_hard_negatives" -> q112HardNegatives,
     "q117_burstiness"  -> q117Burstiness,
+    "q123_ab_readout"  -> q123AbReadout,
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_ab_readout" ->
+      """WITH e123 AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc,
+        |    ((user_id * 1103515245 + 12345) % 2147483647) % 2 AS arm
+        |  FROM events),
+        |g123 AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN vc ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN vc ELSE 0 END) AS BIGINT) AS s_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN vc * vc ELSE 0 END) AS BIGINT) AS ss_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN vc * vc ELSE 0 END) AS BIGINT) AS ss_b
+        |  FROM e123 GROUP BY event_type),
+        |m123 AS (
+        |  SELECT event_type, n_a, n_b, s_a, s_b,
+        |    CAST(s_a AS DOUBLE) / 100.0 / n_a AS mean_a,
+        |    CAST(s_b AS DOUBLE) / 100.0 / n_b AS mean_b,
+        |    CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / 10000.0 AS var_a,
+        |    CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / 10000.0 AS var_b
+        |  FROM g123)
+        |SELECT event_type, n_a, n_b, s_a, s_b, mean_a, mean_b, var_a, var_b,
+        |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS z
+        |FROM m123 ORDER BY event_type""".stripMargin,
     "q117_burstiness" ->
       """WITH e117 AS (
         |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral guard for q123 (A/B experiment readout): recomputes the
+  * arm assignment, exact integer moments, and the z statistic from raw
+  * rows in plain Scala and checks every field; also pins the platform
+  * sanity properties — both arms populated for every event type with a
+  * near-balanced split (a skewed split = broken assignment hash), and
+  * the z values varying across types (the statistic is alive, not a
+  * constant).
+  */
+class AbReadoutSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  test("q123 equals the integer-moments model; arms balanced; z varies") {
+    val out = SparkEntry.queries("q123_ab_readout")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8),
+        r.getDouble(9)))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+
+    val rows = Tables.events(spark, d)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val model = rows.map { case (t, u, v) =>
+      val arm = ((u * 1103515245L + 12345L) % 2147483647L) % 2L
+      (t, arm, math.floor(v * 100).toLong)
+    }.groupBy(_._1)
+
+    assert(out.map(_._1).toSeq == model.keys.toSeq.sorted)
+    for ((t, na, nb, sa, sb, ma, mb, va, vb, z) <- out) {
+      val g = model(t)
+      val (a, b) = (g.filter(_._2 == 0L).map(_._3), g.filter(_._2 == 1L).map(_._3))
+      assert(na == a.length.toLong && nb == b.length.toLong, s"$t: arm sizes drift")
+      assert(sa == a.sum && sb == b.sum, s"$t: arm sums drift")
+      def mv(xs: Seq[Long]): (Double, Double) = {
+        val n = xs.length.toLong; val s = xs.sum; val ss = xs.map(x => x * x).sum
+        (s.toDouble / 100.0 / n,
+          (n * ss - s * s).toDouble / (n.toDouble * (n - 1)) / 10000.0)
+      }
+      val ((ema, eva), (emb, evb)) = (mv(a), mv(b))
+      assert(math.abs(ma - ema) < 1e-9 && math.abs(mb - emb) < 1e-9, s"$t: means drift")
+      assert(math.abs(va - eva) < 1e-9 && math.abs(vb - evb) < 1e-9, s"$t: variances drift")
+      val ez = (ema - emb) / math.sqrt(eva / na + evb / nb)
+      assert(math.abs(z - ez) < 1e-9, s"$t: z drifts from model")
+      // platform sanity: both arms populated, split near-balanced
+      assert(na > 0 && nb > 0, s"$t: an arm is empty — assignment broken")
+      assert(math.abs(na - nb).toDouble / (na + nb) < 0.25,
+        s"$t: split $na/$nb too skewed — assignment hash suspect")
+    }
+    assert(out.map(_._10).distinct.length > 1, "z constant across types — weakly exercised")
+  }
+}
