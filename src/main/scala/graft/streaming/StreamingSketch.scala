@@ -132,6 +132,19 @@ object StreamingSketch {
           col("text"), TextOps.P, 3, TextOps.P2))).as("g"))
       .groupBy(col("g")).agg(min(col("batch_id")).as("first_batch"))
 
+  /** q123's A/B moment matrix maintained as a streaming aggregation:
+    * per (event_type, arm), the exact integer moments (n, Σv, Σv²)
+    * over a (streaming or batch) `(event_type, arm, vc)` frame. Counts
+    * and sums add, so complete-mode state is 2·|types| rows forever
+    * and the live experiment dashboard reads the same z-statistic
+    * expressions q123 computes in batch — a readout is a pure function
+    * of this state (AbReadoutSpec proves wave ≡ batch).
+    */
+  def abState(rows: DataFrame): DataFrame =
+    rows.groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("ss"))
+
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

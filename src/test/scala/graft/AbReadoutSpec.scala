@@ -55,4 +55,35 @@ class AbReadoutSpec extends AnyFunSuite {
     }
     assert(out.map(_._10).distinct.length > 1, "z constant across types — weakly exercised")
   }
+
+  test("streaming A/B moment state equals the batch moments after every wave") {
+    import spark.implicits._
+    val rows = Tables.events(spark, d)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect().map { r =>
+        val arm = ((r.getLong(1) * 1103515245L + 12345L) % 2147483647L) % 2L
+        (r.getString(0), arm, math.floor(r.getDouble(2) * 100).toLong)
+      }.sortBy(t => (t._1, t._3))
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingSketch.abState(
+        source.toDS().toDF("event_type", "arm", "vc"))
+      .writeStream.format("memory").queryName("ab_stream")
+      .outputMode("complete").start()
+    try {
+      var seen = Seq.empty[(String, Long, Long)]
+      for (chunk <- rows.grouped((rows.length + 2) / 3)) {
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+        seen = seen ++ chunk
+        val streamed = spark.table("ab_stream")
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+        val batch = seen.groupBy(t => (t._1, t._2)).view.mapValues { vs =>
+          (vs.length.toLong, vs.map(_._3).sum, vs.map(v => v._3 * v._3).sum)
+        }.toMap
+        assert(streamed == batch, s"wave ${seen.length}: streaming A/B moments diverge from batch")
+      }
+    } finally q.stop()
+  }
 }
