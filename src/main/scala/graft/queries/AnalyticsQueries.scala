@@ -442,14 +442,18 @@ object AnalyticsQueries {
     * the q108 lesson), per event-type arm sizes, means, sample
     * variances, and the two-sample z statistic. Cross-engine exact by
     * the integer-moments discipline (invariant 7): values quantize as
-    * floor(value·100) longs — floor, NOT round: events.value is not
-    * clean 2-decimal (1149/10000 rows off at sf0.01, measured), so a
-    * round() would sit on cross-engine half-way ties — moments (n, Σv,
-    * Σv²) are exact long sums, and mean/var/z are fixed double
-    * expressions with identical association both engines (sqrt is the
-    * one sanctioned transcendental). Assignment balance is part of the
-    * readout (a skewed split means a broken hash, the first thing an
-    * experiment platform checks).
+    * floor(value·100) longs — floor chosen as the rounding-mode-free
+    * form (measured: value·100 sits within 4e-12 of integers with ZERO
+    * half-way ties at any SF, so round() is also safe today — floor
+    * stays safe even on data where ties exist, at the cost of an
+    * off-by-one cent on the ~11% of rows whose representation sits
+    * just below the integer; deterministic and identical both
+    * engines). Moments (n, Σv, Σv²) are exact long sums, and
+    * mean/var/z are fixed double expressions with identical
+    * association both engines (sqrt is the one sanctioned
+    * transcendental). Assignment balance is part of the readout (a
+    * skewed split means a broken hash, the first thing an experiment
+    * platform checks).
     *
     * Scale shape: one scan, one hash agg keyed by event_type with
     * conditional partials (map-side combine; arm never shuffles
