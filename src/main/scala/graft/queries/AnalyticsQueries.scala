@@ -457,7 +457,13 @@ object AnalyticsQueries {
     *
     * Scale shape: one scan, one hash agg keyed by event_type with
     * conditional partials (map-side combine; arm never shuffles
-    * separately), K-row output. The 100 TB plan is the same plan.
+    * separately), K-row output. Σv² accumulates in decimal(38) (a long
+    * Σv² wraps — ANSI throws — at ~4e9 rows per arm, well inside
+    * 100 TB; Spark decimal sums and DuckDB's HUGEINT sum are both
+    * exact, and the one CAST-to-double of the same integer is
+    * identical), and the variance comes from double MOMENTS
+    * (ss/n − (s/n)², then the n/(n−1) Bessel factor) so no long×long
+    * product can overflow. The 100 TB plan is the same plan.
     */
   val q123AbReadout: Q = (s, d) => {
     val e = events(s, d).select(col("event_type"),
@@ -470,13 +476,15 @@ object AnalyticsQueries {
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("arm") === 0, col("vc")).otherwise(0L)).as("s_a"),
         sum(when(col("arm") === 1, col("vc")).otherwise(0L)).as("s_b"),
-        sum(when(col("arm") === 0, col("vc") * col("vc")).otherwise(0L)).as("ss_a"),
-        sum(when(col("arm") === 1, col("vc") * col("vc")).otherwise(0L)).as("ss_b"))
+        sum(when(col("arm") === 0, (col("vc") * col("vc")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss_a"),
+        sum(when(col("arm") === 1, (col("vc") * col("vc")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ss_b"))
       .select(col("event_type"), col("n_a"), col("n_b"), col("s_a"), col("s_b"),
         expr("CAST(s_a AS DOUBLE) / 100.0 / n_a").as("mean_a"),
         expr("CAST(s_b AS DOUBLE) / 100.0 / n_b").as("mean_b"),
-        expr("CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / 10000.0").as("var_a"),
-        expr("CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / 10000.0").as("var_b"))
+        expr("(CAST(ss_a AS DOUBLE) / n_a - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a)) * n_a / (n_a - 1) / 10000.0").as("var_a"),
+        expr("(CAST(ss_b AS DOUBLE) / n_b - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b)) * n_b / (n_b - 1) / 10000.0").as("var_b"))
       .withColumn("z", (col("mean_a") - col("mean_b"))
         / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
       .orderBy(col("event_type"))
@@ -512,15 +520,15 @@ object AnalyticsQueries {
         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |    CAST(sum(CASE WHEN arm = 0 THEN vc ELSE 0 END) AS BIGINT) AS s_a,
         |    CAST(sum(CASE WHEN arm = 1 THEN vc ELSE 0 END) AS BIGINT) AS s_b,
-        |    CAST(sum(CASE WHEN arm = 0 THEN vc * vc ELSE 0 END) AS BIGINT) AS ss_a,
-        |    CAST(sum(CASE WHEN arm = 1 THEN vc * vc ELSE 0 END) AS BIGINT) AS ss_b
+        |    sum(CASE WHEN arm = 0 THEN vc * vc ELSE 0 END) AS ss_a,
+        |    sum(CASE WHEN arm = 1 THEN vc * vc ELSE 0 END) AS ss_b
         |  FROM e123 GROUP BY event_type),
         |m123 AS (
         |  SELECT event_type, n_a, n_b, s_a, s_b,
         |    CAST(s_a AS DOUBLE) / 100.0 / n_a AS mean_a,
         |    CAST(s_b AS DOUBLE) / 100.0 / n_b AS mean_b,
-        |    CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / 10000.0 AS var_a,
-        |    CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / 10000.0 AS var_b
+        |    (CAST(ss_a AS DOUBLE) / n_a - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a)) * n_a / (n_a - 1) / 10000.0 AS var_a,
+        |    (CAST(ss_b AS DOUBLE) / n_b - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b)) * n_b / (n_b - 1) / 10000.0 AS var_b
         |  FROM g123)
         |SELECT event_type, n_a, n_b, s_a, s_b, mean_a, mean_b, var_a, var_b,
         |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS z

@@ -133,17 +133,19 @@ object StreamingSketch {
       .groupBy(col("g")).agg(min(col("batch_id")).as("first_batch"))
 
   /** q123's A/B moment matrix maintained as a streaming aggregation:
-    * per (event_type, arm), the exact integer moments (n, Σv, Σv²)
-    * over a (streaming or batch) `(event_type, arm, vc)` frame. Counts
-    * and sums add, so complete-mode state is 2·|types| rows forever
-    * and the live experiment dashboard reads the same z-statistic
-    * expressions q123 computes in batch — a readout is a pure function
-    * of this state (AbReadoutSpec proves wave ≡ batch).
+    * per (event_type, arm), the exact integer moments (n, Σv, Σv² —
+    * the square sum in decimal(38), as in q123: a long Σv² wraps at
+    * ~4e9 rows per arm) over a (streaming or batch) `(event_type, arm,
+    * vc)` frame. Counts and sums add, so complete-mode state is
+    * 2·|types| rows forever and the live experiment dashboard reads
+    * the same z-statistic expressions q123 computes in batch — a
+    * readout is a pure function of this state (AbReadoutSpec proves
+    * wave ≡ batch).
     */
   def abState(rows: DataFrame): DataFrame =
     rows.groupBy(col("event_type"), col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
-        sum(col("vc") * col("vc")).as("ss"))
+        sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("ss"))
 
   def kmvState(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

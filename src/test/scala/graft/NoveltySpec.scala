@@ -85,12 +85,14 @@ class NoveltySpec extends AnyFunSuite {
             seen.toDF("batch_id", "text"))
           .as[(Long, Long)].collect().toMap
         assert(streamed == batch, s"wave $wave: streaming first-seen state diverges from batch")
-        // novelty curve read-out: every completed wave has an entry and
-        // wave 1 claims the most grams (first-arrival dominance)
+        // novelty curve read-out: on THIS corpus every wave introduces
+        // new grams (a zero would be the alarm the operator exists to
+        // raise, not a test error — hence the message), and wave 1
+        // claims the most (first-arrival dominance)
         val perWave = streamed.values.groupBy(identity).view.mapValues(_.size).toMap
-        assert((1L to wave).forall(w => perWave.getOrElse(w, 0) >= 0))
-        assert(perWave(1L) == streamed.values.count(_ == 1L))
-        if (wave > 1) assert(perWave(1L) >= perWave(wave),
+        assert((1L to wave).forall(w => perWave.getOrElse(w, 0) > 0),
+          s"wave $wave: a completed wave added zero new grams — corpus changed, re-measure")
+        if (wave > 1) assert(perWave(1L) >= perWave.getOrElse(wave, 0),
           "later wave claims more first-seen grams than wave 1 — unexpected for a replayed corpus")
       }
     } finally q.stop()
