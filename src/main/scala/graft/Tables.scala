@@ -38,4 +38,28 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Memoized per-(session, dir, table) row count for mode-gate checks
+    * (q96 sample gate, q109 profile sketch gate): the gate decision must
+    * not re-run a scan-and-count Spark job on every query construction —
+    * inside Bench's timed window that charged a full table scan to
+    * whatever query asked. Values are plain Longs (no value-refers-to-key
+    * cycle, unlike TowerMemo), so a stopped session's entries really are
+    * weakly reclaimable here.
+    */
+  private val countMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countMemo.synchronized {
+      val perSession = {
+        val e = countMemo.get(spark)
+        if (e != null) e
+        else {
+          val n = scala.collection.mutable.Map.empty[String, Long]
+          countMemo.put(spark, n); n
+        }
+      }
+      perSession.getOrElseUpdate(s"$sfDir|$name", table(spark, sfDir, name).count())
+    }
 }

@@ -150,10 +150,19 @@ object Aggregators {
       val sorted = counts.sortBy(_._1)
       val n = sorted.map(_._2).sum
       val rank = (n * p + 99) / 100
+      // explicit loop: the accumulation must not live inside a
+      // PartialFunction guard (collectFirst's applyOrElse evaluates
+      // guards once per element today, but an isDefinedAt+apply
+      // implementation would double-increment)
       var cum = 0L
-      val bin = sorted.collectFirst {
-        case (b, c) if { cum += c; cum >= rank } => b
-      }.getOrElse(sorted.last._1)
+      var i = 0
+      var bin = sorted.last._1
+      var found = false
+      while (!found && i < sorted.length) {
+        cum += sorted(i)._2
+        if (cum >= rank) { bin = sorted(i)._1; found = true }
+        i += 1
+      }
       binLo(bin, sub)
     }
   }

@@ -58,7 +58,11 @@ object Funnel {
         .join(reach, Seq("user_id"))
         .filter(col("ts_us") > col("t") && col("ts_us") <= col("t0") + lit(windowUs))
         .groupBy(col("user_id"))
-        .agg(min(col("ts_us")).as("t"), first(col("t0")).as("t0"))
+        // t0 is constant per user within the group (propagated from the
+        // stage-0 reach row this user joined) — min() is equivalent and,
+        // unlike first() (which Spark marks non-deterministic), makes
+        // the determinism self-evident in the plan
+        .agg(min(col("ts_us")).as("t"), min(col("t0")).as("t0"))
         .localCheckpoint(true)
       counts += reach.agg(count(lit(1)).as("n")).select(lit(i).as("stage_idx"), col("n"))
     }

@@ -31,11 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object TowerMemo {
 
-  /** Keyed by the session itself through a WeakHashMap (identity
-    * semantics — SparkSession doesn't override equals): a stopped
-    * session's entries become collectable instead of pinning dead-
-    * context frames forever, and two sessions can never alias (the
-    * identityHashCode-string keying this replaced could collide).
+  /** Keyed by the session itself (identity semantics — SparkSession
+    * doesn't override equals), so two sessions can never alias (the
+    * identityHashCode-string keying this replaced could collide). The
+    * WeakHashMap does NOT make stopped sessions collectable: the cached
+    * DataFrames strongly reference their SparkSession
+    * (Dataset.sparkSession), which is the map key — the classic
+    * value-refers-to-key cycle — so [[clear]] (or JVM exit) is the only
+    * reclamation path. Harmless for the one-session Bench/Verify
+    * processes this serves; loop-over-sessions tools must call clear().
     */
   private val memo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()

@@ -165,6 +165,50 @@ object MiscQueries {
     ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate_us"),
       Seq("o_orderstatus", "o_orderpriority")))
 
+  /** Profiled columns whose doubles are 2-decimal money (events.value
+    * measured tie-free in round 7; o_totalprice is TPC-H money) — the
+    * sketch hash integerizes them as cents; every other profiled
+    * numeric is already integral.
+    */
+  private[graft] val ProfileMoneyCols: Set[(String, String)] =
+    Set(("events", "value"), ("orders", "o_totalprice"))
+
+  /** KMV parameters for the sketch-mode profile: k (shared accuracy
+    * constant, ~12% at 64) and the LCG constants of the per-value hash
+    * h = ((v mod P)·A + B) mod P — A bounded so (P−1)·A + B < 2⁶³.
+    * One definition feeds the Spark expression, the DuckDB mirror, and
+    * ProfileSpec.
+    */
+  private[graft] val ProfileKmvK = PipelineQueries.KmvK
+  private[graft] val HashP = 1000000007L
+  private[graft] val HashA = 1103515245L
+  private[graft] val HashB = 12345L
+
+  /** Rows beyond which [[q109Profile]] swaps exact `count_distinct` for
+    * the per-column KMV sketch (the q96 gate pattern: test corpora sit
+    * under the threshold so the oracled q109 always runs exact;
+    * [[q124ProfileSketch]] forces the sketch path so IT is oracled
+    * too — the swap is a tested code path, not a doc promise).
+    */
+  private[graft] val ProfileExactMax = 10000000L
+
+  /** The LCG post-mix is NOT optional for KMV: raw inputs (sequential
+    * ids; char-folds of strings sharing a long common prefix, e.g.
+    * events.props) cluster in narrow intervals of the ring, and the
+    * k-th-smallest estimator explodes on clustered hashes (measured:
+    * raw PolyHash on props estimated 3795 for a true 100). An affine
+    * map h·A+B mod P with A·width ≫ P wraps the cluster around the
+    * ring many times — residues spread uniformly.
+    */
+  private def lcgMix(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(h, lit(HashP)) * lit(HashA) + lit(HashB), lit(HashP))
+  private def numHashCol(table: String, c: String): org.apache.spark.sql.Column = {
+    val iv = if (ProfileMoneyCols((table, c))) cents(col(c)) else col(c).cast("long")
+    lcgMix(iv)
+  }
+  private def strHashCol(c: String): org.apache.spark.sql.Column =
+    lcgMix(graft.functions.PolyHash(col(c), HashP))
+
   /** One-pass per-table column profile: every stat for every column
     * computed in a SINGLE aggregate over one scan (Spark plans the
     * multi-distinct via Expand — k distinct columns cost one k-way row
@@ -177,20 +221,61 @@ object MiscQueries {
     * has zero nulls (measured), so n_null is dormant on real data.
     *
     * At 100 TB: exact count-distinct per column is the expensive term —
-    * swap in the q83 KMV sketch per column when an estimate suffices;
-    * the melt and min/max terms are free (map-side partial agg).
+    * `sketchK = Some(k)` swaps it for the q83 KMV sketch per column
+    * (n_distinct becomes ⌊(k−1)·P/h₍ₖ₎⌋, the exact size when the sketch
+    * never filled): the melt explodes each row into one (col, hash)
+    * pair per profiled column, per-column distinct hashes pre-aggregate
+    * map-side, and the min-k rank runs as WindowGroupLimit (every map
+    * task keeps its local k smallest — exactly how distributed KMV
+    * sketches union). The stats pass loses its Expand entirely (no
+    * distinct → pure map-side partial agg).
     */
   private[graft] def profileTable(df: org.apache.spark.sql.DataFrame,
-      table: String, num: Seq[String], str: Seq[String])
+      table: String, num: Seq[String], str: Seq[String],
+      sketchK: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
+    val exact = sketchK.isEmpty
     val aggs = (num.flatMap(c => Seq(
-        count(col(c)).as(s"c_$c"), count_distinct(col(c)).as(s"d_$c"),
-        min(col(c)).cast("double").as(s"mn_$c"),
-        max(col(c)).cast("double").as(s"mx_$c"))) ++
+        Some(count(col(c)).as(s"c_$c")),
+        if (exact) Some(count_distinct(col(c)).as(s"d_$c")) else None,
+        Some(min(col(c)).cast("double").as(s"mn_$c")),
+        Some(max(col(c)).cast("double").as(s"mx_$c"))).flatten) ++
       str.flatMap(c => Seq(
-        count(col(c)).as(s"c_$c"), count_distinct(col(c)).as(s"d_$c"),
-        min(col(c)).as(s"mns_$c"), max(col(c)).as(s"mxs_$c"))))
+        Some(count(col(c)).as(s"c_$c")),
+        if (exact) Some(count_distinct(col(c)).as(s"d_$c")) else None,
+        Some(min(col(c)).as(s"mns_$c")),
+        Some(max(col(c)).as(s"mxs_$c"))).flatten))
     val row = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val wide = sketchK match {
+      case None => row
+      case Some(k) =>
+        // melt → per-column distinct hash → min-k rank → KMV estimate,
+        // pivoted back onto the 1-row stats frame as d_<col> columns
+        val entries =
+          num.map(c => struct(lit(c).as("cn"), numHashCol(table, c).as("h"))) ++
+          str.map(c => struct(lit(c).as("cn"), strHashCol(c).as("h")))
+        val melted = df.select(explode(array(entries: _*)).as("e"))
+          .select(col("e.cn").as("cn"), col("e.h").as("h"))
+          .filter(col("h").isNotNull)
+          .distinct()
+        val w = Window.partitionBy(col("cn")).orderBy(col("h").asc)
+        val sk = melted.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .groupBy(col("cn"))
+          .agg(count(lit(1)).as("sk_n"),
+            max(when(col("rk") === k, col("h"))).as("kth"))
+          .select(col("cn"),
+            floor(when(col("kth").isNull, col("sk_n").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(HashP.toDouble)
+                / col("kth").cast("double"))).cast("long").as("nd"))
+        // a column with zero non-null rows has no sketch row at all —
+        // coalesce to 0 so the schema matches exact mode's count_distinct
+        val pivoted = sk.groupBy()
+          .pivot(col("cn"), (num ++ str)).agg(first(col("nd")))
+          .select((num ++ str).map(c =>
+            coalesce(col(s"`$c`"), lit(0L)).as(s"d_$c")): _*)
+        row.crossJoin(broadcast(pivoted))
+    }
     val entries =
       num.map(c => struct(lit(table).as("table_name"), lit(c).as("col_name"),
         col("n").as("n_rows"), (col("n") - col(s"c_$c")).as("n_null"),
@@ -204,23 +289,60 @@ object MiscQueries {
         lit(null).cast("double").as("min_num"),
         lit(null).cast("double").as("max_num"),
         col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str")))
-    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
+
+  private def profileFrames(s: org.apache.spark.sql.SparkSession, d: String)
+      : Map[String, org.apache.spark.sql.DataFrame] = Map(
+    "documents" -> documents(s, d),
+    "events" -> events(s, d),
+    "orders" -> orders(s, d)
+      .withColumn("o_orderdate_us", tsUs(col("o_orderdate"))))
 
   /** EXT — data profiling: per-column n_rows / n_null / n_distinct /
     * min / max across the three live tables — the first thing a
     * pipeline owner runs on a new 100 TB drop (schema sanity, null
     * regressions, cardinality drift). One scan + one aggregate per
     * table, three tables unioned.
+    *
+    * Per-table mode gate: a table past [[ProfileExactMax]] rows swaps
+    * exact `count_distinct` for the KMV sketch (memoized
+    * [[graft.Tables.rowCount]] — no scan-per-invocation; the q96 gate
+    * pattern). Test corpora sit under the threshold, so this oracled
+    * query always runs exact; [[q124ProfileSketch]] oracles the sketch
+    * branch itself.
     */
   val q109Profile: Q = (s, d) => {
-    val frames = Map(
-      "documents" -> documents(s, d),
-      "events" -> events(s, d),
-      "orders" -> orders(s, d)
-        .withColumn("o_orderdate_us", tsUs(col("o_orderdate"))))
-    ProfileCols.map { case (t, num, str) => profileTable(frames(t), t, num, str) }
-      .reduce(_.union(_))
+    val frames = profileFrames(s, d)
+    ProfileCols.map { case (t, num, str) =>
+      val k = if (graft.Tables.rowCount(s, d, t) <= ProfileExactMax) None
+              else Some(ProfileKmvK)
+      profileTable(frames(t), t, num, str, k)
+    }.reduce(_.union(_))
+      .orderBy(col("table_name"), col("col_name"))
+  }
+
+  /** EXT — the profile's at-scale mode, gate FORCED: n_distinct comes
+    * from the per-column KMV sketch (⌊(k−1)·P/h₍ₖ₎⌋ over the
+    * [[numHashCol]]/[[strHashCol]] value hashes, exact when a column
+    * has fewer than k distinct hashes — most profiled columns here, so
+    * both estimate branches are live at sf0.01: doc_id/event_id/text
+    * fill the sketch, lang/source/o_orderstatus don't). Everything
+    * else (n_rows, n_null, min/max) is identical to q109. The oracle
+    * replays the sketch hash-for-hash, so the at-scale swap q109's
+    * gate selects is itself machine-checked — a tested code path, not
+    * a doc promise.
+    *
+    * Scale shape: the stats agg is pure map-side partial (the Expand
+    * that exact multi-distinct needs is gone); the melt shuffles only
+    * per-column distinct hashes, min-k pre-truncates map-side via
+    * WindowGroupLimit (the distributed KMV union law, as q83).
+    */
+  val q124ProfileSketch: Q = (s, d) => {
+    val frames = profileFrames(s, d)
+    ProfileCols.map { case (t, num, str) =>
+      profileTable(frames(t), t, num, str, Some(ProfileKmvK))
+    }.reduce(_.union(_))
       .orderBy(col("table_name"), col("col_name"))
   }
 
@@ -235,17 +357,22 @@ object MiscQueries {
     "q46_intersect_all" -> q46IntersectAll,
     "q102_unpivot"     -> q102Unpivot,
     "q109_profile"     -> q109Profile,
+    "q124_profile_sketch" -> q124ProfileSketch,
   )
+
+  /** DuckDB-side table projections shared by the q109 and q124 oracles
+    * (timestamps → epoch micros, matching [[profileFrames]]). */
+  private val ProfileProjections = Map(
+    "orders" -> "(SELECT *, epoch_us(o_orderdate) AS o_orderdate_us FROM orders)",
+    "events" -> "(SELECT *, epoch_us(ts) AS ts_us FROM events)",
+    "documents" -> "documents")
 
   /** q109's oracle: one SELECT per profiled column generated from
     * [[ProfileCols]], UNION ALLed — same projections (timestamps →
     * epoch micros), same stats, same types.
     */
   private def q109OracleSql: String = {
-    val projections = Map(
-      "orders" -> "(SELECT *, epoch_us(o_orderdate) AS o_orderdate_us FROM orders)",
-      "events" -> "(SELECT *, epoch_us(ts) AS ts_us FROM events)",
-      "documents" -> "documents")
+    val projections = ProfileProjections
     val rows = ProfileCols.flatMap { case (t, num, str) =>
       num.map(c =>
         s"""SELECT '$t' AS table_name, '$c' AS col_name,
@@ -267,8 +394,65 @@ object MiscQueries {
     rows.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, col_name")
   }
 
+  /** DuckDB mirror of [[numHashCol]]/[[strHashCol]]: the same LCG /
+    * char-fold mod P, hash-for-hash (strings are ASCII here, so
+    * DuckDB's ascii() code points equal PolyHash's bytes — the q61
+    * precedent).
+    */
+  private def hashSqlFor(t: String, c: String, isStr: Boolean): String = {
+    def mix(iv: String) = s"((($iv % $HashP + $HashP) % $HashP) * $HashA + $HashB) % $HashP"
+    if (isStr)
+      mix(s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length($c)), i -> CAST(ascii($c[i]) AS BIGINT))), " +
+        s"(a, x) -> (a * 31 + x) % $HashP)")
+    else {
+      val iv = if (ProfileMoneyCols((t, c))) s"CAST(round($c * 100) AS BIGINT)"
+               else s"CAST($c AS BIGINT)"
+      mix(iv)
+    }
+  }
+
+  /** q124's oracle: q109's per-column stats, but n_distinct is the KMV
+    * estimate replayed hash-for-hash — distinct value hashes, k-th
+    * smallest, ⌊(k−1)·P/h₍ₖ₎⌋ (double division of engine-identical
+    * longs; exact sketch size when unfilled). CAST(… AS DOUBLE)
+    * everywhere a big literal product appears (DuckDB numeric literals
+    * are DECIMAL — the q83 lesson).
+    */
+  private def q124OracleSql: String = {
+    def kmvCell(t: String, c: String, isStr: Boolean): String =
+      s"""(SELECT CAST(floor(CASE WHEN kth IS NULL THEN CAST(sk_n AS DOUBLE)
+         |    ELSE CAST(${ProfileKmvK - 1} AS DOUBLE) * CAST($HashP AS DOUBLE) / CAST(kth AS DOUBLE) END) AS BIGINT)
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS sk_n,
+         |          max(CASE WHEN rk = $ProfileKmvK THEN h END) AS kth
+         |        FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+         |              FROM (SELECT DISTINCT ${hashSqlFor(t, c, isStr)} AS h
+         |                    FROM ${ProfileProjections(t)} WHERE $c IS NOT NULL) dh) rh
+         |        WHERE rk <= $ProfileKmvK) sk)""".stripMargin
+    val rows = ProfileCols.flatMap { case (t, num, str) =>
+      num.map(c =>
+        s"""SELECT '$t' AS table_name, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  ${kmvCell(t, c, isStr = false)} AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM ${ProfileProjections(t)}""".stripMargin) ++
+      str.map(c =>
+        s"""SELECT '$t' AS table_name, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  ${kmvCell(t, c, isStr = true)} AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM ${ProfileProjections(t)}""".stripMargin)
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, col_name")
+  }
+
   val oracles: Map[String, String] = Map(
     "q109_profile" -> q109OracleSql,
+    "q124_profile_sketch" -> q124OracleSql,
     "q48_leadlag_ntile" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, o_totalprice FROM orders)

@@ -150,7 +150,10 @@ object TextQueries {
     * so the oracled query always runs full.
     */
   val q96DedupAudit: Q = (s, d) => {
-    val full = documents(s, d).count() <= AuditSampleThreshold
+    // memoized count (Tables.rowCount): the gate check must not run a
+    // scan-and-count job on every query construction — Bench's timed
+    // window (and the >3 s rerun) was paying it per invocation
+    val full = graft.Tables.rowCount(s, d, "documents") <= AuditSampleThreshold
     dedupAuditCore(s, d, if (full) None else Some(AuditSampleBound))
   }
 

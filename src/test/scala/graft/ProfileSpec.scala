@@ -37,6 +37,54 @@ class ProfileSpec extends AnyFunSuite {
       sRow.getString(7) == "a" && sRow.getString(8) == "b")
   }
 
+  test("sketch mode: unfilled sketch is exact; all-null column reads 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b"), None: Option[String]),
+      (None: Option[Long], Some("a"), None: Option[String]),
+      (Some(3L), None: Option[String], None: Option[String]),
+      (Some(7L), Some("a"), None: Option[String])
+    ).toDF("x", "s", "z")
+    val exact = graft.queries.MiscQueries.profileTable(df, "syn", Seq("x"), Seq("s", "z"))
+      .orderBy("col_name").collect()
+    val sk = graft.queries.MiscQueries.profileTable(df, "syn", Seq("x"), Seq("s", "z"),
+        sketchK = Some(graft.queries.MiscQueries.ProfileKmvK))
+      .orderBy("col_name").collect()
+    // distinct counts per column are far below k, so the sketch never
+    // fills and its size IS the exact count — including the all-null
+    // column, whose missing sketch row must coalesce to 0, not null
+    assert(sk.map(r => (r.getString(1), r.getLong(4))).toSeq ==
+      exact.map(r => (r.getString(1), r.getLong(4))).toSeq)
+    assert(sk.find(_.getString(1) == "z").get.getLong(4) == 0L)
+    // every non-distinct stat matches exact mode bit-for-bit
+    assert(sk.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      exact.map(r => (r.getLong(2), r.getLong(3))).toSeq)
+  }
+
+  test("q124 forced sketch: both estimate branches live; error bounded") {
+    val d = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q109_profile")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val sk = SparkEntry.queries("q124_profile_sketch")(spark, d).collect()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val k = graft.queries.MiscQueries.ProfileKmvK
+    val (filled, unfilled) = sk.partition(r => exact((r.getString(0), r.getString(1))) >= k)
+    // non-vacuity of BOTH branches at sf0.001: event_id/ts_us/doc_id fill
+    // the 64-sketch, lang/source/o_orderstatus don't
+    assert(filled.nonEmpty && unfilled.nonEmpty)
+    unfilled.foreach { r =>
+      assert(r.getLong(4) == exact((r.getString(0), r.getString(1))),
+        s"unfilled sketch must be exact at ${r.getString(1)}")
+    }
+    filled.foreach { r =>
+      val e = exact((r.getString(0), r.getString(1))).toDouble
+      val got = r.getLong(4).toDouble
+      assert(math.abs(got - e) / e <= 0.5,
+        s"KMV estimate off by >50% at ${r.getString(1)}: $got vs $e")
+    }
+  }
+
   test("q109 covers every declared column once; corpus nulls stay zero") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q109_profile")(spark, d).collect()
