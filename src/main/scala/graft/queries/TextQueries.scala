@@ -1737,6 +1737,69 @@ object TextQueries {
       .orderBy(col("cell"))
   }
 
+  /** Out-degree and iteration count for [[q126KnnCentrality]]. */
+  private[graft] val KnnGK = 5
+  private[graft] val PrIters = 3
+  private[graft] val PrScale = 1000000L
+
+  /** EXT — graph centrality (integer PageRank) over the within-cell
+    * k-NN graph: each vector's [[KnnGK]] nearest same-IVF-cell
+    * neighbors by cosine form a directed edge list, and [[PrIters]]
+    * damped PageRank iterations score hubness — the coreset-selection /
+    * redundancy signal (a high-centrality vector sits in a dense
+    * semantic neighborhood; data-pruning pipelines drop from dense
+    * regions first). In-degrees genuinely vary here (measured at
+    * sf0.01: indeg 0..22 over 500 nodes, 463 distinct final ranks
+    * spanning 150000..3880463 — a 26× hubness spread), so the ranking
+    * is non-vacuous despite the isotropic embedding spectrum (which
+    * only rules out PCA-style ops).
+    *
+    * Everything is integer: ranks start at [[PrScale]], each iteration
+    * is r' = 0.15·scale + ⌊85·Σ ⌊r_u/outdeg_u⌋⌋/100⌋ in longs —
+    * identical DIV truncation both engines (invariant 7: the oracle
+    * unrolls the same three iterations CTE-for-CTE on the shared
+    * trained-IVF prefix). Singleton-cell vectors have no out-edges and
+    * their mass leaks (documented classic dangling-node behavior,
+    * deterministic in both engines; at sf0.01 every cell has ≥2
+    * members, so the branch is structural only). Cosine enters only
+    * through the neighbor RANKING (the q125 rule).
+    *
+    * Scale shape: the graph build is q76's within-cell equi-join
+    * (cells bound the quadratic term: Σ|cell|², never n²) with a
+    * WindowGroupLimit top-k per source; each iteration is one
+    * edge-grained join + hash agg on 5n rows and a node-grained left
+    * join — shuffle keys are vec ids, partial aggs map-side, and the
+    * per-round localCheckpoint keeps lineage flat (round-3 rule).
+    */
+  val q126KnnCentrality: Q = (s, d) => {
+    import graft.ops.TowerMemo
+    val asg = TowerMemo.assigned(s, d)
+    val a = asg.select(col("cell"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cell"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val we = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val edges = tracked(a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (graft.functions.DotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= KnnGK)
+      .select(col("src"), col("dst")))
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+    val nodes = asg.select(col("vec_id").as("id"), col("cell"))
+    val r = graft.ops.Graph.pageRankInt(nodes, edges, PrIters, PrScale, tracked)
+    nodes.join(r, Seq("id"))
+      .join(odeg, col("id") === col("src"), "left").drop("src")
+      .join(indeg, col("id") === col("dst"), "left").drop("dst")
+      .select(col("id").as("vec_id"), col("cell"),
+        coalesce(col("odeg"), lit(0L)).as("odeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"),
+        col("r").as("pr"))
+      .orderBy(col("vec_id"))
+  }
+
   /** EXT — first-occurrence novelty scoring (incremental-contribution
     * curation): per doc, the share of its distinct trigrams that are
     * NEW to the corpus when the doc arrives in crawl order (doc_id) —
@@ -2108,6 +2171,7 @@ object TextQueries {
     "q114_effective_size" -> q114EffectiveSize,
     "q115_filtered_ann" -> q115FilteredAnn,
     "q118_cell_purity" -> q118CellPurity,
+    "q126_knn_centrality" -> q126KnnCentrality,
     "q120_gram_novelty" -> q120GramNovelty,
     "q121_bbit_minhash" -> q121BbitMinhash,
     "q122_exact_substr" -> q122ExactSubstr,
@@ -2727,6 +2791,49 @@ object TextQueries {
     sb.toString
   }
 
+  /** q126's oracle: the shared trained-IVF prefix, the within-cell
+    * top-[[KnnGK]] neighbor edges, then [[PrIters]] PageRank
+    * iterations unrolled CTE-for-CTE — the same integer DIV damping
+    * both engines (sum(BIGINT) is HUGEINT in DuckDB — cast before the
+    * 85· product).
+    */
+  private def q126OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainAssignCtes()
+    sb ++= s"""av AS (SELECT af.vec_id, af.cell, en.v, en.nrm
+      |  FROM af JOIN en ON af.vec_id = en.vec_id),
+      |sc126 AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |ed AS (SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      |    FROM sc126) WHERE rk <= $KnnGK),
+      |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY src),
+      |idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM ed GROUP BY dst),
+      |pr0 AS (SELECT vec_id AS id, CAST($PrScale AS BIGINT) AS r FROM af),
+      |""".stripMargin
+    for (t <- 1 to PrIters) {
+      sb ++= s"""ct$t AS (
+        |  SELECT e.dst, CAST(sum(r.r // o.odeg) AS BIGINT) AS s
+        |  FROM ed e JOIN od o ON e.src = o.src JOIN pr${t - 1} r ON e.src = r.id
+        |  GROUP BY e.dst),
+        |pr$t AS (
+        |  SELECT n.id, ${15L * PrScale / 100} + (85 * COALESCE(c.s, 0)) // 100 AS r
+        |  FROM pr0 n LEFT JOIN ct$t c ON n.id = c.dst),
+        |""".stripMargin
+    }
+    sb ++= s"""fin AS (
+      |  SELECT af.vec_id, af.cell, COALESCE(od.odeg, 0) AS odeg,
+      |    COALESCE(idg.indeg, 0) AS indeg, pr$PrIters.r AS pr
+      |  FROM af JOIN pr$PrIters ON af.vec_id = pr$PrIters.id
+      |  LEFT JOIN od ON af.vec_id = od.src
+      |  LEFT JOIN idg ON af.vec_id = idg.dst)
+      |SELECT vec_id, cell, odeg, indeg, CAST(pr AS BIGINT) AS pr
+      |FROM fin ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   /** q76's oracle: the shared training/assignment prefix, then the
     * within-cell smaller-id best neighbor (row_number mirror of the
     * Spark max-struct argmax) and the θ dup verdict.
@@ -3253,6 +3360,7 @@ object TextQueries {
     "q114_effective_size" -> q114OracleSql,
     "q115_filtered_ann" -> q115OracleSql,
     "q118_cell_purity" -> q118OracleSql,
+    "q126_knn_centrality" -> q126OracleSql,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
