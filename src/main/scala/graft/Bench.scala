@@ -51,12 +51,27 @@ object Bench {
     // would erase the training cost from the total via min() — charging
     // the build explicitly keeps the artifact's total equal to what a
     // fresh session actually costs.
-    val tmem0 = System.nanoTime()
-    try { graft.ops.TowerMemo.ivfadcShortlist(spark, sfDir).count() } catch {
-      case e: Throwable => System.err.println(s"[bench] tower memo build FAILED: ${e.getMessage}")
+    def timeMemoBuild(name: String)(build: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try build catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
     }
-    val towerSecs = (System.nanoTime() - tmem0) / 1e9
-    val results = Map("tower_memo_build" -> towerSecs) ++
+    val memoLines = Seq(
+      // q42/q76/q82/q91/q93/q115/q118's shared full-corpus towers
+      timeMemoBuild("tower_memo_build") {
+        graft.ops.TowerMemo.ivfadcShortlist(spark, sfDir).count()
+      },
+      // q92's frozen-generation towers (old-only cut — same memo class)
+      timeMemoBuild("tower_memo_build_old") {
+        graft.ops.TowerMemo.oldIvfadcShortlist(spark, sfDir).count()
+      },
+      // q56/q79/q108/q114 + q57's shared near-dup CC labeling
+      timeMemoBuild("cc_memo_build") {
+        graft.queries.TextQueries.dupLabels(spark, sfDir).count()
+      })
+    val results = memoLines.toMap ++
       SparkEntry.queries.map { case (name, fn) =>
         val first = timeOnce(name, fn)
         val best = if (first > RerunThresholdSec) math.min(first, timeOnce(name, fn)) else first

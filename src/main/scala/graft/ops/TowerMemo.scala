@@ -49,6 +49,20 @@ object TowerMemo {
     * build inserts other keys mid-evaluation).
     */
   private def get(s: SparkSession, d: String, what: String)(build: => DataFrame): DataFrame =
+    memoize(s, d, what)(build)
+
+  /** The generic get-or-build, open to other deterministic in-plan
+    * derivations in the repo (the CC labels under q56/q79/q108/q114 use
+    * it via [[graft.queries.TextQueries.dupLabels]]).
+    * `checkpoint = false` stores the built frame as-is — for builders
+    * whose result already reads only checkpointed state (re-checkpointing
+    * would copy the data a second time); such builders must ensure the
+    * returned plan does NOT reference frames they unpersist on the way
+    * out.
+    */
+  private[graft] def memoize(
+      s: SparkSession, d: String, what: String, checkpoint: Boolean = true)(
+      build: => DataFrame): DataFrame =
     this.synchronized {
       val perSession = {
         val e = memo.get(s)
@@ -62,7 +76,8 @@ object TowerMemo {
       perSession.get(k) match {
         case Some(df) => df
         case None =>
-          val df = build.localCheckpoint(true)
+          val built = build
+          val df = if (checkpoint) built.localCheckpoint(true) else built
           perSession.put(k, df); df
       }
     }
@@ -105,6 +120,53 @@ object TowerMemo {
       val dts = Pq.queryResidualTables(probes5(s, d), cent(s, d), residualCodebooks(s, d))
       Pq.ivfAdcShortlist(residualCodes(s, d),
         assigned(s, d).select(col("vec_id"), col("cell")), dts)
+    }
+
+  // ---- q92's frozen-generation towers -------------------------------
+  // The index-append query trains BOTH quantizers on the first ⌊4n/5⌋
+  // vectors only (the frozen index generation) — a cut that is
+  // deterministic per sfDir, so the old-only tower memoizes exactly
+  // like the full-corpus one. Unlike the main chain, the intermediates
+  // (old-assignment, old-residuals, old-codes) have exactly ONE
+  // consumer — q92's shortlist — so they are NOT memoized per stage
+  // (eager per-stage checkpoints would materialize frames nothing
+  // reuses; measured +2.5 s over the fused build): the whole pipeline
+  // runs fused once and only the final shortlist is kept.
+
+  /** The ⌊4n/5⌋ generation cut as a 1-row frame (integer-exact both
+    * engines — the q92 oracle replays it as `count(*) * 4 // 5`).
+    */
+  def oldCut(s: SparkSession, d: String): DataFrame =
+    get(s, d, "old_cut")(prep(s, d).agg(expr("count(1) * 4 div 5").as("cut")))
+
+  /** IVFADC shortlist for the standard 5-query probe set through the
+    * frozen-generation towers (the shared tail of q92): one fused
+    * build — multi-consumer frames persist locally for the build and
+    * drain before return (the dupLabels pattern; the trainers'
+    * per-iteration checkpoints truncate lineage), then the shortlist
+    * checkpoints eagerly inside the build and is stored as-is.
+    */
+  def oldIvfadcShortlist(s: SparkSession, d: String): DataFrame =
+    memoize(s, d, "old_adcsl", checkpoint = false) {
+      val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def hold(df: DataFrame): DataFrame = { locals += df.persist(); df }
+      val emb = prep(s, d)
+      def oldOnly(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(oldCut(s, d)))
+          .filter(col("vec_id") < col("cut")).drop("cut")
+      val cent = Ivf.trainCells(hold(oldOnly(emb)), hold)
+      val assigned = hold(Ivf.assignAll(emb, cent))
+      val rsub = hold(Pq.subvectors(Pq.residuals(assigned, cent)))
+      val cb = Pq.trainCodebooks(oldOnly(rsub), hold)
+      val codes = Pq.encode(rsub, cb)
+      val probes = Ivf.probeCells(
+        emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+      val dts = Pq.queryResidualTables(probes, cent, cb)
+      val sl = Pq.ivfAdcShortlist(codes,
+        assigned.select(col("vec_id"), col("cell")), dts)
+        .localCheckpoint(true)
+      locals.foreach(_.unpersist(false))
+      sl
     }
 
   /** Drop all references (blocks freed by the ContextCleaner once

@@ -63,8 +63,8 @@ object PipelineQueries {
     */
   private[queries] def stageFlags(s: SparkSession, d: String): DataFrame = {
     // stage 1: connected components over the verified near-dup pairs
-    val pairs = tracked(TextQueries.simhash64Pairs(s, d).select(col("da"), col("db")))
-    val lbl = graft.ops.Dedup.fromPairs(pairs, track = tracked)
+    // (the session-memoized labeling — see TextQueries.dupLabels)
+    val lbl = TextQueries.dupLabels(s, d)
     // stage 3: contamination fraction of each non-eval doc's distinct
     // trigrams vs the eval split's trigram set (q53 inverted)
     val hs = tracked(documents(s, d)
@@ -1067,11 +1067,16 @@ object PipelineQueries {
     def binLo(b: String) = expr(
       s"shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)" +
         s" + (($b % $HdrSub) * shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)) DIV $HdrSub")
+    // report each quantile's full bin bracket [lo, hi): hi is the next
+    // bin's lower bound, so the sketch's ≤1/HdrSub relative-error
+    // contract is visible in the output itself (hi/lo ≤ 1 + 1/HdrSub)
     cum.groupBy(col("grp"))
       .agg(max(col("n")).as("n"), count(lit(1)).as("n_bins"),
         qbin(50), qbin(90), qbin(99))
       .select(col("grp"), col("n"), col("n_bins"),
-        binLo("b50").as("p50_lo"), binLo("b90").as("p90_lo"), binLo("b99").as("p99_lo"))
+        binLo("b50").as("p50_lo"), binLo("(b50 + 1)").as("p50_hi"),
+        binLo("b90").as("p90_lo"), binLo("(b90 + 1)").as("p90_hi"),
+        binLo("b99").as("p99_lo"), binLo("(b99 + 1)").as("p99_hi"))
       .orderBy(col("grp"))
   }
 
@@ -2105,9 +2110,9 @@ object PipelineQueries {
       |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99
       |  FROM cum119 GROUP BY grp)
       |SELECT grp, n, n_bins,
-      |  ${binLo("b50")} AS p50_lo,
-      |  ${binLo("b90")} AS p90_lo,
-      |  ${binLo("b99")} AS p99_lo
+      |  ${binLo("b50")} AS p50_lo, ${binLo("(b50 + 1)")} AS p50_hi,
+      |  ${binLo("b90")} AS p90_lo, ${binLo("(b90 + 1)")} AS p90_hi,
+      |  ${binLo("b99")} AS p99_lo, ${binLo("(b99 + 1)")} AS p99_hi
       |FROM sel119 ORDER BY grp""".stripMargin
   }
 

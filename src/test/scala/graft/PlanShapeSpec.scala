@@ -19,10 +19,30 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("every registered query plans cartesian-free (wholesale guard)") {
+    // The curated lists below assert STRONGER properties (broadcast
+    // presence, WindowGroupLimit, pruning); this guard makes the
+    // baseline property — no CartesianProduct anywhere — automatic for
+    // every query ever registered, so new queries are born guarded.
+    // 1-row broadcast totals plan as BroadcastNestedLoopJoin (intended);
+    // CartesianProduct is never intended, so no allowlist is needed.
+    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+      assert(!finalPlan(q).contains("CartesianProduct"),
+        s"$q planned a cartesian product")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("banded candidate generation never plans an all-pairs join") {
+    // q56/q79 moved off this list: their final plans now scan the
+    // session CC-label memo (TextQueries.dupLabels), so an assertion on
+    // them would be vacuous for the pair-gen/CC stages — q51 guards the
+    // full simhash64Pairs plan unmemoized, and the roundPlan test below
+    // guards the CC iteration body directly (the q107 lesson)
     for (q <- Seq("q31_neardup_minhash", "q40_embedding_neardup",
         "q51_simhash64", "q53_contamination", "q32_ngram_jaccard",
-        "q56_dup_groups", "q72_incremental_dedup", "q79_best_rep",
+        "q72_incremental_dedup",
         "q81_dup_spans", "q87_fuzzy_decontam", "q101_winnowing",
         "q104_session_overlap", "q105_simjoin")) {
       val p = finalPlan(q)
@@ -240,11 +260,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // state), so they are asserted separately below
     for (q <- Seq("q31_neardup_minhash", "q32_ngram_jaccard", "q39_ann_lsh",
         "q40_embedding_neardup", "q51_simhash64",
-        "q53_contamination", "q56_dup_groups", "q57_corpus_funnel",
+        "q53_contamination", "q57_corpus_funnel",
         "q58_vocab_prune", "q59_bigram_lift",
         "q71_corpus_shuffle", "q72_incremental_dedup", "q73_multimodal_dedup",
         "q74_media_neardup", "q75_mixture_weights",
-        "q77_tfidf_topk", "q78_epoch_draw", "q79_best_rep",
+        "q77_tfidf_topk", "q78_epoch_draw",
+        "q79_best_rep", // the CC labels are memoized but qual is tracked
         "q80_ngram_decontam", "q81_dup_spans",
         "q83_kmv_distinct", "q84_cms_heavy", "q85_percentiles",
         "q86_domain_affinity", "q87_fuzzy_decontam", "q88_bloom_decontam",
@@ -256,10 +277,14 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$q left cached frames behind after releasePersisted()")
     }
-    // memoized ANN queries: no per-call persists to leak, and the memo
-    // must NOT occupy the CacheManager (it would be wiped by the
-    // clearCache() Bench/Verify run between queries)
-    for (q <- Seq("q42_ann_ivf", "q76_semantic_dedup", "q82_balanced_sample")) {
+    // memoized queries (ANN towers, CC labels, old-generation towers):
+    // no per-call persists to leak, and the memo must NOT occupy the
+    // CacheManager (it would be wiped by the clearCache() Bench/Verify
+    // run between queries) — the CC memo's build-time persists must
+    // also drain themselves
+    for (q <- Seq("q42_ann_ivf", "q76_semantic_dedup", "q82_balanced_sample",
+        "q56_dup_groups", "q92_index_append", "q108_group_split",
+        "q114_effective_size")) {
       SparkEntry.queries(q)(spark, d).count()
       graft.queries.releasePersisted()
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -24,9 +24,17 @@ class QuantileSketchSpec extends AnyFunSuite {
   private val Sub = PipelineQueries.HdrSub
 
   test("q119 quantile bounds sandwich the exact rank values within 1/(2 sub)") {
-    val out = SparkEntry.queries("q119_hdr_quantile")(spark, d)
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val full = SparkEntry.queries("q119_hdr_quantile")(spark, d).collect()
+    val out = full.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(3), r.getLong(5), r.getLong(7)))
+    // the reported [lo, hi) bracket IS the error contract: hi is the
+    // next bin's lower bound, so hi − lo ≤ lo/Sub for every quantile
+    for (r <- full; (loIx, hiIx) <- Seq((3, 4), (5, 6), (7, 8))) {
+      val (lo, hi) = (r.getLong(loIx), r.getLong(hiIx))
+      assert(hi > lo, s"${r.getString(0)}: bracket [$lo, $hi) is empty")
+      assert(hi - lo <= lo / Sub + 1,
+        s"${r.getString(0)}: bracket [$lo, $hi) wider than the 1/$Sub contract")
+    }
     queries.releasePersisted()
     spark.catalog.clearCache()
 
@@ -112,7 +120,7 @@ class QuantileSketchSpec extends AnyFunSuite {
       val finalState = spark.table("hdr_stream")
         .as[(String, Seq[(Int, Long)])].collect().toMap
       val viaQ119 = SparkEntry.queries("q119_hdr_quantile")(spark, d)
-        .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(5), r.getLong(7))).toMap
       queries.releasePersisted()
       spark.catalog.clearCache()
       for ((grp, (p50, p90, p99)) <- viaQ119) {
