@@ -1042,6 +1042,60 @@ object PipelineQueries {
     * ~[[HdrSub]]·log₂(max) sketch rows per group, never the data. The
     * sketch state is O(bins) longs regardless of row count.
     */
+  /** Shard count for [[q130ShardBalance]]. */
+  val BalanceShards = 8
+
+  /** EXT — size-balanced shard assignment: distribute documents over
+    * [[BalanceShards]] training shards so per-shard TOKEN mass (not
+    * doc count) equalizes — the layout step before q71's shard
+    * shuffle, because a mod-W doc split leaves the token imbalance
+    * that stalls synchronous data-parallel training on the fattest
+    * shard. Deterministic serpentine (boustrophedon) assignment:
+    * docs rank by (nt desc, doc_id) and walk shards 0..W−1, W−1..0,
+    * … — the closed-form cousin of LPT greedy packing (no iteration,
+    * pure integer rank math), which pairs long docs with short ones
+    * in every 2W stripe. Output reports both assignments' masses and
+    * their balance ratios (shard·W/total) — naive mod-W rides along
+    * so the improvement is visible in the row.
+    *
+    * Scale shape: the global size rank uses NO global window (the
+    * q113 histogram idiom): per-value offsets come from a cum window
+    * over the tiny value histogram, the within-value rank is
+    * partition-parallel, and everything else is hash aggs. The one
+    * double division per output row divides identical longs.
+    */
+  val q130ShardBalance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val W = BalanceShards
+    val nt = tracked(documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt")))
+    val h = nt.groupBy(col("nt")).agg(count(lit(1)).as("c"))
+    // tiny histogram window (distinct values only — no RANGE-peer
+    // divergence between engines)
+    val wcum = Window.orderBy(col("nt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = h.withColumn("cumhi", sum(col("c")).over(wcum))
+      .select(col("nt"), (col("cumhi") - col("c")).as("off"))
+    val win = Window.partitionBy(col("nt")).orderBy(col("doc_id"))
+    // two aggregate branches read the ranked frame (invariant 6)
+    val snake = tracked(nt.join(broadcast(off), Seq("nt"))
+      .withColumn("r", col("off") + row_number().over(win))
+      .withColumn("pos", pmod(col("r") - 1, lit(2L * W)))
+      .withColumn("shard",
+        when(col("pos") < W, col("pos")).otherwise(lit(2L * W - 1) - col("pos")))
+      .withColumn("naive_shard", pmod(col("doc_id"), lit(W.toLong))))
+    val per = snake.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+    val naive = snake.groupBy(col("naive_shard").as("shard"))
+      .agg(sum(col("nt")).as("tokens_naive"))
+    per.join(naive, Seq("shard"))
+      .crossJoin(broadcast(nt.agg(sum(col("nt")).as("t_total"))))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("tokens_naive"),
+        (col("tokens").cast("double") * W / col("t_total")).as("balance"),
+        (col("tokens_naive").cast("double") * W / col("t_total")).as("balance_naive"))
+      .orderBy(col("shard"))
+  }
+
   val q119HdrQuantile: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val binned = orders(s, d)
@@ -1593,6 +1647,7 @@ object PipelineQueries {
     "q111_incremental_merge" -> q111IncrementalMerge,
     "q113_quantile_norm" -> q113QuantileNorm,
     "q119_hdr_quantile" -> q119HdrQuantile,
+    "q130_shard_balance" -> q130ShardBalance,
     "q116_drift_ks" -> q116DriftKs,
     "q84_cms_heavy" -> q84CmsHeavy,
     "q86_domain_affinity" -> q86DomainAffinity,
@@ -1758,6 +1813,36 @@ object PipelineQueries {
     "q83_kmv_distinct" -> q83OracleSql,
     "q111_incremental_merge" -> q111OracleSql,
     "q119_hdr_quantile" -> q119OracleSql,
+    "q130_shard_balance" ->
+      """WITH nt130 AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |h130 AS (SELECT nt, CAST(count(*) AS BIGINT) AS c FROM nt130 GROUP BY nt),
+        |off130 AS (
+        |  SELECT nt, CAST(sum(c) OVER (ORDER BY nt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS off
+        |  FROM h130),
+        |rk130 AS (
+        |  SELECT n.doc_id, n.nt,
+        |    o.off + row_number() OVER (PARTITION BY n.nt ORDER BY n.doc_id) AS r
+        |  FROM nt130 n JOIN off130 o USING (nt)),
+        |sn130 AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN (r - 1) % 16 < 8 THEN (r - 1) % 16 ELSE 15 - (r - 1) % 16 END AS shard,
+        |    doc_id % 8 AS naive_shard
+        |  FROM rk130),
+        |p130 AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS tokens
+        |  FROM sn130 GROUP BY shard),
+        |nv130 AS (
+        |  SELECT naive_shard AS shard, CAST(sum(nt) AS BIGINT) AS tokens_naive
+        |  FROM sn130 GROUP BY naive_shard),
+        |t130 AS (SELECT CAST(sum(nt) AS BIGINT) AS t_total FROM nt130)
+        |SELECT p.shard, p.n_docs, p.tokens, nv.tokens_naive,
+        |  CAST(p.tokens AS DOUBLE) * 8 / t_total AS balance,
+        |  CAST(nv.tokens_naive AS DOUBLE) * 8 / t_total AS balance_naive
+        |FROM p130 p JOIN nv130 nv USING (shard), t130
+        |ORDER BY p.shard""".stripMargin,
     "q116_drift_ks" ->
       """WITH nt116 AS (
         |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v

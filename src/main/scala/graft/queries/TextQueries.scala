@@ -1826,13 +1826,19 @@ object TextQueries {
     * residual geometry) — per-DIMENSION affine int8 codes,
     * `c = min(⌊(x − min_d)·255/(max_d − min_d)⌋, 255)` from the
     * corpus per-dim min/max, 4× smaller than float32 with no
-    * training. Retrieval ranks by the pure-INTEGER code dot product
-    * Σ c_q·c_v (order-independent long sums — no float reduction
-    * anywhere in the approximate path), and each returned row carries
-    * `in_exact_topk` — membership in the exact-cosine top-10 (the q29
-    * ranking) — so quantization loss is measured where it matters, in
-    * the result list (the q93 audit discipline). Constant dims
-    * (max = min) code to 0 both engines.
+    * training. Scoring DEQUANTIZES: x̂_d = mn_d + c_d·(mx_d−mn_d)/255
+    * reconstructs each value from its byte, and the approximate dot is
+    * the fixed-order [[graft.functions.DotFold]] over x̂ — the
+    * reconstruction step real SQ8 implementations run, and measurably
+    * NOT optional: ranking by the raw code dot Σc_q·c_v scores 3/50
+    * against the exact-dot top-10 on this corpus, because the affine
+    * offset turns Σc_q·c_v into k²·dot + 127.5k·Σx_v + const and the
+    * component-sum term swamps the ordering. Each returned row carries
+    * `in_exact_topk` — membership in the exact max-inner-product
+    * top-10 (the metric SQ8 serves) — so quantization loss is measured
+    * where it matters, in the result list (the q93 audit discipline).
+    * Constant dims (max = min) code to 0 and reconstruct to mn both
+    * engines.
     *
     * Scale shape: dim stats are one 64-row aggregate folded into a
     * 1-row broadcast; coding is a per-row projection; scoring is the
@@ -1856,31 +1862,90 @@ object TextQueries {
       .select(col("vec_id"), expr(
         "transform(sequence(0, size(embedding) - 1), i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT) ELSE " +
           "least(CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), CAST(255 AS BIGINT)) END)")
-        .as("c")))
+        .as("c"), col("mns"), col("mxs"))
+      // dequantized reconstruction — what an SQ8 scan scores against
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, size(c) - 1), i -> mns[i] + (CAST(c[i] AS DOUBLE) * (mxs[i] - mns[i])) / 255.0)")
+        .as("xh")))
     val qcodes = codes.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("c").as("qc"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("iscore").desc, col("vec_id"))
+      .select(col("vec_id").as("query_id"), col("xh").as("qxh"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("adot").desc, col("vec_id"))
     val approx = codes.crossJoin(broadcast(qcodes))
       .filter(col("vec_id") =!= col("query_id"))
-      // ≤ 64·255² < 2²² per element — the long sum can never overflow
-      .withColumn("iscore", expr(
-        "aggregate(zip_with(c, qc, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("adot", DotFold(col("qxh"), col("xh")))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= 10)
-    // exact cosine top-10 (the q29 plan) — the audit truth
-    val embN = tracked(emb.withColumn("nrm", sqrt(DotFold(col("embedding"), col("embedding")))))
-    val qex = embN.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
-    val wx = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    val exact = embN.crossJoin(broadcast(qex))
+    // exact max-inner-product top-10 — the audit truth (same metric
+    // the codes approximate)
+    val qex = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wx = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    val exact = emb.crossJoin(broadcast(qex))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("dot", DotFold(col("qv"), col("embedding")))
       .withColumn("rk", row_number().over(wx))
       .filter(col("rk") <= 10)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     approx.join(exact, Seq("query_id", "vec_id"), "left")
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("vec_id"),
-        col("iscore"), coalesce(col("hit"), lit(0)).cast("int").as("in_exact_topk"))
+        col("adot"), coalesce(col("hit"), lit(0)).cast("int").as("in_exact_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** EXT-3i — multi-probe LSH (Lv, Josephson, Wang, Charikar & Li,
+    * VLDB 2007): the recall/cost knob on the q39 sign-LSH index that
+    * does NOT require more hash tables — each query probes its own
+    * bucket PLUS the [[SrpBandBits]] buckets at Hamming distance 1 in
+    * every band (1-bit key perturbations), trading a bounded candidate
+    * expansion (≤ 9× per band here) for the recall that q39 loses when
+    * a near neighbor straddles one hyperplane. Candidates dedup to
+    * (query, vector) with a `direct` flag (found in the unperturbed
+    * bucket); exact cosine re-ranks, and each top-5 row reports
+    * `via_probe` — found ONLY through a perturbation, the rows that
+    * justify the operator — plus the per-query candidate count
+    * `n_cand` (the cost side of the tradeoff). Perturbation keys stay
+    * integer (xor of the band key with one bit — identical both
+    * engines); cosine follows the fixed q29 fold.
+    *
+    * Scale shape: identical to q39 — the query side (now 9× rows, still
+    * query-sized) broadcasts into the banded corpus join; candidate
+    * count per query is Σ_bands (1 + bits)·n/2^bandBits, tunable by
+    * band width; the n_cand side table is 5 rows.
+    */
+  val q129MultiProbeLsh: Q = (s, d) => {
+    import graft.functions.DotFold
+    val emb = tracked(embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
+    val bands = srpBands(emb, "vec_id")
+    val qb = srpBands(emb.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id"), "query_id")
+    val qprobes = qb.select(col("query_id"), col("band"), col("key").as("qkey"))
+      .select(col("query_id"), col("band"), explode(expr(
+        s"transform(sequence(-1, ${SrpBandBits - 1}), j -> named_struct(" +
+          "'key', CASE WHEN j = -1 THEN CAST(qkey AS BIGINT) " +
+          "ELSE CAST(qkey AS BIGINT) ^ CAST(shiftleft(1, j) AS BIGINT) END, " +
+          "'orig', CASE WHEN j = -1 THEN 1 ELSE 0 END))")).as("p"))
+      .select(col("query_id"), col("band"), col("p.key").as("key"),
+        col("p.orig").as("orig"))
+    val cands = tracked(bands.withColumn("key", col("key").cast("long"))
+      .join(broadcast(qprobes), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("orig")).as("direct")))
+    val ncand = cands.groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands.join(emb, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .join(broadcast(ncand), Seq("query_id"))
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("vec_id"),
+        col("cos"), (lit(1) - col("direct")).cast("int").as("via_probe"),
+        col("n_cand"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2305,6 +2370,7 @@ object TextQueries {
     "q126_knn_centrality" -> q126KnnCentrality,
     "q127_sq8_ann" -> q127Sq8Ann,
     "q128_embedding_outliers" -> q128EmbeddingOutliers,
+    "q129_multiprobe_lsh" -> q129MultiProbeLsh,
     "q120_gram_novelty" -> q120GramNovelty,
     "q121_bbit_minhash" -> q121BbitMinhash,
     "q122_exact_substr" -> q122ExactSubstr,
@@ -3506,31 +3572,33 @@ object TextQueries {
         |      ELSE least(CAST(floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
         |        / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS BIGINT), CAST(255 AS BIGINT)) END AS c
         |  FROM ex127 JOIN ds127 USING (pos)),
-        |qc127 AS (SELECT vec_id AS query_id, pos, c AS qc FROM cd127 WHERE vec_id < 5),
+        |xh127 AS (
+        |  SELECT cd127.vec_id, cd127.pos,
+        |    CAST(mn AS DOUBLE) + (CAST(c AS DOUBLE) * (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) / 255.0 AS xh
+        |  FROM cd127 JOIN ds127 USING (pos)),
+        |xl127 AS (SELECT vec_id, list(xh ORDER BY pos) AS xh FROM xh127 GROUP BY vec_id),
+        |qx127 AS (SELECT vec_id AS query_id, xh AS qxh FROM xl127 WHERE vec_id < 5),
         |sc127 AS (
-        |  SELECT q.query_id, c.vec_id, CAST(sum(q.qc * c.c) AS BIGINT) AS iscore
-        |  FROM qc127 q JOIN cd127 c USING (pos)
-        |  WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
+        |  SELECT q.query_id, x.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(q.qxh)),
+        |      i -> q.qxh[i] * x.xh[i]), (a, b) -> a + b) AS adot
+        |  FROM xl127 x, qx127 q WHERE x.vec_id <> q.query_id),
         |ap127 AS (
-        |  SELECT query_id, vec_id, iscore,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, vec_id) AS rank
+        |  SELECT query_id, vec_id, adot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rank
         |  FROM sc127),
         |nq127 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |exsc127 AS (
         |  SELECT nq127.query_id, e.vec_id,
         |    list_reduce(list_transform(generate_series(1, len(nq127.qv)),
-        |      i -> CAST(nq127.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
-        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(nq127.qv)),
-        |         i -> CAST(nq127.qv[i] AS DOUBLE) * CAST(nq127.qv[i] AS DOUBLE)), (a, b) -> a + b))
-        |     * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
-        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS cos
+        |      i -> CAST(nq127.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b) AS dot
         |  FROM embeddings e, nq127 WHERE e.vec_id <> nq127.query_id),
         |ext127 AS (
         |  SELECT query_id, vec_id FROM (
         |    SELECT query_id, vec_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk
         |    FROM exsc127) WHERE rk <= 10)
-        |SELECT a.query_id, CAST(a.rank AS INT) AS rank, a.vec_id, a.iscore,
+        |SELECT a.query_id, CAST(a.rank AS INT) AS rank, a.vec_id, a.adot,
         |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact_topk
         |FROM ap127 a LEFT JOIN ext127 e
         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
@@ -3568,6 +3636,51 @@ object TextQueries {
         |SELECT vec_id, label, d2, CAST(rk AS INT) AS dist_rank,
         |  CAST(CASE WHEN rk * 20 <= n_lbl THEN 1 ELSE 0 END AS INT) AS is_outlier
         |FROM rk128 ORDER BY vec_id""".stripMargin,
+    "q129_multiprobe_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN ((i-1)*37 + j*101 + (i-1)*j*13) % 97 < 48
+        |           THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END),
+        |      (a, b) -> a + b) AS p
+        |  FROM e, (SELECT unnest(generate_series(0, 31)) AS j)),
+        |bits AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS BIGINT) AS bits
+        |  FROM proj GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, b AS band, (bits // CAST(2 ** (8*b) AS BIGINT)) % 256 AS key
+        |  FROM bits, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |qprobes AS (
+        |  SELECT vec_id AS query_id, band,
+        |    CASE WHEN j = -1 THEN key ELSE xor(key, CAST(2 ** j AS BIGINT)) END AS key,
+        |    CASE WHEN j = -1 THEN 1 ELSE 0 END AS orig
+        |  FROM bands, (SELECT unnest(generate_series(-1, 7)) AS j)
+        |  WHERE vec_id < 5),
+        |cands AS (
+        |  SELECT p.query_id, c.vec_id, max(p.orig) AS direct
+        |  FROM bands c JOIN qprobes p ON c.band = p.band AND c.key = p.key
+        |  WHERE c.vec_id <> p.query_id
+        |  GROUP BY 1, 2),
+        |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand FROM cands GROUP BY query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id, cd.direct,
+        |    list_reduce(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |      / (q.nrm * c.nrm) AS cos
+        |  FROM cands cd JOIN e q ON cd.query_id = q.vec_id JOIN e c ON cd.vec_id = c.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.cos,
+        |  CAST(1 - r.direct AS INT) AS via_probe, nc.n_cand
+        |FROM ranked r JOIN nc ON r.query_id = nc.query_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.query_id, r.rank""".stripMargin,
     "q101_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
         |${gramHashCtes("w", WinnowK, distinct = false)}gr AS (
