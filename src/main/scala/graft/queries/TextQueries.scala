@@ -2140,6 +2140,72 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Minimum verbatim-run length (in 3-gram matches; +2 = tokens) a
+    * span must reach before [[q131DupMaskBudget]] masks it. 8 grams =
+    * 10 tokens — measured to BIND both ways on this corpus: per-pair
+    * longest runs span 3–95 tokens (p10 = 3, median 25–40 at the test
+    * SFs), so short incidental matches stay unmasked while real
+    * verbatim spans don't escape.
+    */
+  val MaskMinGrams = 8
+
+  /** EXT — duplicate-span mask budget (the training-side consumer of
+    * q122): Lee et al. (ACL 2022) recommend not TRAINING on text that
+    * appears verbatim elsewhere — this op turns the per-pair
+    * verbatim-run table into the per-DOCUMENT number a loss-masking
+    * trainer needs: how many of each doc's tokens sit inside some
+    * ≥[[MaskMinGrams]]-gram verbatim run shared with ANY candidate
+    * partner, and the mask fraction. Runs cover token positions
+    * [pa₀, pa₀+rg+1] on the left doc and the diagonal-shifted interval
+    * on the right; per-doc coverage is the UNION of intervals
+    * (overlapping runs from different partners must not double-count —
+    * position-explode + distinct, integer-exact), so the budget is a
+    * true token count, not a sum of span lengths.
+    *
+    * Scale shape: rides q122's banded candidate generation (never
+    * all-pairs); the explode fans out only to matched-run token
+    * positions (bounded by doc length per pair); everything else is
+    * hash aggs and one left join back to the corpus scan.
+    */
+  /** The q131 core, factored over its three inputs so Round8OpsSpec
+    * can drive it with gram STRINGS on a fixture (gram equality is the
+    * verdict — the string model catches hash-collision wrongness the
+    * hash-level oracle can't): `det(da, db)` candidate pairs,
+    * `pos(doc_id, pos, h)` positional grams (arity [[MaskMinGrams]]'s
+    * +2 token convention), `nt(doc_id, n_tokens)`.
+    */
+  private[graft] def maskBudget(det: org.apache.spark.sql.DataFrame,
+      pos: org.apache.spark.sql.DataFrame,
+      nt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = det
+      .join(pos.select(col("doc_id").as("da"), col("pos").as("pa"), col("h")), Seq("da"))
+      .join(pos.select(col("doc_id").as("db"), col("pos").as("pb"), col("h")), Seq("db", "h"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+    // two explode branches read the run table (invariant 6)
+    val rl = tracked(m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("pa0"), count(lit(1)).as("rg"))
+      .filter(col("rg") >= MaskMinGrams))
+    val covA = rl.select(col("da").as("doc_id"),
+      explode(sequence(col("pa0"), col("pa0") + col("rg") + 1)).as("tp"))
+    val covB = rl.select(col("db").as("doc_id"),
+      explode(sequence(col("pa0") - col("diag"),
+        col("pa0") - col("diag") + col("rg") + 1)).as("tp"))
+    val masked = covA.union(covB).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("masked_tokens"))
+    nt.join(masked, Seq("doc_id"), "left")
+      .withColumn("masked_tokens", coalesce(col("masked_tokens"), lit(0L)))
+      .withColumn("mask_frac",
+        col("masked_tokens").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q131DupMaskBudget: Q = (s, d) =>
+    maskBudget(bandCandPairs(minhashSig(s, d)), posGrams(s, d, 3),
+      documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
   /** EXT — dedup-corrected effective corpus size: every doc weighs
     * 1/cluster_size (q56's CC groups), so a family of k near-dups
     * contributes ONE doc's worth of tokens no matter how often it was
@@ -2374,6 +2440,7 @@ object TextQueries {
     "q120_gram_novelty" -> q120GramNovelty,
     "q121_bbit_minhash" -> q121BbitMinhash,
     "q122_exact_substr" -> q122ExactSubstr,
+    "q131_dup_mask_budget" -> q131DupMaskBudget,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -3182,10 +3249,47 @@ object TextQueries {
       |  CAST(max(run_grams) + 2 AS BIGINT) AS max_run_tokens
       |FROM rl122 GROUP BY da, db ORDER BY da, db""".stripMargin
 
+  /** q131's oracle: the q122 run derivation verbatim (same banding,
+    * same diagonal islands), extended with the interval explode +
+    * UNION-dedup coverage — the brute recompute of the mask budget.
+    */
+  private def q131OracleSql: String =
+    minhashCandCtes +
+      s""",
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      gramHashCtes("131", 3, distinct = false) +
+      s"""pg131 AS (SELECT doc_id, unnest(hs) AS g, generate_subscripts(hs, 1) AS pos FROM hs131),
+      |m131 AS (
+      |  SELECT c.da, c.db, a.pos AS pa, b.pos AS pb
+      |  FROM cands c JOIN pg131 a ON a.doc_id = c.da
+      |  JOIN pg131 b ON b.doc_id = c.db AND b.g = a.g),
+      |runs131 AS (
+      |  SELECT da, db, pa - pb AS diag, pa,
+      |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+      |  FROM m131),
+      |rl131 AS (
+      |  SELECT da, db, diag, CAST(min(pa) AS BIGINT) AS pa0,
+      |    CAST(count(*) AS BIGINT) AS rg
+      |  FROM runs131 GROUP BY da, db, diag, grp
+      |  HAVING count(*) >= $MaskMinGrams),
+      |cov131 AS (
+      |  SELECT da AS doc_id, unnest(generate_series(pa0, pa0 + rg + 1)) AS tp FROM rl131
+      |  UNION
+      |  SELECT db AS doc_id, unnest(generate_series(pa0 - diag, pa0 - diag + rg + 1)) AS tp FROM rl131),
+      |mk131 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS masked_tokens FROM cov131 GROUP BY doc_id),
+      |nt131 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+      |SELECT n.doc_id, n.n_tokens,
+      |  CAST(coalesce(m.masked_tokens, 0) AS BIGINT) AS masked_tokens,
+      |  CAST(coalesce(m.masked_tokens, 0) AS DOUBLE) / n.n_tokens AS mask_frac
+      |FROM nt131 n LEFT JOIN mk131 m ON n.doc_id = m.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q120_gram_novelty" -> q120OracleSql,
     "q121_bbit_minhash" -> q121OracleSql,
     "q122_exact_substr" -> q122OracleSql,
+    "q131_dup_mask_budget" -> q131OracleSql,
     "q31_neardup_minhash" -> (minhashCandCtes +
       s""",
         |shared AS (

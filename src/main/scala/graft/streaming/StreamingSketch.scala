@@ -156,4 +156,25 @@ object StreamingSketch {
       .agg(graft.ops.Aggregators.MinK(PipelineQueries.KmvK).toColumn.name("minhashes"))
       .toDF("source", "minhashes")
   }
+
+  /** q128's per-label centroid MOMENTS `(label, S, n)` maintained over
+    * a (streaming or batch) `vecs(label, vq)` frame (vq = the ⌊x·10⁶⌋
+    * long vector) by [[graft.ops.Aggregators.LongVecSum]] — the vector
+    * sums are additive, so per-batch partials merging into the running
+    * state IS the centroid update, and complete-mode output stays
+    * |labels| rows forever. A live outlier monitor reconstructs the
+    * centroid (CAST(S AS DOUBLE)/(10⁶·n)) and scores arrivals against
+    * it with the same fixed-association d² as the batch query;
+    * CentroidSpec proves wave ≡ batch on every prefix.
+    */
+  def centroidState(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col("label"), col("vq"))
+      .as[(Int, Seq[Long])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.ops.Aggregators.LongVecSum.toColumn)
+      .toDF("label", "sn")
+      .select(col("label"), col("sn._1").as("S"), col("sn._2").as("n"))
+  }
 }
