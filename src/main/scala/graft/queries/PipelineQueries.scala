@@ -1045,6 +1045,98 @@ object PipelineQueries {
   /** Shard count for [[q130ShardBalance]]. */
   val BalanceShards = 8
 
+  /** Rows per file for [[q133ZorderLayout]] — small enough that both
+    * test SFs produce a multi-file layout (8 files at sf0.001, 79 at
+    * sf0.01) so the skipping comparison binds.
+    */
+  val ZRowsPerFile = 128
+
+  /** The 16-term Morton interleave of (u, dy) as an expression string;
+    * the `shift` callback renders each engine's right-shift syntax so
+    * the Spark plan and the DuckDB oracle share one term generator.
+    */
+  private def zInterleaveExpr(shift: (String, Int) => String): String =
+    (0 until 8).map { j =>
+      s"(${shift("u", j)} & 1) * ${1L << (2 * j)} + (${shift("dy", j)} & 1) * ${1L << (2 * j + 1)}"
+    }.mkString(" + ")
+
+  /** EXT — Z-order data layout with its skipping audit IN-PLAN: the
+    * lakehouse clustering step (Delta/Iceberg `ZORDER BY`) re-expressed
+    * as a query — events interleave the bits of (user_id mod 256,
+    * day mod 256) into a Morton key, files are [[ZRowsPerFile]]-row
+    * cuts of the Z-sorted order, and each file's per-dimension min/max
+    * (exactly the footer stats an engine prunes on) is reported next
+    * to the naive append-order layout's. The audit is the number every
+    * layout decision hangs on: for every distinct (user, day) cell
+    * present, how many files' stat boxes contain it — summed per
+    * layout, so the Z-order pruning win over append order is one
+    * column comparison. All integer: the interleave is 16 shift-mask
+    * terms (identical both engines), ranks use the q113 histogram
+    * idiom (the Z histogram is bounded by the 2¹⁶ key domain, never
+    * the corpus), and the naive file is `event_id DIV R` (ids are
+    * dense — measured).
+    *
+    * Scale shape: one scan → per-key histogram + partition-parallel
+    * within-key rank; file stats are two hash aggs; the containment
+    * audit joins the cell list against the FILE-count-sized stats
+    * table (broadcast). At 100 TB the same plan writes the layout via
+    * repartitionByRange(z) + sortWithinPartitions.
+    */
+  val q133ZorderLayout: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val R = ZRowsPerFile
+    val zSpark = zInterleaveExpr((c, j) => s"shiftright($c, $j)")
+    val days = events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_us DIV 86400000000").as("day"))
+    // REBASE the day to day − min(day) before taking bits: interleaving
+    // a mod-folded absolute day scatters consecutive days across bit
+    // patterns and widens every file box (measured at sf0.001: 889
+    // files touched folded vs 811 rebased). Note the audit's honest
+    // verdict across SFs: at sf0.001 (1000 rows over a 397-cell grid,
+    // 8 files) Z-order still LOSES to append order (811 vs 472 —
+    // append order is day-contiguous and the grid is too coarse for
+    // interleaving to pay), while at sf0.01 (10k rows, 4006 cells, 79
+    // files) it WINS (11008 vs 14278). That density crossover is
+    // exactly what this op exists to measure before anyone pays for a
+    // re-layout.
+    val d0 = broadcast(days.agg(min(col("day")).as("d0")))
+    val base = tracked(days.crossJoin(d0)
+      .withColumn("u", pmod(col("user_id"), lit(256L)))
+      .withColumn("dy", pmod(col("day") - col("d0"), lit(256L)))
+      .withColumn("z", expr(zSpark))
+      .select(col("event_id"), col("u"), col("dy"), col("z")))
+    val h = base.groupBy(col("z")).agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy(col("z"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = h.withColumn("cum", sum(col("c")).over(wcum))
+      .select(col("z"), (col("cum") - col("c")).as("off"))
+    val wz = Window.partitionBy(col("z")).orderBy(col("event_id"))
+    val assigned = tracked(base.join(broadcast(off), Seq("z"))
+      .withColumn("r", col("off") + row_number().over(wz))
+      .withColumn("file_id", expr(s"(r - 1) DIV $R"))
+      .withColumn("naive_file", expr(s"event_id DIV $R")))
+    def stats(fcol: String, name: String) = assigned
+      .groupBy(col(fcol).as("file_id"))
+      .agg(count(lit(1)).as("n_rows"), min(col("u")).as("min_u"),
+        max(col("u")).as("max_u"), min(col("dy")).as("min_d"),
+        max(col("dy")).as("max_d"))
+      .withColumn("layout", lit(name))
+    val st = tracked(stats("file_id", "zorder").union(stats("naive_file", "naive")))
+    val cells = tracked(base.select(col("u"), col("dy")).distinct())
+    val touched = cells.join(broadcast(st),
+        col("u") >= col("min_u") && col("u") <= col("max_u") &&
+          col("dy") >= col("min_d") && col("dy") <= col("max_d"))
+      .groupBy(col("layout")).agg(count(lit(1)).as("files_touched_total"))
+    val ncells = cells.agg(count(lit(1)).as("n_cells"))
+    st.join(broadcast(touched), Seq("layout"))
+      .crossJoin(broadcast(ncells))
+      .select(col("layout"), col("file_id"), col("n_rows"), col("min_u"),
+        col("max_u"), col("min_d"), col("max_d"), col("n_cells"),
+        col("files_touched_total"))
+      .orderBy(col("layout"), col("file_id"))
+  }
+
   /** EXT — size-balanced shard assignment: distribute documents over
     * [[BalanceShards]] training shards so per-shard TOKEN mass (not
     * doc count) equalizes — the layout step before q71's shard
@@ -1648,6 +1740,7 @@ object PipelineQueries {
     "q113_quantile_norm" -> q113QuantileNorm,
     "q119_hdr_quantile" -> q119HdrQuantile,
     "q130_shard_balance" -> q130ShardBalance,
+    "q133_zorder_layout" -> q133ZorderLayout,
     "q116_drift_ks" -> q116DriftKs,
     "q84_cms_heavy" -> q84CmsHeavy,
     "q86_domain_affinity" -> q86DomainAffinity,
@@ -1813,6 +1906,40 @@ object PipelineQueries {
     "q83_kmv_distinct" -> q83OracleSql,
     "q111_incremental_merge" -> q111OracleSql,
     "q119_hdr_quantile" -> q119OracleSql,
+    "q133_zorder_layout" ->
+      s"""WITH m133 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+        |b133 AS (
+        |  SELECT event_id, user_id % 256 AS u,
+        |    ((epoch_us(ts) // 86400000000) - (SELECT d0 FROM m133)) % 256 AS dy
+        |  FROM events),
+        |z133 AS (SELECT event_id, u, dy,
+        |  ${zInterleaveExpr((c, j) => s"($c >> $j)")} AS z FROM b133),
+        |h133 AS (SELECT z, CAST(count(*) AS BIGINT) AS c FROM z133 GROUP BY z),
+        |o133 AS (SELECT z, CAST(sum(c) OVER (ORDER BY z
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS off FROM h133),
+        |a133 AS (
+        |  SELECT e.event_id, e.u, e.dy,
+        |    (o.off + row_number() OVER (PARTITION BY e.z ORDER BY e.event_id) - 1) // $ZRowsPerFile AS file_id,
+        |    e.event_id // $ZRowsPerFile AS naive_file
+        |  FROM z133 e JOIN o133 o USING (z)),
+        |st133 AS (
+        |  SELECT 'zorder' AS layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(u) AS min_u, max(u) AS max_u, min(dy) AS min_d, max(dy) AS max_d
+        |  FROM a133 GROUP BY file_id
+        |  UNION ALL
+        |  SELECT 'naive', naive_file, CAST(count(*) AS BIGINT), min(u), max(u), min(dy), max(dy)
+        |  FROM a133 GROUP BY naive_file),
+        |cl133 AS (SELECT DISTINCT u, dy FROM b133),
+        |tc133 AS (
+        |  SELECT layout, CAST(count(*) AS BIGINT) AS files_touched_total
+        |  FROM cl133 c JOIN st133 s
+        |    ON c.u >= s.min_u AND c.u <= s.max_u AND c.dy >= s.min_d AND c.dy <= s.max_d
+        |  GROUP BY layout),
+        |nc133 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cl133)
+        |SELECT s.layout, s.file_id, s.n_rows, s.min_u, s.max_u, s.min_d, s.max_d,
+        |  nc133.n_cells, t.files_touched_total
+        |FROM st133 s JOIN tc133 t USING (layout), nc133
+        |ORDER BY s.layout, s.file_id""".stripMargin,
     "q130_shard_balance" ->
       """WITH nt130 AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
