@@ -1791,21 +1791,30 @@ object TextQueries {
     * join — shuffle keys are vec ids, partial aggs map-side, and the
     * per-round localCheckpoint keeps lineage flat (round-3 rule).
     */
-  val q126KnnCentrality: Q = (s, d) => {
-    import graft.ops.TowerMemo
-    val asg = TowerMemo.assigned(s, d)
+  /** Within-cell kNN edge list `(src, dst)` over the trained
+    * assignment — shared by q126 (centrality) and q135 (graph
+    * search). Tracked; callers release as usual.
+    */
+  private def knnEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val asg = graft.ops.TowerMemo.assigned(s, d)
     val a = asg.select(col("cell"), col("vec_id").as("src"),
       col("v").as("va"), col("nrm").as("na"))
     val b = asg.select(col("cell"), col("vec_id").as("dst"),
       col("v").as("vb"), col("nrm").as("nb"))
     val we = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val edges = tracked(a.join(b, Seq("cell"))
+    tracked(a.join(b, Seq("cell"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (graft.functions.DotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= KnnGK)
       .select(col("src"), col("dst")))
+  }
+
+  val q126KnnCentrality: Q = (s, d) => {
+    import graft.ops.TowerMemo
+    val asg = TowerMemo.assigned(s, d)
+    val edges = knnEdges(s, d)
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
     val nodes = asg.select(col("vec_id").as("id"), col("cell"))
@@ -1997,6 +2006,85 @@ object TextQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Beam width and hop count for [[q135GraphAnn]]. */
+  val GsBeam = 8
+  val GsHops = 4
+
+  /** EXT-3j — graph-based ANN (the NSW/HNSW family, Malkov & Yashunin,
+    * TPAMI 2020 — the fourth index family next to hash/q39,
+    * quantization/q42-q91, and scalar/q127): greedy BEAM search over a
+    * two-layer navigable graph — an upper layer of cell
+    * representatives (min vec_id per trained IVF cell, fully
+    * connected: the "hierarchy" that gives long-range hops) over the
+    * q126 within-cell kNN edge list (symmetrized — NSW navigates
+    * undirected). From one deterministic entry point (global min
+    * vec_id) the beam expands neighbors, keeps the [[GsBeam]] best by
+    * exact cosine, and repeats [[GsHops]] hops — a FIXED unroll, so
+    * the DuckDB oracle replays every hop as a CTE (the q107 greedy
+    * discipline); each hop localCheckpoints (per-round lineage,
+    * invariant CC/q42). The final top-5 carries `in_exact_topk` vs
+    * the brute-force cosine ranking — graph recall measured in-plan
+    * (the q93 audit discipline; 21/25 at sf0.001, where beam search
+    * touches ~40 of 500 vectors per query).
+    *
+    * Scale shape: per hop the beam table is |queries|·B rows joining a
+    * degree-bounded edge list (K per vertex + the 16-rep clique) and
+    * re-scoring ≤ |queries|·B·(K+1) candidates against the broadcast
+    * query vectors — corpus-sized work appears ONLY in the one-time
+    * edge derivation (q126's, within-cell banded). The audit's exact
+    * side exists because this IS the audit.
+    */
+  val q135GraphAnn: Q = (s, d) => {
+    import graft.ops.TowerMemo
+    import graft.functions.DotFold
+    val emb = TowerMemo.prep(s, d)
+    val asg = TowerMemo.assigned(s, d)
+    val knn = knnEdges(s, d)
+    val reps = asg.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
+    val repEdges = reps.select(col("rid").as("src"))
+      .crossJoin(broadcast(reps.select(col("rid").as("dst"))))
+      .filter(col("src") =!= col("dst"))
+    val edges = tracked(
+      knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .union(repEdges).distinct())
+    val queries5 = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+    def score(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(queries5, Seq("query_id"))
+      .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val entry = broadcast(emb.agg(min(col("vec_id")).as("vec_id")))
+    var beam = score(queries5.select(col("query_id")).crossJoin(entry))
+      .localCheckpoint(true)
+    val wb = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    for (_ <- 1 to GsHops) {
+      val nbrs = beam.select(col("query_id"), col("vec_id").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+      val cand = beam.select(col("query_id"), col("vec_id")).union(nbrs).distinct()
+      beam = score(cand)
+        .withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= GsBeam)
+        .select(col("query_id"), col("vec_id"), col("cos"))
+        .localCheckpoint(true)
+    }
+    val exact = emb.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(queries5)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    beam.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 5)
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("vec_id"),
+        col("cos"), coalesce(col("hit"), lit(0)).cast("int").as("in_exact_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** EXT — first-occurrence novelty scoring (incremental-contribution
     * curation): per doc, the share of its distinct trigrams that are
     * NEW to the corpus when the doc arrives in crawl order (doc_id) —
@@ -2138,6 +2226,36 @@ object TextQueries {
       .agg(sum(col("run_grams")).as("n_match"), count(lit(1)).as("n_runs"),
         (max(col("run_grams")) + 2).as("max_run_tokens"))
       .orderBy(col("da"), col("db"))
+  }
+
+  /** EXT — duplicate-family size distribution: the one-page "dedup
+    * report" a corpus owner reads before choosing a dedup policy — how
+    * many families of each size exist, how many documents they absorb,
+    * and the share of the corpus in each bucket (keep-one dedup
+    * removes Σ(size−1)·n_clusters docs; the histogram IS that
+    * arithmetic). Rides the session-memoized CC labels
+    * ([[dupLabels]] — marginal cost after the memo build is two tiny
+    * aggregates), so the report is free wherever q56/q79/q108/q114
+    * already ran. Families are ≥2 by construction (every labeled
+    * vertex is a pair endpoint); the size-1 row is corpus − labeled,
+    * computed from 1-row broadcast totals. One double division per
+    * row.
+    */
+  val q134DupSizeHist: Q = (s, d) => {
+    val lbl = dupLabels(s, d)
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
+    val hist = sizes.groupBy(col("csz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csz")).as("n_docs"))
+    val single = documents(s, d).agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(lbl.agg(count(lit(1)).as("nl"))))
+      .select(lit(1L).as("cluster_size"), (col("t") - col("nl")).as("n_clusters"),
+        (col("t") - col("nl")).as("n_docs"))
+    hist.select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+      .union(single)
+      .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("total"))))
+      .withColumn("pct_docs", col("n_docs").cast("double") / col("total"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"), col("pct_docs"))
+      .orderBy(col("cluster_size"))
   }
 
   /** Minimum verbatim-run length (in 3-gram matches; +2 = tokens) a
@@ -2441,6 +2559,8 @@ object TextQueries {
     "q121_bbit_minhash" -> q121BbitMinhash,
     "q122_exact_substr" -> q122ExactSubstr,
     "q131_dup_mask_budget" -> q131DupMaskBudget,
+    "q134_dup_size_hist" -> q134DupSizeHist,
+    "q135_graph_ann" -> q135GraphAnn,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2613,6 +2733,82 @@ object TextQueries {
       |  COALESCE(s.csz, 1) AS cluster_size
       |FROM out o LEFT JOIN sz s ON o.cluster_id = s.cluster_id
       |ORDER BY o.doc_id""".stripMargin
+
+  /** q134's oracle: the q56 recursive-CTE closure plus the size
+    * histogram and the totals-difference singleton row.
+    */
+  private def q134OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtes +
+      """sz134 AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csz FROM cl GROUP BY lbl),
+      |h134 AS (SELECT csz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(csz) AS BIGINT) AS n_docs FROM sz134 GROUP BY csz),
+      |t134 AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+      |l134 AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM cl),
+      |u134 AS (
+      |  SELECT * FROM h134
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), total - nl, total - nl FROM t134, l134)
+      |SELECT cluster_size, n_clusters, n_docs,
+      |  CAST(n_docs AS DOUBLE) / (SELECT total FROM t134) AS pct_docs
+      |FROM u134 ORDER BY cluster_size""".stripMargin
+
+  /** q135's oracle: the shared trained-IVF prefix, the q126 within-cell
+    * edge ranking, the two-layer graph (symmetrized kNN + rep clique),
+    * then every beam hop unrolled as CTEs (the q107 greedy discipline —
+    * candidates = previous beam UNION its out-neighbors, re-scored and
+    * re-topped per hop; re-scoring is free of drift because every cos
+    * is the same fixed fold).
+    */
+  private def q135OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainAssignCtes()
+    sb ++= s"""av AS (SELECT af.vec_id, af.cell, en.v, en.nrm
+      |  FROM af JOIN en ON af.vec_id = en.vec_id),
+      |scknn AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |kd AS (SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      |    FROM scknn) WHERE rk <= $KnnGK),
+      |reps AS (SELECT cell, min(vec_id) AS rid FROM af GROUP BY cell),
+      |ged AS (
+      |  SELECT src, dst FROM kd
+      |  UNION SELECT dst, src FROM kd
+      |  UNION SELECT a.rid, b.rid FROM reps a, reps b WHERE a.rid <> b.rid),
+      |qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 5),
+      |ent AS (SELECT min(vec_id) AS vid FROM en),
+      |b0 AS (
+      |  SELECT q.query_id, e.vec_id, ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) AS cos
+      |  FROM qx q, ent JOIN en e ON e.vec_id = ent.vid),
+      |""".stripMargin
+    for (t <- 1 to GsHops) {
+      sb ++= s"""gc$t AS (
+        |  SELECT query_id, vec_id FROM b${t - 1}
+        |  UNION
+        |  SELECT b.query_id, g.dst FROM b${t - 1} b JOIN ged g ON b.vec_id = g.src),
+        |gs$t AS (
+        |  SELECT c.query_id, c.vec_id, ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) AS cos
+        |  FROM gc$t c JOIN en e ON c.vec_id = e.vec_id JOIN qx q ON c.query_id = q.query_id),
+        |b$t AS (SELECT query_id, vec_id, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |    FROM gs$t) WHERE rk <= $GsBeam),
+        |""".stripMargin
+    }
+    sb ++= s"""ex135 AS (SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) DESC, e.vec_id) AS rk
+      |    FROM en e, qx q WHERE e.vec_id <> q.query_id) WHERE rk <= 5),
+      |fin AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM b$GsHops WHERE vec_id <> query_id)
+      |SELECT f.query_id, CAST(f.rank AS INT) AS rank, f.vec_id, f.cos,
+      |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact_topk
+      |FROM fin f LEFT JOIN ex135 e ON f.query_id = e.query_id AND f.vec_id = e.vec_id
+      |WHERE f.rank <= 5
+      |ORDER BY f.query_id, f.rank""".stripMargin
+    sb.toString
+  }
 
   /** q79's oracle: q56's recursive-CTE closure (a DIFFERENT algorithm
     * than the Spark label propagation — the independence discipline)
@@ -3560,6 +3756,8 @@ object TextQueries {
         |ORDER BY doc_id, rank""".stripMargin,
     "q51_simhash64" -> q51OracleSql,
     "q56_dup_groups" -> q56OracleSql,
+    "q134_dup_size_hist" -> q134OracleSql,
+    "q135_graph_ann" -> q135OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
