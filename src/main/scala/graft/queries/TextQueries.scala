@@ -738,12 +738,19 @@ object TextQueries {
     * checkpoint — `checkpoint = false` stores it without a redundant
     * second copy of the data.
     */
+  /** The verified near-dup pair table `(da, db)`, session-memoized —
+    * consumed by the [[dupLabels]] build (read twice there) and by the
+    * q137 coherence audit.
+    */
+  private[graft] def dupPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.TowerMemo.memoize(s, d, "cc_pairs")(
+      simhash64Pairs(s, d).select(col("da"), col("db")))
+
   private[graft] def dupLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.ops.TowerMemo.memoize(s, d, "cc_lbl", checkpoint = false) {
       val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
       def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
-      val pairs = hold(simhash64Pairs(s, d).select(col("da"), col("db")))
-      val lbl = graft.ops.Dedup.fromPairs(pairs, track = hold)
+      val lbl = graft.ops.Dedup.fromPairs(dupPairs(s, d), track = hold)
       locals.foreach(_.unpersist(false))
       lbl
     }
@@ -2312,6 +2319,35 @@ object TextQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** EXT — duplicate-family coherence audit: min-label transitive
+    * closure MERGES BY CHAINING (a~b and b~c collapse a,b,c even when
+    * a≁c), so a dedup QA must ask how much of each family is actually
+    * pairwise-verified — coherence = verified edges / (k choose 2). A
+    * coherence near 1 is a clique of true mutual near-dups; a large
+    * family with coherence ≪ 1 is a CHAIN COLLAPSE (template pages
+    * gluing unrelated docs), the classic over-merging failure a
+    * keep-one policy then amplifies into data loss. Measured here: the
+    * big families are chains, not cliques (the 112-member family at
+    * sf0.001 carries coherence 0.027), exactly the case the audit
+    * exists to flag. Rides the session memos ([[dupPairs]],
+    * [[dupLabels]]) — marginal cost is two hash aggs; n_possible is
+    * exact integer k(k−1)/2 with one double division per family.
+    */
+  val q137FamilyCoherence: Q = (s, d) => {
+    val lbl = dupLabels(s, d)
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("csz"))
+    // both endpoints of a verified pair share a family by construction,
+    // so the edge count per family follows from either endpoint's label
+    val edges = dupPairs(s, d)
+      .join(lbl.select(col("id").as("da"), col("lbl")), Seq("da"))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("lbl"))
+      .select(col("lbl").as("cluster_id"), col("csz"), col("n_edges"),
+        expr("csz * (csz - 1) DIV 2").as("n_possible"))
+      .withColumn("coherence", col("n_edges").cast("double") / col("n_possible"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Minimum verbatim-run length (in 3-gram matches; +2 = tokens) a
     * span must reach before [[q131DupMaskBudget]] masks it. 8 grams =
     * 10 tokens — measured to BIND both ways on this corpus: per-pair
@@ -2616,6 +2652,7 @@ object TextQueries {
     "q134_dup_size_hist" -> q134DupSizeHist,
     "q135_graph_ann" -> q135GraphAnn,
     "q136_truncation_curve" -> q136TruncationCurve,
+    "q137_family_coherence" -> q137FamilyCoherence,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2904,6 +2941,21 @@ object TextQueries {
       |$selects
       |ORDER BY m, query_id""".stripMargin
   }
+
+  /** q137's oracle: the q56 recursive-CTE closure, edges counted per
+    * family from the pair table's left endpoint, exact k(k−1)/2.
+    */
+  private def q137OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtes +
+      """sz137 AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csz FROM cl GROUP BY lbl),
+      |ed137 AS (
+      |  SELECT c.lbl, CAST(count(*) AS BIGINT) AS n_edges
+      |  FROM pairs p JOIN cl c ON p.da = c.id GROUP BY c.lbl)
+      |SELECT s.lbl AS cluster_id, s.csz, e.n_edges,
+      |  s.csz * (s.csz - 1) // 2 AS n_possible,
+      |  CAST(e.n_edges AS DOUBLE) / (s.csz * (s.csz - 1) // 2) AS coherence
+      |FROM sz137 s JOIN ed137 e ON s.lbl = e.lbl
+      |ORDER BY cluster_id""".stripMargin
 
   /** q79's oracle: q56's recursive-CTE closure (a DIFFERENT algorithm
     * than the Spark label propagation — the independence discipline)
@@ -3854,6 +3906,7 @@ object TextQueries {
     "q134_dup_size_hist" -> q134OracleSql,
     "q135_graph_ann" -> q135OracleSql,
     "q136_truncation_curve" -> q136OracleSql,
+    "q137_family_coherence" -> q137OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
