@@ -34,10 +34,21 @@ object StressEmbedding {
       // matter the corpus — the train/assign scans dominate and must
       // stay linear; the rank window's input grows with cell membership
       // (the documented hash-bound pre-filter is the lever at real scale)
+      // round-8 additions: q127 (SQ8 — dim stats and coding are linear
+      // scans; the 5-query broadcast pass is linear), q129 (multi-probe
+      // — the probe side stays 45 rows, candidates grow with bucket
+      // occupancy: linear per band), q135 (graph search — the edge
+      // derivation is the within-cell banded join; beam hops touch
+      // B·(K+1) candidates per query regardless of corpus), q136
+      // (truncation curve — one broadcast pass, three WindowGroupLimits)
       for ((q, fn) <- Seq(
           "q40_embedding_neardup" -> graft.queries.TextQueries.q40EmbeddingNeardup,
           "q76_semantic_dedup" -> graft.queries.TextQueries.q76SemanticDedup,
-          "q82_balanced_sample" -> graft.queries.TextQueries.q82BalancedSample)) {
+          "q82_balanced_sample" -> graft.queries.TextQueries.q82BalancedSample,
+          "q127_sq8_ann" -> graft.queries.TextQueries.q127Sq8Ann,
+          "q129_multiprobe_lsh" -> graft.queries.TextQueries.q129MultiProbeLsh,
+          "q135_graph_ann" -> graft.queries.TextQueries.q135GraphAnn,
+          "q136_truncation_curve" -> graft.queries.TextQueries.q136TruncationCurve)) {
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9

@@ -90,13 +90,29 @@ object StressText {
           // FALL as copies grow), q116 (KS drift — value histogram is
           // k-invariant, so both the grid and every ks are IDENTICAL
           // at every k; cost tracks the two corpus hash aggs)
-          "q114_effective_size", "q116_drift_ks")) {
+          "q114_effective_size", "q116_drift_ks",
+          // round-8 additions: q130 (shard balance — histogram-offset
+          // rank is linear; replica token masses scale k×, balance
+          // ratios must stay ~1.00), q131 (mask budget — replica docs
+          // are VERBATIM dups, so every doc's whole gram span is one
+          // ≥threshold run per partner and coverage explode grows with
+          // matched positions: the adversarial dense case, must track
+          // matches not pairs²), q134 (size histogram — two aggs over
+          // the memoized labels; csz scales with copies), q137
+          // (coherence — replica cliques are fully verified, so every
+          // family's coherence must be ≥ the base corpus's)
+          "q130_shard_balance", "q131_dup_mask_budget",
+          "q134_dup_size_hist", "q137_family_coherence")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"STRESS $q%-18s copies=$copies%2d docs=${n * copies}%6d rows=$rows%9d  $secs%7.2f s")
         graft.queries.releasePersisted()
         spark.catalog.clearCache()
+        // per-dir CC memo entries must not accumulate across the copies
+        // loop, and each stress point pays its own labeling (the thing
+        // being measured)
+        graft.ops.TowerMemo.clear()
       }
     }
     spark.stop()
