@@ -216,6 +216,45 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** EXT — winsorized robust statistics: clip each event_type's values
+    * at its exact p1/p99 rank values (the q85 integer rank convention —
+    * value at rank ⌈n·p/100⌉, never an interpolated sketch) and report
+    * the raw vs winsorized mean side by side with the clipped-tail
+    * counts — the robust-mean preprocessing every metrics pipeline
+    * applies before a tail-sensitive aggregate, as an oracled operator
+    * (q110 LISTS tail rows; this one bounds their influence). Exact
+    * end-to-end: cents quantization, rank fences by conditional
+    * aggregate over one per-type window, integer clamp, long sums,
+    * means as one double expression each (the q123 association).
+    *
+    * Scale shape: one partition-parallel rank window + two hash aggs;
+    * fences broadcast back onto the scan; K-row output.
+    */
+  val q138Winsorize: Q = (s, d) => {
+    val v = tracked(events(s, d)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("vc")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vc").asc, col("event_id").asc)
+    val n = v.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val fences = v.withColumn("rk", row_number().over(w).cast("long"))
+      .join(n, Seq("event_type"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        max(when(col("rk") === expr("(n + 99) DIV 100"), col("vc"))).as("p01_c"),
+        max(when(col("rk") === expr("(99 * n + 99) DIV 100"), col("vc"))).as("p99_c"))
+    v.join(broadcast(fences), Seq("event_type"))
+      .withColumn("wc", greatest(col("p01_c"), least(col("vc"), col("p99_c"))))
+      .groupBy(col("event_type"), col("n"), col("p01_c"), col("p99_c"))
+      .agg(
+        sum(col("vc")).as("s_raw"), sum(col("wc")).as("s_win"),
+        sum(when(col("vc") < col("p01_c"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("vc") > col("p99_c"), 1L).otherwise(0L)).as("n_hi"))
+      .select(col("event_type"), col("n"), col("p01_c"), col("p99_c"),
+        col("n_lo"), col("n_hi"),
+        expr("CAST(s_raw AS DOUBLE) / 100.0 / n").as("mean_raw"),
+        expr("CAST(s_win AS DOUBLE) / 100.0 / n").as("mean_win"))
+      .orderBy(col("event_type"))
+  }
+
   /** EXT — per-user inter-event time statistics + burstiness (Goh &
     * Barabási 2008: B = (σ−µ)/(σ+µ) over the gap distribution, −1 =
     * metronome, 0 = Poisson, →1 = bursty) — the temporal behavioral
@@ -506,9 +545,34 @@ object AnalyticsQueries {
     "q112_hard_negatives" -> q112HardNegatives,
     "q117_burstiness"  -> q117Burstiness,
     "q123_ab_readout"  -> q123AbReadout,
+    "q138_winsorize"   -> q138Winsorize,
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_winsorize" ->
+      """WITH v138 AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r138 AS (
+        |  SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rk
+        |  FROM v138),
+        |n138 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM v138 GROUP BY 1),
+        |f138 AS (
+        |  SELECT r.event_type, n,
+        |    max(CASE WHEN rk = (n + 99) // 100 THEN vc END) AS p01_c,
+        |    max(CASE WHEN rk = (99 * n + 99) // 100 THEN vc END) AS p99_c
+        |  FROM r138 r JOIN n138 USING (event_type) GROUP BY 1, 2),
+        |a138 AS (
+        |  SELECT v.event_type, f.n, f.p01_c, f.p99_c,
+        |    CAST(sum(v.vc) AS BIGINT) AS s_raw,
+        |    CAST(sum(greatest(f.p01_c, least(v.vc, f.p99_c))) AS BIGINT) AS s_win,
+        |    CAST(sum(CASE WHEN v.vc < f.p01_c THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |    CAST(sum(CASE WHEN v.vc > f.p99_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |  FROM v138 v JOIN f138 f USING (event_type) GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n, p01_c, p99_c, n_lo, n_hi,
+        |  CAST(s_raw AS DOUBLE) / 100.0 / n AS mean_raw,
+        |  CAST(s_win AS DOUBLE) / 100.0 / n AS mean_win
+        |FROM a138 ORDER BY event_type""".stripMargin,
     "q123_ab_readout" ->
       """WITH e123 AS (
         |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc,

@@ -2092,8 +2092,12 @@ object TextQueries {
     * degree-bounded edge list (K per vertex + the 16-rep clique) and
     * re-scoring ≤ |queries|·B·(K+1) candidates against the broadcast
     * query vectors — corpus-sized work appears ONLY in the one-time
-    * edge derivation (q126's, within-cell banded). The audit's exact
-    * side exists because this IS the audit.
+    * edge derivation (q126's within-cell pair join, quadratic in cell
+    * OCCUPANCY like q76: stress-measured flat to ×4 replicas, 3× wall
+    * at ×10 where exact dups pile occupancy; the contract is that a
+    * production graph index builds on the DEDUPLICATED corpus — the
+    * q51/q56 stage runs first, after which occupancy tracks n/K). The
+    * audit's exact side exists because this IS the audit.
     */
   val q135GraphAnn: Q = (s, d) => {
     import graft.ops.TowerMemo
