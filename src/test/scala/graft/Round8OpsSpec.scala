@@ -156,6 +156,47 @@ class Round8OpsSpec extends AnyFunSuite {
       s"core output $out diverges from the string model $expect")
   }
 
+  test("q134: the histogram partitions the corpus exactly") {
+    val out = SparkEntry.queries("q134_dup_size_hist")(spark, d).collect()
+    drain()
+    val total = Tables.documents(spark, d).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total,
+      "histogram rows do not partition the corpus")
+    assert(math.abs(out.map(_.getAs[Double]("pct_docs")).sum - 1.0) < 1e-9)
+    for (r <- out)
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+  }
+
+  test("q137: pair families are cliques, the giant family is a chain") {
+    val out = SparkEntry.queries("q137_family_coherence")(spark, d).collect()
+    drain()
+    for (r <- out) {
+      val c = r.getAs[Double]("coherence")
+      assert(c > 0.0 && c <= 1.0, s"coherence out of range: $c")
+      // a 2-family exists iff exactly its one pair was verified
+      if (r.getAs[Long]("csz") == 2L) assert(c == 1.0, "size-2 family not a clique")
+    }
+    val giant = out.maxBy(_.getAs[Long]("csz"))
+    assert(giant.getAs[Long]("csz") >= 10L, "no large family — chain detection unexercised")
+    assert(giant.getAs[Double]("coherence") < 0.5,
+      "the giant family is a clique — chain-collapse detection would be vacuous")
+  }
+
+  test("q138: fences bound the clipped tails and the winsorized mean") {
+    val out = SparkEntry.queries("q138_winsorize")(spark, d).collect()
+    drain()
+    var moved = false
+    for (r <- out) {
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_lo") <= n / 100, "more than 1% clipped below p01")
+      assert(r.getAs[Long]("n_hi") <= n / 100, "more than 1% clipped above p99")
+      val mw = r.getAs[Double]("mean_win")
+      assert(mw >= r.getAs[Long]("p01_c") / 100.0 && mw <= r.getAs[Long]("p99_c") / 100.0)
+      if (math.abs(mw - r.getAs[Double]("mean_raw")) > 1e-9) moved = true
+    }
+    assert(moved, "winsorization moved no mean — the clip never binds")
+  }
+
   test("q131 on corpus: masks never exceed the doc and unpaired docs stay unmasked") {
     val out = SparkEntry.queries("q131_dup_mask_budget")(spark, d).collect()
     drain()
