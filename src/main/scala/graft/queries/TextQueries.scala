@@ -2352,6 +2352,52 @@ object TextQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** EXT — similarity-measure calibration: per SimHash Hamming
+    * distance bucket of the q51 verified pairs, the pair count and the
+    * exact mean TRUE trigram Jaccard — the operating-point curve a
+    * dedup owner reads before moving [[SimhashMaxDist]] (the proxy
+    * distance is only useful insofar as it tracks the semantic
+    * measure; this table IS that tracking, measured on the deployed
+    * detector's own candidates). Grams are dual-residue 62-bit keys
+    * (equality feeds the intersection counts — the q80/q120
+    * birthday-collision rule); per-pair Jaccard is one division of
+    * identical longs and the bucket mean folds via [[qsum8]]
+    * (order-independent integer sum, invariant 2). Measured at
+    * sf0.01: mean Jaccard ≈ 0.98 through dist ≤ 2, then 0.49 / 0.23 /
+    * 0.046 / 0.017 at dist 3/4/5/6 — a cliff, not a slope: the proxy
+    * saturates below 3 and decays fast after, so the threshold's
+    * semantic meaning lives entirely in the 3..6 tail this table
+    * quantifies (139 pairs, 108 of them in the two loosest buckets).
+    *
+    * Scale shape: rides the deployed pair table (banded, never
+    * all-pairs); the intersection join fans out only to each pair's
+    * own gram postings; output is ≤ SimhashMaxDist+1 rows.
+    */
+  val q139SimCalibration: Q = (s, d) => {
+    val pairs = tracked(simhash64Pairs(s, d))
+    val hs = tracked(documents(s, d).select(col("doc_id"),
+        array_distinct(graft.functions.ShingleHash(
+          col("text"), TextOps.P, 3, TextOps.P2)).as("hs"))
+      .filter(size(col("hs")) > 0))
+    val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val inter = pairs.select(col("da"), col("db"))
+      .join(ex.select(col("doc_id").as("da"), col("h")), Seq("da"))
+      .join(ex.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+    val sizes = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    pairs
+      .join(inter, Seq("da", "db"), "left")
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .withColumn("jac", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .groupBy(col("dist").cast("int").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"), qsum8(col("jac")).as("jq8"))
+      .select(col("dist"), col("n_pairs"),
+        expr("CAST(jq8 AS DOUBLE) / 100000000.0 / n_pairs").as("mean_jac"))
+      .orderBy(col("dist"))
+  }
+
   /** Minimum verbatim-run length (in 3-gram matches; +2 = tokens) a
     * span must reach before [[q131DupMaskBudget]] masks it. 8 grams =
     * 10 tokens — measured to BIND both ways on this corpus: per-pair
@@ -2657,6 +2703,7 @@ object TextQueries {
     "q135_graph_ann" -> q135GraphAnn,
     "q136_truncation_curve" -> q136TruncationCurve,
     "q137_family_coherence" -> q137FamilyCoherence,
+    "q139_sim_calibration" -> q139SimCalibration,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -2960,6 +3007,36 @@ object TextQueries {
       |  CAST(e.n_edges AS DOUBLE) / (s.csz * (s.csz - 1) // 2) AS coherence
       |FROM sz137 s JOIN ed137 e ON s.lbl = e.lbl
       |ORDER BY cluster_id""".stripMargin
+
+  /** q139's oracle: the shared SimHash pair chain (keeps `p(da, db,
+    * dist)`), the dual-residue gram CTEs, intersection counts per
+    * pair, and the qsum8-mirrored bucket mean.
+    */
+  private def q139OracleSql: String =
+    simhashPairCtes +
+      s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      gramHashCtes("139", 3, distinct = true) +
+      s"""ex139 AS (SELECT doc_id, unnest(hs) AS h FROM hs139),
+      |sz139 AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM hs139 WHERE len(hs) > 0),
+      |vp139 AS (SELECT da, db, dist FROM p WHERE dist <= $SimhashMaxDist),
+      |ni139 AS (
+      |  SELECT v.da, v.db, CAST(count(*) AS BIGINT) AS ni
+      |  FROM vp139 v JOIN ex139 a ON a.doc_id = v.da
+      |  JOIN ex139 b ON b.doc_id = v.db AND b.h = a.h
+      |  GROUP BY v.da, v.db),
+      |j139 AS (
+      |  SELECT v.dist, COALESCE(ni.ni, 0) AS ni, sa.n AS na, sb.n AS nb
+      |  FROM vp139 v
+      |  LEFT JOIN ni139 ni ON v.da = ni.da AND v.db = ni.db
+      |  JOIN sz139 sa ON v.da = sa.doc_id
+      |  JOIN sz139 sb ON v.db = sb.doc_id),
+      |agg139 AS (
+      |  SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CAST(floor((CAST(ni AS DOUBLE) / (na + nb - ni)) * 100000000.0) AS BIGINT)) AS BIGINT) AS jq8
+      |  FROM j139 GROUP BY 1)
+      |SELECT dist, n_pairs, CAST(jq8 AS DOUBLE) / 100000000.0 / n_pairs AS mean_jac
+      |FROM agg139 ORDER BY dist""".stripMargin
 
   /** q79's oracle: q56's recursive-CTE closure (a DIFFERENT algorithm
     * than the Spark label propagation — the independence discipline)
@@ -3911,6 +3988,7 @@ object TextQueries {
     "q135_graph_ann" -> q135OracleSql,
     "q136_truncation_curve" -> q136OracleSql,
     "q137_family_coherence" -> q137OracleSql,
+    "q139_sim_calibration" -> q139OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
