@@ -53,20 +53,17 @@ class Round8OpsSpec extends AnyFunSuite {
     drain()
     val viaProbe = out.map(_.getAs[Int]("via_probe")).sum
     assert(viaProbe > 0, "no top-5 row required a perturbation — multi-probe is vacuous here")
-    // every direct (via_probe = 0) top-5 row was reachable by q39's
-    // single-probe candidate generation too (superset property at the
-    // result level: q39 reports top-5 of a candidate SUBSET, so any
-    // direct row missing from q39's list must rank below its top-5 —
-    // it can never be absent from the candidate set; spot-check via
-    // the flag's definition instead of re-deriving bands here)
-    for (r <- out if r.getAs[Int]("via_probe") == 0 && q39.nonEmpty) {
-      // direct rows that ARE in q39's top-5 must agree on existence
-      val key = (r.getLong(0), r.getLong(2))
-      if (q39.contains(key)) assert(true)
-    }
-    // candidate-count expansion: q129 candidates ≥ 9 per query is
-    // guaranteed by construction; assert the reported n_cand exceeds
-    // the q39 top-5 depth so the cost axis is real
+    // superset property at the result level: every q39 top-5 row that
+    // survives into q129's top-5 must carry via_probe = 0 — q39's rows
+    // came from unperturbed buckets, so q129 can never label them as
+    // perturbation-only
+    val direct = out.filter(_.getAs[Int]("via_probe") == 0)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    for (key <- q39 if out.exists(r => (r.getLong(0), r.getLong(2)) == key))
+      assert(direct.contains(key),
+        s"$key is a q39 (single-probe) result but q129 flags it via_probe")
+    // candidate-count expansion: the reported n_cand must exceed the
+    // q39 top-5 depth so the cost axis is real
     assert(out.forall(_.getAs[Long]("n_cand") > 5L))
   }
 
