@@ -1285,16 +1285,22 @@ object PipelineQueries {
     * only unpartitioned window runs over the tiny global histogram —
     * the q95/q100/q113 histogram idiom.
     */
-  val q116DriftKs: Q = (s, d) => {
+  /** q116's KS readout factored over the per-(source, v) count
+    * histogram `h(source, v, c)` — every marginal (per-source totals,
+    * global histogram, grand total) derives FROM the histogram, so the
+    * complete-mode streaming state
+    * ([[graft.streaming.StreamingSketch.lengthHist]]) feeds the
+    * IDENTICAL readout and can never drift from the batch query
+    * (StreamingDriftSpec proves wave ≡ batch ≡ q116).
+    */
+  private[graft] def ksFromHist(hRaw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nt = tracked(documents(s, d).select(col("source"),
-      size(split(col("text"), " ")).cast("long").as("v")))
-    val srcs = nt.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val n = nt.agg(count(lit(1)).as("n"))
-    val h = nt.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
-    // the global histogram is both the grid's value axis and the global
-    // ECDF source — tiny, persisted for its two consumers
-    val gh = tracked(nt.groupBy(col("v")).agg(count(lit(1)).as("cg0")))
+    // the histogram feeds four consumers (sources, global axis, total,
+    // grid) — invariant 6
+    val h = tracked(hRaw)
+    val srcs = h.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val n = h.agg(sum(col("c")).as("n"))
+    val gh = tracked(h.groupBy(col("v")).agg(sum(col("c")).as("cg0")))
     val grid = srcs.crossJoin(gh.select(col("v")))
       .join(h, Seq("source", "v"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
@@ -1311,6 +1317,15 @@ object PipelineQueries {
         (col("ks_num").cast("double") / (col("n") * col("ns"))).as("ks"))
       .orderBy(col("source"))
   }
+
+  /** The per-(source, token-length) histogram q116 reads — shared with
+    * the streaming twin so the two can never bin differently.
+    */
+  private[graft] def lengthHist(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+
+  val q116DriftKs: Q = (s, d) => ksFromHist(lengthHist(documents(s, d)))
 
   /** Count-min sketch geometry for [[q84CmsHeavy]]: depth-4 rows of
     * [[CmsWidth]] counters; row i's bucket is the packed gram key

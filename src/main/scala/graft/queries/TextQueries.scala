@@ -2275,21 +2275,30 @@ object TextQueries {
     * window partitions by (pair, diagonal) — bounded by doc length,
     * partition-parallel. Nothing corpus-quadratic.
     */
-  val q122ExactSubstr: Q = (s, d) => {
-    val sig = minhashSig(s, d)
-    val det = bandCandPairs(sig)
-    val pos = posGrams(s, d, 3)
+  /** Diagonal verbatim runs per candidate pair — the shared derivation
+    * under q122 (run statistics) and q131 (mask coverage): matched
+    * positional grams grouped into maximal consecutive runs along each
+    * alignment diagonal, one row per run `(da, db, diag, pa0, rg)`
+    * (start position on the left doc, run length in grams).
+    */
+  private def diagRuns(det: org.apache.spark.sql.DataFrame,
+      pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val m = det
       .join(pos.select(col("doc_id").as("da"), col("pos").as("pa"), col("h")), Seq("da"))
       .join(pos.select(col("doc_id").as("db"), col("pos").as("pb"), col("h")), Seq("db", "h"))
       .withColumn("diag", col("pa") - col("pb"))
     val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
-    val rl = m.withColumn("grp", col("pa") - row_number().over(w))
+    m.withColumn("grp", col("pa") - row_number().over(w))
       .groupBy(col("da"), col("db"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("run_grams"))
+      .agg(min(col("pa")).as("pa0"), count(lit(1)).as("rg"))
+      .select(col("da"), col("db"), col("diag"), col("pa0"), col("rg"))
+  }
+
+  val q122ExactSubstr: Q = (s, d) => {
+    val rl = diagRuns(bandCandPairs(minhashSig(s, d)), posGrams(s, d, 3))
     rl.groupBy(col("da"), col("db"))
-      .agg(sum(col("run_grams")).as("n_match"), count(lit(1)).as("n_runs"),
-        (max(col("run_grams")) + 2).as("max_run_tokens"))
+      .agg(sum(col("rg")).as("n_match"), count(lit(1)).as("n_runs"),
+        (max(col("rg")) + 2).as("max_run_tokens"))
       .orderBy(col("da"), col("db"))
   }
 
@@ -2435,16 +2444,8 @@ object TextQueries {
   private[graft] def maskBudget(det: org.apache.spark.sql.DataFrame,
       pos: org.apache.spark.sql.DataFrame,
       nt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val m = det
-      .join(pos.select(col("doc_id").as("da"), col("pos").as("pa"), col("h")), Seq("da"))
-      .join(pos.select(col("doc_id").as("db"), col("pos").as("pb"), col("h")), Seq("db", "h"))
-      .withColumn("diag", col("pa") - col("pb"))
-    val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
     // two explode branches read the run table (invariant 6)
-    val rl = tracked(m.withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
-      .agg(min(col("pa")).as("pa0"), count(lit(1)).as("rg"))
-      .filter(col("rg") >= MaskMinGrams))
+    val rl = tracked(diagRuns(det, pos).filter(col("rg") >= MaskMinGrams))
     val covA = rl.select(col("da").as("doc_id"),
       explode(sequence(col("pa0"), col("pa0") + col("rg") + 1)).as("tp"))
     val covB = rl.select(col("db").as("doc_id"),

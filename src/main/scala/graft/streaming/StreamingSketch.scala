@@ -157,6 +157,20 @@ object StreamingSketch {
       .toDF("source", "minhashes")
   }
 
+  /** q116's per-(source, token-length) histogram maintained as ONE
+    * complete-mode aggregation over a (streaming or batch)
+    * `docs(source, text)` frame — per-batch count deltas summing into
+    * the running histogram IS the histogram merge, state is bounded by
+    * |sources|·|distinct lengths| (value-domain-sized, never
+    * corpus-sized), and the drift monitor's readout is the SAME
+    * [[PipelineQueries.ksFromHist]] the batch query runs
+    * (StreamingDriftSpec proves wave ≡ batch ≡ q116) — distribution
+    * drift alarms are naturally streaming, and this is the whole
+    * streaming side of one.
+    */
+  def lengthHist(docs: DataFrame): DataFrame =
+    PipelineQueries.lengthHist(docs)
+
   /** q128's per-label centroid MOMENTS `(label, S, n)` maintained over
     * a (streaming or batch) `vecs(label, vq)` frame (vq = the ⌊x·10⁶⌋
     * long vector) by [[graft.ops.Aggregators.LongVecSum]] — the vector
