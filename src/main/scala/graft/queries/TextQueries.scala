@@ -738,13 +738,17 @@ object TextQueries {
     * checkpoint — `checkpoint = false` stores it without a redundant
     * second copy of the data.
     */
-  /** The verified near-dup pair table `(da, db)`, session-memoized —
-    * consumed by the [[dupLabels]] build (read twice there) and by the
-    * q137 coherence audit.
+  /** The verified near-dup pair table `(da, db, dist)`,
+    * session-memoized — the [[dupLabels]] build (reads it twice), the
+    * q137 coherence audit, and the q139 calibration curve all consume
+    * it.
     */
+  private[graft] def dupPairsDist(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.TowerMemo.memoize(s, d, "cc_pairs")(simhash64Pairs(s, d))
+
+  /** [[dupPairsDist]] without the distance column. */
   private[graft] def dupPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.ops.TowerMemo.memoize(s, d, "cc_pairs")(
-      simhash64Pairs(s, d).select(col("da"), col("db")))
+    dupPairsDist(s, d).select(col("da"), col("db"))
 
   private[graft] def dupLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.ops.TowerMemo.memoize(s, d, "cc_lbl", checkpoint = false) {
@@ -2302,6 +2306,55 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  /** EXT — LSH band diagnostics: per SimHash band, the candidate-pair
+    * cost it incurs, how many of its candidates verify, its precision,
+    * and — the number that decides whether the band earns its keep —
+    * how many verified pairs ONLY it surfaced (`n_unique`, the band's
+    * marginal recall). OR-amplified banding is a cost/recall trade PER
+    * BAND: a band with high cost and zero unique recall is pure
+    * overhead to drop; one carrying unique pairs is load-bearing no
+    * matter its precision. This is the tuning table behind every
+    * "how many bands / how wide" decision, computed on the deployed
+    * detector's own bands. Distances compute once per DISTINCT pair
+    * and join back to the per-band candidate rows; everything is
+    * integer except the one precision division.
+    *
+    * Scale shape: the same banded self-join as q51 (occupancy-capped,
+    * never all-pairs) KEPT per band instead of distinct-ed, one
+    * distinct-pair Hamming verify, two hash aggs; 4-row output.
+    */
+  val q140BandDiagnostics: Q = (s, d) => {
+    val sig = tracked(simhashSig(documents(s, d)))
+    val bands = tracked(bandOccCapped(simhashBands(sig)))
+    val candB = tracked(bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.band").as("band"), col("a.doc_id").as("da"),
+        col("b.doc_id").as("db")))
+    val xa = sig.select(col("doc_id").as("da") +:
+      SimhashMods.indices.map(b => col(s"b$b").as(s"xa$b")): _*)
+    val xb = sig.select(col("doc_id").as("db") +:
+      SimhashMods.indices.map(b => col(s"b$b").as(s"xb$b")): _*)
+    val pd = candB.select(col("da"), col("db")).distinct()
+      .join(xa, Seq("da")).join(xb, Seq("db"))
+      .withColumn("dist", simhashDist("xa", "xb"))
+      .select(col("da"), col("db"), col("dist"))
+    val cb = tracked(candB.join(pd, Seq("da", "db"))
+      .withColumn("ver", (col("dist") <= SimhashMaxDist).cast("long")))
+    val perBand = cb.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("ver")).as("n_verified"))
+    val uniq = cb.filter(col("ver") === 1)
+      .groupBy(col("da"), col("db"))
+      .agg(min(col("band")).as("band"), count(lit(1)).as("nb"))
+      .filter(col("nb") === 1)
+      .groupBy(col("band")).agg(count(lit(1)).as("n_unique"))
+    perBand.join(uniq, Seq("band"), "left")
+      .select(col("band"), col("n_cand"), col("n_verified"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (col("n_verified").cast("double") / col("n_cand")).as("prec"))
+      .orderBy(col("band"))
+  }
+
   /** EXT — duplicate-family size distribution: the one-page "dedup
     * report" a corpus owner reads before choosing a dedup policy — how
     * many families of each size exist, how many documents they absorb,
@@ -2383,7 +2436,7 @@ object TextQueries {
     * own gram postings; output is ≤ SimhashMaxDist+1 rows.
     */
   val q139SimCalibration: Q = (s, d) => {
-    val pairs = tracked(simhash64Pairs(s, d))
+    val pairs = dupPairsDist(s, d)
     val hs = tracked(documents(s, d).select(col("doc_id"),
         array_distinct(graft.functions.ShingleHash(
           col("text"), TextOps.P, 3, TextOps.P2)).as("hs"))
@@ -2705,6 +2758,7 @@ object TextQueries {
     "q136_truncation_curve" -> q136TruncationCurve,
     "q137_family_coherence" -> q137FamilyCoherence,
     "q139_sim_calibration" -> q139SimCalibration,
+    "q140_band_diagnostics" -> q140BandDiagnostics,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -3038,6 +3092,40 @@ object TextQueries {
       |  FROM j139 GROUP BY 1)
       |SELECT dist, n_pairs, CAST(jq8 AS DOUBLE) / 100000000.0 / n_pairs AS mean_jac
       |FROM agg139 ORDER BY dist""".stripMargin
+
+  /** q140's oracle: the shared SimHash band/sig chain, candidates KEPT
+    * per band, distances once per distinct pair, the marginal-recall
+    * (exactly-one-band) aggregate mirrored as HAVING count(*) = 1.
+    */
+  private def q140OracleSql: String =
+    simhashPairCtes +
+      s"""cb140 AS (
+      |  SELECT a.band, a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |pd140 AS (SELECT DISTINCT da, db FROM cb140),
+      |pdd140 AS (
+      |  SELECT p.da, p.db,
+      |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS dist
+      |  FROM pd140 p JOIN sig x ON p.da = x.doc_id JOIN sig y ON p.db = y.doc_id),
+      |cbv140 AS (
+      |  SELECT c.band, c.da, c.db,
+      |    CASE WHEN d.dist <= $SimhashMaxDist THEN 1 ELSE 0 END AS ver
+      |  FROM cb140 c JOIN pdd140 d ON c.da = d.da AND c.db = d.db),
+      |pb140 AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS n_cand,
+      |    CAST(sum(ver) AS BIGINT) AS n_verified
+      |  FROM cbv140 GROUP BY band),
+      |un140 AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS n_unique FROM (
+      |    SELECT min(band) AS band FROM cbv140 WHERE ver = 1
+      |    GROUP BY da, db HAVING count(*) = 1) GROUP BY band)
+      |SELECT p.band, p.n_cand, p.n_verified,
+      |  CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+      |  CAST(p.n_verified AS DOUBLE) / p.n_cand AS prec
+      |FROM pb140 p LEFT JOIN un140 u ON p.band = u.band
+      |ORDER BY p.band""".stripMargin
 
   /** q79's oracle: q56's recursive-CTE closure (a DIFFERENT algorithm
     * than the Spark label propagation — the independence discipline)
@@ -3990,6 +4078,7 @@ object TextQueries {
     "q136_truncation_curve" -> q136OracleSql,
     "q137_family_coherence" -> q137OracleSql,
     "q139_sim_calibration" -> q139OracleSql,
+    "q140_band_diagnostics" -> q140OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
