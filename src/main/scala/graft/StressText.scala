@@ -102,7 +102,12 @@ object StressText {
           // (coherence — replica cliques are fully verified, so every
           // family's coherence must be ≥ the base corpus's)
           "q130_shard_balance", "q131_dup_mask_budget",
-          "q134_dup_size_hist", "q137_family_coherence")) {
+          "q134_dup_size_hist", "q137_family_coherence",
+          // q139/q140 ride the banded pair machinery: candidates per
+          // band grow with bucket occupancy until BandOccCap sheds the
+          // replica-saturated buckets (the q51 design) — cost must
+          // track surviving candidates, never pairs²
+          "q139_sim_calibration", "q140_band_diagnostics")) {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
