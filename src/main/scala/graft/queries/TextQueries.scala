@@ -2033,7 +2033,7 @@ object TextQueries {
     * products, but each fold is its own left-to-right chain so both
     * engines agree bitwise); ranks are WindowGroupLimit top-10 per
     * (query, m). Measured on this corpus: recall@10 is 10/50 at m=16
-    * and ~half at m=32 — these embeddings are ISOTROPIC (no leading-
+    * and 12/50 at m=32 — these embeddings are ISOTROPIC (no leading-
     * dim energy concentration, round-6 spectrum measurement), so
     * truncation is NOT safe here, and that is exactly the answer the
     * audit exists to give before anyone ships a truncated index. The
@@ -2089,8 +2089,9 @@ object TextQueries {
     * discipline); each hop localCheckpoints (per-round lineage,
     * invariant CC/q42). The final top-5 carries `in_exact_topk` vs
     * the brute-force cosine ranking — graph recall measured in-plan
-    * (the q93 audit discipline; 21/25 at sf0.001, where beam search
-    * touches ~40 of 500 vectors per query).
+    * (the q93 audit discipline; 22/25 at sf0.001, 21/25 at sf0.01 —
+    * while each query scores only the bounded beam-neighborhood set,
+    * ≤ B·(K+1+cells) candidates per hop, never the corpus).
     *
     * Scale shape: per hop the beam table is |queries|·B rows joining a
     * degree-bounded edge list (K per vertex + the 16-rep clique) and
