@@ -67,10 +67,22 @@ object Bench {
       timeMemoBuild("tower_memo_build_old") {
         graft.ops.TowerMemo.oldIvfadcShortlist(spark, sfDir).count()
       },
+      // q126/q135's shared √n-cell edge quantizer
+      timeMemoBuild("edge_memo_build") {
+        graft.ops.TowerMemo.edgeAssigned(spark, sfDir).count()
+      },
       // q56/q79/q108/q114 + q57's shared near-dup CC labeling
       timeMemoBuild("cc_memo_build") {
         graft.queries.TextQueries.dupLabels(spark, sfDir).count()
       })
+    // drain memo-build side caches so the FIRST timed query doesn't
+    // absorb their eviction: dupLabels/the tower builders persist()
+    // intermediates they branch over, and those tracked entries stay in
+    // the CacheManager until a clearCache. The memoized results
+    // themselves are localCheckpoint blocks, which clearCache does not
+    // touch (TowerMemo doc).
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
     val results = memoLines.toMap ++
       SparkEntry.queries.map { case (name, fn) =>
         val first = timeOnce(name, fn)

@@ -73,10 +73,11 @@ object StressText {
           // k×k ways, but probe fan-out is bucket-capped — cost tracks
           // flagged matches, never pairs²
           "q87_fuzzy_decontam",
-          // session-6 additions: q106 (BM25 — replica queries match
-          // replica corpus docs, so candidate pairs grow k² per original
-          // pair, but df only reaches ~7k < the 256 cap at k=10 and the
-          // join stays postings-sparse; output is fixed top-5 per query),
+          // session-6 additions: q106 (BM25 — round 9: scored per
+          // DISTINCT content with member counts in df/N/T, so the
+          // postings pair join is base-sized at every k; only the scan,
+          // the content hash agg, and the qid fan-out grow with k —
+          // wall clock must track the input scan, never k² pairs),
           // q108 (group split — q56's CC over replica cliques plus a
           // per-row split expression; cost must track q56), q111
           // (incremental merge — linear scans, k-invariant sketches:

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine/partition-exact by the q123 integer-moments discipline
   * (invariant 7): covariate and metric quantize as floor(v·10⁶) longs;
-  * the moment matrix (n, Σx, Σy, Σx², Σxy, Σy²) accumulates second
-  * moments in decimal(38) (a long Σx² wraps — ANSI throws — near
-  * 2×10⁶-scaled values at ~10⁴ rows; decimal sums are exact); θ, means,
-  * variances are fixed double expressions over identical integers.
+  * the whole moment matrix (n, Σx, Σy, Σx², Σxy, Σy²) accumulates in
+  * decimal(38) (a long Σx² wraps — ANSI throws — near 2×10⁶-scaled
+  * values at ~10⁴ rows, and a long Σx at ~10¹⁰ rows; decimal sums are
+  * exact); θ, means, variances are fixed double expressions over
+  * identical integers. θ and the variances null out (never divide by
+  * zero) when var(x) = 0 or n = 1.
   *
   * Scale shape: ONE scan → one hash agg keyed by arm with conditional
   * partials (map-side combine) + one broadcast 1-row pooled total —
@@ -43,31 +45,43 @@ object Cuped {
     val q = units.select(col("arm"),
       floor(col("pre") * 1e6).cast("long").as("x"),
       floor(col("post") * 1e6).cast("long").as("y"))
+    // FIRST moments sum through decimal(38) too: a long Σx wraps (ANSI
+    // throws) once |x| ~ 2×10⁶-scaled values meet ~10¹⁰+ rows — the
+    // same overflow budget that forced decimal second moments, just a
+    // later horizon. decimal sums of longs are exact and the one
+    // CAST-to-DOUBLE downstream is unchanged, so outputs are
+    // bit-identical on any corpus the long path survived.
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val perArm = q.groupBy(col("arm")).agg(
-      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
       sum(dec(col("x") * col("x"))).as("sxx"),
       sum(dec(col("x") * col("y"))).as("sxy"),
       sum(dec(col("y") * col("y"))).as("syy"))
     val pooled = broadcast(q.agg(
-      count(lit(1)).as("np"), sum(col("x")).as("sxp"), sum(col("y")).as("syp"),
+      count(lit(1)).as("np"), sum(dec(col("x"))).as("sxp"), sum(dec(col("y"))).as("syp"),
       sum(dec(col("x") * col("x"))).as("sxxp"),
       sum(dec(col("x") * col("y"))).as("sxyp")))
     perArm.crossJoin(pooled)
-      // pooled θ and x̄ (de-quantized once; association fixed)
+      // pooled θ and x̄ (de-quantized once; association fixed).
+      // var(x) = 0 (constant covariate) nulls θ and every adjusted
+      // column instead of dividing by zero — CUPED is undefined there
+      // (deployments fall back to the raw readout; the raw columns in
+      // this row remain valid).
       .withColumn("theta",
         expr("(CAST(sxyp AS DOUBLE) / np - (CAST(sxp AS DOUBLE) / np) * (CAST(syp AS DOUBLE) / np))" +
-          " / (CAST(sxxp AS DOUBLE) / np - (CAST(sxp AS DOUBLE) / np) * (CAST(sxp AS DOUBLE) / np))"))
+          " / nullif(CAST(sxxp AS DOUBLE) / np - (CAST(sxp AS DOUBLE) / np) * (CAST(sxp AS DOUBLE) / np), 0.0)"))
       .withColumn("xbar_pool", expr("CAST(sxp AS DOUBLE) / np / 1e6"))
       .withColumn("mean_pre", expr("CAST(sx AS DOUBLE) / n / 1e6"))
       .withColumn("mean_post", expr("CAST(sy AS DOUBLE) / n / 1e6"))
-      // population moments per arm (de-quantized), Bessel-corrected
+      // population moments per arm (de-quantized), Bessel-corrected;
+      // n = 1 nulls the variances (Bessel undefined) rather than
+      // dividing by zero
       .withColumn("var_post",
-        expr("(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) * n / (n - 1) / 1e12"))
+        expr("(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) * n / nullif(n - 1, 0) / 1e12"))
       .withColumn("var_pre",
-        expr("(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) * n / (n - 1) / 1e12"))
+        expr("(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) * n / nullif(n - 1, 0) / 1e12"))
       .withColumn("cov_xy",
-        expr("(CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) * n / (n - 1) / 1e12"))
+        expr("(CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) * n / nullif(n - 1, 0) / 1e12"))
       // y_adj = y − θ(x − x̄_pool): mean shifts by −θ(x̄_arm − x̄_pool),
       // variance by −2θcov + θ²var_x (exact algebra, no re-scan)
       .withColumn("mean_adj",
@@ -109,7 +123,7 @@ object Cuped {
       floor(col("pre") * 1e6).cast("long").as("x"),
       floor(col("post") * 1e6).cast("long").as("y"))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    q.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+    q.agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
         sum(dec(col("x") * col("x"))).as("sxx"),
         sum(dec(col("x") * col("y"))).as("sxy"),
         sum(dec(col("y") * col("y"))).as("syy"))

@@ -53,13 +53,18 @@ object Ivf {
       .withColumn("d2", DotFold(col("v"), col("v"))
         - lit(2.0) * DotFold(col("v"), col("cv")) + DotFold(col("cv"), col("cv")))
 
-  /** [[Iters]] Lloyd iterations from the first [[K]] vectors by id;
-    * returns the integer centroid state (cid, S: array<long>, n).
+  /** [[Iters]] Lloyd iterations from the first `k` vectors by id
+    * (default [[K]]); returns the integer centroid state
+    * (cid, S: array<long>, n). `k` is a plain Int so callers that scale
+    * the cell count with corpus size (the √n-cells rule — see
+    * [[graft.ops.TowerMemo.edgeCent]]) pay one driver-side count and
+    * keep the training plan itself unchanged.
     */
-  def trainCells(emb: DataFrame, track: DataFrame => DataFrame = identity): DataFrame = {
+  def trainCells(emb: DataFrame, track: DataFrame => DataFrame = identity,
+      k: Int = K): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var cent: DataFrame = emb.filter(col("vec_id") < K)
+    var cent: DataFrame = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("vq").as("S"), lit(1L).as("n"))
     for (_ <- 1 to Iters) {
       val asg = withD2(emb.select(col("vec_id"), col("v"), col("vq")), cent)

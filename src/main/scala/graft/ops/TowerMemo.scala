@@ -106,6 +106,34 @@ object TowerMemo {
   def residualCodes(s: SparkSession, d: String): DataFrame =
     get(s, d, "rcodes")(Pq.encode(residualSub(s, d), residualCodebooks(s, d)))
 
+  /** √n-cell EDGE quantizer centroids (the q126/q135 k-NN graph
+    * substrate). The fixed-[[Ivf.K]] tower keeps within-cell pair mass
+    * at n²/K — quadratic under growth — which is fine for probe-style
+    * consumers (candidates per QUERY stay occupancy-sized) but is the
+    * scale-killer for the all-SOURCES edge derivation, whose pair mass
+    * is Σ|cell|². This trainer scales the cell count with the corpus:
+    * k = ⌈√n⌉ cells → occupancy ≈ √n → pair mass ≈ n^1.5 (the √n-cells
+    * rule), and the rule survives exact-duplicate pileup too (replicas
+    * multiply n, not any one cell disproportionately — the ×10
+    * StressEmbedding shape). One driver-side count() over the
+    * checkpointed prep picks k; the DuckDB oracle computes the same k
+    * as CAST(ceil(sqrt(count(*))) AS BIGINT) in-query, so the dynamic
+    * cell count needs no interpolated constant (fixed SQL, any SF).
+    */
+  def edgeCent(s: SparkSession, d: String): DataFrame =
+    get(s, d, "edge_cent") {
+      val p = prep(s, d)
+      val k = math.ceil(math.sqrt(p.count().toDouble)).toInt
+      Ivf.trainCells(p, k = k)
+    }
+
+  /** Edge-quantizer cell assignment (vec_id, cell, v, nrm) — the
+    * within-cell pair domain for [[graft.queries.TextQueries]]'s
+    * knnEdges (q126 centrality, q135 graph search).
+    */
+  def edgeAssigned(s: SparkSession, d: String): DataFrame =
+    get(s, d, "edge_assigned")(Ivf.assignAll(prep(s, d), edgeCent(s, d)))
+
   /** The standard 5-query probe set over the full-corpus centroids. */
   def probes5(s: SparkSession, d: String): DataFrame =
     get(s, d, "probes5")(Ivf.probeCells(

@@ -1955,8 +1955,11 @@ object PipelineQueries {
         |  nc133.n_cells, t.files_touched_total
         |FROM st133 s JOIN tc133 t USING (layout), nc133
         |ORDER BY s.layout, s.file_id""".stripMargin,
+    // interpolates BalanceShards (invariant 7: params live in ONE
+    // place — a BalanceShards change re-derives the oracle's %2W /
+    // boustrophedon / naive-mod constants with it)
     "q130_shard_balance" ->
-      """WITH nt130 AS (
+      s"""WITH nt130 AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
         |h130 AS (SELECT nt, CAST(count(*) AS BIGINT) AS c FROM nt130 GROUP BY nt),
         |off130 AS (
@@ -1969,8 +1972,8 @@ object PipelineQueries {
         |  FROM nt130 n JOIN off130 o USING (nt)),
         |sn130 AS (
         |  SELECT doc_id, nt,
-        |    CASE WHEN (r - 1) % 16 < 8 THEN (r - 1) % 16 ELSE 15 - (r - 1) % 16 END AS shard,
-        |    doc_id % 8 AS naive_shard
+        |    CASE WHEN (r - 1) % ${2 * BalanceShards} < $BalanceShards THEN (r - 1) % ${2 * BalanceShards} ELSE ${2 * BalanceShards - 1} - (r - 1) % ${2 * BalanceShards} END AS shard,
+        |    doc_id % $BalanceShards AS naive_shard
         |  FROM rk130),
         |p130 AS (
         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1981,8 +1984,8 @@ object PipelineQueries {
         |  FROM sn130 GROUP BY naive_shard),
         |t130 AS (SELECT CAST(sum(nt) AS BIGINT) AS t_total FROM nt130)
         |SELECT p.shard, p.n_docs, p.tokens, nv.tokens_naive,
-        |  CAST(p.tokens AS DOUBLE) * 8 / t_total AS balance,
-        |  CAST(nv.tokens_naive AS DOUBLE) * 8 / t_total AS balance_naive
+        |  CAST(p.tokens AS DOUBLE) * $BalanceShards / t_total AS balance,
+        |  CAST(nv.tokens_naive AS DOUBLE) * $BalanceShards / t_total AS balance_naive
         |FROM p130 p JOIN nv130 nv USING (shard), t130
         |ORDER BY p.shard""".stripMargin,
     "q116_drift_ks" ->

@@ -1538,40 +1538,107 @@ object TextQueries {
     *
     * Scale shape (q80's asymmetry): the benchmark side is small and
     * BROADCASTS; the corpus side is one scan + explode + hash agg,
-    * shuffling only (doc, gram) weights. Per-query top-5 executes as
-    * WindowGroupLimit (partial top-k before the shuffle). Gram
-    * identity is ShingleHash's dual-residue 62-bit key; Bm25Spec
+    * shuffling only (content, gram) weights — scoring runs per
+    * DISTINCT content with member counts folded into df/N/T and is
+    * immune to duplication (see [[bm25Scored]]). Per-query top-5
+    * executes as WindowGroupLimit (partial top-k before the shuffle).
+    * Gram identity is ShingleHash's dual-residue 62-bit key; Bm25Spec
     * re-proves ranking on gram STRINGS (the q96 birthday lesson).
     */
-  /** The BM25 scored table (qid, doc_id, score, n_shared) — q106 takes
-    * its top-[[Bm25TopK]]; [[q125RrfFusion]] re-ranks its
-    * top-[[RrfDepth]] against the semantic list.
+  /** Candidate depth [[bm25Scored]] returns per query — must stay ≥
+    * every consumer's cut (q106's [[Bm25TopK]] = 5, q125's
+    * [[RrfDepth]] = 20). lazy: [[RrfDepth]] is declared later in this
+    * object, and a non-lazy forward reference initializes to 0 with
+    * only a warning (the round-7 lesson — scalac warnings are
+    * load-bearing).
+    */
+  private[graft] lazy val Bm25MemberDepth = RrfDepth
+
+  /** The BM25 top-[[Bm25MemberDepth]] table (qid, doc_id, score,
+    * n_shared) — q106 takes its top-[[Bm25TopK]]; [[q125RrfFusion]]
+    * re-ranks its top-[[RrfDepth]] against the semantic list.
+    *
+    * Scored per DISTINCT CONTENT, not per document (round-9, the
+    * postings-mass bound): replicas of one text have identical gram
+    * multisets, hence identical dl, identical contribution to df/N/T,
+    * and identical scores — so the corpus groups by `sha2(text, 256)`
+    * (the q30 content key), gram stats and the postings join run once
+    * per distinct content with each content carrying its member COUNT
+    * into df/N/T (integer-exact: df = Σ c_corp over contents sharing
+    * the gram, N = Σ c_corp, T = Σ c_corp·dl), and the per-document
+    * top-k is recovered by exploding only each candidate content's
+    * [[Bm25MemberDepth]] smallest corpus member ids (ties within a
+    * content break on doc_id, so no deeper member can ever enter a
+    * global top-20). Query replicas likewise score once per distinct
+    * query content and fan out to their qids as the last, output-sized
+    * join. The DuckDB oracle still runs the PER-DOCUMENT brute
+    * formulation — a different algorithm, so the gate itself proves
+    * the group refactor exact (the q56/q105 discipline).
+    *
+    * Why: the ×10 replica stress grew 2.8 → 16 s because per-doc
+    * postings pair mass is k²·base under k× exact duplication (k×
+    * queries each matching k× replicas). Grouped, the pair join is
+    * base-sized at ANY replication factor; only the input scan, the
+    * content hash agg, and the output expansion grow with k — the
+    * deduplicated-retrieval shape a 100 TB dup-heavy crawl needs.
     */
   private[graft] def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val tf = tracked(documents(s, d)
-      .select(col("doc_id"), explode(
+    // (doc_id, ch, isq) — no text payload in the persisted frame
+    val docs = tracked(documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("ch"),
+        (pmod(col("doc_id"), lit(10)) === 0).cast("long").as("isq")))
+    val grp = tracked(docs.groupBy(col("ch")).agg(
+      min(col("doc_id")).as("rep"),
+      sum(lit(1L) - col("isq")).as("c_corp"),
+      sum(col("isq")).as("c_qry")))
+    // gram multiset once per distinct content (the rep's text IS the
+    // content — any member's text is byte-identical)
+    val tfg = tracked(documents(s, d).select(col("doc_id"), col("text"))
+      .join(grp.select(col("rep").as("doc_id"), col("ch")), Seq("doc_id"))
+      .select(col("ch"), explode(
         graft.functions.ShingleHash(col("text"), P, 3, TextOps.P2)).as("h"))
-      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf")))
-    val corpus = tracked(tf.filter(pmod(col("doc_id"), lit(10)) =!= 0))
-    val qry = tf.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select(col("doc_id").as("qid"), col("h"))
-    val dl = tracked(corpus.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
-    val dft = corpus.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .groupBy(col("ch"), col("h")).agg(count(lit(1)).as("tf")))
+    val dlg = tracked(tfg.groupBy(col("ch")).agg(sum(col("tf")).as("dl")))
+    val corpTf = tracked(tfg
+      .join(grp.filter(col("c_corp") > 0).select(col("ch"), col("c_corp")), Seq("ch")))
+    val dft = corpTf.groupBy(col("h")).agg(sum(col("c_corp")).as("df"))
       .filter(col("df") <= Bm25DfCap)
-    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-    broadcast(qry)
-      .join(corpus, Seq("h"))
+    val st = corpTf.select(col("ch"), col("c_corp")).distinct()
+      .join(dlg, Seq("ch"))
+      .agg(sum(col("c_corp")).as("n"), sum(col("c_corp") * col("dl")).as("t"))
+    val qryTf = tfg
+      .join(grp.filter(col("c_qry") > 0).select(col("ch")), Seq("ch"))
+      .select(col("ch").as("qch"), col("h"))
+    val pair = broadcast(qryTf)
+      .join(corpTf.select(col("ch"), col("h"), col("tf")), Seq("h"))
       .join(dft, Seq("h"))
-      .join(dl, Seq("doc_id"))
+      .join(dlg, Seq("ch"))
       .crossJoin(broadcast(st))
-      .select(col("qid"), col("doc_id"),
+      .select(col("qch"), col("ch"),
         (expr("(100000L * n) DIV df") *
           expr("""(220000000000L * tf) DIV
                  (10000000L * tf + 3000000L +
                   (9000000000000L * dl) DIV ((1000000L * t) DIV n))""")).as("ts"))
-      .groupBy(col("qid"), col("doc_id"))
+      .groupBy(col("qch"), col("ch"))
       .agg(sum(col("ts")).as("score"), count(lit(1)).as("n_shared"))
+    // each content's Bm25MemberDepth smallest corpus members — the only
+    // docs a global top-Bm25MemberDepth can contain
+    val wm = Window.partitionBy(col("ch")).orderBy(col("doc_id"))
+    val m20 = docs.filter(col("isq") === 0)
+      .select(col("ch"), col("doc_id"))
+      .withColumn("rm", row_number().over(wm))
+      .filter(col("rm") <= Bm25MemberDepth)
+      .select(col("ch"), col("doc_id"))
+    val wq = Window.partitionBy(col("qch")).orderBy(col("score").desc, col("doc_id"))
+    val topPerQch = pair.join(m20, Seq("ch"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= Bm25MemberDepth)
+      .select(col("qch"), col("doc_id"), col("score"), col("n_shared"))
+    // fan out once per query member — output-sized, the k× expansion
+    topPerQch.join(docs.filter(col("isq") === 1)
+        .select(col("ch").as("qch"), col("doc_id").as("qid")), Seq("qch"))
+      .select(col("qid"), col("doc_id"), col("score"), col("n_shared"))
   }
 
   val q106Bm25: Q = (s, d) => {
@@ -1774,8 +1841,9 @@ object TextQueries {
   private[graft] val PrScale = 1000000L
 
   /** EXT — graph centrality (integer PageRank) over the within-cell
-    * k-NN graph: each vector's [[KnnGK]] nearest same-IVF-cell
-    * neighbors by cosine form a directed edge list, and [[PrIters]]
+    * k-NN graph: each vector's [[KnnGK]] nearest neighbors within its
+    * √n-cell edge-quantizer cell ([[knnEdges]])
+    * by cosine form a directed edge list, and [[PrIters]]
     * damped PageRank iterations score hubness — the coreset-selection /
     * redundancy signal (a high-centrality vector sits in a dense
     * semantic neighborhood; data-pruning pipelines drop from dense
@@ -1795,19 +1863,30 @@ object TextQueries {
     * members, so the branch is structural only). Cosine enters only
     * through the neighbor RANKING (the q125 rule).
     *
-    * Scale shape: the graph build is q76's within-cell equi-join
-    * (cells bound the quadratic term: Σ|cell|², never n²) with a
-    * WindowGroupLimit top-k per source; each iteration is one
-    * edge-grained join + hash agg on 5n rows and a node-grained left
-    * join — shuffle keys are vec ids, partial aggs map-side, and the
-    * per-round localCheckpoint keeps lineage flat (round-3 rule).
+    * Scale shape: the graph build is a within-cell equi-join over the
+    * √n-cell EDGE quantizer (see [[knnEdges]] — occupancy √n, pair
+    * mass n^1.5, never the fixed-K n²/16) with a WindowGroupLimit
+    * top-k per source; each iteration is one edge-grained join + hash
+    * agg on 5n rows and a node-grained left join — shuffle keys are
+    * vec ids, partial aggs map-side, and the per-round localCheckpoint
+    * keeps lineage flat (round-3 rule).
     */
-  /** Within-cell kNN edge list `(src, dst)` over the trained
-    * assignment — shared by q126 (centrality) and q135 (graph
-    * search). Tracked; callers release as usual.
+  /** Within-cell kNN edge list `(src, dst)` over the √n-cell EDGE
+    * quantizer ([[graft.ops.TowerMemo.edgeCent]]) — shared by q126
+    * (centrality) and q135 (graph search). Tracked; callers release as
+    * usual.
+    *
+    * Why not the fixed-K tower: edge derivation joins every source to
+    * its whole cell, so pair mass is Σ|cell|² — n²/16 under the fixed
+    * quantizer (the round-8 ×10 stress measured exactly that blow-up:
+    * flat to ×4, 16.7 s at ×10). With k = ⌈√n⌉ cells, occupancy tracks
+    * √n and pair mass n^1.5 — sub-quadratic, and immune to the
+    * exact-duplicate pileup too (replicas grow n; occupancy grows √n
+    * with it). Training cost is n·√n distance rows per Lloyd pass —
+    * the same n^1.5 envelope.
     */
   private def knnEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val asg = graft.ops.TowerMemo.assigned(s, d)
+    val asg = graft.ops.TowerMemo.edgeAssigned(s, d)
     val a = asg.select(col("cell"), col("vec_id").as("src"),
       col("v").as("va"), col("nrm").as("na"))
     val b = asg.select(col("cell"), col("vec_id").as("dst"),
@@ -1824,7 +1903,7 @@ object TextQueries {
 
   val q126KnnCentrality: Q = (s, d) => {
     import graft.ops.TowerMemo
-    val asg = TowerMemo.assigned(s, d)
+    val asg = TowerMemo.edgeAssigned(s, d)
     val edges = knnEdges(s, d)
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
@@ -2094,21 +2173,23 @@ object TextQueries {
     * ≤ B·(K+1+cells) candidates per hop, never the corpus).
     *
     * Scale shape: per hop the beam table is |queries|·B rows joining a
-    * degree-bounded edge list (K per vertex + the 16-rep clique) and
+    * degree-bounded edge list (K per vertex + the ⌈√n⌉-rep clique) and
     * re-scoring ≤ |queries|·B·(K+1) candidates against the broadcast
     * query vectors — corpus-sized work appears ONLY in the one-time
-    * edge derivation (q126's within-cell pair join, quadratic in cell
-    * OCCUPANCY like q76: stress-measured flat to ×4 replicas, 3× wall
-    * at ×10 where exact dups pile occupancy; the contract is that a
-    * production graph index builds on the DEDUPLICATED corpus — the
-    * q51/q56 stage runs first, after which occupancy tracks n/K). The
-    * audit's exact side exists because this IS the audit.
+    * edge derivation, which runs over the √n-cell EDGE quantizer (see
+    * [[knnEdges]]): occupancy tracks √n, pair mass n^1.5, and the rule
+    * holds under exact-duplicate pileup too (the round-8 fixed-K build
+    * measured 16.7 s at the ×10 stress; the √n build's mass at ×10 is
+    * ~14× smaller). The upper layer is one representative per edge
+    * cell, fully connected — ⌈√n⌉² = n clique edges, the same order as
+    * the k-NN edge list itself. The audit's exact side exists because
+    * this IS the audit.
     */
   val q135GraphAnn: Q = (s, d) => {
     import graft.ops.TowerMemo
     import graft.functions.DotFold
     val emb = TowerMemo.prep(s, d)
-    val asg = TowerMemo.assigned(s, d)
+    val asg = TowerMemo.edgeAssigned(s, d)
     val knn = knnEdges(s, d)
     val reps = asg.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
     val repEdges = reps.select(col("rid").as("src"))
@@ -2951,7 +3032,8 @@ object TextQueries {
       |  CAST(n_docs AS DOUBLE) / (SELECT total FROM t134) AS pct_docs
       |FROM u134 ORDER BY cluster_size""".stripMargin
 
-  /** q135's oracle: the shared trained-IVF prefix, the q126 within-cell
+  /** q135's oracle: the √n-cell edge-quantizer prefix
+    * ([[edgeQuantCtes]]), the q126 within-cell
     * edge ranking, the two-layer graph (symmetrized kNN + rep clique),
     * then every beam hop unrolled as CTEs (the q107 greedy discipline —
     * candidates = previous beam UNION its out-neighbors, re-scored and
@@ -2960,9 +3042,9 @@ object TextQueries {
     */
   private def q135OracleSql: String = {
     val sb = new StringBuilder
-    sb ++= ivfTrainAssignCtes()
-    sb ++= s"""av AS (SELECT af.vec_id, af.cell, en.v, en.nrm
-      |  FROM af JOIN en ON af.vec_id = en.vec_id),
+    sb ++= edgeQuantCtes
+    sb ++= s"""av AS (SELECT eqaf.vec_id, eqaf.cell, en.v, en.nrm
+      |  FROM eqaf JOIN en ON eqaf.vec_id = en.vec_id),
       |scknn AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
@@ -2970,7 +3052,7 @@ object TextQueries {
       |kd AS (SELECT src, dst FROM (
       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
       |    FROM scknn) WHERE rk <= $KnnGK),
-      |reps AS (SELECT cell, min(vec_id) AS rid FROM af GROUP BY cell),
+      |reps AS (SELECT cell, min(vec_id) AS rid FROM eqaf GROUP BY cell),
       |ged AS (
       |  SELECT src, dst FROM kd
       |  UNION SELECT dst, src FROM kd
@@ -3433,15 +3515,67 @@ object TextQueries {
         |  CAST(n_hits AS DOUBLE) / 5.0 AS recall
         |FROM hit93 ORDER BY query_id""".stripMargin
 
-  private def ivfTrainAssignCtes(train: String = "en"): String = {
-    val sb = new StringBuilder
-    sb ++= s"""WITH e AS (
+  /** Shared `e`/`en` embedding-prep header (doubles, 10⁶-quantized
+    * longs, L2 norm) — the common opening of [[ivfTrainAssignCtes]]
+    * and [[edgeQuantCtes]].
+    */
+  private val embHeadCtes: String =
+    s"""WITH e AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq
       |  FROM embeddings),
       |en AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
       |""".stripMargin
+
+  /** The √n-cell EDGE quantizer replayed CTE-by-CTE (mirror of
+    * [[graft.ops.TowerMemo.edgeCent]]/`edgeAssigned`): identical
+    * integer-quantized Lloyd unroll to [[ivfTrainAssignCtes]], but the
+    * cell count k = ⌈√n⌉ is computed IN-QUERY (`eqk`) instead of being
+    * an interpolated constant — Spark's driver-side
+    * `ceil(sqrt(count()))` and DuckDB's scalar subquery produce the
+    * same integer at every SF, so the dynamic cell count keeps the
+    * oracle SQL fixed. CTE names carry the `eq` prefix (round-8 rule:
+    * factored generators own their name space — `c1..` belongs to
+    * [[ivfTrainAssignCtes]]). Ends with `eqaf(vec_id, cell)` after a
+    * standalone `e`/`en` header.
+    */
+  private def edgeQuantCtes: String = {
+    val sb = new StringBuilder
+    sb ++= embHeadCtes
+    sb ++= s"""eqk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      |eqc0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n
+      |  FROM en, eqk WHERE vec_id < eqk.k),
+      |""".stripMargin
+    for (t <- 1 to IvfIters) {
+      sb ++= s"""eqcv$t AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM eqc${t - 1}),
+        |eqasg$t AS (
+        |  SELECT vec_id, vq, cid FROM (
+        |    SELECT vec_id, vq, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM (SELECT en.vec_id, en.vq, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, eqcv$t c))
+        |  WHERE rn = 1),
+        |eqsums$t AS (
+        |  SELECT a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM eqasg$t a, LATERAL (SELECT unnest(a.vq) AS q, generate_subscripts(a.vq, 1) AS pos) t
+        |  GROUP BY a.cid, t.pos),
+        |equ$t AS (SELECT cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM eqsums$t GROUP BY cid),
+        |eqc$t AS (SELECT p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
+        |  FROM eqc${t - 1} p LEFT JOIN equ$t u ON p.cid = u.cid),
+        |""".stripMargin
+    }
+    sb ++= s"""eqcvF AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM eqc$IvfIters),
+      |eqaf AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, eqcvF c))
+      |  WHERE rn = 1),
+      |""".stripMargin
+    sb.toString
+  }
+
+  private def ivfTrainAssignCtes(train: String = "en"): String = {
+    val sb = new StringBuilder
+    sb ++= embHeadCtes
     if (train != "en")
       sb ++= s"""cut AS (SELECT (count(*) * 4) // 5 AS cut FROM embeddings),
         |$train AS (SELECT en.* FROM en, cut WHERE en.vec_id < cut.cut),
@@ -3571,7 +3705,8 @@ object TextQueries {
     sb.toString
   }
 
-  /** q126's oracle: the shared trained-IVF prefix, the within-cell
+  /** q126's oracle: the √n-cell edge-quantizer prefix
+    * ([[edgeQuantCtes]]), the within-cell
     * top-[[KnnGK]] neighbor edges, then [[PrIters]] PageRank
     * iterations unrolled CTE-for-CTE — the same integer DIV damping
     * both engines (sum(BIGINT) is HUGEINT in DuckDB — cast before the
@@ -3579,9 +3714,9 @@ object TextQueries {
     */
   private def q126OracleSql: String = {
     val sb = new StringBuilder
-    sb ++= ivfTrainAssignCtes()
-    sb ++= s"""av AS (SELECT af.vec_id, af.cell, en.v, en.nrm
-      |  FROM af JOIN en ON af.vec_id = en.vec_id),
+    sb ++= edgeQuantCtes
+    sb ++= s"""av AS (SELECT eqaf.vec_id, eqaf.cell, en.v, en.nrm
+      |  FROM eqaf JOIN en ON eqaf.vec_id = en.vec_id),
       |sc126 AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
@@ -3591,7 +3726,7 @@ object TextQueries {
       |    FROM sc126) WHERE rk <= $KnnGK),
       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY src),
       |idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM ed GROUP BY dst),
-      |pr0 AS (SELECT vec_id AS id, CAST($PrScale AS BIGINT) AS r FROM af),
+      |pr0 AS (SELECT vec_id AS id, CAST($PrScale AS BIGINT) AS r FROM eqaf),
       |""".stripMargin
     for (t <- 1 to PrIters) {
       sb ++= s"""ct$t AS (
@@ -3604,11 +3739,11 @@ object TextQueries {
         |""".stripMargin
     }
     sb ++= s"""fin AS (
-      |  SELECT af.vec_id, af.cell, COALESCE(od.odeg, 0) AS odeg,
+      |  SELECT eqaf.vec_id, eqaf.cell, COALESCE(od.odeg, 0) AS odeg,
       |    COALESCE(idg.indeg, 0) AS indeg, pr$PrIters.r AS pr
-      |  FROM af JOIN pr$PrIters ON af.vec_id = pr$PrIters.id
-      |  LEFT JOIN od ON af.vec_id = od.src
-      |  LEFT JOIN idg ON af.vec_id = idg.dst)
+      |  FROM eqaf JOIN pr$PrIters ON eqaf.vec_id = pr$PrIters.id
+      |  LEFT JOIN od ON eqaf.vec_id = od.src
+      |  LEFT JOIN idg ON eqaf.vec_id = idg.dst)
       |SELECT vec_id, cell, odeg, indeg, CAST(pr AS BIGINT) AS pr
       |FROM fin ORDER BY vec_id""".stripMargin
     sb.toString
