@@ -395,8 +395,61 @@ object MiscQueries {
       .reduce(_.union(_)).orderBy(col("key_col"))
   }
 
+  /** Salt fan-out for [[q141SaltedAgg]] — ⌈skew⌉ of the skewest key
+    * [[q132SkewProbe]] measures (lineitem.l_orderkey, factor 3.2 at
+    * the test SFs; the probe's own integer `salt` recommendation for
+    * that row is 4). One constant, consumed by the query AND
+    * interpolated into its oracle (invariant 7).
+    */
+  private[graft] val SaltedAggFanout = 4
+
+  /** EXT — two-phase SALTED aggregation, end-to-end: the operator
+    * q132's salt recommendation feeds. Phase 1 aggregates on
+    * (l_orderkey, salt) with salt = l_linenumber mod
+    * [[SaltedAggFanout]] — a deterministic row attribute, not a
+    * rand() (the oracle must replay it) — so a hot orderkey's rows
+    * split across [[SaltedAggFanout]] reducers and the straggler-task
+    * bound drops from max_cnt to ⌈max_cnt/fanout⌉. Phase 2 merges the
+    * partials per orderkey — a keys-sized, not rows-sized, shuffle.
+    * `n_salts` reports the realized fan-out per key (non-vacuous,
+    * measured at sf0.01: 1984/5070/5595/2094 orderkeys land 1/2/3/4
+    * partials — linenumbers run 1..n so every ≥4-item order hits the
+    * full fanout), and the DuckDB oracle is the
+    * UNSALTED direct aggregation — the row-parity twin the two-phase
+    * plan must reproduce exactly (the q56 different-algorithm
+    * discipline). ScaleTechniquesSpec plan-asserts the salted
+    * partial/final Exchange pair on THIS registered query.
+    *
+    * Scale shape: for algebraic sums Spark's map-side combine already
+    * tames skew, so the demonstration rides sums the oracle can check
+    * bit-exactly (integer cents/counts) — but the two-phase shape is
+    * the one that matters when the per-key state does NOT combine
+    * map-side (collect_list/exact-distinct shuffles every row to its
+    * key's reducer): there the salted Exchange on (key, salt) is the
+    * only lever that bounds the hottest reducer, and this plan is that
+    * lever verbatim. Both phases are map-side-combining hash aggs; no
+    * window, no sort until the output ORDER BY.
+    */
+  val q141SaltedAgg: Q = (s, d) => {
+    val partial = lineitem(s, d)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SaltedAggFanout)))
+      .groupBy(col("l_orderkey"), col("salt"))
+      .agg(count(lit(1)).as("pc"),
+        sum(col("l_quantity").cast("long")).as("pq"),
+        sum(cents(col("l_extendedprice"))).as("pp"))
+    partial.groupBy(col("l_orderkey"))
+      .agg(sum(col("pc")).as("n_items"),
+        sum(col("pq")).as("sum_qty"),
+        (sum(col("pp")).cast("double") / lit(100.0)).as("sum_price"),
+        count(lit(1)).as("n_salts"))
+      .select(col("l_orderkey"), col("n_items"), col("sum_qty"),
+        col("sum_price"), col("n_salts"))
+      .orderBy(col("l_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_asof_join"    -> q47AsofJoin,
+    "q141_salted_agg"  -> q141SaltedAgg,
     "q48_leadlag_ntile" -> q48LeadLagNtile,
     "q49_except_all"   -> q49ExceptAll,
     "q50_range_frame"  -> q50RangeFrame,
@@ -520,6 +573,17 @@ object MiscQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q141's oracle is deliberately the UNSALTED direct aggregation —
+    // the row-parity twin of the two-phase salted plan (n_salts
+    // mirrors as a count(DISTINCT salt-expression))
+    "q141_salted_agg" ->
+      s"""SELECT l_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+        |  CAST(count(DISTINCT l_linenumber % $SaltedAggFanout) AS BIGINT) AS n_salts
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
     "q109_profile" -> q109OracleSql,
     "q124_profile_sketch" -> q124OracleSql,
     "q132_skew_probe" -> q132OracleSql,

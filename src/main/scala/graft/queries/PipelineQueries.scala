@@ -108,6 +108,67 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** EXT — JSONL ingest quarantine, oracle-tier (the
+    * [[graft.sources.JsonlIngest]] branch exercised through a REAL
+    * file round trip): the query synthesizes a JSONL shard from the
+    * corpus with a deterministic per-line corruption rule
+    * (doc_id mod 10 → 0-5 clean, 6 field-missing, 7 truncated at 20
+    * chars, 8 doc_id type-violated, 9 non-JSON garbage), writes it as
+    * text, reads it back through the quarantine reader against the
+    * demanded (doc_id LONG, source, text) schema, and classifies each
+    * OBSERVED outcome — parsed rows by their null pattern, quarantined
+    * raw lines by shape. The DuckDB oracle never touches the file: it
+    * recomputes the EXPECTED per-class outcome from the same
+    * generation rule over `documents`, so the gate proves Spark's
+    * whole write → PERMISSIVE parse → corrupt-record split loop lands
+    * every line exactly where the rule says (a misparse moves a line
+    * between classes and hash-fails; `ids_parsed` pins the parsed
+    * PAYLOAD, not just counts). Missing-field lines must PARSE (with
+    * null source — absence is data); truncation/type/garbage must
+    * quarantine (malformation is an error).
+    *
+    * Scale shape: one text write + one json scan split by the
+    * corrupt-record marker (cached once, both branches share the
+    * parse) + two class-grained hash aggs. At 100 TB the shard is the
+    * crawl drop itself — the synthesis here exists only to make the
+    * branch deterministic enough to oracle.
+    */
+  val q142JsonlQuarantine: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val shard = "/tmp/graft_q142_shard"
+    val m = pmod(col("doc_id"), lit(10))
+    val full = to_json(struct(col("doc_id"), col("source"), col("text")))
+    documents(s, d).select(
+      when(m <= 5, full)
+        .when(m === 6, to_json(struct(col("doc_id"), col("text"))))
+        .when(m === 7, substring(full, 1, 20))
+        .when(m === 8, concat(lit("{\"doc_id\":\"x"), col("doc_id"),
+          lit("\",\"source\":\""), col("source"), lit("\"}")))
+        .otherwise(concat(lit("corrupt shard line "), col("doc_id"))).as("value"))
+      .write.mode("overwrite").text(shard)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val qr = graft.sources.JsonlIngest.read(s, shard, schema, tracked)
+    val okAgg = qr.parsed
+      .select(when(col("source").isNull, "nofield").otherwise("clean").as("cls"),
+        col("doc_id"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parsed"), sum(col("doc_id")).as("ids_parsed"))
+    val quarAgg = qr.quarantine
+      .select(when(col("raw").startsWith("corrupt"), "garbage")
+        .when(col("raw").contains("\"doc_id\":\"x"), "badtype")
+        .otherwise("truncated").as("cls"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("n_quarantine"))
+    okAgg.join(quarAgg, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        (coalesce(col("n_parsed"), lit(0L)) + coalesce(col("n_quarantine"), lit(0L)))
+          .as("n_lines"),
+        coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
+        coalesce(col("n_quarantine"), lit(0L)).as("n_quarantine"),
+        coalesce(col("ids_parsed"), lit(0L)).as("ids_parsed"))
+      .orderBy(col("cls"))
+  }
+
   /** Materialize the surviving corpus as lang-partitioned parquet under
     * `outDir/corpus` and return the shipped row count. The write is the
     * flags join + a row filter + `partitionBy` — the at-scale shape
@@ -1731,6 +1792,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q142_jsonl_quarantine" -> q142JsonlQuarantine,
     "q57_corpus_funnel" -> q57CorpusFunnel,
     "q94_chunking"      -> q94Chunking,
     "q95_quality_calibration" -> q95QualityCalibration,
@@ -1837,6 +1899,27 @@ object PipelineQueries {
       |ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q142's oracle recomputes the EXPECTED outcome of every shard line
+    // from the generation rule over `documents` — it never reads the
+    // file, so Spark's real write→parse→quarantine loop is checked
+    // against an independent derivation of where each line must land
+    "q142_jsonl_quarantine" ->
+      """WITH k142 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 <= 5 THEN 'clean'
+        |         WHEN doc_id % 10 = 6 THEN 'nofield'
+        |         WHEN doc_id % 10 = 7 THEN 'truncated'
+        |         WHEN doc_id % 10 = 8 THEN 'badtype'
+        |         ELSE 'garbage' END AS cls,
+        |    CASE WHEN doc_id % 10 <= 6 THEN 1 ELSE 0 END AS ok
+        |  FROM documents)
+        |SELECT cls,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(ok) AS BIGINT) AS n_parsed,
+        |  CAST(count(*) - sum(ok) AS BIGINT) AS n_quarantine,
+        |  CAST(sum(doc_id * ok) AS BIGINT) AS ids_parsed
+        |FROM k142 GROUP BY cls
+        |ORDER BY cls""".stripMargin,
     "q57_corpus_funnel" -> q57OracleSql,
     "q99_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

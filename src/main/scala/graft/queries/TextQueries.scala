@@ -1885,20 +1885,69 @@ object TextQueries {
     * with it). Training cost is n·√n distance rows per Lloyd pass —
     * the same n^1.5 envelope.
     */
-  private def knnEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** All scored within-cell ordered pairs `(src, dst, cos)` over the
+    * edge quantizer — the shared candidate domain of [[knnEdges]] and
+    * [[divEdges]]. Tracked (both consumers and the per-step
+    * diversification joins re-read it).
+    */
+  private def cellPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val asg = graft.ops.TowerMemo.edgeAssigned(s, d)
     val a = asg.select(col("cell"), col("vec_id").as("src"),
       col("v").as("va"), col("nrm").as("na"))
     val b = asg.select(col("cell"), col("vec_id").as("dst"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val we = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     tracked(a.join(b, Seq("cell"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
-        (graft.functions.DotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (graft.functions.DotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos")))
+  }
+
+  private[graft] def knnEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val we = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    cellPairs(s, d)
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= KnnGK)
-      .select(col("src"), col("dst")))
+      .select(col("src"), col("dst"))
+  }
+
+  /** DIVERSIFIED within-cell edges — the NSW/HNSW "heuristic 2"
+    * neighbor-selection prune (Malkov & Yashunin, TPAMI 2020 §4): per
+    * source, walk candidates in cosine-desc order and KEEP one only if
+    * it is closer to the source than to every already-kept neighbor
+    * (cos(c, src) > cos(c, k) ∀ kept k) — redundant same-direction
+    * edges are dropped, so equal degree buys more DIRECTIONS and the
+    * beam escapes local clusters it would otherwise orbit. Greedy per
+    * source, [[KnnGK]] unrolled steps (the q107 discipline; per-round
+    * localCheckpoint). The conflict test needs cos(candidate, kept) —
+    * both are same-cell vectors, so the pair is already a row of
+    * [[cellPairs]]: each step is two equi-joins back into the scored
+    * pair table, never a new vector pass. All comparisons are between
+    * identically-computed doubles (invariant 4); ties (cos(c,k) =
+    * cos(c,src)) prune, matching the strict-> keep rule both engines.
+    */
+  private[graft] def divEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pairs = cellPairs(s, d)
+    val wsrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    var kept = pairs.withColumn("rn", row_number().over(wsrc))
+      .filter(col("rn") === 1).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    for (_ <- 2 to KnnGK) {
+      // a candidate conflicts when some kept neighbor is at least as
+      // close to it as the source is
+      val conflicts = pairs.as("c")
+        .join(kept.as("k"), col("c.src") === col("k.src") && col("c.dst") =!= col("k.dst"))
+        .join(pairs.as("p"),
+          col("p.src") === col("c.dst") && col("p.dst") === col("k.dst"))
+        .filter(col("p.cos") >= col("c.cos"))
+        .select(col("c.src").as("src"), col("c.dst").as("dst")).distinct()
+      val alive = pairs
+        .join(kept, Seq("src", "dst"), "left_anti")
+        .join(conflicts, Seq("src", "dst"), "left_anti")
+      val next = alive.withColumn("rn", row_number().over(wsrc))
+        .filter(col("rn") === 1).select(col("src"), col("dst"))
+      kept = kept.union(next).localCheckpoint(true)
+    }
+    kept
   }
 
   val q126KnnCentrality: Q = (s, d) => {
@@ -2185,12 +2234,20 @@ object TextQueries {
     * the k-NN edge list itself. The audit's exact side exists because
     * this IS the audit.
     */
-  val q135GraphAnn: Q = (s, d) => {
+  val q135GraphAnn: Q = (s, d) => graphBeamSearch(s, d, knnEdges(s, d))
+
+  /** The two-layer beam search shared by q135 (naive top-K edges) and
+    * q143 (diversified edges): symmetrized within-cell edges + the
+    * per-cell-representative clique, [[GsHops]] unrolled hops from the
+    * min-vec_id entry, exact-cosine re-rank per hop, in-plan recall
+    * audit.
+    */
+  private def graphBeamSearch(s: org.apache.spark.sql.SparkSession, d: String,
+      knn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.ops.TowerMemo
     import graft.functions.DotFold
     val emb = TowerMemo.prep(s, d)
     val asg = TowerMemo.edgeAssigned(s, d)
-    val knn = knnEdges(s, d)
     val reps = asg.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
     val repEdges = reps.select(col("rid").as("src"))
       .crossJoin(broadcast(reps.select(col("rid").as("dst"))))
@@ -2235,6 +2292,34 @@ object TextQueries {
         col("cos"), coalesce(col("hit"), lit(0)).cast("int").as("in_exact_topk"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** EXT-3k — graph ANN over DIVERSIFIED edges ([[divEdges]], the
+    * NSW/HNSW heuristic-2 prune): the identical [[graphBeamSearch]]
+    * two-layer search as q135, but each vertex keeps a neighbor only
+    * if it is closer to the vertex than to every already-kept
+    * neighbor — redundant same-direction edges drop (measured at
+    * sf0.01: 2500 naive edges → 1852 diversified, mean out-degree
+    * 5 → 3.7) while the directions that remain navigate as well or
+    * better (recall measured 24/25 = q135's at sf0.01 —
+    * GraphDivSpec asserts both claims live). The classic result this
+    * demonstrates: at EQUAL (here: lower) degree budget, pruned
+    * diversity beats raw proximity for greedy search, because the
+    * beam must be able to leave a dense cluster once it has entered
+    * it.
+    *
+    * Oracle: the q135 CTE tail over a [[KnnGK]]-step unrolled greedy
+    * prune — per step, a candidate conflicts when some kept neighbor
+    * is at least as close to it as the source is; the conflict cosine
+    * is itself a row of the scored pair CTE (both endpoints share the
+    * source's cell), so the unroll is pure equi-joins back into
+    * `scknn` (no new vector folds). All comparisons are between
+    * identically-computed doubles (invariant 4).
+    *
+    * Scale shape: q135's, plus [[KnnGK]] conflict joins whose mass is
+    * pair-mass × kept-degree (≤ 5) — the same n^1.5 envelope as the
+    * edge derivation itself.
+    */
+  val q143GraphAnnDiv: Q = (s, d) => graphBeamSearch(s, d, divEdges(s, d))
 
   /** EXT — first-occurrence novelty scoring (incremental-contribution
     * curation): per doc, the share of its distinct trigrams that are
@@ -2837,6 +2922,7 @@ object TextQueries {
     "q131_dup_mask_budget" -> q131DupMaskBudget,
     "q134_dup_size_hist" -> q134DupSizeHist,
     "q135_graph_ann" -> q135GraphAnn,
+    "q143_graph_ann_div" -> q143GraphAnnDiv,
     "q136_truncation_curve" -> q136TruncationCurve,
     "q137_family_coherence" -> q137FamilyCoherence,
     "q139_sim_calibration" -> q139SimCalibration,
@@ -3040,19 +3126,66 @@ object TextQueries {
     * re-topped per hop; re-scoring is free of drift because every cos
     * is the same fixed fold).
     */
-  private def q135OracleSql: String = {
+  private def q135OracleSql: String =
+    graphSearchOracleSql(
+      s"""kd AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        |    FROM scknn) WHERE rk <= $KnnGK),
+        |""".stripMargin)
+
+  /** q143's oracle: the q135 search tail over the [[KnnGK]]-step
+    * unrolled heuristic-2 prune — per step, conflict cosines are rows
+    * of `scknn` itself (same-cell endpoints), so each step is two
+    * equi-joins + one per-src argmax.
+    */
+  private def q143OracleSql: String = {
     val sb = new StringBuilder
-    sb ++= edgeQuantCtes
+    // every dv/cf is MATERIALIZED: each step references the previous
+    // dv up to three times, and DuckDB's default re-inlining would
+    // multiply the whole chain ~3^KnnGK times (measured: 76 s inlined,
+    // 1.6 s materialized at sf0.01)
+    sb ++= s"""dv1 AS MATERIALIZED (SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+      |    FROM scknn) WHERE rn = 1),
+      |""".stripMargin
+    for (t <- 2 to KnnGK) {
+      sb ++= s"""cf$t AS MATERIALIZED (
+        |  SELECT DISTINCT c.src, c.dst
+        |  FROM scknn c JOIN dv${t - 1} k ON c.src = k.src AND c.dst <> k.dst
+        |  JOIN scknn p ON p.src = c.dst AND p.dst = k.dst
+        |  WHERE p.cos >= c.cos),
+        |nx$t AS (SELECT src, dst FROM (
+        |    SELECT c.src, c.dst,
+        |      row_number() OVER (PARTITION BY c.src ORDER BY c.cos DESC, c.dst) AS rn
+        |    FROM scknn c
+        |    LEFT JOIN dv${t - 1} k ON c.src = k.src AND c.dst = k.dst
+        |    LEFT JOIN cf$t f ON c.src = f.src AND c.dst = f.dst
+        |    WHERE k.dst IS NULL AND f.dst IS NULL) WHERE rn = 1),
+        |dv$t AS MATERIALIZED (SELECT * FROM dv${t - 1} UNION ALL SELECT * FROM nx$t),
+        |""".stripMargin
+    }
+    sb ++= s"""kd AS (SELECT src, dst FROM dv$KnnGK),
+      |""".stripMargin
+    graphSearchOracleSql(sb.toString)
+  }
+
+  /** The shared q135/q143 oracle: edge-quantizer prefix, scored
+    * within-cell pairs (`scknn`), a caller-supplied edge CTE block that
+    * must end with `kd(src, dst)`, then the two-layer graph and the
+    * unrolled beam hops.
+    */
+  private def graphSearchOracleSql(edgeCtes: String): String = {
+    val sb = new StringBuilder
+    sb ++= edgeQuantCtes(materialized = true)
     sb ++= s"""av AS (SELECT eqaf.vec_id, eqaf.cell, en.v, en.nrm
       |  FROM eqaf JOIN en ON eqaf.vec_id = en.vec_id),
-      |scknn AS (
+      |scknn AS MATERIALIZED (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-      |kd AS (SELECT src, dst FROM (
-      |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-      |    FROM scknn) WHERE rk <= $KnnGK),
-      |reps AS (SELECT cell, min(vec_id) AS rid FROM eqaf GROUP BY cell),
+      |""".stripMargin
+    sb ++= edgeCtes
+    sb ++= s"""reps AS (SELECT cell, min(vec_id) AS rid FROM eqaf GROUP BY cell),
       |ged AS (
       |  SELECT src, dst FROM kd
       |  UNION SELECT dst, src FROM kd
@@ -3517,16 +3650,23 @@ object TextQueries {
 
   /** Shared `e`/`en` embedding-prep header (doubles, 10⁶-quantized
     * longs, L2 norm) — the common opening of [[ivfTrainAssignCtes]]
-    * and [[edgeQuantCtes]].
+    * and [[edgeQuantCtes]]. `materialized` forces DuckDB to compute
+    * the hot CTEs once: by default DuckDB RE-INLINES a CTE at every
+    * reference, and an oracle whose unrolled steps reference a
+    * CTE-tower many times multiplies the whole training replay (q143's
+    * first run died on file handles alone — every inline re-opens the
+    * parquet). Semantics are unchanged; only evaluation strategy.
     */
-  private val embHeadCtes: String =
+  private def embHeadCtes(materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
     s"""WITH e AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq
       |  FROM embeddings),
-      |en AS (SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+      |en AS $m(SELECT vec_id, v, vq, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
       |""".stripMargin
+  }
 
   /** The √n-cell EDGE quantizer replayed CTE-by-CTE (mirror of
     * [[graft.ops.TowerMemo.edgeCent]]/`edgeAssigned`): identical
@@ -3540,9 +3680,10 @@ object TextQueries {
     * [[ivfTrainAssignCtes]]). Ends with `eqaf(vec_id, cell)` after a
     * standalone `e`/`en` header.
     */
-  private def edgeQuantCtes: String = {
+  private def edgeQuantCtes(materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
     val sb = new StringBuilder
-    sb ++= embHeadCtes
+    sb ++= embHeadCtes(materialized)
     sb ++= s"""eqk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
       |eqc0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n
       |  FROM en, eqk WHERE vec_id < eqk.k),
@@ -3564,7 +3705,7 @@ object TextQueries {
         |""".stripMargin
     }
     sb ++= s"""eqcvF AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM eqc$IvfIters),
-      |eqaf AS (
+      |eqaf AS $m(
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, eqcvF c))
@@ -3575,7 +3716,7 @@ object TextQueries {
 
   private def ivfTrainAssignCtes(train: String = "en"): String = {
     val sb = new StringBuilder
-    sb ++= embHeadCtes
+    sb ++= embHeadCtes()
     if (train != "en")
       sb ++= s"""cut AS (SELECT (count(*) * 4) // 5 AS cut FROM embeddings),
         |$train AS (SELECT en.* FROM en, cut WHERE en.vec_id < cut.cut),
@@ -3714,7 +3855,7 @@ object TextQueries {
     */
   private def q126OracleSql: String = {
     val sb = new StringBuilder
-    sb ++= edgeQuantCtes
+    sb ++= edgeQuantCtes()
     sb ++= s"""av AS (SELECT eqaf.vec_id, eqaf.cell, en.v, en.nrm
       |  FROM eqaf JOIN en ON eqaf.vec_id = en.vec_id),
       |sc126 AS (
@@ -4211,6 +4352,7 @@ object TextQueries {
     "q56_dup_groups" -> q56OracleSql,
     "q134_dup_size_hist" -> q134OracleSql,
     "q135_graph_ann" -> q135OracleSql,
+    "q143_graph_ann_div" -> q143OracleSql,
     "q136_truncation_curve" -> q136OracleSql,
     "q137_family_coherence" -> q137OracleSql,
     "q139_sim_calibration" -> q139OracleSql,

@@ -38,17 +38,20 @@ object JsonlIngest {
     * The raw frame must be cached before filtering: Spark refuses a
     * query over ONLY the corrupt-record column of a direct json scan
     * (a documented engine restriction), and the cache also makes the
-    * two branches share one parse.
+    * two branches share one parse. `track` chooses how the shared scan
+    * is retained — default `.cache()` paired with `release()`;
+    * oracle-tier queries pass `graft.queries.tracked` so the standard
+    * releasePersisted/clearCache hygiene drains it instead.
     */
-  def read(spark: SparkSession, path: String, schema: StructType): QuarantineRead = {
+  def read(spark: SparkSession, path: String, schema: StructType,
+      track: DataFrame => DataFrame = _.cache()): QuarantineRead = {
     val corrupt = "_corrupt_record"
     require(!schema.fieldNames.contains(corrupt), s"schema may not contain $corrupt")
-    val raw = spark.read
+    val raw = track(spark.read
       .schema(schema.add(corrupt, StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
-      .json(path)
-      .cache()
+      .json(path))
     val parsed = raw.filter(col(corrupt).isNull).drop(corrupt)
     val quarantine = raw.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral guard for q143 (diversified graph ANN): the NSW
+  * heuristic-2 prune must (a) genuinely REDUCE the edge budget vs the
+  * naive top-K graph, (b) never raise any vertex's out-degree above
+  * [[graft.queries.TextQueries.KnnGK]], (c) keep every kept edge a
+  * subset of the candidate pair domain, and (d) search at least as
+  * well as the naive graph — recall(q143) ≥ recall(q135), the claim
+  * the operator exists for. Asserted live at both test SFs so the
+  * claims track the data, not a snapshot.
+  */
+class GraphDivSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private def recallHits(name: String, d: String): Long =
+    SparkEntry.queries(name)(spark, d)
+      .agg(sum(col("in_exact_topk"))).collect()(0).getLong(0)
+
+  for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"diversified edges: fewer, degree-bounded, recall >= naive ($d)") {
+      val naive = graft.queries.TextQueries.knnEdges(spark, d)
+      val div = graft.queries.TextQueries.divEdges(spark, d)
+      val nNaive = naive.count()
+      val nDiv = div.count()
+      assert(nDiv < nNaive, s"prune must bind: $nDiv vs $nNaive")
+      val maxDeg = div.groupBy(col("src")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      assert(maxDeg <= graft.queries.TextQueries.KnnGK)
+      // kept edges are real candidate pairs (same-cell, src != dst)
+      val asg = graft.ops.TowerMemo.edgeAssigned(spark, d)
+        .select(col("vec_id"), col("cell"))
+      val bad = div
+        .join(asg.select(col("vec_id").as("src"), col("cell").as("ca")), Seq("src"))
+        .join(asg.select(col("vec_id").as("dst"), col("cell").as("cb")), Seq("dst"))
+        .filter(col("ca") =!= col("cb") || col("src") === col("dst"))
+        .count()
+      assert(bad === 0L)
+      val hitsDiv = recallHits("q143_graph_ann_div", d)
+      val hitsNaive = recallHits("q135_graph_ann", d)
+      assert(hitsDiv >= hitsNaive,
+        s"diversified recall $hitsDiv must be >= naive $hitsNaive")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
+  }
+}

@@ -67,4 +67,21 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(math.abs(dv - sv) <= math.abs(dv) * 1e-12 + 1e-9)
     }
   }
+
+  test("q141 (registered query) carries the salted partial/final Exchange pair") {
+    val q = SparkEntry.queries("q141_salted_agg")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // phase 1 shuffles on (l_orderkey, salt) — the skew-leveling
+    // exchange; phase 2 shuffles the partials on l_orderkey alone
+    val saltedEx = "Exchange hashpartitioning\\(l_orderkey#\\d+L, salt#\\d+".r
+    val finalEx = "Exchange hashpartitioning\\(l_orderkey#\\d+L, \\d+\\)".r
+    assert(saltedEx.findFirstIn(plan).isDefined, plan)
+    assert(finalEx.findFirstIn(plan).isDefined, plan)
+    // row parity vs the unsalted twin, and the fan-out column is live
+    val rows = q.collect()
+    val direct = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy("l_orderkey").count().count()
+    assert(rows.length.toLong === direct)
+    assert(rows.map(_.getAs[Long]("n_salts")).max === graft.queries.MiscQueries.SaltedAggFanout)
+  }
 }
