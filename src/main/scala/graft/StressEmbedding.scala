@@ -48,6 +48,9 @@ object StressEmbedding {
           "q127_sq8_ann" -> graft.queries.TextQueries.q127Sq8Ann,
           "q129_multiprobe_lsh" -> graft.queries.TextQueries.q129MultiProbeLsh,
           "q135_graph_ann" -> graft.queries.TextQueries.q135GraphAnn,
+          // round 9: the diversified-edge twin — its extra cost is the
+          // KnnGK greedy conflict joins over the same n^1.5 pair mass
+          "q143_graph_ann_div" -> graft.queries.TextQueries.q143GraphAnnDiv,
           "q136_truncation_curve" -> graft.queries.TextQueries.q136TruncationCurve)) {
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()

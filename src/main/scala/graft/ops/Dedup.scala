@@ -259,6 +259,83 @@ object Dedup {
     connectedComponents(verts, edges, maxRounds, track)
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected Components
+    * in MapReduce and Beyond", SoCC 2014) — implemented as the measured
+    * RIVAL to [[connectedComponents]], not the default: StressCc races
+    * both on identical pair inputs at ×1/×10 replica scale and the
+    * adoption bar is ≥1.5× at ×10 (PLANS.md records the outcome).
+    *
+    * State is the canonically-oriented edge set (src > dst, no self
+    * loops, distinct). One round = large-star (every node's
+    * strictly-larger neighbors re-point to m(u) = min(N(u) ∪ {u}))
+    * then small-star (every node's ≤-neighbors and the node itself
+    * re-point to the min ≤-neighbor); both emissions preserve the
+    * orientation invariant, and the fixpoint is the star forest where
+    * every vertex points at its component minimum. Convergence is an
+    * exact set comparison (anti-join + count — part of the algorithm's
+    * real cost, charged to its wall clock).
+    *
+    * Scale shape: each round is two groupBy-min + two equi-joins on
+    * long keys — same shuffle class as a [[roundPlan]] round but with
+    * EDGE-grained state (the label table is vertex-grained), and no
+    * partition-local pre-collapse to fast-forward it.
+    */
+  def connectedComponentsStarWithRounds(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done && rounds < maxRounds) {
+      // large-star: (v, m(u)) for every neighbor v > u
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mL = sym.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // v > u ≥ m(u), so the emitted (v, m) pair is already oriented
+      val afterL = sym.filter(col("dst") > col("src"))
+        .join(mL, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star on the oriented set: all dst < src, m = min neighbor
+      val mS = afterL.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val outV = afterL.join(mS, col("src") === col("u"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val outU = mS.select(col("u").as("src"), col("m").as("dst"))
+      val next = outV.union(outU)
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      rounds += 1
+      done = next.join(e, Seq("src", "dst"), "left_anti").isEmpty &&
+        next.count() == e.count()
+      e = next
+    }
+    if (!done)
+      throw new IllegalStateException(s"star CC not converged after $maxRounds rounds")
+    val lbl = vertices.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("plbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("plbl"), col("id")).as("lbl"))
+    (lbl, rounds)
+  }
+
+  /** Star CC straight from an undirected pair table — the
+    * [[fromPairs]] twin for the StressCc comparison.
+    */
+  def fromPairsStar(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val verts = pairs.select(col("da").as("id"))
+      .union(pairs.select(col("db").as("id"))).distinct()
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+    connectedComponentsStarWithRounds(verts, edges, maxRounds)._1
+  }
+
   /** Rounds sufficient to COVER a given maximum cluster diameter on an
     * id-monotone chain: smallest r with `2^(r+1) - 2 ≥ d`. Detection
     * adds one further no-change round on top.

@@ -17,10 +17,11 @@ import graft.functions.DotFold
   * probe-only top-k matches the in-plan q42 rows bit-for-bit
   * (IvfRecallSpec proves it).
   *
-  * Shapes: every fact-table pass is a broadcast-[[K]]-rows crossJoin
-  * reduced by a map-side min-struct argmin around one Exchange — never
-  * a window over n·k rows; the only windows run over query×[[K]] and
-  * candidate rows.
+  * Shapes: every fact-table pass is MAP-ONLY — the centroid table
+  * broadcasts as one array row and [[graft.functions.NearestCell]]
+  * computes the argmin per vector in a single codegen loop (no n·k
+  * intermediate rows, no argmin shuffle, no window); the only windows
+  * run over query×[[K]] and candidate rows.
   */
 object Ivf {
 
@@ -47,6 +48,14 @@ object Ivf {
   private def centv(c: DataFrame): DataFrame = c.select(col("cid"),
     transform(col("S"), q => q.cast("double") / (lit(1000000.0) * col("n"))).as("cv"))
 
+  /** The whole centroid table as ONE row `cents:
+    * array<struct<cid, cv>>`, cid-ascending (array_sort on a struct
+    * array orders by the first field) — the broadcast operand of the
+    * [[graft.functions.NearestCell]] map-only argmin.
+    */
+  private def centsRow(c: DataFrame): DataFrame =
+    centv(c).agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+
   /** Squared distance of every base row to every centroid (broadcast). */
   private def withD2(base: DataFrame, c: DataFrame): DataFrame =
     base.crossJoin(broadcast(centv(c)))
@@ -67,10 +76,20 @@ object Ivf {
     var cent: DataFrame = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("vq").as("S"), lit(1L).as("n"))
     for (_ <- 1 to Iters) {
-      val asg = withD2(emb.select(col("vec_id"), col("v"), col("vq")), cent)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vq")).as("vq"))
-        .select(col("m.cid").as("cid"), col("vq"))
+      // map-only argmin ([[graft.functions.NearestCell]] against the
+      // 1-row broadcast centroid array): the relational
+      // crossJoin → min(struct(d2, cid)) form materializes n·k
+      // intermediate rows whose payload is the vector arrays — with
+      // the √n-cell edge quantizer that is n^1.5 rows of ~0.5 KB each
+      // and it dominated the build at stress scale (measured round 9:
+      // the ×10 q135 stress point went 32.8 s → 7.0 s across this
+      // rewrite, and the ×10/×4 ratio is now 1.4×).
+      // Same bits by construction: NearestCell replays the exact
+      // DotFold d2 expression and the (d2, cid) tie order.
+      val asg = emb.select(col("vec_id"), col("v"), col("vq"))
+        .crossJoin(broadcast(centsRow(cent)))
+        .select(graft.functions.NearestCell(col("v"), col("cents")).as("cid"),
+          col("vq"))
       // one typed-aggregator pass (order-independent long sums — the
       // DuckDB oracle's unnest+sum grouping produces identical values)
       val sums = asg.as[(Int, Seq[Long])]
@@ -93,13 +112,16 @@ object Ivf {
     cent
   }
 
-  /** Nearest trained cell for every vector: (vec_id, cell, v, nrm). */
+  /** Nearest trained cell for every vector: (vec_id, cell, v, nrm).
+    * Map-only ([[trainCells]]'s NearestCell argmin): one pass, no
+    * intermediate n·k rows, no shuffle.
+    */
   def assignAll(emb: DataFrame, cent: DataFrame): DataFrame =
-    withD2(emb, cent)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("m.cid").as("cell"), col("v"), col("nrm"))
+    emb.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(centsRow(cent)))
+      .select(col("vec_id"),
+        graft.functions.NearestCell(col("v"), col("cents")).as("cell"),
+        col("v"), col("nrm"))
 
   /** The [[Probes]] nearest cells per query vector:
     * (query_id, cell, qv, qnrm).

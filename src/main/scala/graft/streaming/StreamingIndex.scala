@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Ivf, Pq}
+
+/** Streaming freshness twin of q92 (frozen-quantizer index append):
+  * q92 proves IN BATCH that appending a new generation to an IVFADC
+  * index under FROZEN quantizers yields exactly the search results of
+  * re-encoding the full corpus — this object is the serving-side
+  * counterpart, where the new vectors arrive as a STREAM and
+  * `foreachBatch` appends their codes to the on-disk index while the
+  * old generation's codes never change (the freshness path every
+  * vector store runs between full rebuilds).
+  *
+  * Why row-locality makes the twin exact: given frozen centroids and
+  * codebooks, a vector's cell assignment, residual, and PQ codes are
+  * pure per-row functions — batch boundaries cannot change them, so a
+  * stream that appends each micro-batch's codes produces a codes table
+  * IDENTICAL (as a set) to the batch q92 tower's, and the search over
+  * it reproduces q92's rows bit-for-bit (integer centroid/codebook
+  * state round-trips parquet losslessly — the [[graft.ops.Ivf.buildIndex]]
+  * argument; StreamingIndexSpec asserts equality outright).
+  *
+  * Restart safety (the StreamingCorpus discipline applied to the
+  * index): `foreachBatch` is at-least-once, so each micro-batch writes
+  * its codes under its own `gen=<batchId>` partition dir with
+  * overwrite semantics and a replayed batch that already has its
+  * `_SUCCESS` marker is skipped — appends are idempotent, and the old
+  * generation (`gen=-1`) is never opened for write after the build.
+  *
+  * Scale shape: the build is q92's train-once path; each append is one
+  * micro-batch-sized scan (assign → residual → encode are broadcast
+  * joins against the 40-row centroid / 512-row codebook tables); the
+  * search reads codes + shortlist-sized vector fetches, exactly
+  * [[graft.ops.Pq.probeTopK]]'s serving shape.
+  */
+object StreamingIndex {
+
+  /** Train both quantizers on the ⌊4n/5⌋ old generation (q92's cut),
+    * persist the frozen index (integer centroid/codebook state —
+    * lossless in parquet), and write the old generation's
+    * `(vec_id, m, cid, cell)` code rows under `codes/gen=-1`.
+    * Returns the cut.
+    */
+  def buildFrozen(s: SparkSession, sfDir: String, indexDir: String): Long = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = { locals += df.persist(); df }
+    val emb = hold(Ivf.prep(s.read.parquet(s"$sfDir/embeddings.parquet")))
+    val cut = emb.count() * 4 / 5
+    val old = hold(emb.filter(col("vec_id") < cut))
+    val cent = Ivf.trainCells(old, hold)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val centB = s.read.parquet(s"$indexDir/centroids")
+    val oldAsg = hold(Ivf.assignAll(old, centB))
+    val rsub = hold(Pq.subvectors(Pq.residuals(oldAsg, centB)))
+    val cb = Pq.trainCodebooks(rsub, hold)
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val cbB = s.read.parquet(s"$indexDir/codebooks")
+    Pq.encode(rsub, cbB)
+      .join(oldAsg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes/gen=-1")
+    locals.foreach(_.unpersist(false))
+    cut
+  }
+
+  /** Encode one micro-batch of `(vec_id, embedding)` rows through the
+    * FROZEN quantizers and write its codes under `codes/gen=<batchId>`.
+    * Idempotent: a replayed batch whose `_SUCCESS` marker exists is
+    * skipped; a marker-less crash leftover is overwritten.
+    */
+  def appendBatch(indexDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/codes/gen=$batchId")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val cb = s.read.parquet(s"$indexDir/codebooks")
+    val asg = Ivf.assignAll(Ivf.prep(batch), cent)
+    Pq.encode(Pq.subvectors(Pq.residuals(asg, cent)), cb)
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Start the appender over a streaming `(vec_id, embedding)` frame. */
+  def appendStream(vecs: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        appendBatch(indexDir)(b.toDF(), id); ()
+      }
+      .start()
+
+  /** q92-shaped search over the on-disk index (frozen quantizers +
+    * streamed codes): `(query_id, rank, cell, vec_id, is_new, adc, d2)`
+    * — bit-identical to the batch q92 rows once every new vector has
+    * been appended.
+    */
+  def searchTopK(s: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+    val cent = s.read.parquet(s"$indexDir/centroids")
+    val cb = s.read.parquet(s"$indexDir/codebooks")
+    val codes = s.read.parquet(s"$indexDir/codes").drop("gen")
+    val emb = Ivf.prep(s.read.parquet(s"$sfDir/embeddings.parquet"))
+    val cut = broadcast(emb.agg(expr("count(1) * 4 div 5").as("cut")))
+    val probes = Ivf.probeCells(
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+    val dts = Pq.queryResidualTables(probes, cent, cb)
+    val sl = Pq.ivfAdcShortlist(
+      codes.select(col("vec_id"), col("m"), col("cid")),
+      codes.select(col("vec_id"), col("cell")).distinct(), dts)
+    Pq.rerankTopK(sl, emb, extra = Seq("cell"))
+      .crossJoin(cut)
+      .withColumn("is_new", col("vec_id") >= col("cut"))
+      .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
+        col("is_new"), col("adc"), col("d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

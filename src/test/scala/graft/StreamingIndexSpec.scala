@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingIndex
+
+/** The q92 streaming twin's contract: appending the new generation's
+  * vectors through a STREAM (frozen quantizers, foreachBatch code
+  * appends) must (a) leave the old generation's code files and rows
+  * byte/row-invariant, (b) make the on-disk search reproduce the batch
+  * q92 output exactly, and (c) stay idempotent under a replayed batch
+  * (the at-least-once window).
+  */
+class StreamingIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  test("stream-appended index == batch q92; old codes invariant; replay idempotent") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val cut = StreamingIndex.buildFrozen(spark, d, dir)
+
+    def oldFiles(): Seq[(String, Long)] = {
+      val p = new java.io.File(s"$dir/codes/gen=-1")
+      p.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSeq.sorted
+    }
+    // order-independent row digest of the old generation's codes
+    def oldDigest(): Long = spark.read.parquet(s"$dir/codes")
+      .filter(col("gen") === -1)
+      .agg(sum(hash(col("vec_id"), col("m"), col("cid"), col("cell")).cast("long")))
+      .collect()(0).getLong(0)
+    val files0 = oldFiles()
+    val digest0 = oldDigest()
+    assert(files0.nonEmpty)
+
+    // stream the new generation in three waves
+    val newVecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") >= cut)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    assert(newVecs.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sidx_ckpt").toString
+    val q = StreamingIndex.appendStream(
+      source.toDS().toDF("vec_id", "embedding"), dir, ckpt)
+    try {
+      for (chunk <- newVecs.grouped((newVecs.length + 2) / 3)) {
+        source.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // (a) old generation untouched — same files, same bytes, same rows
+    assert(oldFiles() === files0)
+    assert(oldDigest() === digest0)
+
+    // (b) on-disk search reproduces batch q92 bit-for-bit
+    val streamed = StreamingIndex.searchTopK(spark, d, dir).collect().toSeq
+    val batch = SparkEntry.queries("q92_index_append")(spark, d).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(_.getAs[Boolean]("is_new")),
+      "no new-generation vector in the top-k — the append branch is dormant")
+
+    // (c) a replayed batch is skipped (idempotent): re-running batch 0's
+    // append over garbage rows must be a no-op because its _SUCCESS exists
+    val garbage = spark.range(1).select(lit(999999L).as("vec_id"),
+      typedLit(Seq.fill(64)(0.5f)).as("embedding"))
+    StreamingIndex.appendBatch(dir)(garbage, 0L)
+    val streamed2 = StreamingIndex.searchTopK(spark, d, dir).collect().toSeq
+    assert(streamed2 === batch)
+
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+}
