@@ -28,9 +28,11 @@ import graft.functions.DotFold
   * as in the paper; here each is exercised separately against the
   * same oracle gate.
   *
-  * Plan shapes: training broadcasts the [[M]]·[[KSub]] = 512-row
-  * codebook and argmins map-side (min-struct aggregate, never a
-  * window over n·k rows); encoding is the same argmin; serving joins
+  * Plan shapes: training broadcasts the codebook as [[M]] array rows
+  * and argmins MAP-ONLY per subvector row
+  * ([[graft.functions.NearestCell]] — no ×[[KSub]] fan-out, no argmin
+  * shuffle, never a window over n·k rows); encoding is the same
+  * argmin; serving joins
   * the codes table to a broadcast queries×[[M]]×[[KSub]] distance
   * table, hash-aggregates the per-candidate sum, and re-ranks the
   * shortlist exactly. No driver collect anywhere.
@@ -73,12 +75,28 @@ object Pq {
     transform(col("S"), q => q.cast("double") / (lit(1000000.0) * col("n"))).as("cv"))
 
   /** Squared distance of every subvector row to every code of its
-    * subspace (the codebook broadcasts — 64 rows total).
+    * subspace (the codebook broadcasts — 64 rows total). Used where
+    * the FULL distance table is the product (ADC query tables); the
+    * corpus-grain argmins use [[centsByM]] + NearestCell instead.
     */
   private def withD2(base: DataFrame, c: DataFrame): DataFrame =
     base.join(broadcast(centv(c)), Seq("m"))
       .withColumn("d2", DotFold(col("sv"), col("sv"))
         - lit(2.0) * DotFold(col("sv"), col("cv")) + DotFold(col("cv"), col("cv")))
+
+  /** Per-subspace codebook as ONE array row each (m, cents) —
+    * cid-ascending (array_sort orders by the leading struct field),
+    * the broadcast-hash-join operand of the
+    * [[graft.functions.NearestCell]] map-only argmin: the corpus-grain
+    * encode/train passes join 1:1 on `m` instead of fanning every
+    * subvector row out ×[[KSub]] through the relational min-struct
+    * (same bits — NearestCell replays the withD2 expression and the
+    * (d2, cid) tie order; the [[graft.ops.Ivf]] round-9 lesson applied
+    * to the subspace argmin).
+    */
+  private def centsByM(c: DataFrame): DataFrame =
+    centv(c).groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
 
   /** [[Iters]] Lloyd rounds per subspace, all subspaces trained in ONE
     * plan (the subspace id is just another grouping key); seeded from
@@ -91,10 +109,10 @@ object Pq {
       .select(col("m"), col("vec_id").cast("int").as("cid"),
         col("svq").as("S"), lit(1L).as("n"))
     for (_ <- 1 to Iters) {
-      val asg = withD2(sub, cent)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("cid"))).as("mm"), first(col("svq")).as("svq"))
-        .select(col("m"), col("mm.cid").as("cid"), col("svq"))
+      val asg = sub.join(broadcast(centsByM(cent)), Seq("m"))
+        .select(col("m"),
+          graft.functions.NearestCell(col("sv"), col("cents")).as("cid"),
+          col("svq"))
       val sums = asg.as[(Int, Int, Seq[Long])]
         .groupByKey(t => (t._1, t._2)).mapValues(_._3)
         .agg(Aggregators.LongVecSum.toColumn)
@@ -113,12 +131,14 @@ object Pq {
     cent
   }
 
-  /** PQ codes: nearest code per (vec_id, subspace) — (vec_id, m, cid). */
+  /** PQ codes: nearest code per (vec_id, subspace) — (vec_id, m, cid).
+    * Map-only (the [[centsByM]] NearestCell argmin): one 1:1 broadcast
+    * join on m, no ×[[KSub]] fan-out, no argmin shuffle.
+    */
   def encode(sub: DataFrame, cent: DataFrame): DataFrame =
-    withD2(sub, cent)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cid"))).as("mm"))
-      .select(col("vec_id"), col("m"), col("mm.cid").as("cid"))
+    sub.join(broadcast(centsByM(cent)), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        graft.functions.NearestCell(col("sv"), col("cents")).as("cid"))
 
   /** The ADC distance table for a set of query vectors: one
     * floor(d²·10⁸) long per (query, subspace, code) — queries×[[M]]×
