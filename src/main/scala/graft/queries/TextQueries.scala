@@ -587,6 +587,67 @@ object TextQueries {
       .orderBy(col("query_id"))
   }
 
+  /** EXT-3l — index-REFRESH audit (the rebuild decision): recall@5 of
+    * the FULL-RETRAIN IVFADC tower (q91's) and the FROZEN-quantizer
+    * append tower (q92's — both quantizers trained on the first ⌊4n/5⌋
+    * generation only) against the same brute-force exact L2 truth,
+    * side by side per query, plus the towers' top-5 overlap and the
+    * per-query `refresh_gain` (retrained hits − frozen hits). This is
+    * the table that answers "is the index stale enough to pay a
+    * rebuild" — q92 proves the frozen append is CORRECT, this measures
+    * what it COSTS in recall. Non-vacuous (measured before wiring: 4
+    * of 25 top-5 rows differ between the towers at sf0.01, and new-gen
+    * vectors do reach the frozen top-5).
+    *
+    * Both towers ride the session memos (ivfadcShortlist /
+    * oldIvfadcShortlist), so the query itself is three query-grain
+    * joins + one broadcast exact pass. The oracle hosts BOTH training
+    * replays in one statement — every frozen-side CTE carries the `f`
+    * prefix (the generators' round-9 prefix parameter; identical SQL
+    * when unprefixed) — so the gate proves the two-tower composition
+    * end-to-end, not each tower in isolation.
+    *
+    * Scale shape: the audit is query-grain on top of the two towers'
+    * own (already audited) shapes; the exact side exists because this
+    * IS the audit. At 100 TB the same comparison runs on a query
+    * SAMPLE against the persisted old/new index generations
+    * ([[graft.ops.Ivf.buildIndex]] / [[graft.streaming.StreamingIndex]]).
+    */
+  val q144RefreshAudit: Q = (s, d) => {
+    import graft.ops.{Pq, TowerMemo}
+    import graft.functions.DotFold
+    val emb = TowerMemo.prep(s, d)
+    val full5 = tracked(Pq.rerankTopK(TowerMemo.ivfadcShortlist(s, d), emb)
+      .select(col("query_id"), col("vec_id")))
+    val froz5 = tracked(Pq.rerankTopK(TowerMemo.oldIvfadcShortlist(s, d), emb)
+      .select(col("query_id"), col("vec_id")))
+    val exact = emb.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", DotFold(col("qv"), col("qv"))
+        - lit(2.0) * DotFold(col("qv"), col("v")) + DotFold(col("v"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val common = full5.join(froz5, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    exact
+      .join(full5.withColumn("rhit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .join(froz5.withColumn("fhit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("rhit")).as("hits_retrained"),
+        count(col("fhit")).as("hits_frozen"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"), col("hits_retrained"), col("hits_frozen"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (col("hits_retrained").cast("double") / lit(5.0)).as("recall_retrained"),
+        (col("hits_frozen").cast("double") / lit(5.0)).as("recall_frozen"),
+        (col("hits_retrained") - col("hits_frozen")).as("refresh_gain"))
+      .orderBy(col("query_id"))
+  }
+
   /** EXT-1 — SimHash-bucket dedup: documents clustering to the same
     * 16-bit SimHash form a near-dup group; keep the smallest doc_id.
     */
@@ -2923,6 +2984,7 @@ object TextQueries {
     "q134_dup_size_hist" -> q134DupSizeHist,
     "q135_graph_ann" -> q135GraphAnn,
     "q143_graph_ann_div" -> q143GraphAnnDiv,
+    "q144_refresh_audit" -> q144RefreshAudit,
     "q136_truncation_curve" -> q136TruncationCurve,
     "q137_family_coherence" -> q137FamilyCoherence,
     "q139_sim_calibration" -> q139SimCalibration,
@@ -3448,36 +3510,37 @@ object TextQueries {
     * IVF residual subvectors — one definition, two consumers, per the
     * shared-prefix discipline.
     */
-  private def pqChainCtes(sub: String, train: String = null): String = {
+  private def pqChainCtes(sub: String, train: String = null,
+      p: String = ""): String = {
     import graft.ops.Pq
     val trn = Option(train).getOrElse(sub)
     val sb = new StringBuilder
-    sb ++= s"""pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, svq AS S, CAST(1 AS BIGINT) AS n
+    sb ++= s"""${p}pc0 AS (SELECT m, CAST(vec_id AS INT) AS cid, svq AS S, CAST(1 AS BIGINT) AS n
       |  FROM $trn WHERE vec_id < ${Pq.KSub}),
       |""".stripMargin
     for (t <- 1 to Pq.Iters) {
-      sb ++= s"""pcv$t AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM pc${t - 1}),
-        |pasg$t AS (
+      sb ++= s"""${p}pcv$t AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM ${p}pc${t - 1}),
+        |${p}pasg$t AS (
         |  SELECT m, cid, svq FROM (
         |    SELECT vec_id, m, svq, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
         |    FROM (SELECT s.vec_id, s.m, s.svq, c.cid, ${d2Sql("s.sv", "c.cv")} AS d2
-        |          FROM $trn s JOIN pcv$t c ON s.m = c.m))
+        |          FROM $trn s JOIN ${p}pcv$t c ON s.m = c.m))
         |  WHERE rn = 1),
-        |psum$t AS (
+        |${p}psum$t AS (
         |  SELECT a.m, a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
-        |  FROM pasg$t a, LATERAL (SELECT unnest(a.svq) AS q, generate_subscripts(a.svq, 1) AS pos) t
+        |  FROM ${p}pasg$t a, LATERAL (SELECT unnest(a.svq) AS q, generate_subscripts(a.svq, 1) AS pos) t
         |  GROUP BY a.m, a.cid, t.pos),
-        |pu$t AS (SELECT m, cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM psum$t GROUP BY m, cid),
-        |pc$t AS (SELECT p.m, p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
-        |  FROM pc${t - 1} p LEFT JOIN pu$t u ON p.m = u.m AND p.cid = u.cid),
+        |${p}pu$t AS (SELECT m, cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM ${p}psum$t GROUP BY m, cid),
+        |${p}pc$t AS (SELECT p.m, p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
+        |  FROM ${p}pc${t - 1} p LEFT JOIN ${p}pu$t u ON p.m = u.m AND p.cid = u.cid),
         |""".stripMargin
     }
-    sb ++= s"""pcvF AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM pc${Pq.Iters}),
-      |codes AS (
+    sb ++= s"""${p}pcvF AS (SELECT m, cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM ${p}pc${Pq.Iters}),
+      |${p}codes AS (
       |  SELECT vec_id, m, cid FROM (
       |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
       |    FROM (SELECT s.vec_id, s.m, c.cid, ${d2Sql("s.sv", "c.cv")} AS d2
-      |          FROM $sub s JOIN pcvF c ON s.m = c.m))
+      |          FROM $sub s JOIN ${p}pcvF c ON s.m = c.m))
       |  WHERE rn = 1),
       |""".stripMargin
     sb.toString
@@ -3542,18 +3605,20 @@ object TextQueries {
     * bit-identical doubles) and their subvectors — emitted between
     * [[ivfTrainAssignCtes]] and [[pqChainCtes]].
     */
-  private def ivfadcResidualCtes: String = {
+  private def ivfadcResidualCtes(p: String = ""): String = {
     import graft.ops.Pq
-    s"""ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),
-      |res91 AS (
+    // ms is static (a prefixed clone reuses the first tower's)
+    val ms = if (p.isEmpty)
+      s"ms AS (SELECT unnest(generate_series(0, ${Pq.M - 1})) AS m),\n" else ""
+    ms + s"""${p}res91 AS (
       |  SELECT a.vec_id, a.cell,
       |    list_transform(generate_series(1, len(en.v)), i -> en.v[i] - c.cv[i]) AS r
-      |  FROM af a JOIN en ON a.vec_id = en.vec_id JOIN cvF c ON a.cell = c.cid),
-      |rsub91 AS (SELECT vec_id, m,
+      |  FROM ${p}af a JOIN en ON a.vec_id = en.vec_id JOIN ${p}cvF c ON a.cell = c.cid),
+      |${p}rsub91 AS (SELECT vec_id, m,
       |  list_slice(r, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS sv,
       |  list_transform(list_slice(r, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}),
       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS svq
-      |  FROM res91, ms),
+      |  FROM ${p}res91, ms),
       |""".stripMargin
   }
 
@@ -3574,46 +3639,46 @@ object TextQueries {
     * WITHOUT a trailing comma — q91/q92 append the top-k read-out
     * SELECT directly; q93 appends `,cte ...` audit CTEs instead.
     */
-  private def ivfadcRankCtes(withIsNew: Boolean): String = {
+  private def ivfadcRankCtes(withIsNew: Boolean, p: String = ""): String = {
     import graft.ops.Pq
-    val isNewCol = if (withIsNew) ", s.vec_id >= cut.cut AS is_new" else ""
-    val cutJoin = if (withIsNew) " CROSS JOIN cut" else ""
-    s"""pr91 AS (
+    val isNewCol = if (withIsNew) s", s.vec_id >= ${p}cut.cut AS is_new" else ""
+    val cutJoin = if (withIsNew) s" CROSS JOIN ${p}cut" else ""
+    s"""${p}pr91 AS (
       |  SELECT query_id, cid AS cell FROM (
       |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c WHERE en.vec_id < 5))
+      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, ${p}cvF c WHERE en.vec_id < 5))
       |  WHERE rn <= $IvfProbes),
-      |qres91 AS (
+      |${p}qres91 AS (
       |  SELECT p.query_id, p.cell,
       |    list_transform(generate_series(1, len(en.v)), i -> en.v[i] - c.cv[i]) AS r
-      |  FROM pr91 p JOIN en ON p.query_id = en.vec_id JOIN cvF c ON p.cell = c.cid),
-      |qdt91 AS (
+      |  FROM ${p}pr91 p JOIN en ON p.query_id = en.vec_id JOIN ${p}cvF c ON p.cell = c.cid),
+      |${p}qdt91 AS (
       |  SELECT q.query_id, q.cell, q.m, c.cid,
       |    CAST(floor((${d2Sql("q.sv", "c.cv")}) * 100000000.0) AS BIGINT) AS qdt
       |  FROM (SELECT query_id, cell, m,
       |          list_slice(r, m * ${Pq.SubDim} + 1, m * ${Pq.SubDim} + ${Pq.SubDim}) AS sv
-      |        FROM qres91, ms) q JOIN pcvF c ON q.m = c.m),
-      |sc91 AS (
+      |        FROM ${p}qres91, ms) q JOIN ${p}pcvF c ON q.m = c.m),
+      |${p}sc91 AS (
       |  SELECT d.query_id, d.cell, co.vec_id, CAST(sum(d.qdt) AS BIGINT) AS adc
-      |  FROM codes co JOIN af a ON co.vec_id = a.vec_id
-      |  JOIN qdt91 d ON a.cell = d.cell AND co.m = d.m AND co.cid = d.cid
+      |  FROM ${p}codes co JOIN ${p}af a ON co.vec_id = a.vec_id
+      |  JOIN ${p}qdt91 d ON a.cell = d.cell AND co.m = d.m AND co.cid = d.cid
       |  WHERE co.vec_id <> d.query_id
       |  GROUP BY d.query_id, d.cell, co.vec_id),
-      |sl91 AS (
+      |${p}sl91 AS (
       |  SELECT query_id, cell, vec_id, adc FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rs FROM sc91)
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rs FROM ${p}sc91)
       |  WHERE rs <= ${Pq.Shortlist}),
-      |rr91 AS (
+      |${p}rr91 AS (
       |  SELECT s.query_id, s.cell, s.vec_id, s.adc$isNewCol,
       |    ${d2Sql("eq.v", "ev.v")} AS d2
-      |  FROM sl91 s JOIN en ev ON s.vec_id = ev.vec_id
+      |  FROM ${p}sl91 s JOIN en ev ON s.vec_id = ev.vec_id
       |  JOIN en eq ON s.query_id = eq.vec_id$cutJoin),
-      |rk91 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM rr91)
+      |${p}rk91 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM ${p}rr91)
       |""".stripMargin
   }
 
   private def q91OracleSql: String =
-    ivfTrainAssignCtes() + ivfadcResidualCtes + pqChainCtes("rsub91") +
+    ivfTrainAssignCtes() + ivfadcResidualCtes() + pqChainCtes("rsub91") +
       ivfadcSearchTail(withIsNew = false)
 
   /** q92's oracle: the identical IVFADC tower with BOTH quantizers
@@ -3622,7 +3687,7 @@ object TextQueries {
     * frozen-quantizer append replayed CTE-for-CTE.
     */
   private def q92OracleSql: String =
-    ivfTrainAssignCtes("eno") + ivfadcResidualCtes +
+    ivfTrainAssignCtes("eno") + ivfadcResidualCtes() +
       "rsubo AS (SELECT r.* FROM rsub91 r, cut WHERE r.vec_id < cut.cut),\n" +
       pqChainCtes("rsub91", "rsubo") + ivfadcSearchTail(withIsNew = true)
 
@@ -3631,7 +3696,7 @@ object TextQueries {
     * division by the literal 5.0.
     */
   private def q93OracleSql: String =
-    ivfTrainAssignCtes() + ivfadcResidualCtes + pqChainCtes("rsub91") +
+    ivfTrainAssignCtes() + ivfadcResidualCtes() + pqChainCtes("rsub91") +
       ivfadcRankCtes(withIsNew = false) +
       s""",ap93 AS (SELECT query_id, vec_id FROM rk91 WHERE rank <= 5),
         |ex93 AS (
@@ -3714,36 +3779,85 @@ object TextQueries {
     sb.toString
   }
 
-  private def ivfTrainAssignCtes(train: String = "en"): String = {
+  /** q144's oracle: the FULL-RETRAIN tower (q91's chain, unprefixed)
+    * and the FROZEN tower (q92's chain, every CTE `f`-prefixed) hosted
+    * in ONE statement sharing the `e`/`en`/`ms` header, then the exact
+    * L2 truth and the per-query hit/overlap rollup.
+    */
+  private def q144OracleSql: String =
+    ivfTrainAssignCtes() + ivfadcResidualCtes() + pqChainCtes("rsub91") +
+      ivfadcRankCtes(withIsNew = false) + ",\n" +
+      ivfTrainAssignCtes("feno", p = "f", header = false) +
+      ivfadcResidualCtes(p = "f") +
+      "frsubo AS (SELECT r.* FROM frsub91 r, fcut WHERE r.vec_id < fcut.cut),\n" +
+      pqChainCtes("frsub91", "frsubo", p = "f") +
+      ivfadcRankCtes(withIsNew = false, p = "f") +
+      s""",ap144 AS (SELECT query_id, vec_id FROM rk91 WHERE rank <= 5),
+        |fp144 AS (SELECT query_id, vec_id FROM frk91 WHERE rank <= 5),
+        |ex144 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+        |    FROM (SELECT eq.vec_id AS query_id, ev.vec_id AS vec_id, ${d2Sql("eq.v", "ev.v")} AS d2
+        |          FROM en eq, en ev WHERE eq.vec_id < 5 AND ev.vec_id <> eq.vec_id))
+        |  WHERE rn <= 5),
+        |cm144 AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ap144 a JOIN fp144 f ON a.query_id = f.query_id AND a.vec_id = f.vec_id
+        |  GROUP BY a.query_id),
+        |hi144 AS (
+        |  SELECT e.query_id,
+        |    CAST(count(a.vec_id) AS BIGINT) AS hits_retrained,
+        |    CAST(count(f.vec_id) AS BIGINT) AS hits_frozen
+        |  FROM ex144 e
+        |  LEFT JOIN ap144 a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        |  LEFT JOIN fp144 f ON e.query_id = f.query_id AND e.vec_id = f.vec_id
+        |  GROUP BY e.query_id)
+        |SELECT h.query_id, h.hits_retrained, h.hits_frozen,
+        |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(h.hits_retrained AS DOUBLE) / 5.0 AS recall_retrained,
+        |  CAST(h.hits_frozen AS DOUBLE) / 5.0 AS recall_frozen,
+        |  h.hits_retrained - h.hits_frozen AS refresh_gain
+        |FROM hi144 h LEFT JOIN cm144 c ON h.query_id = c.query_id
+        |ORDER BY h.query_id""".stripMargin
+
+  /** `p` prefixes every CTE this generator DEFINES (c0…, cvF, af, cut)
+    * so two independent towers can share one WITH statement (q144
+    * hosts the full-retrain AND frozen towers side by side); the
+    * shared `e`/`en` header is emitted only when `header` (a prefixed
+    * clone references the first tower's). Default ("" / true) emits
+    * byte-identical SQL to the unparameterized original.
+    */
+  private def ivfTrainAssignCtes(train: String = "en", p: String = "",
+      header: Boolean = true): String = {
     val sb = new StringBuilder
-    sb ++= embHeadCtes()
+    if (header) sb ++= embHeadCtes()
     if (train != "en")
-      sb ++= s"""cut AS (SELECT (count(*) * 4) // 5 AS cut FROM embeddings),
-        |$train AS (SELECT en.* FROM en, cut WHERE en.vec_id < cut.cut),
+      sb ++= s"""${p}cut AS (SELECT (count(*) * 4) // 5 AS cut FROM embeddings),
+        |$train AS (SELECT en.* FROM en, ${p}cut WHERE en.vec_id < ${p}cut.cut),
         |""".stripMargin
-    sb ++= s"""c0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n FROM $train WHERE vec_id < $IvfK),
+    sb ++= s"""${p}c0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n FROM $train WHERE vec_id < $IvfK),
       |""".stripMargin
     for (t <- 1 to IvfIters) {
-      sb ++= s"""cv$t AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM c${t - 1}),
-        |asg$t AS (
+      sb ++= s"""${p}cv$t AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM ${p}c${t - 1}),
+        |${p}asg$t AS (
         |  SELECT vec_id, vq, cid FROM (
         |    SELECT vec_id, vq, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM (SELECT en.vec_id, en.vq, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM $train en, cv$t c))
+        |    FROM (SELECT en.vec_id, en.vq, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM $train en, ${p}cv$t c))
         |  WHERE rn = 1),
-        |sums$t AS (
+        |${p}sums$t AS (
         |  SELECT a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
-        |  FROM asg$t a, LATERAL (SELECT unnest(a.vq) AS q, generate_subscripts(a.vq, 1) AS pos) t
+        |  FROM ${p}asg$t a, LATERAL (SELECT unnest(a.vq) AS q, generate_subscripts(a.vq, 1) AS pos) t
         |  GROUP BY a.cid, t.pos),
-        |u$t AS (SELECT cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM sums$t GROUP BY cid),
-        |c$t AS (SELECT p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
-        |  FROM c${t - 1} p LEFT JOIN u$t u ON p.cid = u.cid),
+        |${p}u$t AS (SELECT cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM ${p}sums$t GROUP BY cid),
+        |${p}c$t AS (SELECT p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
+        |  FROM ${p}c${t - 1} p LEFT JOIN ${p}u$t u ON p.cid = u.cid),
         |""".stripMargin
     }
-    sb ++= s"""cvF AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM c$IvfIters),
-      |af AS (
+    sb ++= s"""${p}cvF AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM ${p}c$IvfIters),
+      |${p}af AS (
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, cvF c))
+      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, ${p}cvF c))
       |  WHERE rn = 1),
       |""".stripMargin
     sb.toString
@@ -4353,6 +4467,7 @@ object TextQueries {
     "q134_dup_size_hist" -> q134OracleSql,
     "q135_graph_ann" -> q135OracleSql,
     "q143_graph_ann_div" -> q143OracleSql,
+    "q144_refresh_audit" -> q144OracleSql,
     "q136_truncation_curve" -> q136OracleSql,
     "q137_family_coherence" -> q137OracleSql,
     "q139_sim_calibration" -> q139OracleSql,
