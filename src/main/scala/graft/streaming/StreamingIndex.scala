@@ -29,6 +29,14 @@ import graft.ops.{Ivf, Pq}
   * `_SUCCESS` marker is skipped — appends are idempotent, and the old
   * generation (`gen=-1`) is never opened for write after the build.
   *
+  * The lifecycle's other half: [[deleteBatch]]/[[deleteStream]]
+  * tombstone vec_ids (codes stay immutable; search anti-joins the
+  * tombstones via [[liveCodes]]) and [[compact]] rewrites the codes
+  * table to exactly its live rows with an order-independent row digest
+  * certified against the re-read files before the old dirs are
+  * swapped out — build → append → delete → compact, each step
+  * spec-proven.
+  *
   * Scale shape: the build is q92's train-once path; each append is one
   * micro-batch-sized scan (assign → residual → encode are broadcast
   * joins against the 40-row centroid / 512-row codebook tables); the
@@ -94,15 +102,91 @@ object StreamingIndex {
       }
       .start()
 
-  /** q92-shaped search over the on-disk index (frozen quantizers +
-    * streamed codes): `(query_id, rank, cell, vec_id, is_new, adc, d2)`
-    * — bit-identical to the batch q92 rows once every new vector has
-    * been appended.
+  /** Tombstone one micro-batch of deleted `vec_id`s under
+    * `tombs/gen=<batchId>` — the DELETE half of the index lifecycle
+    * (GDPR erasure, dedup-retraction): codes are immutable on disk, so
+    * deletion is an anti-join marker until [[compact]] rewrites.
+    * Idempotent exactly like [[appendBatch]].
     */
-  def searchTopK(s: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+  def deleteBatch(indexDir: String)(ids: DataFrame, batchId: Long): Unit = {
+    val s = ids.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/tombs/gen=$batchId")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    ids.select(col("vec_id")).write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Start the deletion appender over a streaming `(vec_id)` frame. */
+  def deleteStream(ids: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        deleteBatch(indexDir)(b.toDF(), id); ()
+      }
+      .start()
+
+  private def tombsExist(s: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombs")
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The index's LIVE code rows: every appended generation minus the
+    * tombstoned ids (a dup-free anti-join — tombstones are
+    * vec_id-grained, codes are (vec_id, m)-grained).
+    */
+  def liveCodes(s: SparkSession, indexDir: String): DataFrame = {
+    val codes = s.read.parquet(s"$indexDir/codes").drop("gen")
+    if (!tombsExist(s, indexDir)) codes
+    else codes.join(
+      s.read.parquet(s"$indexDir/tombs").select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Digest-certified compaction: rewrite the codes table to exactly
+    * its live rows (dropping tombstoned ids and collapsing the
+    * generation dirs), prove the rewrite lost nothing — an
+    * order-independent row digest of the live set BEFORE must equal
+    * the digest of the compacted files READ BACK (attesting the sink's
+    * actual bytes, the q57 manifest discipline) — then swap dirs and
+    * drop the tombstones. Throws (leaving the original index intact)
+    * on any digest mismatch.
+    */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    def digest(df: DataFrame): Long = df
+      .agg(sum(hash(col("vec_id"), col("m"), col("cid"), col("cell")).cast("long")))
+      .collect()(0).getLong(0)
+    val before = digest(liveCodes(s, indexDir))
+    val newDir = s"$indexDir/codes_compacting/gen=-1"
+    liveCodes(s, indexDir).write.mode("overwrite").parquet(newDir)
+    val after = digest(s.read.parquet(newDir))
+    if (before != after)
+      throw new IllegalStateException(
+        s"compaction digest mismatch: $before before, $after read back")
+    val conf = s.sessionState.newHadoopConf()
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = codes.getFileSystem(conf)
+    fs.delete(codes, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting"), codes)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombs"), true)
+    // the old codes path was read this session — drop the FileStatusCache
+    // entry so the next read sees the swapped files (round-6 lesson)
+    s.catalog.refreshByPath(s"$indexDir/codes")
+  }
+
+  /** q92-shaped search over the on-disk index (frozen quantizers +
+    * streamed codes, minus tombstones):
+    * `(query_id, rank, cell, vec_id, is_new, adc, d2)`
+    * — bit-identical to the batch q92 rows once every new vector has
+    * been appended (and none deleted).
+    */
+  def searchTopK(s: SparkSession, sfDir: String, indexDir: String,
+      k: Int = 5): DataFrame = {
     val cent = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")
-    val codes = s.read.parquet(s"$indexDir/codes").drop("gen")
+    val codes = liveCodes(s, indexDir)
     val emb = Ivf.prep(s.read.parquet(s"$sfDir/embeddings.parquet"))
     val cut = broadcast(emb.agg(expr("count(1) * 4 div 5").as("cut")))
     val probes = Ivf.probeCells(
@@ -111,7 +195,7 @@ object StreamingIndex {
     val sl = Pq.ivfAdcShortlist(
       codes.select(col("vec_id"), col("m"), col("cid")),
       codes.select(col("vec_id"), col("cell")).distinct(), dts)
-    Pq.rerankTopK(sl, emb, extra = Seq("cell"))
+    Pq.rerankTopK(sl, emb, k = k, extra = Seq("cell"))
       .crossJoin(cut)
       .withColumn("is_new", col("vec_id") >= col("cut"))
       .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),

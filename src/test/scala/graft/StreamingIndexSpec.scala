@@ -76,4 +76,57 @@ class StreamingIndexSpec extends AnyFunSuite {
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
+
+  test("delete tombstones + digest-certified compaction: the other half of the lifecycle") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_del").toString
+    val cut = StreamingIndex.buildFrozen(spark, d, dir)
+    // append the whole new generation in one direct batch (the stream
+    // wiring is the previous test's subject)
+    val newVecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") >= cut).select(col("vec_id"), col("embedding"))
+    StreamingIndex.appendBatch(dir)(newVecs, 0L)
+    val nTotal = spark.read.parquet(s"$d/embeddings.parquet").count()
+
+    // pre-delete rankings, deep enough to predict the post-delete top-5
+    val pre20 = StreamingIndex.searchTopK(spark, d, dir, k = 20).collect()
+    // delete one old-gen and one new-gen id that actually appear in
+    // results, plus one absent id — all three branches live
+    val inResults = pre20.map(_.getAs[Long]("vec_id")).distinct
+    val delOld = inResults.filter(_ < cut).head
+    val delNew = inResults.filter(_ >= cut).head
+    val absent = (0L until nTotal).find(id => !inResults.contains(id)).get
+    StreamingIndex.deleteBatch(dir)(Seq(delOld, absent).toDF("vec_id"), 0L)
+    StreamingIndex.deleteBatch(dir)(Seq(delNew).toDF("vec_id"), 1L)
+    val deleted = Set(delOld, delNew, absent)
+
+    // promotion law: with the shortlist at 20 and ≤2 deletions per
+    // query, the post-delete top-5 is exactly the first 5 surviving
+    // pre-delete rows per query (relative ADC/d2 order is untouched)
+    val post = StreamingIndex.searchTopK(spark, d, dir).collect()
+    assert(post.forall(r => !deleted.contains(r.getAs[Long]("vec_id"))))
+    val expect = pre20.groupBy(_.getAs[Long]("query_id")).view.mapValues(
+      _.sortBy(_.getAs[Int]("rank"))
+        .filterNot(r => deleted.contains(r.getAs[Long]("vec_id")))
+        .take(5).map(_.getAs[Long]("vec_id")).toSeq).toMap
+    val got = post.groupBy(_.getAs[Long]("query_id")).view.mapValues(
+      _.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq).toMap
+    assert(got === expect)
+
+    // idempotent replay: re-running delete gen 0 with garbage is a no-op
+    StreamingIndex.deleteBatch(dir)(Seq(0L, 1L, 2L).toDF("vec_id"), 0L)
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === post.toSeq)
+
+    // compaction: same search, tombstones gone, codes = live rows only
+    StreamingIndex.compact(spark, dir)
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === post.toSeq)
+    assert(!new java.io.File(s"$dir/tombs").exists())
+    val codesRows = spark.read.parquet(s"$dir/codes").count()
+    // absent was tombstoned too and IS a real vector — 3 ids dropped
+    assert(codesRows === (nTotal - 3) * graft.ops.Pq.M)
+
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }
