@@ -1985,23 +1985,37 @@ object TextQueries {
     * pair table, never a new vector pass. All comparisons are between
     * identically-computed doubles (invariant 4); ties (cos(c,k) =
     * cos(c,src)) prune, matching the strict-> keep rule both engines.
+    *
+    * The greedy walks each vertex's top-[[DivEfC]] candidates by
+    * cosine, not its whole cell — the paper's own shape (heuristic 2
+    * selects from an efConstruction-bounded candidate LIST), and the
+    * scale bound: the per-step conflict joins touch n·[[DivEfC]] rows
+    * instead of the full n^1.5 pair mass (the pair table is probed
+    * only as the conflict-cosine lookup).
     */
+  /** Diversification candidate pool per vertex (efConstruction's
+    * role): 4× the kept degree.
+    */
+  private[graft] val DivEfC = 4 * KnnGK
+
   private[graft] def divEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val pairs = cellPairs(s, d)
     val wsrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    var kept = pairs.withColumn("rn", row_number().over(wsrc))
+    val cand = tracked(pairs.withColumn("rk", row_number().over(wsrc))
+      .filter(col("rk") <= DivEfC).select(col("src"), col("dst"), col("cos")))
+    var kept = cand.withColumn("rn", row_number().over(wsrc))
       .filter(col("rn") === 1).select(col("src"), col("dst"))
       .localCheckpoint(true)
     for (_ <- 2 to KnnGK) {
       // a candidate conflicts when some kept neighbor is at least as
       // close to it as the source is
-      val conflicts = pairs.as("c")
+      val conflicts = cand.as("c")
         .join(kept.as("k"), col("c.src") === col("k.src") && col("c.dst") =!= col("k.dst"))
         .join(pairs.as("p"),
           col("p.src") === col("c.dst") && col("p.dst") === col("k.dst"))
         .filter(col("p.cos") >= col("c.cos"))
         .select(col("c.src").as("src"), col("c.dst").as("dst")).distinct()
-      val alive = pairs
+      val alive = cand
         .join(kept, Seq("src", "dst"), "left_anti")
         .join(conflicts, Seq("src", "dst"), "left_anti")
       val next = alive.withColumn("rn", row_number().over(wsrc))
@@ -3206,20 +3220,23 @@ object TextQueries {
     // dv up to three times, and DuckDB's default re-inlining would
     // multiply the whole chain ~3^KnnGK times (measured: 76 s inlined,
     // 1.6 s materialized at sf0.01)
-    sb ++= s"""dv1 AS MATERIALIZED (SELECT src, dst FROM (
+    sb ++= s"""dvc AS MATERIALIZED (SELECT src, dst, cos FROM (
+      |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      |    FROM scknn) WHERE rk <= $DivEfC),
+      |dv1 AS MATERIALIZED (SELECT src, dst FROM (
       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-      |    FROM scknn) WHERE rn = 1),
+      |    FROM dvc) WHERE rn = 1),
       |""".stripMargin
     for (t <- 2 to KnnGK) {
       sb ++= s"""cf$t AS MATERIALIZED (
         |  SELECT DISTINCT c.src, c.dst
-        |  FROM scknn c JOIN dv${t - 1} k ON c.src = k.src AND c.dst <> k.dst
+        |  FROM dvc c JOIN dv${t - 1} k ON c.src = k.src AND c.dst <> k.dst
         |  JOIN scknn p ON p.src = c.dst AND p.dst = k.dst
         |  WHERE p.cos >= c.cos),
         |nx$t AS (SELECT src, dst FROM (
         |    SELECT c.src, c.dst,
         |      row_number() OVER (PARTITION BY c.src ORDER BY c.cos DESC, c.dst) AS rn
-        |    FROM scknn c
+        |    FROM dvc c
         |    LEFT JOIN dv${t - 1} k ON c.src = k.src AND c.dst = k.dst
         |    LEFT JOIN cf$t f ON c.src = f.src AND c.dst = f.dst
         |    WHERE k.dst IS NULL AND f.dst IS NULL) WHERE rn = 1),
