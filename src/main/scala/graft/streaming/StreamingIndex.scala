@@ -155,8 +155,13 @@ object StreamingIndex {
     * on any digest mismatch.
     */
   def compact(s: SparkSession, indexDir: String): Unit = {
+    // coalesce: an index whose every vector was tombstoned has an EMPTY
+    // live set — sum() is null there, and the empty-to-empty compaction
+    // must still certify (0 == 0), not NPE
     def digest(df: DataFrame): Long = df
-      .agg(sum(hash(col("vec_id"), col("m"), col("cid"), col("cell")).cast("long")))
+      .agg(coalesce(
+        sum(hash(col("vec_id"), col("m"), col("cid"), col("cell")).cast("long")),
+        lit(0L)))
       .collect()(0).getLong(0)
     val before = digest(liveCodes(s, indexDir))
     val newDir = s"$indexDir/codes_compacting/gen=-1"
