@@ -175,15 +175,35 @@ object PipelineQueries {
     * (one pass, no pre-write shuffle; file sizes follow the input
     * partitioning).
     */
-  def materialize(s: SparkSession, d: String, outDir: String): Long = {
+  /** The funnel's surviving rows (all four stage flags set) — ONE
+    * definition for every materialization format, so parquet/JSONL/ORC
+    * exports can never diverge on membership.
+    */
+  private def survivors(s: SparkSession, d: String): DataFrame = {
     val flags = stageFlags(s, d)
       .filter(col("f_dedup") === 1 && col("f_quality") === 1 &&
         col("f_decontam") === 1 && col("f_sample") === 1)
-      .select(col("doc_id"), col("source"), col("lang"))
-    val shipped = documents(s, d).join(flags.select(col("doc_id")), Seq("doc_id"))
-    shipped.write.mode("overwrite").partitionBy("lang")
+      .select(col("doc_id"))
+    documents(s, d).join(flags, Seq("doc_id"))
+  }
+
+  def materialize(s: SparkSession, d: String, outDir: String): Long = {
+    survivors(s, d).write.mode("overwrite").partitionBy("lang")
       .parquet(s"$outDir/corpus")
     s.read.parquet(s"$outDir/corpus").count()
+  }
+
+  /** The [[materialize]] twin on ORC — the second columnar format this
+    * classpath ships natively (spark-avro is not present). Same
+    * survivors, same lang partitioning, same one-pass write; returns
+    * rows shipped. OrcFormatSpec proves the parquet and ORC round
+    * trips carry IDENTICAL content (order-independent row digest) and
+    * that lang partition pruning reaches the ORC scan.
+    */
+  def materializeOrc(s: SparkSession, d: String, outDir: String): Long = {
+    survivors(s, d).write.mode("overwrite").partitionBy("lang")
+      .orc(s"$outDir/corpus_orc")
+    s.read.orc(s"$outDir/corpus_orc").count()
   }
 
   /** Export the SAME funnel survivors as lang-partitioned JSONL
@@ -196,11 +216,7 @@ object PipelineQueries {
     * corpus would escape via to_json's own string encoding anyway.
     */
   def materializeJsonl(s: SparkSession, d: String, outDir: String): Long = {
-    val flags = stageFlags(s, d)
-      .filter(col("f_dedup") === 1 && col("f_quality") === 1 &&
-        col("f_decontam") === 1 && col("f_sample") === 1)
-      .select(col("doc_id"))
-    documents(s, d).join(flags, Seq("doc_id"))
+    survivors(s, d)
       .select(col("lang"),
         to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
       .write.mode("overwrite").partitionBy("lang").text(s"$outDir/corpus_jsonl")
