@@ -67,9 +67,12 @@ object Bench {
       timeMemoBuild("tower_memo_build_old") {
         graft.ops.TowerMemo.oldIvfadcShortlist(spark, sfDir).count()
       },
-      // q126/q135's shared √n-cell edge quantizer
+      // q126/q135/q143's shared √n-cell edge quantizer + the scored
+      // within-cell pair table all three consumers read (building the
+      // pairs here means the consumers pay only their own top-k /
+      // diversification work, not 3× the n^1.5 scoring pass)
       timeMemoBuild("edge_memo_build") {
-        graft.ops.TowerMemo.edgeAssigned(spark, sfDir).count()
+        graft.ops.TowerMemo.cellPairs(spark, sfDir).count()
       },
       // q56/q79/q108/q114 + q57's shared near-dup CC labeling
       timeMemoBuild("cc_memo_build") {
@@ -95,8 +98,10 @@ object Bench {
     // Two outputs, two consumers. The driver keeps only a bounded tail of
     // stdout, so the line it parses must stay compact: contract fields only.
     // The full per-query map goes exclusively to SPARK_GRAFT_BENCH_OUT.
-    // loadavg goes into the FILE artifact only (forensics for contention
-    // disputes — stdout stays contract-minimal)
+    // loadavg rides BOTH outputs (additive field — the driver's parser
+    // ignores unknown keys): round 9's 230 s driver artifact was pure box
+    // contention and could not self-identify as such because only the
+    // file artifact carried the load signal.
     val loadavg = try {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim
@@ -104,7 +109,7 @@ object Bench {
     val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg"}"""
     val stdoutJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":"$loadavg"}"""
     // The driver parses this JSON from stdout; round 1 failed to extract it
     // from interleaved log noise. Stop Spark FIRST (its shutdown WARNs go to
     // stderr/before us), persist a file copy, then emit the JSON as the

@@ -78,7 +78,15 @@ case class NearestCell(left: Expression, right: Expression) extends BinaryExpres
       i = 0
       while (i < cv.numElements()) { val c = cv.getDouble(i); dcc += c * c; i += 1 }
       val d2 = dvv - 2.0 * dvc + dcc
-      if (!found || d2 < best) { found = true; best = d2; bestCid = cid }
+      // NaN-robust: mirror Spark's struct-min double ordering, where NaN
+      // sorts LARGEST — a NaN d2 never displaces a finite best, and a
+      // finite d2 always displaces a NaN best (plain `d2 < best` would
+      // freeze on a first-centroid NaN forever, diverging from the
+      // relational argmin this expression must replay bit-for-bit)
+      if (!found || d2 < best ||
+          (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(d2))) {
+        found = true; best = d2; bestCid = cid
+      }
       j += 1
     }
     bestCid
@@ -129,7 +137,8 @@ case class NearestCell(left: Expression, right: Expression) extends BinaryExpres
          |      $dcc += $cval * $cval;
          |    }
          |    double $d2 = $dvv - 2.0 * $dvc + $dcc;
-         |    if (!$found || $d2 < $best) {
+         |    if (!$found || $d2 < $best ||
+         |        (java.lang.Double.isNaN($best) && !java.lang.Double.isNaN($d2))) {
          |      $found = true; $best = $d2; $bestCid = $st.getInt(0);
          |    }
          |  }

@@ -336,6 +336,67 @@ object Dedup {
     connectedComponentsStarWithRounds(verts, edges, maxRounds)._1
   }
 
+  /** Incremental label MAINTENANCE — the rolling-dedup twin of
+    * [[fromPairs]]: given a CONVERGED labeling `old(id, lbl)` (every
+    * `lbl` = min id of its component, i.e. exactly what
+    * [[connectedComponents]] emits) and a wave of new verified pairs
+    * `newPairs(da, db)`, produce the labeling of the UNION graph
+    * without recomputing untouched components.
+    *
+    * The old labeling is a lossless compression of the old graph for
+    * connectivity purposes: each component collapses to its
+    * representative (= its label, which IS a member id and the
+    * component min). So the delta reduces to a graph over
+    * REPRESENTATIVES — each new pair's endpoints map to their old label
+    * (or to themselves when unseen) — and one [[fromPairs]] run over
+    * that reduced graph (delta-sized, not corpus-sized) yields, per
+    * touched representative, the min over the merged component's
+    * representatives. Because every old label is already its
+    * component's min id and every fresh vertex is its own
+    * representative, that min IS the merged component's global min id:
+    * the relabel join `old.lbl → touched.lbl` lands exactly on the
+    * from-scratch labels. Untouched components never enter any join
+    * except the final left-join lookup, and self-reduced pairs (both
+    * endpoints already share a component) drop before the propagation.
+    *
+    * At 100 TB: the reduced graph is bounded by the WAVE size, so a
+    * rolling dedup pays per-wave cost proportional to the delta plus
+    * one hash-join relabel over the label table — never a full
+    * recompute. The merge law (merge ≡ recompute from all pairs) is
+    * machine-checked by q146's oracle, which recomputes from scratch.
+    */
+  def mergeLabels(
+      old: DataFrame,
+      newPairs: DataFrame,
+      maxRounds: Int = 64,
+      track: DataFrame => DataFrame = identity): DataFrame = {
+    val ends = newPairs.select(col("da").as("id"))
+      .union(newPairs.select(col("db").as("id"))).distinct()
+    // endpoint → representative: old label when seen, own id when fresh.
+    // Tracked: read by the reduced-edge join (twice) and the fresh-vertex
+    // branch (invariant 6).
+    val endRep = track(ends.join(old, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("rep")))
+    val reduced = newPairs
+      .join(endRep.select(col("id").as("da"), col("rep").as("ra")), Seq("da"))
+      .join(endRep.select(col("id").as("db"), col("rep").as("rb")), Seq("db"))
+      // a pair internal to one existing component changes nothing
+      .filter(col("ra") =!= col("rb"))
+      .select(col("ra").as("da"), col("rb").as("db"))
+    val touched = fromPairs(track(reduced), maxRounds, track)
+    // old vertices: relabel THROUGH the representative (old lbl is the
+    // join key — only touched components find a match)
+    val oldNew = old
+      .join(touched.select(col("id").as("lbl"), col("lbl").as("nl")), Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    // fresh vertices (first seen in this wave): their rep is their own
+    // id; propagated label when the reduced graph touched it, else self
+    val fresh = endRep.join(old.select(col("id")), Seq("id"), "left_anti")
+      .join(touched.select(col("id").as("rep"), col("lbl").as("nl")), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("nl"), col("rep")).as("lbl"))
+    oldNew.union(fresh)
+  }
+
   /** Rounds sufficient to COVER a given maximum cluster diameter on an
     * id-monotone chain: smallest r with `2^(r+1) - 2 ≥ d`. Detection
     * adds one further no-change round on top.

@@ -134,6 +134,31 @@ object TowerMemo {
   def edgeAssigned(s: SparkSession, d: String): DataFrame =
     get(s, d, "edge_assigned")(Ivf.assignAll(prep(s, d), edgeCent(s, d)))
 
+  /** All scored within-cell ordered pairs `(src, dst, cos)` over the
+    * edge quantizer — the shared candidate domain of the k-NN graph
+    * consumers (q126 centrality, q135 graph search, q143 diversified
+    * edges). Each used to re-derive this n^1.5 DotFold scoring pass on
+    * top of [[edgeAssigned]]; at ×10 that is 3× a 3.0M-row job for
+    * bit-identical rows, so the pair table itself memoizes (the scores
+    * are deterministic per (session, sfDir): fixed-order DotFold over
+    * the checkpointed assignment). The checkpoint stores only
+    * (long, long, double) rows — occupancy-bounded n^1.5 mass, the same
+    * envelope the consumers already materialize transiently.
+    */
+  def cellPairs(s: SparkSession, d: String): DataFrame =
+    get(s, d, "cell_pairs") {
+      val asg = edgeAssigned(s, d)
+      val a = asg.select(col("cell"), col("vec_id").as("src"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = asg.select(col("cell"), col("vec_id").as("dst"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (graft.functions.DotFold(col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cos"))
+    }
+
   /** The standard 5-query probe set over the full-corpus centroids. */
   def probes5(s: SparkSession, d: String): DataFrame =
     get(s, d, "probes5")(Ivf.probeCells(

@@ -1948,20 +1948,12 @@ object TextQueries {
     */
   /** All scored within-cell ordered pairs `(src, dst, cos)` over the
     * edge quantizer — the shared candidate domain of [[knnEdges]] and
-    * [[divEdges]]. Tracked (both consumers and the per-step
-    * diversification joins re-read it).
+    * [[divEdges]]. Memoized per (session, sfDir) in
+    * [[graft.ops.TowerMemo.cellPairs]] (three consumers — q126, q135,
+    * q143 — each re-derived the n^1.5 scoring pass before round 10).
     */
-  private def cellPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val asg = graft.ops.TowerMemo.edgeAssigned(s, d)
-    val a = asg.select(col("cell"), col("vec_id").as("src"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = asg.select(col("cell"), col("vec_id").as("dst"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    tracked(a.join(b, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (graft.functions.DotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos")))
-  }
+  private def cellPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.TowerMemo.cellPairs(s, d)
 
   private[graft] def knnEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val we = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
@@ -3986,10 +3978,13 @@ object TextQueries {
     */
   private def q126OracleSql: String = {
     val sb = new StringBuilder
-    sb ++= edgeQuantCtes()
+    // materialized: eqaf/en feed av, pr0, and fin — unmaterialized, DuckDB
+    // re-inlines the whole √n-cell Lloyd tower at each reference (the q135/
+    // q143 blow-up round 9 documented)
+    sb ++= edgeQuantCtes(materialized = true)
     sb ++= s"""av AS (SELECT eqaf.vec_id, eqaf.cell, en.v, en.nrm
       |  FROM eqaf JOIN en ON eqaf.vec_id = en.vec_id),
-      |sc126 AS (
+      |sc126 AS MATERIALIZED (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id <> b.vec_id),

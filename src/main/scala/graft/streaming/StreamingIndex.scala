@@ -157,10 +157,16 @@ object StreamingIndex {
   def compact(s: SparkSession, indexDir: String): Unit = {
     // coalesce: an index whose every vector was tombstoned has an EMPTY
     // live set — sum() is null there, and the empty-to-empty compaction
-    // must still certify (0 == 0), not NPE
+    // must still certify (0 == 0), not NPE. The sum runs through
+    // decimal(38,0) reduced mod 2^60 — a raw BIGINT sum of 32-bit hashes
+    // would overflow-THROW under ANSI mode at ~2^32 rows (the wrapping-
+    // digest discipline every other digest in the repo follows).
     def digest(df: DataFrame): Long = df
       .agg(coalesce(
-        sum(hash(col("vec_id"), col("m"), col("cid"), col("cell")).cast("long")),
+        pmod(
+          sum(hash(col("vec_id"), col("m"), col("cid"), col("cell"))
+            .cast("decimal(38,0)")),
+          lit(1152921504606846976L).cast("decimal(38,0)")).cast("long"),
         lit(0L)))
       .collect()(0).getLong(0)
     val before = digest(liveCodes(s, indexDir))
@@ -173,8 +179,16 @@ object StreamingIndex {
     val conf = s.sessionState.newHadoopConf()
     val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val fs = codes.getFileSystem(conf)
-    fs.delete(codes, true)
+    // crash-recoverable swap order: rename the live table aside, rename
+    // the certified replacement into place, THEN delete — a crash in the
+    // window leaves either the old codes (step 1-2 incomplete, recover by
+    // renaming codes_old back) or both dirs present, never an index with
+    // no codes dir (delete-then-rename's failure mode)
+    val codesOld = new org.apache.hadoop.fs.Path(s"$indexDir/codes_old")
+    fs.delete(codesOld, true) // stale leftover from a prior crashed swap
+    fs.rename(codes, codesOld)
     fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting"), codes)
+    fs.delete(codesOld, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombs"), true)
     // the old codes path was read this session — drop the FileStatusCache
     // entry so the next read sees the swapped files (round-6 lesson)
