@@ -475,6 +475,55 @@ object AnalyticsQueries {
       .orderBy(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"))
   }
 
+  /** q145's inner plan: the RAW interval-overlap join — the exact
+    * predicate, NO manual binning — which Spark alone can only plan as
+    * a broadcast-nested-loop/cartesian. Registered q145 runs it through
+    * [[graft.plans.IntervalJoinRewrite]] (the custom optimizer rule),
+    * which derives the q104 bucket-explode + equi-join plan
+    * automatically, exactly-once (no Distinct needed — the canonical
+    * overlap-start-bucket predicate). `private[graft]` so
+    * IntervalJoinRuleSpec asserts the rewritten plan shape (Generate +
+    * equi-join, no BNLJ) on the very frame the registered query
+    * executes.
+    */
+  private[graft] def q145Plan(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sess = tracked(tagSessions(events(s, d))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+      .select(col("user_id"), col("sess").cast("long").as("sess"),
+        col("s_us"), col("e_us")))
+    sess.as("a").join(sess.as("b"),
+        col("a.user_id") < col("b.user_id") &&
+          col("a.s_us") <= col("b.e_us") && col("b.s_us") <= col("a.e_us"))
+      .select(col("a.user_id").as("user_a"), col("a.sess").as("sess_a"),
+        col("b.user_id").as("user_b"), col("b.sess").as("sess_b"),
+        (least(col("a.e_us"), col("b.e_us"))
+          - greatest(col("a.s_us"), col("b.s_us"))).as("overlap_us"))
+  }
+
+  /** EXT — q104's semantics THROUGH the custom optimizer rule (SURVEY.md
+    * §2.10 ladder, `Rule[LogicalPlan]` tier): the query declares the
+    * overlap join with the raw inequality predicate and the rewrite
+    * supplies the temporal-binning equi-join during optimization. The
+    * rule is conf-gated (`spark.graft.intervalJoin.bucketWidth`), so the
+    * query installs it idempotently, pins the conf, and materializes
+    * inside the guarded scope (eager localCheckpoint — the conf must be
+    * live when the optimizer runs, and unsetting it in `finally` keeps
+    * every other query's plans untouched). Oracle: DuckDB's native
+    * IEJoin — the q104 oracle verbatim, a genuinely different algorithm;
+    * matching q104's rows also proves rewrite ≡ manual binning.
+    */
+  val q145IntervalRule: Q = (s, d) => {
+    val rule = graft.plans.IntervalJoinRewrite
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    s.conf.set(rule.ConfKey, OverlapBucketUs.toString)
+    try q145Plan(s, d).localCheckpoint(true)
+      .orderBy(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"))
+    finally s.conf.unset(rule.ConfKey)
+  }
+
   /** EXT — A/B experiment readout (the experimentation-platform core):
     * users deterministically split into two arms by the prime-modulus
     * draw's parity (the mod-10⁴ LCG stride-lattices on sequential ids —
@@ -541,12 +590,40 @@ object AnalyticsQueries {
     "q98_knn_label_audit" -> q98KnnLabelAudit,
     "q103_session_seq" -> q103SessionSeq,
     "q104_session_overlap" -> q104SessionOverlap,
+    "q145_interval_rule" -> q145IntervalRule,
     "q110_outliers"    -> q110Outliers,
     "q112_hard_negatives" -> q112HardNegatives,
     "q117_burstiness"  -> q117Burstiness,
     "q123_ab_readout"  -> q123AbReadout,
     "q138_winsorize"   -> q138Winsorize,
   )
+
+  /** The session-overlap IEJoin oracle, shared verbatim by q104 (manual
+    * temporal binning) and q145 (the same semantics through the
+    * IntervalJoinRewrite optimizer rule).
+    */
+  private val overlapOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |b AS (
+      |  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS brk FROM g),
+      |i AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM b),
+      |s AS (
+      |  SELECT user_id, CAST(sess AS BIGINT) AS sess,
+      |    min(ts_us) AS s_us, max(ts_us) AS e_us
+      |  FROM i GROUP BY 1, 2)
+      |SELECT a.user_id AS user_a, a.sess AS sess_a,
+      |  b2.user_id AS user_b, b2.sess AS sess_b,
+      |  least(a.e_us, b2.e_us) - greatest(a.s_us, b2.s_us) AS overlap_us
+      |FROM s a JOIN s b2
+      |  ON a.user_id < b2.user_id AND a.s_us <= b2.e_us AND b2.s_us <= a.e_us
+      |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q138_winsorize" ->
@@ -703,28 +780,11 @@ object AnalyticsQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g_s, g_p, status, priority""".stripMargin,
-    "q104_session_overlap" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |b AS (
-        |  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS brk FROM g),
-        |i AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-        |  FROM b),
-        |s AS (
-        |  SELECT user_id, CAST(sess AS BIGINT) AS sess,
-        |    min(ts_us) AS s_us, max(ts_us) AS e_us
-        |  FROM i GROUP BY 1, 2)
-        |SELECT a.user_id AS user_a, a.sess AS sess_a,
-        |  b2.user_id AS user_b, b2.sess AS sess_b,
-        |  least(a.e_us, b2.e_us) - greatest(a.s_us, b2.s_us) AS overlap_us
-        |FROM s a JOIN s b2
-        |  ON a.user_id < b2.user_id AND a.s_us <= b2.e_us AND b2.s_us <= a.e_us
-        |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin,
+    // q145 = q104's semantics through the optimizer rule — same oracle
+    // verbatim (DuckDB IEJoin; matching q104's rows additionally proves
+    // rewrite ≡ manual binning)
+    "q145_interval_rule" -> overlapOracleSql,
+    "q104_session_overlap" -> overlapOracleSql,
     "q103_session_seq" ->
       s"""WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,

@@ -2935,6 +2935,123 @@ object TextQueries {
     sb.toString
   }
 
+  /** EXT — incremental connected-component label MAINTENANCE (the
+    * operator a rolling 100 TB dedup actually runs): the corpus's
+    * verified near-dup pairs split into an OLD wave (both endpoints
+    * below the ⌊4n/5⌋ doc cut — the q92 freshness cut applied to the
+    * pair graph) and a DELTA wave (larger endpoint at or past the cut:
+    * pairs that exist only once the late docs arrive). The old wave is
+    * labeled from scratch ([[graft.ops.Dedup.fromPairs]]); the delta
+    * then merges via [[graft.ops.Dedup.mergeLabels]], which relabels
+    * ONLY components the delta touches (the reduced representative
+    * graph is wave-sized). Output per pair-involved doc: its merged
+    * label, whether it was labeled before the wave, and whether the
+    * wave relabeled it (measured non-vacuous: 8 relabels at sf0.001, 5
+    * at sf0.01 — old components genuinely merge across the cut).
+    *
+    * The ORACLE is the full recompute — one recursive-CTE closure over
+    * ALL pairs for the merged labels, a second over the old wave for
+    * the flags — so the hash match IS the machine-checked merge law
+    * `mergeLabels(cc(old), delta) ≡ cc(old ∪ delta)` (the q111
+    * merge-law discipline applied to graph labels).
+    */
+  val q146CcMerge: Q = (s, d) => {
+    val cut = graft.Tables.rowCount(s, d, "documents") * 4 / 5
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val pr = dupPairs(s, d)
+    val oldPairs = hold(pr.filter(col("db") < cut))
+    val delta = hold(pr.filter(col("db") >= cut))
+    // fromPairs checkpoints its result, so `old` re-reads cheaply from
+    // its final-round blocks (mergeLabels + the flag join both read it)
+    val old = graft.ops.Dedup.fromPairs(oldPairs, track = hold)
+    val merged = graft.ops.Dedup.mergeLabels(old, delta, track = hold)
+    val out = merged
+      .join(old.select(col("id"), col("lbl").as("old_lbl")), Seq("id"), "left")
+      .select(col("id"), col("lbl"),
+        when(col("old_lbl").isNotNull, 1L).otherwise(0L).as("was_old"),
+        when(col("old_lbl").isNotNull && col("old_lbl") =!= col("lbl"), 1L)
+          .otherwise(0L).as("relabeled"))
+      .orderBy(col("id"))
+      .localCheckpoint(true)
+    locals.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Passages shorter than this many tokens don't make the q147 report
+    * (the Lee et al. ExactSubstr cut applied corpus-wide; q122's
+    * measured run spectrum populates both sides of it).
+    */
+  val MinPassageTokens = 20
+  /** q147 keeps the top-N most-duplicated passages (plans as a
+    * distributed TakeOrderedAndProject — never a single-partition
+    * window).
+    */
+  val TopDupPassages = 50
+
+  /** EXT — corpus-wide duplicated-passage mining (the Lee et al.
+    * "what should I cut corpus-wide" readout that per-pair q122 and
+    * per-doc q81 don't give): the top-[[TopDupPassages]] most-duplicated
+    * passages of ≥ [[MinPassageTokens]] tokens, with how many docs and
+    * spans carry each and the first member docs. NO pairing anywhere:
+    * positional dual-residue 3-grams ([[posGrams]] — gram df ≥ 2
+    * gates span membership, so equality is part of the verdict → 62-bit
+    * keys, the q80/q81 rule), per-doc gaps-and-islands over the
+    * duplicated positions (maximal spans of corpus-shared grams), then
+    * the span's TOKEN STRING is cut from the document and passages
+    * group by literal content — the final grouping is collision-proof
+    * by construction, and DupPassagesSpec re-derives the whole table
+    * from raw gram strings (no hashes) to close the df-gate's residual
+    * collision blind spot. The n_docs ≥ 2 filter is load-bearing on
+    * real data (measured: 4-5 maximal spans ≥ 20 tokens at sf0.01 are
+    * single-doc — their grams are shared, but with DIFFERENT docs per
+    * gram — and correctly drop).
+    *
+    * Scale shape: gram df is one hash agg on the gram key; the islands
+    * window partitions per doc (bounded by doc length); passage
+    * extraction is one row-local slice; content grouping is a hash
+    * shuffle on the passage string (≤ doc-length keys, linear mass);
+    * the top-N is a total-ordered orderBy + limit — planned as
+    * TakeOrderedAndProject, per-partition heaps + one K-row merge,
+    * never a global sort or single-partition window.
+    */
+  val q147DupPassages: Q = (s, d) => {
+    val gr = posGrams(s, d, 3)
+    val dupPos = gr.join(
+      gr.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("h")),
+      Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("rg"))
+      .filter(col("rg") + 2 >= MinPassageTokens)
+    val px = spans.join(
+        documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t0")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        array_join(slice(col("t0"), col("p0").cast("int"), (col("rg") + 2).cast("int")), " ")
+          .as("passage"))
+    val perDoc = px.groupBy(col("passage"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    perDoc.groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_spans"),
+        array_join(transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 5),
+          x => x.cast("string")), ",").as("docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("passage"),
+        size(split(col("passage"), " ")).cast("long").as("n_tokens"),
+        col("n_docs"), col("n_spans"), col("docs"))
+      .orderBy(col("n_docs").desc, col("n_spans").desc, col("passage"))
+      .limit(TopDupPassages)
+      // re-assert output order after the limit (TakeOrderedAndProject
+      // emits sorted rows today, but the contract wants an explicit
+      // total ORDER BY at the plan root — 50 rows, free)
+      .orderBy(col("n_docs").desc, col("n_spans").desc, col("passage"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -2995,6 +3112,8 @@ object TextQueries {
     "q137_family_coherence" -> q137FamilyCoherence,
     "q139_sim_calibration" -> q139SimCalibration,
     "q140_band_diagnostics" -> q140BandDiagnostics,
+    "q146_cc_merge" -> q146CcMerge,
+    "q147_dup_passages" -> q147DupPassages,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -3142,19 +3261,25 @@ object TextQueries {
     * integer math, so it agrees bit-for-bit with the converged
     * propagation labels.
     */
-  /** Recursive-CTE connected components over the `pairs` CTE: yields
-    * `cl(id, lbl)` with `lbl = min(component)`. Shared by q56/q57.
+  /** Recursive-CTE connected components over the `$pairs` CTE: yields
+    * `${p}cl(id, lbl)` with `lbl = min(component)`. Parameterized by the
+    * pair-source CTE name and a CTE-name prefix (the q144 shared-WITH
+    * discipline: default arguments emit byte-identical SQL for the
+    * existing q56/q57/q134 consumers; q146 instantiates it twice — once
+    * over all pairs, once over the old wave).
     */
-  private[queries] val ccCtes: String =
-    """verts AS (
-      |  SELECT DISTINCT id FROM (SELECT da AS id FROM pairs UNION ALL SELECT db FROM pairs)),
-      |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
-      |reach AS (
-      |  SELECT id, id AS lbl FROM verts
+  private[queries] def ccCtesOn(pairs: String = "pairs", p: String = ""): String =
+    s"""${p}verts AS (
+      |  SELECT DISTINCT id FROM (SELECT da AS id FROM $pairs UNION ALL SELECT db FROM $pairs)),
+      |${p}edges AS (SELECT da AS src, db AS dst FROM $pairs UNION ALL SELECT db, da FROM $pairs),
+      |${p}reach AS (
+      |  SELECT id, id AS lbl FROM ${p}verts
       |  UNION
-      |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
-      |cl AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |  SELECT e.src AS id, r.lbl FROM ${p}edges e JOIN ${p}reach r ON e.dst = r.id),
+      |${p}cl AS (SELECT id, min(lbl) AS lbl FROM ${p}reach GROUP BY id),
       |""".stripMargin
+
+  private[queries] val ccCtes: String = ccCtesOn()
 
   private def q56OracleSql: String =
     simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtes +
@@ -3185,6 +3310,51 @@ object TextQueries {
       |SELECT cluster_size, n_clusters, n_docs,
       |  CAST(n_docs AS DOUBLE) / (SELECT total FROM t134) AS pct_docs
       |FROM u134 ORDER BY cluster_size""".stripMargin
+
+  /** q146's oracle: the full recompute, twice — one recursive closure
+    * over ALL pairs (merged labels), one over the old wave (the
+    * was_old/relabeled flags) — so a hash match machine-checks the
+    * merge law `mergeLabels(cc(old), delta) ≡ cc(old ∪ delta)`. Both
+    * closures instantiate [[ccCtesOn]]; the doc-count cut mirrors as a
+    * scalar-subquery CTE (the q135 fixed-SQL discipline).
+    */
+  private def q146OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """n146 AS (SELECT count(*) * 4 // 5 AS cut FROM documents),
+        |oldpairs AS (SELECT da, db FROM pairs, n146 WHERE db < cut),
+        |""".stripMargin +
+      ccCtesOn("pairs") + ccCtesOn("oldpairs", "o") +
+      """fin146 AS (SELECT 1)
+        |SELECT v.id, c.lbl,
+        |  CAST(CASE WHEN oc.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS was_old,
+        |  CAST(CASE WHEN oc.lbl IS NOT NULL AND oc.lbl <> c.lbl THEN 1 ELSE 0 END AS BIGINT) AS relabeled
+        |FROM verts v JOIN cl c ON v.id = c.id LEFT JOIN ocl oc ON v.id = oc.id
+        |ORDER BY v.id""".stripMargin
+
+  /** q147's oracle: the same df-gated islands over [[gramHashCtes]]
+    * positional grams, passage text cut with list_slice, content
+    * grouping on the literal string — every stage integer or exact
+    * string, no floats anywhere.
+    */
+  private def q147OracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      gramHashCtes("147", 3, distinct = false) +
+      s"""pg147 AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM hs147),
+      |df147 AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM pg147 GROUP BY h) WHERE c >= 2),
+      |dup147 AS (SELECT pg147.* FROM pg147 JOIN df147 USING (h)),
+      |isl147 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup147),
+      |sp147 AS (SELECT doc_id, min(pos) AS p0, count(*) AS rg FROM isl147 GROUP BY doc_id, grp
+      |  HAVING count(*) + 2 >= $MinPassageTokens),
+      |px147 AS (SELECT s.doc_id, array_to_string(list_slice(t0, CAST(p0 AS INT), CAST(p0 + rg + 1 AS INT)), ' ') AS passage
+      |  FROM sp147 s JOIN tk USING (doc_id)),
+      |pd147 AS (SELECT passage, doc_id, CAST(count(*) AS BIGINT) AS n FROM px147 GROUP BY 1, 2),
+      |ag147 AS (
+      |  SELECT passage, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_spans,
+      |    array_to_string(list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 5), x -> CAST(x AS VARCHAR)), ',') AS docs
+      |  FROM pd147 GROUP BY passage HAVING count(*) >= 2)
+      |SELECT passage, CAST(len(string_split(passage, ' ')) AS BIGINT) AS n_tokens, n_docs, n_spans, docs
+      |FROM ag147 ORDER BY n_docs DESC, n_spans DESC, passage LIMIT $TopDupPassages""".stripMargin
 
   /** q135's oracle: the √n-cell edge-quantizer prefix
     * ([[edgeQuantCtes]]), the q126 within-cell
@@ -4484,6 +4654,8 @@ object TextQueries {
     "q137_family_coherence" -> q137OracleSql,
     "q139_sim_calibration" -> q139OracleSql,
     "q140_band_diagnostics" -> q140OracleSql,
+    "q146_cc_merge" -> q146OracleSql,
+    "q147_dup_passages" -> q147OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,

@@ -195,6 +195,47 @@ object StreamingIndex {
     s.catalog.refreshByPath(s"$indexDir/codes")
   }
 
+  /** Compaction scheduling policy — the storage half of the rebuild
+    * decision (q144's refresh audit is the recall half; this is "when
+    * do I pay the rewrite"). Compaction is DUE when either
+    *  - tombstoned ids reach `maxTombRatio` of the appended code ids
+    *    (each live search anti-joins that dead mass per query), or
+    *  - the codes table has accumulated more than `maxGens` generation
+    *    dirs (per-probe file-listing and small-file overhead — each
+    *    micro-batch appends its own dir, so a long-running stream
+    *    fragments without a bound).
+    * Both probes read metadata-scale state only: one dir listing and
+    * two distinct-counts (tombstone population vs code ids — bounded by
+    * the id populations, never the (id × m) code mass).
+    */
+  def compactionDue(s: SparkSession, indexDir: String,
+      maxTombRatio: Double = 0.25, maxGens: Int = 8): Boolean = {
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = codes.getFileSystem(s.sessionState.newHadoopConf())
+    val gens = fs.listStatus(codes)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+    if (gens > maxGens) return true
+    if (!tombsExist(s, indexDir)) return false
+    val nTomb = s.read.parquet(s"$indexDir/tombs")
+      .select(col("vec_id")).distinct().count()
+    if (nTomb == 0) return false
+    val nIds = s.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id")).distinct().count()
+    // an all-tombstoned index (nIds counts pre-delete appends, so it is
+    // never 0 when nTomb > 0) compacts unconditionally
+    nTomb.toDouble >= maxTombRatio * nIds.toDouble
+  }
+
+  /** Run [[compact]] iff [[compactionDue]]; returns whether it fired —
+    * the call a serving loop makes after each delete/append wave.
+    */
+  def maybeCompact(s: SparkSession, indexDir: String,
+      maxTombRatio: Double = 0.25, maxGens: Int = 8): Boolean = {
+    val due = compactionDue(s, indexDir, maxTombRatio, maxGens)
+    if (due) compact(s, indexDir)
+    due
+  }
+
   /** q92-shaped search over the on-disk index (frozen quantizers +
     * streamed codes, minus tombstones):
     * `(query_id, rank, cell, vec_id, is_new, adc, d2)`

@@ -132,4 +132,33 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
         spark.experimental.extraOptimizations.filterNot(_ eq IntervalJoinRewrite)
     }
   }
+
+  test("registered q145 rides the rule: plan shape + row parity with q104") {
+    val d = "/root/testdata/sf0.001"
+    val q = graft.queries.AnalyticsQueries.queries
+    // row parity: the rule-driven query reproduces the manually binned
+    // q104 exactly (both totally ordered the same way)
+    val got = q("q145_interval_rule")(spark, d).collect().map(_.toSeq).toSeq
+    val ref = q("q104_session_overlap")(spark, d).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == ref,
+      "q145 differs from q104 — the rewrite is not row-equivalent")
+    // plan shape: the exact frame the registered query materializes,
+    // under the exact conf it pins — the rule must replace the nested
+    // loop with Generate + an equi-join
+    spark.conf.set(IntervalJoinRewrite.ConfKey,
+      graft.queries.AnalyticsQueries.OverlapBucketUs.toString)
+    try {
+      val plan = graft.queries.AnalyticsQueries.q145Plan(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"q145's inner plan kept the nested loop:\n$plan")
+      assert(plan.contains("Generate") &&
+        (plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+          plan.contains("ShuffledHashJoin")),
+        s"q145's inner plan is not the rewritten equi-join:\n$plan")
+    } finally spark.conf.unset(IntervalJoinRewrite.ConfKey)
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }

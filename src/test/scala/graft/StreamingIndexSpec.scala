@@ -129,4 +129,55 @@ class StreamingIndexSpec extends AnyFunSuite {
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
+
+  test("compaction policy: generation-count and tombstone-ratio triggers, search-invariant") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_pol").toString
+    val cut = StreamingIndex.buildFrozen(spark, d, dir)
+    assert(!StreamingIndex.compactionDue(spark, dir),
+      "fresh single-generation index must not be due")
+
+    // fragment the new generation into 10 append batches → 11 gen dirs
+    val newVecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") >= cut).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val chunks = newVecs.grouped((newVecs.length + 9) / 10).toSeq
+    for ((c, i) <- chunks.zipWithIndex)
+      StreamingIndex.appendBatch(dir)(c.toDF("vec_id", "embedding"), i.toLong)
+    def gens(): Int = new java.io.File(s"$dir/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("gen="))
+    assert(gens() === chunks.length + 1)
+    assert(StreamingIndex.compactionDue(spark, dir, maxGens = 8),
+      "generation-count trigger dormant")
+    assert(!StreamingIndex.compactionDue(spark, dir, maxGens = 64),
+      "due with a loose gen bound and no tombstones — ratio math is off")
+
+    val pre = StreamingIndex.searchTopK(spark, d, dir).collect().toSeq
+    assert(StreamingIndex.maybeCompact(spark, dir, maxGens = 8),
+      "maybeCompact declined a due index")
+    assert(gens() === 1, "compaction did not collapse the generation dirs")
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === pre)
+    assert(!StreamingIndex.compactionDue(spark, dir, maxGens = 8))
+
+    // tombstone-ratio trigger: one deleted id among hundreds stays below
+    // the default 25% watermark (no-op), a third of all ids crosses it
+    val nIds = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id")).distinct().count()
+    StreamingIndex.deleteBatch(dir)(Seq(0L).toDF("vec_id"), 0L)
+    assert(!StreamingIndex.maybeCompact(spark, dir, maxGens = 8),
+      "ratio trigger fired below the watermark")
+    assert(new java.io.File(s"$dir/tombs").exists(),
+      "below-watermark maybeCompact must leave tombstones in place")
+    StreamingIndex.deleteBatch(dir)(
+      (0L until nIds / 3).toDF("vec_id"), 1L)
+    val preDel = StreamingIndex.searchTopK(spark, d, dir).collect().toSeq
+    assert(StreamingIndex.maybeCompact(spark, dir, maxGens = 8),
+      "ratio trigger dormant at a third of ids tombstoned")
+    assert(!new java.io.File(s"$dir/tombs").exists())
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === preDel)
+
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }
