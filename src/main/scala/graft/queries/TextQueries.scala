@@ -157,8 +157,15 @@ object TextQueries {
     dedupAuditCore(s, d, if (full) None else Some(AuditSampleBound))
   }
 
-  /** Docs beyond this count switch q96 to sample mode. */
-  private[graft] val AuditSampleThreshold = 100000L
+  /** Docs beyond this count switch q96 to sample mode. Round-10 sweep
+    * (SweepQ96, sf0.1 = 50k docs): sampled recall tracks full within
+    * 0.0002 on the estimable deciles (bar 0.15) and the audit drops
+    * 17.2 → 3.4 s, so the gate sits at 25k — above every oracle-SF
+    * corpus (sf0.01 = 5k docs stays full/oracled), below sf0.1. The
+    * oracle mirrors the gate as a scalar-subquery predicate, so the
+    * fixed SQL is correct at EVERY SF (the q135 discipline).
+    */
+  private[graft] val AuditSampleThreshold = 25000L
   /** Sample-mode admission bound: h(doc_id) < mod/5 keeps ~20%.
     * (lazy: [[PriorityMod]] is declared further down this object — an
     * eager val here reads 0 before initialization)
@@ -4391,7 +4398,9 @@ object TextQueries {
     "q96_dedup_audit" -> (minhashCandCtes +
       s""",
         |keepg AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $DfCap),
-        |rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN keepg USING (s)),
+        |rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN keepg USING (s)
+        |  WHERE (SELECT count(*) FROM documents) <= $AuditSampleThreshold
+        |     OR ${priorityHashSqlOn("ex.doc_id")} < $AuditSampleBound),
         |cpairs AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
