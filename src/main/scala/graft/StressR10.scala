@@ -1,0 +1,92 @@
+package graft
+import org.apache.spark.sql.functions._
+
+/** Round-10 scale stress for the new operators, on the StressCc corpus
+  * construction (sf0.1 replicated with offset ids — replica families
+  * are cliques, the dedup worst case):
+  *
+  *  - q146's claim is that INCREMENTAL maintenance beats recompute on
+  *    a delta: time `fromPairs(all)` (what a naive pipeline re-runs per
+  *    wave) vs `mergeLabels(oldLabels, delta)` alone (what the rolling
+  *    pipeline pays), labels asserted identical first. The old-wave
+  *    labeling is charged to neither side — it is the state both
+  *    pipelines already hold.
+  *  - q147 must stay near-linear in corpus size: its only super-linear
+  *    candidate is the gram-df shuffle and the passage-string group,
+  *    both hash aggs.
+  */
+object StressR10 {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    def time[T](run: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val out = run
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+    for (copies <- Seq(1, 10)) {
+      graft.ops.TowerMemo.clear()
+      val docs = (0 until copies).map(k =>
+        base.select((col("doc_id") + k * n * 10).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+        .reduce(_ union _)
+      val dir = s"/tmp/stress_r10_$copies"
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      // ---- q146: merge vs recompute at a wide (80%) and a rolling
+      // (99%) cut. Wall at THIS scale is fixed per-round job overhead
+      // (a full recompute is already ~1 s), so the scale verdict is the
+      // PROPAGATION INPUT: recompute propagates over every pair,
+      // merge over the reduced representative graph — delta-bounded.
+      val pairs = graft.queries.TextQueries.dupPairs(spark, dir)
+        .localCheckpoint(true)
+      val (scratch, tFull) = time(
+        graft.ops.Dedup.fromPairs(pairs).localCheckpoint(true))
+      // doc_ids are offset replicas, not contiguous — cut on RANK of id
+      // so the delta is a real fraction of the graph at every scale
+      val ids = pairs.select(col("da").as("id")).union(pairs.select(col("db").as("id")))
+        .distinct().orderBy(col("id"))
+        .collect().map(_.getLong(0))
+      for (pct <- Seq(80, 99)) {
+        val cutId = ids(math.min((ids.length * pct) / 100, ids.length - 1))
+        val oldPairs = pairs.filter(col("db") < cutId).localCheckpoint(true)
+        val delta = pairs.filter(col("db") >= cutId).localCheckpoint(true)
+        val oldLbl = graft.ops.Dedup.fromPairs(oldPairs).localCheckpoint(true)
+        // the reduced graph mergeLabels propagates over (its fromPairs
+        // input): wave endpoints mapped to representatives, intra-
+        // component pairs dropped — the delta-bounded term
+        val endRep = delta.select(col("da").as("id"))
+          .union(delta.select(col("db").as("id"))).distinct()
+          .join(oldLbl, Seq("id"), "left")
+          .select(col("id"), coalesce(col("lbl"), col("id")).as("rep"))
+        val reduced = delta
+          .join(endRep.select(col("id").as("da"), col("rep").as("ra")), Seq("da"))
+          .join(endRep.select(col("id").as("db"), col("rep").as("rb")), Seq("db"))
+          .filter(col("ra") =!= col("rb")).count()
+        val (merged, tMerge) = time(
+          graft.ops.Dedup.mergeLabels(oldLbl, delta).localCheckpoint(true))
+        val eq = merged.as("m").join(scratch.as("s"), Seq("id"))
+          .filter(col("m.lbl") =!= col("s.lbl")).isEmpty &&
+          merged.count() == scratch.count()
+        println(f"[stress] x$copies q146 cut=$pct%%: pairs=${pairs.count()} " +
+          f"delta=${delta.count()} reduced=$reduced " +
+          f"recompute=$tFull%.1f s merge=$tMerge%.1f s identical=$eq")
+      }
+
+      // ---- q147: end-to-end wall at scale ----
+      val (rows147, t147) = time(
+        SparkEntry.queries("q147_dup_passages")(spark, dir).collect())
+      println(f"[stress] x$copies q147: ${rows147.length} rows $t147%.1f s " +
+        f"(top n_docs=${if (rows147.isEmpty) 0L else rows147.head.getAs[Long]("n_docs")})")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
