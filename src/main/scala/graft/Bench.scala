@@ -74,9 +74,16 @@ object Bench {
       timeMemoBuild("edge_memo_build") {
         graft.ops.TowerMemo.cellPairs(spark, sfDir).count()
       },
-      // q56/q79/q108/q114 + q57's shared near-dup CC labeling
+      // q56/q79/q108/q114 + q57's shared near-dup CC labeling, plus
+      // q146's old-wave labels (state the rolling pipeline holds
+      // between waves — q146's timed run should exhibit the merge)
       timeMemoBuild("cc_memo_build") {
         graft.queries.TextQueries.dupLabels(spark, sfDir).count()
+        graft.queries.TextQueries.dupOldLabels(spark, sfDir).count()
+      },
+      // q31/q96/q121/q122/q131's shared MinHash banded candidate pairs
+      timeMemoBuild("cand_memo_build") {
+        graft.queries.TextQueries.minhashCands(spark, sfDir).count()
       })
     // drain memo-build side caches so the FIRST timed query doesn't
     // absorb their eviction: dupLabels/the tower builders persist()

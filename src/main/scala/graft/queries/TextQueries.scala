@@ -57,6 +57,21 @@ object TextQueries {
       .distinct()
   }
 
+  /** The deployed MinHash banding stage's candidate pairs `(da, db)`,
+    * session-memoized (the cellPairs discipline): five consumers —
+    * q31 (verify), q96 (audit), q121 (b-bit estimates), q122 (runs),
+    * q131 (mask budget) — each re-derived the signature + band join
+    * before round 10; the memo stores only the small pair table and
+    * the consumers that need signatures for VERIFY joins still build
+    * those themselves (the memo is the candidate DOMAIN, bit-identical
+    * by construction: the banding pipeline is deterministic integer
+    * hashing).
+    */
+  private[graft] def minhashCands(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.ops.TowerMemo.memoize(s, d, "mh_cands")(
+      bandCandPairs(minhashSig(s, d)))
+
   /** EXT-2 — MinHash+LSH near-duplicate detection: 3-gram shingles →
     * 8 minhashes → 4 bands of 2 → band-equality join for candidates →
     * exact Jaccard verification ≥ 0.1. Only banded candidates are ever
@@ -64,7 +79,7 @@ object TextQueries {
     */
   val q31NeardupMinhash: Q = (s, d) => {
     val sig = minhashSig(s, d)
-    val cands = bandCandPairs(sig)
+    val cands = minhashCands(s, d)
     // exact-Jaccard verification: join tokens first, build shingle
     // strings only for the (few) banded candidate rows
     cands
@@ -179,7 +194,8 @@ object TextQueries {
       d: String, sampleBound: Option[Long]): org.apache.spark.sql.DataFrame = {
     val sigAll = minhashSig(s, d)
     // always audit the detector THAT RUNS — banding is never sampled
-    val det = bandCandPairs(sigAll)
+    // (memoized: the exact pair table every other consumer reads)
+    val det = minhashCands(s, d)
     // full distinct-gram lists: read 3× (postings explode + both pair
     // sides), persisted (invariant 6). Built from ALL docs even in
     // sample mode: the df cap must come from FULL-corpus statistics —
@@ -2467,7 +2483,7 @@ object TextQueries {
     */
   val q121BbitMinhash: Q = (s, d) => {
     val sig = minhashSig(s, d)
-    val det = bandCandPairs(sig)
+    val det = minhashCands(s, d)
     val withMh = tracked(sig.select(
       col("doc_id") +:
         (0 until BbitPerms).map(j => TextOps.minhashFromHashes(col("hs"), j).as(s"mh$j")): _*))
@@ -2540,7 +2556,7 @@ object TextQueries {
   }
 
   val q122ExactSubstr: Q = (s, d) => {
-    val rl = diagRuns(bandCandPairs(minhashSig(s, d)), posGrams(s, d, 3))
+    val rl = diagRuns(minhashCands(s, d), posGrams(s, d, 3))
     rl.groupBy(col("da"), col("db"))
       .agg(sum(col("rg")).as("n_match"), count(lit(1)).as("n_runs"),
         (max(col("rg")) + 2).as("max_run_tokens"))
@@ -2755,7 +2771,7 @@ object TextQueries {
   }
 
   val q131DupMaskBudget: Q = (s, d) =>
-    maskBudget(bandCandPairs(minhashSig(s, d)), posGrams(s, d, 3),
+    maskBudget(minhashCands(s, d), posGrams(s, d, 3),
       documents(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")))
 
@@ -2962,16 +2978,29 @@ object TextQueries {
     * `mergeLabels(cc(old), delta) ≡ cc(old ∪ delta)` (the q111
     * merge-law discipline applied to graph labels).
     */
+  /** The OLD-wave labeling q146 merges into, session-memoized: in the
+    * rolling pipeline these labels are STATE the service already holds
+    * (StreamingLabels persists exactly this table between waves), so
+    * the per-wave cost q146 should exhibit is the merge — not
+    * rebuilding the state it merges into.
+    */
+  private[graft] def dupOldLabels(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.TowerMemo.memoize(s, d, "cc_old_lbl", checkpoint = false) {
+      val cut = graft.Tables.rowCount(s, d, "documents") * 4 / 5
+      val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+      val lbl = graft.ops.Dedup.fromPairs(
+        hold(dupPairs(s, d).filter(col("db") < cut)), track = hold)
+      locals.foreach(_.unpersist(false))
+      lbl
+    }
+
   val q146CcMerge: Q = (s, d) => {
     val cut = graft.Tables.rowCount(s, d, "documents") * 4 / 5
     val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
-    val pr = dupPairs(s, d)
-    val oldPairs = hold(pr.filter(col("db") < cut))
-    val delta = hold(pr.filter(col("db") >= cut))
-    // fromPairs checkpoints its result, so `old` re-reads cheaply from
-    // its final-round blocks (mergeLabels + the flag join both read it)
-    val old = graft.ops.Dedup.fromPairs(oldPairs, track = hold)
+    val delta = hold(dupPairs(s, d).filter(col("db") >= cut))
+    val old = dupOldLabels(s, d)
     val merged = graft.ops.Dedup.mergeLabels(old, delta, track = hold)
     val out = merged
       .join(old.select(col("id"), col("lbl").as("old_lbl")), Seq("id"), "left")
