@@ -3014,6 +3014,36 @@ object TextQueries {
     out
   }
 
+  /** EXT — ROLLING CC maintenance across multiple waves (q146 proves
+    * one merge; this proves the merge is ASSOCIATIVE over a wave
+    * sequence, which is what the rolling pipeline actually relies on):
+    * the verified pair graph replays in three doc-id-ordered waves
+    * (cuts at n/2 and 3n/4), each folded into the running label table
+    * with [[graft.ops.Dedup.mergeLabels]] starting from EMPTY state —
+    * exactly [[graft.streaming.StreamingLabels]]' batch loop. The
+    * ORACLE is one from-scratch closure over all pairs: a hash match
+    * proves fold(fold(fold(∅, w1), w2), w3) ≡ cc(w1 ∪ w2 ∪ w3) at the
+    * driver gate (MergeLabelsSpec proves the same per-edge worst case
+    * in-process).
+    */
+  val q148RollingCc: Q = (s, d) => {
+    val n = graft.Tables.rowCount(s, d, "documents")
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val pr = dupPairs(s, d)
+    val waves = Seq(
+      pr.filter(col("db") < n / 2),
+      pr.filter(col("db") >= n / 2 && col("db") < (3 * n) / 4),
+      pr.filter(col("db") >= (3 * n) / 4))
+    var lbl = s.range(0).select(col("id"), col("id").as("lbl"))
+    for (w <- waves)
+      lbl = graft.ops.Dedup.mergeLabels(lbl, hold(w), track = hold)
+        .localCheckpoint(true)
+    val out = lbl.orderBy(col("id")).localCheckpoint(true)
+    locals.foreach(_.unpersist(false))
+    out
+  }
+
   /** Passages shorter than this many tokens don't make the q147 report
     * (the Lee et al. ExactSubstr cut applied corpus-wide; q122's
     * measured run spectrum populates both sides of it).
@@ -3150,6 +3180,7 @@ object TextQueries {
     "q140_band_diagnostics" -> q140BandDiagnostics,
     "q146_cc_merge" -> q146CcMerge,
     "q147_dup_passages" -> q147DupPassages,
+    "q148_rolling_cc" -> q148RollingCc,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -3366,6 +3397,14 @@ object TextQueries {
         |  CAST(CASE WHEN oc.lbl IS NOT NULL AND oc.lbl <> c.lbl THEN 1 ELSE 0 END AS BIGINT) AS relabeled
         |FROM verts v JOIN cl c ON v.id = c.id LEFT JOIN ocl oc ON v.id = oc.id
         |ORDER BY v.id""".stripMargin
+
+  /** q148's oracle: ONE from-scratch closure over all pairs — the
+    * Spark side's three-wave fold must land on exactly these labels.
+    */
+  private def q148OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtesOn("pairs") +
+      """fin148 AS (SELECT 1)
+        |SELECT id, lbl FROM cl ORDER BY id""".stripMargin
 
   /** q147's oracle: the same df-gated islands over [[gramHashCtes]]
     * positional grams, passage text cut with list_slice, content
@@ -4694,6 +4733,7 @@ object TextQueries {
     "q140_band_diagnostics" -> q140OracleSql,
     "q146_cc_merge" -> q146OracleSql,
     "q147_dup_passages" -> q147OracleSql,
+    "q148_rolling_cc" -> q148OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
