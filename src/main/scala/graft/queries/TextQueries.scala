@@ -3032,10 +3032,14 @@ object TextQueries {
     def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
     val pr = dupPairs(s, d)
     val waves = Seq(
-      pr.filter(col("db") < n / 2),
       pr.filter(col("db") >= n / 2 && col("db") < (3 * n) / 4),
       pr.filter(col("db") >= (3 * n) / 4))
-    var lbl = s.range(0).select(col("id"), col("id").as("lbl"))
+    // wave 1 seeds the state directly — mergeLabels(∅, w) ≡ fromPairs(w)
+    // (the empty-start merge path is spec-covered by the StreamingLabels
+    // rolling test on the real corpus); the two SUCCESSIVE merges that
+    // follow are the associativity chain this query exists to prove
+    var lbl = graft.ops.Dedup.fromPairs(
+      hold(pr.filter(col("db") < n / 2)), track = hold)
     for (w <- waves)
       lbl = graft.ops.Dedup.mergeLabels(lbl, hold(w), track = hold)
         .localCheckpoint(true)
