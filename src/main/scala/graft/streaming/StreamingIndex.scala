@@ -212,6 +212,7 @@ object StreamingIndex {
       maxTombRatio: Double = 0.25, maxGens: Int = 8): Boolean = {
     val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val fs = codes.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(codes)) return false // nothing built → nothing to compact
     val gens = fs.listStatus(codes)
       .count(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
     if (gens > maxGens) return true
