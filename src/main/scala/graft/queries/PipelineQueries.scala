@@ -135,11 +135,13 @@ object PipelineQueries {
     */
   val q142JsonlQuarantine: Q = (s, d) => {
     import org.apache.spark.sql.types._
-    // scratch path keyed by (session, sfDir): a fixed path raced when two
-    // sessions (driver + judge) ran concurrently, and identity-keying the
-    // session means a rerun in THIS session reuses one dir (refreshed
-    // below) while another JVM/session can never collide on it
+    // scratch path keyed by (pid, session, sfDir): a fixed path raced
+    // when two sessions (driver + judge) ran concurrently. The pid
+    // separates JVMs (identityHashCode alone is an address hash and CAN
+    // coincide across processes); identity-keying the session means a
+    // rerun in THIS session reuses one dir (refreshed below)
     val shard = "/tmp/graft_q142_shard_" +
+      ProcessHandle.current().pid() + "_" +
       java.lang.Integer.toHexString(System.identityHashCode(s)) + "_" +
       java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
     val m = pmod(col("doc_id"), lit(10))
