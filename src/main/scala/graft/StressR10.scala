@@ -69,8 +69,14 @@ object StressR10 {
           .join(endRep.select(col("id").as("da"), col("rep").as("ra")), Seq("da"))
           .join(endRep.select(col("id").as("db"), col("rep").as("rb")), Seq("db"))
           .filter(col("ra") =!= col("rb")).count()
+        // merge timed WITH the invariant-6 persists q146/q148/
+        // StreamingLabels pass (track=identity would re-derive endRep
+        // per consumer and pessimize exactly the number reported)
+        val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
         val (merged, tMerge) = time(
-          graft.ops.Dedup.mergeLabels(oldLbl, delta).localCheckpoint(true))
+          graft.ops.Dedup.mergeLabels(oldLbl, delta, track = hold).localCheckpoint(true))
+        locals.foreach(_.unpersist(false))
         val eq = merged.as("m").join(scratch.as("s"), Seq("id"))
           .filter(col("m.lbl") =!= col("s.lbl")).isEmpty &&
           merged.count() == scratch.count()

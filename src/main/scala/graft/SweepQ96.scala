@@ -21,6 +21,11 @@ object SweepQ96 {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     def run(bound: Option[Long], name: String) = {
+      // each mode pays its own minhashCands memo build — checkpoint
+      // blocks survive clearCache, so without this the FIRST run's
+      // timed window absorbs the one-time banding build and the second
+      // mode rides it for free (the round-7 stress-tool rule)
+      graft.ops.TowerMemo.clear()
       val t0 = System.nanoTime()
       val rows = graft.queries.TextQueries.dedupAuditCore(spark, d, bound)
         .collect()

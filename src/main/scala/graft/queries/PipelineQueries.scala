@@ -133,6 +133,24 @@ object PipelineQueries {
     * crawl drop itself — the synthesis here exists only to make the
     * branch deterministic enough to oracle.
     */
+  /** Register a recursive delete of `path` at JVM exit, once per path
+    * (q142's scratch shards are session-keyed, so nothing inside the
+    * session can know when the last lazy read has happened — exit is
+    * the one safe point, and it bounds /tmp across repeated rounds).
+    */
+  private val exitCleanups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupAtExit(path: String): Unit =
+    if (exitCleanups.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
   val q142JsonlQuarantine: Q = (s, d) => {
     import org.apache.spark.sql.types._
     // scratch path keyed by (pid, session, sfDir): a fixed path raced
@@ -144,6 +162,10 @@ object PipelineQueries {
       ProcessHandle.current().pid() + "_" +
       java.lang.Integer.toHexString(System.identityHashCode(s)) + "_" +
       java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+    // pid-keyed dirs would otherwise accumulate across sessions (the
+    // read below is lazy, so the dir must outlive this function) —
+    // remove at JVM exit, registered once per path
+    cleanupAtExit(shard)
     val m = pmod(col("doc_id"), lit(10))
     val full = to_json(struct(col("doc_id"), col("source"), col("text")))
     documents(s, d).select(

@@ -175,7 +175,9 @@ object TextQueries {
   /** Docs beyond this count switch q96 to sample mode. Round-10 sweep
     * (SweepQ96, sf0.1 = 50k docs): sampled recall tracks full within
     * 0.0002 on the estimable deciles (bar 0.15) and the audit drops
-    * 17.2 → 3.4 s, so the gate sits at 25k — above every oracle-SF
+    * 19.3 → 4.1 s (each mode timed with its own memo build — the
+    * unbiased re-measure after the round-10 review), so the gate sits
+    * at 25k — above every oracle-SF
     * corpus (sf0.01 = 5k docs stays full/oracled), below sf0.1. The
     * oracle mirrors the gate as a scalar-subquery predicate, so the
     * fixed SQL is correct at EVERY SF (the q135 discipline).

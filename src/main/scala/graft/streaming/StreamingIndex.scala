@@ -155,6 +155,16 @@ object StreamingIndex {
     * on any digest mismatch.
     */
   def compact(s: SparkSession, indexDir: String): Unit = {
+    // recover a prior hard crash inside the swap window (codes renamed
+    // aside, replacement not yet in place): restore the old table and
+    // fall through to a fresh compaction. Runs before any read below.
+    locally {
+      val conf0 = s.sessionState.newHadoopConf()
+      val codes0 = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+      val fs0 = codes0.getFileSystem(conf0)
+      val old0 = new org.apache.hadoop.fs.Path(s"$indexDir/codes_old")
+      if (!fs0.exists(codes0) && fs0.exists(old0)) fs0.rename(old0, codes0)
+    }
     // coalesce: an index whose every vector was tombstoned has an EMPTY
     // live set — sum() is null there, and the empty-to-empty compaction
     // must still certify (0 == 0), not NPE. The sum runs through
@@ -179,15 +189,26 @@ object StreamingIndex {
     val conf = s.sessionState.newHadoopConf()
     val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val fs = codes.getFileSystem(conf)
-    // crash-recoverable swap order: rename the live table aside, rename
-    // the certified replacement into place, THEN delete — a crash in the
-    // window leaves either the old codes (step 1-2 incomplete, recover by
-    // renaming codes_old back) or both dirs present, never an index with
-    // no codes dir (delete-then-rename's failure mode)
+    // crash-recoverable swap: rename the live table aside, rename the
+    // certified replacement into place, THEN delete. Every rename is
+    // CHECKED — Hadoop FileSystem.rename signals failure by returning
+    // false, and an unchecked first rename would cascade into deleting
+    // the tombstones under the UN-compacted codes (deleted vectors
+    // resurrecting). A failed second rename rolls the first back, so an
+    // exception path always leaves a live codes dir; a hard CRASH
+    // between the renames leaves codes_old + codes_compacting, which
+    // the recovery at the top of the next compact() restores.
+    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path, rollback: => Unit = ()): Unit =
+      if (!fs.rename(from, to)) {
+        rollback
+        throw new IllegalStateException(s"compaction swap: rename $from -> $to failed")
+      }
     val codesOld = new org.apache.hadoop.fs.Path(s"$indexDir/codes_old")
     fs.delete(codesOld, true) // stale leftover from a prior crashed swap
-    fs.rename(codes, codesOld)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting"), codes)
+    renameOrThrow(codes, codesOld)
+    renameOrThrow(new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting"), codes,
+      rollback = fs.rename(codesOld, codes))
     fs.delete(codesOld, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombs"), true)
     // the old codes path was read this session — drop the FileStatusCache

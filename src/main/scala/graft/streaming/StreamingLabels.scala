@@ -32,12 +32,18 @@ object StreamingLabels {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
 
+  /** COMPLETE generations only — a dir without its `_SUCCESS` marker is
+    * a crashed or in-flight write (overwrite mode even empties the dir
+    * first), and exposing it would hand readers a partial label table;
+    * they must fall back to the last complete generation instead.
+    */
   private def gens(s: SparkSession, labelDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(labelDir)
     val f = fs(s, labelDir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
   }
 
