@@ -182,6 +182,9 @@ object StreamingIndex {
     val before = digest(liveCodes(s, indexDir))
     val newDir = s"$indexDir/codes_compacting/gen=-1"
     liveCodes(s, indexDir).write.mode("overwrite").parquet(newDir)
+    // the same scratch path is re-read across successive compacts in
+    // one session — drop any stale FileStatusCache listing first
+    s.catalog.refreshByPath(newDir)
     val after = digest(s.read.parquet(newDir))
     if (before != after)
       throw new IllegalStateException(

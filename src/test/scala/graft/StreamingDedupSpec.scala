@@ -98,6 +98,16 @@ class StreamingDedupSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(replayed == got, "replayed batch mutated the label table")
 
+      // a crashed/in-flight write (gen dir without _SUCCESS) must be
+      // invisible: readers fall back to the last COMPLETE generation
+      val partial = new java.io.File(s"$labelDir/gen=${lastGen + 7}")
+      assert(partial.mkdirs())
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(partial.getPath, "part-00000.parquet"), "garbage")
+      val fallback = graft.streaming.StreamingLabels.labels(spark, labelDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fallback == got, "reader exposed a marker-less partial generation")
+
       queries.releasePersisted()
       spark.catalog.clearCache()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -177,6 +177,17 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/tombs").exists())
     assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === preDel)
 
+    // crash-window recovery: simulate a hard crash between the two swap
+    // renames (codes moved aside, replacement not yet in place) — the
+    // next compact() must restore the old table and complete normally
+    assert(new java.io.File(s"$dir/codes")
+      .renameTo(new java.io.File(s"$dir/codes_old")))
+    StreamingIndex.compact(spark, dir)
+    assert(new java.io.File(s"$dir/codes").exists())
+    assert(!new java.io.File(s"$dir/codes_old").exists())
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === preDel,
+      "post-recovery search diverged")
+
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
