@@ -106,9 +106,11 @@ object Bench {
     // stdout, so the line it parses must stay compact: contract fields only.
     // The full per-query map goes exclusively to SPARK_GRAFT_BENCH_OUT.
     // loadavg rides BOTH outputs (additive field — the driver's parser
-    // ignores unknown keys): round 9's 230 s driver artifact was pure box
-    // contention and could not self-identify as such because only the
-    // file artifact carried the load signal.
+    // tolerates it, VERIFIED empirically: BENCH_r10.json's `parsed`
+    // block carries the loadavg key through verbatim, so the r10 line
+    // with the extra field parsed fine): round 9's 230 s driver
+    // artifact was pure box contention and could not self-identify as
+    // such because only the file artifact carried the load signal.
     val loadavg = try {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim

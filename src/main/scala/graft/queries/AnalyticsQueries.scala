@@ -516,6 +516,16 @@ object AnalyticsQueries {
     */
   val q145IntervalRule: Q = (s, d) => {
     val rule = graft.plans.IntervalJoinRewrite
+    // CONTAINMENT: the rule stays registered in extraOptimizations for
+    // the session's lifetime (append-once, never removed — removal
+    // would race a concurrent optimizer pass reading the list). No
+    // other query can observe it because (a) the rule is a no-op unless
+    // ConfKey is set, (b) the conf is pinned only inside the
+    // try/finally below, and (c) the eager localCheckpoint inside the
+    // guarded scope forces the ONLY optimization pass that runs while
+    // the conf is live — queries in this process run sequentially
+    // (Verify/Bench/driver all single-threaded), so no other plan is
+    // being optimized concurrently with the pinned window.
     if (!s.experimental.extraOptimizations.contains(rule))
       s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
     s.conf.set(rule.ConfKey, OverlapBucketUs.toString)

@@ -139,17 +139,27 @@ object PipelineQueries {
     * the one safe point, and it bounds /tmp across repeated rounds).
     */
   private val exitCleanups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def cleanupAtExit(path: String): Unit =
-    if (exitCleanups.add(path)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
+  // ONE hook for all paths, registered lazily on first use: a per-path
+  // hook Thread would accumulate unboundedly in a long-lived JVM that
+  // loops over sessions/dirs (each q142 run adds a path). The delete
+  // never follows symlinks (recurse only into real directories) — a
+  // scratch dir that somehow resolves through a link must not let the
+  // cleanup walk out of /tmp.
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath)) {
           val kids = f.listFiles()
           if (kids != null) kids.foreach(rm)
-          f.delete(); ()
         }
-        rm(new java.io.File(path))
-      }))
-    }
+        f.delete(); ()
+      }
+      exitCleanups.forEach(p => rm(new java.io.File(p)))
+    }))
+  private def cleanupAtExit(path: String): Unit = {
+    exitHookInstalled
+    exitCleanups.add(path); ()
+  }
 
   val q142JsonlQuarantine: Q = (s, d) => {
     import org.apache.spark.sql.types._

@@ -236,7 +236,16 @@ object StreamingIndex {
       maxTombRatio: Double = 0.25, maxGens: Int = 8): Boolean = {
     val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val fs = codes.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(codes)) return false // nothing built → nothing to compact
+    if (!fs.exists(codes)) {
+      // codes missing is EITHER "nothing built" (no codes_old either →
+      // nothing to compact) OR the post-crash mid-swap state (codes
+      // renamed aside, replacement not yet in place). The latter must
+      // report DUE so a serving loop driving recovery purely through
+      // maybeCompact reaches compact()'s rename-back recovery — without
+      // this branch the index would stay unreadable until someone
+      // called compact() directly (round-10 advice, spec-driven).
+      return fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/codes_old"))
+    }
     val gens = fs.listStatus(codes)
       .count(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
     if (gens > maxGens) return true

@@ -188,6 +188,23 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === preDel,
       "post-recovery search diverged")
 
+    // the same crash state must also self-heal through the POLICY path:
+    // a serving loop drives recovery purely via maybeCompact, and
+    // codes_old-without-codes must read as DUE (not "nothing built") or
+    // the index stays unreadable until someone calls compact() directly
+    assert(new java.io.File(s"$dir/codes")
+      .renameTo(new java.io.File(s"$dir/codes_old")))
+    assert(StreamingIndex.compactionDue(spark, dir, maxGens = 8),
+      "mid-swap crash state not reported as due")
+    assert(StreamingIndex.maybeCompact(spark, dir, maxGens = 8),
+      "maybeCompact declined the mid-swap crash state")
+    assert(new java.io.File(s"$dir/codes").exists())
+    assert(!new java.io.File(s"$dir/codes_old").exists())
+    assert(!StreamingIndex.compactionDue(spark, dir, maxGens = 8),
+      "recovered index still reads as due")
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === preDel,
+      "post-policy-recovery search diverged")
+
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
