@@ -112,4 +112,94 @@ class StreamingDedupSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("partitioned label storage: a wave rewrites only touched buckets; two-step retirement") {
+    import spark.implicits._
+    import graft.streaming.StreamingLabels
+    val dir = java.nio.file.Files.createTempDirectory("graft_plbl").toString
+    val P = 8
+
+    // byte-level fingerprint of every data file under the label dir —
+    // the untouched-bucket assertion is on CONTENT AND PATH, so a
+    // rewrite that reproduced identical bytes under a new gen would
+    // still fail (the point is the files are never reopened)
+    def fingerprint(): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(f => root.toPath.relativize(f.toPath).toString ->
+          java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)))
+        .toMap
+    }
+    def genParts(g: Long): Set[String] =
+      new java.io.File(s"$dir/gen=$g").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("part="))
+        .map(_.getName).toSet
+    def allLabels(): Map[Long, Long] =
+      StreamingLabels.labels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def want(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.ops.Dedup.fromPairs(pairs.toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // wave 1: three disjoint pairs across six buckets
+    val w1 = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    StreamingLabels.mergeBatch(dir, P)(w1.toDF("da", "db"), 1L)
+    assert(genParts(1L) === Set("part=1", "part=2", "part=3", "part=4", "part=5", "part=6"))
+    assert(allLabels() === want(w1))
+    val snap1 = fingerprint()
+
+    // wave 2: one fresh id joining an existing component — ONLY its
+    // bucket (pmod(17,8)=1) rewrites; every other bucket's files stay
+    // byte-identical at their original paths
+    val w2 = Seq((17L, 2L))
+    StreamingLabels.mergeBatch(dir, P)(w2.toDF("da", "db"), 2L)
+    assert(genParts(2L) === Set("part=1"), "wave 2 rewrote untouched buckets")
+    assert(allLabels() === want(w1 ++ w2))
+    val snap2 = fingerprint()
+    assert(snap1.forall { case (p, h) => snap2.get(p).contains(h) },
+      "an untouched bucket's file changed or vanished inside the wave")
+
+    // wave 3: fresh pair in buckets 1 and 2 — gen=2 (part=1 only)
+    // becomes fully superseded and must be STAMPED, not deleted (the
+    // lazy-reader grace window)
+    val w3 = Seq((9L, 10L))
+    StreamingLabels.mergeBatch(dir, P)(w3.toDF("da", "db"), 3L)
+    assert(genParts(3L) === Set("part=1", "part=2"))
+    assert(new java.io.File(s"$dir/gen=2/_RETIRED").exists(),
+      "superseded generation not stamped")
+    assert(new java.io.File(s"$dir/gen=2").exists(),
+      "stamping wave deleted the generation it superseded — no grace window")
+    assert(allLabels() === want(w1 ++ w2 ++ w3))
+
+    // wave 4: buckets 3,4 — the LATER wave deletes the stamped gen=2;
+    // gen=1 still carries the only copy of buckets 5,6 and must stay.
+    // Passed with a DIFFERENT parts value: the table's pinned P=8 wins
+    // (pmod(11,8)=3 / pmod(12,8)=4 — under P=4 they would land in 3,0)
+    val w4 = Seq((11L, 12L))
+    StreamingLabels.mergeBatch(dir, 4)(w4.toDF("da", "db"), 4L)
+    assert(genParts(4L) === Set("part=3", "part=4"),
+      "bucket count not pinned across waves")
+    assert(!new java.io.File(s"$dir/gen=2").exists(),
+      "stamped generation survived a later wave")
+    assert(new java.io.File(s"$dir/gen=1").exists(),
+      "a generation still latest-for-some-bucket was deleted")
+    assert(allLabels() === want(w1 ++ w2 ++ w3 ++ w4))
+
+    // replay of wave 2 is a no-op on the marker even though its gen dir
+    // was retired and deleted — _SUCCESS of gen=2 is gone, so the guard
+    // is the merge itself: pairs already inside one component relabel
+    // nothing and touch no bucket
+    StreamingLabels.mergeBatch(dir, P)(w2.toDF("da", "db"), 5L)
+    assert(allLabels() === want(w1 ++ w2 ++ w3 ++ w4),
+      "replaying an already-folded wave changed the labels")
+    assert(genParts(5L) === Set.empty,
+      "an all-internal wave rewrote buckets")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }
