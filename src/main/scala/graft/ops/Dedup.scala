@@ -397,6 +397,72 @@ object Dedup {
     oldNew.union(fresh)
   }
 
+  /** Decremental label maintenance — [[mergeLabels]]' missing half
+    * (document DELETION): given a converged labeling `old(id, lbl)`,
+    * the pair table `pairs(da, db)` it was computed from, and a set of
+    * deleted vertex ids, produce the labeling of the graph with those
+    * vertices (and every pair touching them) REMOVED — without
+    * recomputing untouched components.
+    *
+    * Merging only ever unions components, so [[mergeLabels]] could work
+    * purely on representatives; deletion can SPLIT a component (the
+    * deleted vertex may be a bridge), and connectivity of the survivors
+    * is not derivable from labels alone — the surviving pairs of the
+    * affected components must be re-propagated. The scope stays
+    * component-bounded:
+    *
+    *  1. affected labels = labels of deleted ids that appear in the
+    *     table (delete-bounded);
+    *  2. affected pairs = pairs whose endpoints carry an affected label
+    *     (both endpoints of a pair share a component, so probing `da`
+    *     suffices) minus pairs touching a deleted id;
+    *  3. [[fromPairs]] over those survivors relabels the affected
+    *     components — a member left with no surviving pair drops from
+    *     the table (it is a singleton again; q56's convention keeps
+    *     only pair-involved vertices), and a deleted member drops with
+    *     its pairs;
+    *  4. untouched components pass through an anti-join unchanged.
+    *
+    * Correctness (the q149 oracle recomputes from scratch over live
+    * pairs to machine-check this): a component with no deleted member
+    * keeps all pairs and its min id, so passing it through unchanged
+    * equals the recompute; an affected component's survivors are
+    * relabeled from exactly the pairs the recompute would see, and
+    * every label [[fromPairs]] emits is the min of a surviving
+    * connected subset — the recompute's value.
+    *
+    * At 100 TB: step 2 is one hash semi-join of the pair table against
+    * the delete-bounded affected-label set plus an anti-join against
+    * the deleted ids (in a production layout the pair table lives
+    * partitioned by component label, turning it into a partition-pruned
+    * read); step 3's propagation input is the affected components'
+    * pairs, not the corpus.
+    */
+  def deleteLabels(
+      old: DataFrame,
+      pairs: DataFrame,
+      deleted: DataFrame,
+      maxRounds: Int = 64,
+      track: DataFrame => DataFrame = identity): DataFrame = {
+    val del = deleted.select(col("id"))
+    // labels of components holding at least one deleted vertex
+    val deadLbl = track(old.join(del, Seq("id"), "left_semi")
+      .select(col("lbl")).distinct())
+    // the affected components' pairs: probe via da's label (da and db
+    // always share a component), then drop pairs touching a deleted id
+    val affected = pairs
+      .join(old.select(col("id").as("da"), col("lbl")), Seq("da"))
+      .join(deadLbl, Seq("lbl"), "left_semi")
+      .select(col("da"), col("db"))
+    val surviving = track(affected
+      .join(del.select(col("id").as("da")), Seq("da"), "left_anti")
+      .join(del.select(col("id").as("db")), Seq("db"), "left_anti")
+      .select(col("da"), col("db")))
+    val relabeled = fromPairs(surviving, maxRounds, track)
+    old.join(deadLbl, Seq("lbl"), "left_anti").select(col("id"), col("lbl"))
+      .union(relabeled)
+  }
+
   /** Rounds sufficient to COVER a given maximum cluster diameter on an
     * id-monotone chain: smallest r with `2^(r+1) - 2 ≥ d`. Detection
     * adds one further no-change round on top.

@@ -3050,6 +3050,52 @@ object TextQueries {
     out
   }
 
+  /** q149's deterministic deletion rule (`doc_id % CcDeleteMod ==
+    * CcDeleteRes`), measured non-vacuous on the real pair graph BEFORE
+    * wiring (the r6 discipline): at sf0.01 it deletes 23 labeled
+    * vertices, SPLITS one component into multiple surviving pieces,
+    * drops 34 now-pairless vertices, and relabels 54 survivors (sf0.001:
+    * 24 deleted, 1 split, 35 dropped, 12 relabeled) — every branch of
+    * [[graft.ops.Dedup.deleteLabels]] fires on real data.
+    */
+  val CcDeleteMod = 7
+  val CcDeleteRes = 3
+
+  /** EXT — DECREMENTAL label maintenance (document deletion — the
+    * reverse of q146's merge, and the other half a rolling dedup needs:
+    * GDPR erasure / retraction waves). The deletion set is the
+    * [[CcDeleteMod]] residue class; [[graft.ops.Dedup.deleteLabels]]
+    * re-propagates ONLY the affected components' surviving pairs
+    * (deletion can split a component, so unlike the merge there is no
+    * representative shortcut — but the scope stays component-bounded).
+    * Output per surviving labeled doc: its post-delete label and
+    * whether the delete wave relabeled it. The ORACLE is the full
+    * recompute over live pairs (the q146 discipline in reverse): one
+    * closure over all pairs for the old labels, one over the
+    * delete-filtered pairs for the new — the hash match IS the law
+    * `deleteLabels(cc(pairs), dels) ≡ cc(pairs minus dels)`, including
+    * which vertices DROP (a kept-but-pairless vertex would change the
+    * row count).
+    */
+  val q149CcDelete: Q = (s, d) => {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val pairs = hold(dupPairs(s, d))
+    val old = dupLabels(s, d)
+    val deleted = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(CcDeleteMod.toLong)) === CcDeleteRes.toLong)
+      .select(col("doc_id").as("id"))
+    val live = graft.ops.Dedup.deleteLabels(old, pairs, deleted, track = hold)
+    val out = live
+      .join(old.select(col("id"), col("lbl").as("old_lbl")), Seq("id"))
+      .select(col("id"), col("lbl"),
+        when(col("old_lbl") =!= col("lbl"), 1L).otherwise(0L).as("relabeled"))
+      .orderBy(col("id"))
+      .localCheckpoint(true)
+    locals.foreach(_.unpersist(false))
+    out
+  }
+
   /** Passages shorter than this many tokens don't make the q147 report
     * (the Lee et al. ExactSubstr cut applied corpus-wide; q122's
     * measured run spectrum populates both sides of it).
@@ -3187,6 +3233,7 @@ object TextQueries {
     "q146_cc_merge" -> q146CcMerge,
     "q147_dup_passages" -> q147DupPassages,
     "q148_rolling_cc" -> q148RollingCc,
+    "q149_cc_delete" -> q149CcDelete,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -3411,6 +3458,27 @@ object TextQueries {
     simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ccCtesOn("pairs") +
       """fin148 AS (SELECT 1)
         |SELECT id, lbl FROM cl ORDER BY id""".stripMargin
+
+  /** q149's oracle: the full recompute over LIVE pairs — the pair table
+    * materializes once (`mp149` — DuckDB re-inlines a plain CTE at
+    * every reference, and two recursive closures reference it four
+    * times), then one closure over all pairs (old labels) and one over
+    * the delete-filtered pairs (new labels). Endpoints are
+    * non-negative, so `%` here ≡ Spark's `pmod`.
+    */
+  private def q149OracleSql: String =
+    simhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s"""mp149 AS MATERIALIZED (SELECT da, db FROM pairs),
+        |live149 AS MATERIALIZED (
+        |  SELECT da, db FROM mp149
+        |  WHERE da % $CcDeleteMod <> $CcDeleteRes AND db % $CcDeleteMod <> $CcDeleteRes),
+        |""".stripMargin +
+      ccCtesOn("mp149") + ccCtesOn("live149", "v") +
+      """fin149 AS (SELECT 1)
+        |SELECT v.id, v.lbl,
+        |  CAST(CASE WHEN c.lbl <> v.lbl THEN 1 ELSE 0 END AS BIGINT) AS relabeled
+        |FROM vcl v JOIN cl c ON v.id = c.id
+        |ORDER BY v.id""".stripMargin
 
   /** q147's oracle: the same df-gated islands over [[gramHashCtes]]
     * positional grams, passage text cut with list_slice, content
@@ -4740,6 +4808,7 @@ object TextQueries {
     "q146_cc_merge" -> q146OracleSql,
     "q147_dup_passages" -> q147OracleSql,
     "q148_rolling_cc" -> q148OracleSql,
+    "q149_cc_delete" -> q149OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,

@@ -58,6 +58,47 @@ class MergeLabelsSpec extends AnyFunSuite {
     assert(scratch.values.toSet == Set(0L), "path graph must collapse to min 0")
   }
 
+  test("delete == recompute-on-live across synthetic deletion shapes") {
+    // components: a 5-path 0-1-2-3-4 (2 is a bridge), {10,11,12} in a
+    // triangle (no bridge), {20,21}, {30,31}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L), (30L, 31L))
+    val pdf = pairsDf(pairs).persist()
+    val old = Dedup.fromPairs(pdf).localCheckpoint(true)
+
+    // one wave exercising every deletion branch at once:
+    //  - 2 is a BRIDGE: the path splits into {0,1} and {3,4}
+    //  - 10 is the triangle's MIN: survivors stay connected, relabel to 11
+    //  - 20 kills its pair: 21 becomes pairless and must DROP
+    //  - 99 was never labeled: a no-op
+    val dels = Seq(2L, 10L, 20L, 99L).toDF("id")
+    val got = labels(Dedup.deleteLabels(old, pdf, dels))
+    val livePairs = pairs.filterNot { case (a, b) =>
+      Set(2L, 10L, 20L).contains(a) || Set(2L, 10L, 20L).contains(b) }
+    val scratch = labels(Dedup.fromPairs(pairsDf(livePairs).persist()))
+    assert(got == scratch)
+    assert(got(0L) == 0L && got(1L) == 0L, "left split half mislabeled")
+    assert(got(3L) == 3L && got(4L) == 3L, "right split half not relabeled to its new min")
+    assert(got(11L) == 11L && got(12L) == 11L, "min-deletion did not advance the label")
+    assert(!got.contains(21L), "pairless survivor kept a stale label row")
+    assert(got(30L) == 30L && got(31L) == 30L, "untouched component disturbed")
+    assert(!got.keySet.exists(Set(2L, 10L, 20L, 99L)), "a deleted id survived")
+  }
+
+  test("delete then merge composes: re-adding a bridge restores the recompute labels") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val pdf = pairsDf(pairs).persist()
+    val old = Dedup.fromPairs(pdf).localCheckpoint(true)
+    val afterDel = Dedup.deleteLabels(old, pdf, Seq(2L).toDF("id")).localCheckpoint(true)
+    // a later wave bridges the split halves directly (1, 3) — the
+    // merge must run correctly FROM a post-delete labeling
+    val rejoin = Dedup.mergeLabels(afterDel, pairsDf(Seq((1L, 3L))).persist())
+    val scratch = labels(Dedup.fromPairs(
+      pairsDf(Seq((0L, 1L), (3L, 4L), (1L, 3L))).persist()))
+    assert(labels(rejoin) == scratch)
+    assert(scratch.values.toSet == Set(0L))
+  }
+
   test("real corpus split: merge == recompute, and the wave genuinely relabels") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q146_cc_merge")(spark, d).collect()
