@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   * Generations that remain latest-for-some-bucket are never touched, so
   * at most P generations are live at once plus the one-wave retirement
   * tail.
+  *
+  * The DELETE half ([[deleteBatch]]): every merge wave also appends its
+  * pairs to an on-disk pair log, so a deletion wave can re-propagate
+  * the affected components' surviving pairs
+  * ([[graft.ops.Dedup.deleteLabels]] — the q149 operator) and rewrite
+  * only the buckets it touched, tombstoning the deleted ids for the
+  * log. Merge + delete + bucket-partitioned rewrite is the full rolling
+  * lifecycle; StreamingLoopSpec drives it end-to-end with a restart.
   */
 object StreamingLabels {
 
@@ -89,13 +97,19 @@ object StreamingLabels {
   private def labelsAsOf(s: SparkSession, labelDir: String,
       before: Option[Long]): DataFrame = {
     val gs = gens(s, labelDir).filter(g => before.forall(g < _)).sorted
-    // newest gen per bucket: ascending fold, later gens overwrite
+    // newest gen per bucket: ascending fold, later gens overwrite. An
+    // EMPTY part dir (a delete wave that emptied the bucket) still
+    // claims "latest" — it masks the older copy — but contributes no
+    // read path (parquet cannot infer schema from zero files).
     val latest = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     for (g <- gs; p <- partsOf(s, labelDir, g)) latest(p) = g
-    if (latest.isEmpty) emptyLabels(s)
-    else s.read.parquet(
-        latest.map { case (p, g) => s"$labelDir/gen=$g/$p" }.toSeq: _*)
-      .select(col("id"), col("lbl"))
+    val f = hfs(s, labelDir)
+    val readable = latest.toSeq.map { case (p, g) => s"$labelDir/gen=$g/$p" }
+      .filter(dir => f.listStatus(path(dir))
+        .exists(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")))
+    if (readable.isEmpty) emptyLabels(s)
+    else s.read.parquet(readable: _*).select(col("id"), col("lbl"))
   }
 
   /** The current label table `(id, lbl)` — per bucket, the newest
@@ -106,6 +120,52 @@ object StreamingLabels {
     */
   def labels(s: SparkSession, labelDir: String): DataFrame =
     labelsAsOf(s, labelDir, None)
+
+  /** The verified-pair LOG as of generations strictly before `before` —
+    * the state that makes DELETE waves possible: [[graft.ops.Dedup.deleteLabels]]
+    * must re-propagate the affected components' surviving pairs, and
+    * labels alone cannot reconstruct connectivity, so every merge wave
+    * also appends its pairs here (wave-bounded append, the reason a
+    * production dedup service keeps its edge log). Tombstoned endpoints
+    * filter out at read time (the StreamingIndex liveCodes discipline);
+    * the log itself is immutable per generation. Log compaction (fold
+    * the generations into one, drop materialized-dead pairs and the
+    * tombstones) would follow [[StreamingIndex.compact]]'s
+    * digest-certified swap verbatim — not wired yet; the anti-join's
+    * tombstone side grows with the delete history until then.
+    */
+  private def livePairsAsOf(s: SparkSession, labelDir: String,
+      before: Option[Long]): DataFrame = {
+    val f = hfs(s, labelDir)
+    def complete(sub: String): Seq[String] = {
+      val p = path(labelDir, sub)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+          st.getPath.getName.stripPrefix("gen=").toLong < before.getOrElse(Long.MaxValue) &&
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    }
+    val logGens = complete("pairlog")
+    if (logGens.isEmpty)
+      return s.range(0).select(col("id").as("da"), col("id").as("db"))
+    val pairs = s.read.parquet(logGens: _*).select(col("da"), col("db"))
+    val tombGens = complete("tombs")
+    if (tombGens.isEmpty) pairs
+    else {
+      val dead = s.read.parquet(tombGens: _*).select(col("id")).distinct()
+      pairs
+        .join(dead.select(col("id").as("da")), Seq("da"), "left_anti")
+        .join(dead.select(col("id").as("db")), Seq("db"), "left_anti")
+        .select(col("da"), col("db")) // using-joins float the key column first
+    }
+  }
+
+  /** The current live pair log (every appended pair minus those
+    * touching a tombstoned id).
+    */
+  def livePairs(s: SparkSession, labelDir: String): DataFrame =
+    livePairsAsOf(s, labelDir, None)
 
   /** The table's pinned bucket count: written once by the first wave,
     * read back (ignoring the caller's value) ever after — two writers
@@ -144,7 +204,31 @@ object StreamingLabels {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hold(df: DataFrame) = { locals += df.persist(); df }
     val old = hold(labelsAsOf(s, labelDir, Some(batchId)))
-    val wave = hold(pairs.select(col("da"), col("db")))
+    // drop pairs naming an already-deleted doc: a duplicate/replayed
+    // emission must not resurrect a tombstoned vertex's membership
+    val tombGens = {
+      val tp = path(labelDir, "tombs")
+      if (!f.exists(tp)) Seq.empty[String]
+      else f.listStatus(tp).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+          st.getPath.getName.stripPrefix("gen=").toLong < batchId &&
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    }
+    val rawWave = pairs.select(col("da"), col("db"))
+    val wave = hold(if (tombGens.isEmpty) rawWave else {
+      val dead = s.read.parquet(tombGens: _*).select(col("id")).distinct()
+      rawWave
+        .join(dead.select(col("id").as("da")), Seq("da"), "left_anti")
+        .join(dead.select(col("id").as("db")), Seq("db"), "left_anti")
+        .select(col("da"), col("db")) // using-joins float the key column first
+    })
+    // pair-log append FIRST (it feeds future delete waves; writing it
+    // before the label gen keeps the label marker the commit point — a
+    // crash between the two replays into a log-skip + label recompute)
+    val logDir = path(labelDir, s"pairlog/gen=$batchId")
+    if (!f.exists(new org.apache.hadoop.fs.Path(logDir, "_SUCCESS")))
+      wave.write.mode("overwrite").parquet(logDir.toString)
     // persisted: the touched-bucket probe and the bucket-filtered write
     // both read the merged table (invariant 6)
     val merged = hold(graft.ops.Dedup.mergeLabels(old, wave, track = hold)
@@ -162,6 +246,63 @@ object StreamingLabels {
     merged.filter(if (touched.isEmpty) lit(false)
         else col("part").isin(touched.map(java.lang.Long.valueOf): _*))
       .write.mode("overwrite").partitionBy("part").parquet(genDir.toString)
+    locals.foreach(_.unpersist(false))
+    retireSuperseded(s, labelDir, batchId)
+  }
+
+  /** Fold one wave of document DELETIONS into the label table: affected
+    * components re-propagate from their surviving pairs
+    * ([[graft.ops.Dedup.deleteLabels]] — deletion can split a
+    * component, so the pair log is the input, not the labels), buckets
+    * holding a dropped/relabeled/deleted row rewrite under
+    * `gen=<batchId>/part=<b>`, then the tombstone generation commits
+    * the wave. Merge and delete waves share ONE monotone `batchId`
+    * sequence per table (two independent streams must interleave their
+    * ids — e.g. even/odd — or drive batches directly as the composed
+    * spec does).
+    *
+    * Replay/crash safety: the wave's commit point is the TOMBSTONE
+    * marker (checked first). A crash after the label gen but before the
+    * tombstones replays into an identical recompute — `labelsAsOf`
+    * reads strictly below `batchId`, so the half-written wave's own
+    * output never feeds its replay — and the label write is
+    * overwrite-idempotent.
+    */
+  def deleteBatch(labelDir: String, parts: Int = DefaultParts)(
+      ids: DataFrame, batchId: Long): Unit = {
+    val s = ids.sparkSession
+    val f = hfs(s, labelDir)
+    val tombDir = path(labelDir, s"tombs/gen=$batchId")
+    if (f.exists(new org.apache.hadoop.fs.Path(tombDir, "_SUCCESS"))) return
+    val p = pinnedParts(s, labelDir, parts)
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def hold(df: DataFrame) = { locals += df.persist(); df }
+    val del = hold(ids.select(col("id")))
+    val old = hold(labelsAsOf(s, labelDir, Some(batchId)))
+    val live = hold(graft.ops.Dedup.deleteLabels(
+      old, livePairsAsOf(s, labelDir, Some(batchId)), del, track = hold)
+      .withColumn("part", pmod(col("id"), lit(p.toLong))))
+    // touched buckets: any old row that is gone (deleted or dropped
+    // pairless) or relabeled. A touched bucket's rewrite EXCLUDES the
+    // gone rows by construction (it writes live rows only).
+    val touched = old
+      .join(live.select(col("id"), col("lbl").as("nl")), Seq("id"), "left")
+      .filter(col("nl").isNull || col("nl") =!= col("lbl"))
+      .select(pmod(col("id"), lit(p.toLong)).as("part")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    live.filter(if (touched.isEmpty) lit(false)
+        else col("part").isin(touched.map(java.lang.Long.valueOf): _*))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(path(labelDir, s"gen=$batchId").toString)
+    // a bucket the delete EMPTIED writes no dir under partitionBy — an
+    // explicit empty part dir must mask the older copy or its rows
+    // would resurrect from the previous generation (readers skip
+    // file-less part dirs; retirement counts them as superseding)
+    for (b <- touched) {
+      val pd = path(labelDir, s"gen=$batchId", s"part=$b")
+      if (!f.exists(pd)) f.mkdirs(pd)
+    }
+    del.write.mode("overwrite").parquet(tombDir.toString)
     locals.foreach(_.unpersist(false))
     retireSuperseded(s, labelDir, batchId)
   }

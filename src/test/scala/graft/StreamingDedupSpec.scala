@@ -198,6 +198,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(genParts(5L) === Set.empty,
       "an all-internal wave rewrote buckets")
 
+    // ---- delete waves (the q149 operator through the serving loop) ----
+    // deleting 2 breaks {1,2,17}: 1 and 17 become pairless and DROP;
+    // deleting 5 kills {5,6} outright — buckets 5 and 6 become EMPTY
+    // and must mask the older copies with file-less part dirs
+    StreamingLabels.deleteBatch(dir, P)(Seq(2L, 5L).toDF("id"), 6L)
+    val liveAfter6 = Seq((3L, 4L), (9L, 10L), (11L, 12L))
+    assert(allLabels() === want(liveAfter6))
+    assert(genParts(6L) === Set("part=1", "part=2", "part=5", "part=6"))
+    assert(new java.io.File(s"$dir/gen=6/part=5").listFiles()
+      .forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "an emptied bucket's masking dir holds data files")
+
+    // crash window: tombstones lost after the label gen landed — the
+    // replay must recompute identically and restore the tombstones
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/tombs/gen=6"))
+    StreamingLabels.deleteBatch(dir, P)(Seq(2L, 5L).toDF("id"), 6L)
+    assert(allLabels() === want(liveAfter6), "crash-window delete replay diverged")
+    assert(new java.io.File(s"$dir/tombs/gen=6/_SUCCESS").exists())
+    // committed replay is a marker no-op
+    StreamingLabels.deleteBatch(dir, P)(Seq(2L, 5L).toDF("id"), 6L)
+    assert(allLabels() === want(liveAfter6))
+
+    // a merge wave after deletes: 17 (dropped, not deleted) may re-pair;
+    // a pair naming tombstoned 2 must NOT resurrect it
+    StreamingLabels.mergeBatch(dir, P)(Seq((17L, 3L), (2L, 9L)).toDF("da", "db"), 7L)
+    val liveAfter7 = liveAfter6 :+ (17L, 3L)
+    assert(allLabels() === want(liveAfter7),
+      "post-delete merge diverged (resurrection guard or re-pairing broken)")
+    val lp = StreamingLabels.livePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lp === liveAfter7.map { case (a, b) => (a, b) }.toSet,
+      "pair log out of sync with the folded waves")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     queries.releasePersisted()
     spark.catalog.clearCache()
