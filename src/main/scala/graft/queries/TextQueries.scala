@@ -3170,6 +3170,76 @@ object TextQueries {
       .orderBy(col("n_docs").desc, col("n_spans").desc, col("passage"))
   }
 
+  /** EXT — duplicated-passage CUT (the intervention q147 only reports:
+    * Lee et al.'s ExactSubstr dedup removes each corpus-duplicated
+    * span from every occurrence but the first). Spans are q147's
+    * maximal df≥2 islands; a span cuts when its passage STRING occurs
+    * in ≥2 docs and this doc is not the passage's keeper (= min doc_id
+    * carrying it — keep-first at DOC granularity, so a keeper doc
+    * retains all its occurrences; deterministic). Per-doc islands are
+    * disjoint by construction (maximal runs of duplicated gram
+    * positions), so the cut is a per-doc set subtraction of token
+    * ranges — no overlap resolution needed. Output per AFFECTED doc:
+    * cut-span count, token counts before/after, and sha256 of the
+    * post-cut text (DuckDB `sha256` ≡ Spark `sha2(·,256)`, the r6
+    * content-hash discipline — the oracle certifies the full rewritten
+    * text without shipping it). A doc cut down to ZERO tokens stays in
+    * the report with the empty-string hash (LEFT join + coalesce both
+    * sides; the branch is corpus-dormant — DupPassagesSpec pins it
+    * synthetically).
+    *
+    * Scale shape: the cut table is bounded by duplicated-passage mass
+    * (delta-sized, not corpus-sized); the token anti-join is an
+    * equi-join on doc_id with a range residual (per-doc ranges are
+    * few); the rebuild groups per doc. Docs with no cut never enter
+    * the explode — the semi-join gates first.
+    */
+  val q150PassageCut: Q = (s, d) => {
+    val gr = posGrams(s, d, 3)
+    val dupPos = gr.join(
+      gr.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("h")),
+      Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("rg"))
+      .filter(col("rg") + 2 >= MinPassageTokens)
+    val docsTok = tracked(documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t0")))
+    val px = tracked(spans.join(docsTok, Seq("doc_id"))
+      .select(col("doc_id"), col("p0"), col("rg"),
+        array_join(slice(col("t0"), col("p0").cast("int"), (col("rg") + 2).cast("int")), " ")
+          .as("passage")))
+    val keeper = px.groupBy(col("passage"))
+      .agg(min(col("doc_id")).as("keeper"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    val cuts = tracked(px.join(keeper, Seq("passage"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("p0"), col("rg")))
+    val toks = docsTok
+      .join(cuts.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("t0")).as(Seq("z", "w")))
+      .select(col("doc_id"), (col("z") + 1).cast("long").as("pos"), col("w"))
+    val kept = toks.as("t").join(cuts.as("c"),
+        col("t.doc_id") === col("c.doc_id") &&
+          col("t.pos") >= col("c.p0") && col("t.pos") <= col("c.p0") + col("c.rg") + 1,
+        "left_anti")
+    val newText = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("ntext"))
+    cuts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cut"), sum(col("rg") + 2).as("toks_cut"))
+      .join(docsTok.select(col("doc_id"), size(col("t0")).cast("long").as("tok_before")),
+        Seq("doc_id"))
+      .join(newText, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_cut"), col("tok_before"),
+        (col("tok_before") - col("toks_cut")).as("tok_after"),
+        sha2(coalesce(col("ntext"), lit("")), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_neardup_minhash" -> q31NeardupMinhash,
     "q32_ngram_jaccard"   -> q32NgramJaccard,
@@ -3234,6 +3304,7 @@ object TextQueries {
     "q147_dup_passages" -> q147DupPassages,
     "q148_rolling_cc" -> q148RollingCc,
     "q149_cc_delete" -> q149CcDelete,
+    "q150_passage_cut" -> q150PassageCut,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -3504,6 +3575,43 @@ object TextQueries {
       |  FROM pd147 GROUP BY passage HAVING count(*) >= 2)
       |SELECT passage, CAST(len(string_split(passage, ' ')) AS BIGINT) AS n_tokens, n_docs, n_spans, docs
       |FROM ag147 ORDER BY n_docs DESC, n_spans DESC, passage LIMIT $TopDupPassages""".stripMargin
+
+  /** q150's oracle: q147's island chain, passage-keeper resolution on
+    * the literal string, the cut as a LEFT-JOIN-null token subtraction,
+    * and sha256 over the rebuilt text (≡ Spark `sha2(·,256)`). The
+    * token table materializes once — three consumers would otherwise
+    * re-inline the gram pipeline.
+    */
+  private def q150OracleSql: String =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+      |""".stripMargin +
+      gramHashCtes("150", 3, distinct = false) +
+      s"""pg150 AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM hs150),
+      |df150 AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM pg150 GROUP BY h) WHERE c >= 2),
+      |dup150 AS (SELECT pg150.* FROM pg150 JOIN df150 USING (h)),
+      |isl150 AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup150),
+      |sp150 AS (SELECT doc_id, min(pos) AS p0, count(*) AS rg FROM isl150 GROUP BY doc_id, grp
+      |  HAVING count(*) + 2 >= $MinPassageTokens),
+      |px150 AS (SELECT s.doc_id, s.p0, s.rg,
+      |    array_to_string(list_slice(t0, CAST(p0 AS INT), CAST(p0 + rg + 1 AS INT)), ' ') AS passage
+      |  FROM sp150 s JOIN tk USING (doc_id)),
+      |pk150 AS (SELECT passage, min(doc_id) AS keeper, count(DISTINCT doc_id) AS nd
+      |  FROM px150 GROUP BY passage HAVING count(DISTINCT doc_id) >= 2),
+      |cut150 AS MATERIALIZED (SELECT px.doc_id, px.p0, px.rg
+      |  FROM px150 px JOIN pk150 k USING (passage) WHERE px.doc_id <> k.keeper),
+      |tok150 AS (SELECT t.doc_id, unnest(t.t0) AS w, generate_subscripts(t.t0, 1) AS pos
+      |  FROM tk t WHERE t.doc_id IN (SELECT doc_id FROM cut150)),
+      |kept150 AS (SELECT t.doc_id, t.pos, t.w FROM tok150 t
+      |  LEFT JOIN cut150 c ON t.doc_id = c.doc_id AND t.pos BETWEEN c.p0 AND c.p0 + c.rg + 1
+      |  WHERE c.doc_id IS NULL),
+      |nt150 AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS ntext FROM kept150 GROUP BY doc_id),
+      |ag150 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut,
+      |    CAST(sum(rg + 2) AS BIGINT) AS toks_cut FROM cut150 GROUP BY doc_id)
+      |SELECT a.doc_id, a.n_cut, CAST(len(t.t0) AS BIGINT) AS tok_before,
+      |  CAST(len(t.t0) AS BIGINT) - a.toks_cut AS tok_after,
+      |  sha256(COALESCE(n.ntext, '')) AS text_sha
+      |FROM ag150 a JOIN tk t USING (doc_id) LEFT JOIN nt150 n USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
 
   /** q135's oracle: the √n-cell edge-quantizer prefix
     * ([[edgeQuantCtes]]), the q126 within-cell
@@ -4809,6 +4917,7 @@ object TextQueries {
     "q147_dup_passages" -> q147OracleSql,
     "q148_rolling_cc" -> q148OracleSql,
     "q149_cc_delete" -> q149OracleSql,
+    "q150_passage_cut" -> q150OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,
