@@ -51,6 +51,10 @@ object StressEmbedding {
           // round 9: the diversified-edge twin — its extra cost is the
           // KnnGK greedy conflict joins over the same n^1.5 pair mass
           "q143_graph_ann_div" -> graft.queries.TextQueries.q143GraphAnnDiv,
+          // round 11: the frozen-append twin — old build is q143's
+          // n_old^1.5; the attach is wave-bounded (|wave|·DivEfC·deg
+          // beam rows + |wave|·DivEfC·KnnGK conflict folds)
+          "q151_graph_append" -> graft.queries.TextQueries.q151GraphAppend,
           "q136_truncation_curve" -> graft.queries.TextQueries.q136TruncationCurve)) {
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()

@@ -2015,10 +2015,19 @@ object TextQueries {
     */
   private[graft] val DivEfC = 4 * KnnGK
 
-  private[graft] def divEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val pairs = cellPairs(s, d)
+  private[graft] def divEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    divEdgesOver(cellPairs(s, d), tracked)
+
+  /** The heuristic-2 greedy over an arbitrary scored pair table —
+    * [[divEdges]] runs it on the full-corpus [[cellPairs]]; q151 runs
+    * it on the OLD-only pair table of the frozen graph. `hold` persists
+    * multi-consumer intermediates (the candidate table is read by every
+    * step).
+    */
+  private[graft] def divEdgesOver(pairs: org.apache.spark.sql.DataFrame,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
     val wsrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val cand = tracked(pairs.withColumn("rk", row_number().over(wsrc))
+    val cand = hold(pairs.withColumn("rk", row_number().over(wsrc))
       .filter(col("rk") <= DivEfC).select(col("src"), col("dst"), col("cos")))
     var kept = cand.withColumn("rn", row_number().over(wsrc))
       .filter(col("rn") === 1).select(col("src"), col("dst"))
@@ -2335,11 +2344,16 @@ object TextQueries {
     * audit.
     */
   private def graphBeamSearch(s: org.apache.spark.sql.SparkSession, d: String,
-      knn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      knn: org.apache.spark.sql.DataFrame,
+      repAsg: org.apache.spark.sql.DataFrame = null,
+      withIsNew: Boolean = false): org.apache.spark.sql.DataFrame = {
     import graft.ops.TowerMemo
     import graft.functions.DotFold
     val emb = TowerMemo.prep(s, d)
-    val asg = TowerMemo.edgeAssigned(s, d)
+    // q135/q143 take the upper layer from the full-corpus edge
+    // assignment; q151 passes the FROZEN (old-trained, old-assigned)
+    // one — its rep clique must not move when a wave lands
+    val asg = if (repAsg != null) repAsg else TowerMemo.edgeAssigned(s, d)
     val reps = asg.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
     val repEdges = reps.select(col("rid").as("src"))
       .crossJoin(broadcast(reps.select(col("rid").as("dst"))))
@@ -2376,10 +2390,17 @@ object TextQueries {
       .withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
-    beam.filter(col("vec_id") =!= col("query_id"))
+    val ranked = beam.filter(col("vec_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(wb))
       .filter(col("rank") <= 5)
       .join(exact, Seq("query_id", "vec_id"), "left")
+    if (withIsNew)
+      ranked.crossJoin(broadcast(TowerMemo.oldCut(s, d)))
+        .select(col("query_id"), col("rank").cast("int").as("rank"), col("vec_id"),
+          (col("vec_id") >= col("cut")).as("is_new"),
+          col("cos"), coalesce(col("hit"), lit(0)).cast("int").as("in_exact_topk"))
+        .orderBy(col("query_id"), col("rank"))
+    else ranked
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("vec_id"),
         col("cos"), coalesce(col("hit"), lit(0)).cast("int").as("in_exact_topk"))
       .orderBy(col("query_id"), col("rank"))
@@ -2412,6 +2433,123 @@ object TextQueries {
     * edge derivation itself.
     */
   val q143GraphAnnDiv: Q = (s, d) => graphBeamSearch(s, d, divEdges(s, d))
+
+  /** EXT-3l — FROZEN-graph ANN append (the q92 freshness twin for the
+    * graph index family: IVF/PQ serve frozen generations with
+    * incremental appends; this does the same for the q143 NSW graph,
+    * closing the round-10 gap "graph index implies full rebuild per
+    * corpus wave"). The first ⌊4n/5⌋ vectors are the frozen
+    * generation: edge quantizer trained on THEM (k = ⌈√n_old⌉), cells,
+    * within-cell scored pairs, and heuristic-2 diversified edges all
+    * old-only — after the build, none of it is recomputed. The late
+    * wave attaches per-NODE: each new vector beam-searches the old
+    * graph (width [[DivEfC]] — efConstruction's role — over
+    * [[GsHops]] hops from the old entry point), then heuristic-2
+    * prunes its candidate list to ≤ [[KnnGK]] out-edges; old
+    * adjacency rows never change, and new nodes become REACHABLE
+    * through search-time symmetrization (the same reverse-edge union
+    * q135 always does — the stored log stays append-only, exactly
+    * [[graft.streaming.StreamingIndex]]'s codes discipline). Wave
+    * nodes link only to OLD nodes (batch attach; sequential intra-wave
+    * links are the retrained graph's job — q144's refresh decision).
+    * The final search is q135's two-layer beam over old∪new edges with
+    * the FROZEN rep clique, flagged `is_new` per result and audited
+    * in-plan against the exact top-5 (the metric the index
+    * approximates — the round-8 lesson).
+    *
+    * The ORACLE unrolls the whole lifecycle CTE-for-CTE: old-trained
+    * quantizer ([[edgeQuantCtes]] parameterized by training source —
+    * the q144 shared-generator discipline), old diversified edges
+    * ([[divEdgeCtes]] over the old pair table), the attach beam per
+    * hop, the per-step heuristic-2 prune (conflict cosine is a fresh
+    * fold — attach candidates span cells, so unlike q143 it is NOT a
+    * pair-table row), and the final beam. All comparisons are between
+    * identically-computed doubles (invariant 4).
+    *
+    * Scale shape: the frozen build is q143's (n_old^1.5 pair mass,
+    * once); each WAVE costs |wave|·[[DivEfC]]·degree beam rows and
+    * |wave|·[[DivEfC]]·[[KnnGK]] conflict folds — wave-bounded, never
+    * corpus-sized; the search is q135's serving shape. GraphDivSpec
+    * audits frozen-vs-retrained recall (the q144 comparison) and
+    * PLANS.md records the ×10 stress wall.
+    */
+  val q151GraphAppend: Q = (s, d) => {
+    import graft.ops.{TowerMemo, Ivf}
+    import graft.functions.DotFold
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val emb = TowerMemo.prep(s, d)
+    val cutF = broadcast(TowerMemo.oldCut(s, d))
+    val old = hold(emb.crossJoin(cutF).filter(col("vec_id") < col("cut")).drop("cut"))
+    val kOld = math.ceil(math.sqrt(old.count().toDouble)).toInt
+    val centOld = Ivf.trainCells(old, hold, k = kOld)
+    val asgOld = hold(Ivf.assignAll(old, centOld))
+    val pairsOld = hold(asgOld
+      .select(col("cell"), col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na"))
+      .join(asgOld.select(col("cell"), col("vec_id").as("dst"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (DotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos")))
+    val oldEdges = divEdgesOver(pairsOld, hold)
+    // ---- per-node attach over the frozen graph ----
+    val reps = asgOld.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
+    val gedOld = hold(oldEdges
+      .union(oldEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .union(reps.select(col("rid").as("src"))
+        .crossJoin(broadcast(reps.select(col("rid").as("dst"))))
+        .filter(col("src") =!= col("dst")))
+      .distinct())
+    val newQ = hold(emb.crossJoin(cutF).filter(col("vec_id") >= col("cut")).drop("cut")
+      .select(col("vec_id").as("nid"), col("v").as("qv"), col("nrm").as("qnrm")))
+    val vecs = emb.select(col("vec_id"), col("v"), col("nrm"))
+    def scoreN(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(vecs, Seq("vec_id"))
+      .join(newQ, Seq("nid"))
+      .select(col("nid"), col("vec_id"),
+        (DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val entry = broadcast(old.agg(min(col("vec_id")).as("vec_id")))
+    val wn = Window.partitionBy(col("nid")).orderBy(col("cos").desc, col("vec_id"))
+    var abeam = scoreN(newQ.select(col("nid")).crossJoin(entry)).localCheckpoint(true)
+    for (_ <- 1 to GsHops) {
+      val nbrs = abeam.select(col("nid"), col("vec_id").as("src"))
+        .join(gedOld, Seq("src"))
+        .select(col("nid"), col("dst").as("vec_id"))
+      val cand = abeam.select(col("nid"), col("vec_id")).union(nbrs).distinct()
+      abeam = scoreN(cand)
+        .withColumn("rk", row_number().over(wn))
+        .filter(col("rk") <= DivEfC)
+        .select(col("nid"), col("vec_id"), col("cos"))
+        .localCheckpoint(true)
+    }
+    // heuristic-2 over the attach candidates; conflict cosine is a
+    // fresh fold (candidates span cells)
+    var kept = abeam.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+      .select(col("nid"), col("vec_id")).localCheckpoint(true)
+    for (_ <- 2 to KnnGK) {
+      val conflicts = abeam.as("c")
+        .join(kept.as("k"),
+          col("c.nid") === col("k.nid") && col("c.vec_id") =!= col("k.vec_id"))
+        .join(vecs.select(col("vec_id").as("cv_id"), col("v").as("cv"), col("nrm").as("cn")),
+          col("c.vec_id") === col("cv_id"))
+        .join(vecs.select(col("vec_id").as("kv_id"), col("v").as("kv"), col("nrm").as("kn")),
+          col("k.vec_id") === col("kv_id"))
+        .filter(DotFold(col("cv"), col("kv")) / (col("cn") * col("kn")) >= col("c.cos"))
+        .select(col("c.nid").as("nid"), col("c.vec_id").as("vec_id")).distinct()
+      val alive = abeam
+        .join(kept, Seq("nid", "vec_id"), "left_anti")
+        .join(conflicts, Seq("nid", "vec_id"), "left_anti")
+      val next = alive.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+        .select(col("nid"), col("vec_id"))
+      kept = kept.union(next).localCheckpoint(true)
+    }
+    val newEdges = kept.select(col("nid").as("src"), col("vec_id").as("dst"))
+    val out = graphBeamSearch(s, d, oldEdges.union(newEdges),
+        repAsg = asgOld, withIsNew = true)
+      .localCheckpoint(true)
+    locals.foreach(_.unpersist(false))
+    out
+  }
 
   /** EXT — first-occurrence novelty scoring (incremental-contribution
     * curation): per doc, the share of its distinct trigrams that are
@@ -3305,6 +3443,7 @@ object TextQueries {
     "q148_rolling_cc" -> q148RollingCc,
     "q149_cc_delete" -> q149CcDelete,
     "q150_passage_cut" -> q150PassageCut,
+    "q151_graph_append" -> q151GraphAppend,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -3633,38 +3772,157 @@ object TextQueries {
     * of `scknn` itself (same-cell endpoints), so each step is two
     * equi-joins + one per-src argmax.
     */
-  private def q143OracleSql: String = {
+  /** The heuristic-2 edge unroll over an arbitrary scored pair CTE —
+    * factored so q143 (full-corpus `scknn`) and q151 (old-only `gsck`,
+    * `g`-prefixed names) share one generator; default arguments emit
+    * byte-identical SQL for q143 (the q144 shared-generator rule).
+    * Every dv/cf is MATERIALIZED: each step references the previous
+    * dv up to three times, and DuckDB's default re-inlining would
+    * multiply the whole chain ~3^KnnGK times (measured: 76 s inlined,
+    * 1.6 s materialized at sf0.01). Ends defining `${p}kd(src, dst)`.
+    */
+  private def divEdgeCtes(pairSrc: String = "scknn", p: String = ""): String = {
     val sb = new StringBuilder
-    // every dv/cf is MATERIALIZED: each step references the previous
-    // dv up to three times, and DuckDB's default re-inlining would
-    // multiply the whole chain ~3^KnnGK times (measured: 76 s inlined,
-    // 1.6 s materialized at sf0.01)
-    sb ++= s"""dvc AS MATERIALIZED (SELECT src, dst, cos FROM (
+    sb ++= s"""${p}dvc AS MATERIALIZED (SELECT src, dst, cos FROM (
       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-      |    FROM scknn) WHERE rk <= $DivEfC),
-      |dv1 AS MATERIALIZED (SELECT src, dst FROM (
+      |    FROM $pairSrc) WHERE rk <= $DivEfC),
+      |${p}dv1 AS MATERIALIZED (SELECT src, dst FROM (
       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-      |    FROM dvc) WHERE rn = 1),
+      |    FROM ${p}dvc) WHERE rn = 1),
       |""".stripMargin
     for (t <- 2 to KnnGK) {
-      sb ++= s"""cf$t AS MATERIALIZED (
+      sb ++= s"""${p}cf$t AS MATERIALIZED (
         |  SELECT DISTINCT c.src, c.dst
-        |  FROM dvc c JOIN dv${t - 1} k ON c.src = k.src AND c.dst <> k.dst
-        |  JOIN scknn p ON p.src = c.dst AND p.dst = k.dst
+        |  FROM ${p}dvc c JOIN ${p}dv${t - 1} k ON c.src = k.src AND c.dst <> k.dst
+        |  JOIN $pairSrc p ON p.src = c.dst AND p.dst = k.dst
         |  WHERE p.cos >= c.cos),
-        |nx$t AS (SELECT src, dst FROM (
+        |${p}nx$t AS (SELECT src, dst FROM (
         |    SELECT c.src, c.dst,
         |      row_number() OVER (PARTITION BY c.src ORDER BY c.cos DESC, c.dst) AS rn
-        |    FROM dvc c
-        |    LEFT JOIN dv${t - 1} k ON c.src = k.src AND c.dst = k.dst
-        |    LEFT JOIN cf$t f ON c.src = f.src AND c.dst = f.dst
+        |    FROM ${p}dvc c
+        |    LEFT JOIN ${p}dv${t - 1} k ON c.src = k.src AND c.dst = k.dst
+        |    LEFT JOIN ${p}cf$t f ON c.src = f.src AND c.dst = f.dst
         |    WHERE k.dst IS NULL AND f.dst IS NULL) WHERE rn = 1),
-        |dv$t AS MATERIALIZED (SELECT * FROM dv${t - 1} UNION ALL SELECT * FROM nx$t),
+        |${p}dv$t AS MATERIALIZED (SELECT * FROM ${p}dv${t - 1} UNION ALL SELECT * FROM ${p}nx$t),
         |""".stripMargin
     }
-    sb ++= s"""kd AS (SELECT src, dst FROM dv$KnnGK),
+    sb ++= s"""${p}kd AS (SELECT src, dst FROM ${p}dv$KnnGK),
       |""".stripMargin
-    graphSearchOracleSql(sb.toString)
+    sb.toString
+  }
+
+  private def q143OracleSql: String = graphSearchOracleSql(divEdgeCtes())
+
+  /** q151's oracle: the frozen-graph append lifecycle unrolled
+    * CTE-for-CTE — old-trained √n_old-cell quantizer
+    * ([[edgeQuantCtes]] with `eno` as both training and assignment
+    * source, `g`-prefixed), old within-cell pairs, old heuristic-2
+    * edges ([[divEdgeCtes]] over `gsck`), the per-hop attach beam
+    * (width [[DivEfC]]) for every NEW vector over the old graph, the
+    * per-step heuristic-2 prune of each new node's candidates
+    * (conflict cosine = fresh fold between the two candidate vectors —
+    * attach candidates span cells), then q135's final beam over the
+    * combined edge set with the frozen rep clique, exact-top-5 audit,
+    * and the is_new flag from the same `count(*)*4//5` cut q92 uses.
+    */
+  private def q151OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= embHeadCtes(materialized = true)
+    sb ++= s"""g151cut AS (SELECT count(*) * 4 // 5 AS cut FROM embeddings),
+      |eno AS MATERIALIZED (SELECT en.* FROM en, g151cut WHERE en.vec_id < g151cut.cut),
+      |""".stripMargin
+    sb ++= edgeQuantCtes(materialized = true, src = "eno", kFrom = "eno",
+      p = "g", header = false)
+    sb ++= s"""gav AS (SELECT geqaf.vec_id, geqaf.cell, en.v, en.nrm
+      |  FROM geqaf JOIN en ON geqaf.vec_id = en.vec_id),
+      |gsck AS MATERIALIZED (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      |  FROM gav a JOIN gav b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |""".stripMargin
+    sb ++= divEdgeCtes("gsck", "g")
+    sb ++= s"""greps AS (SELECT cell, min(vec_id) AS rid FROM geqaf GROUP BY cell),
+      |gged AS MATERIALIZED (
+      |  SELECT src, dst FROM gkd
+      |  UNION SELECT dst, src FROM gkd
+      |  UNION SELECT a.rid, b.rid FROM greps a, greps b WHERE a.rid <> b.rid),
+      |gnew AS MATERIALIZED (SELECT en.* FROM en, g151cut WHERE en.vec_id >= g151cut.cut),
+      |gent AS (SELECT min(vec_id) AS vid FROM eno),
+      |ab0 AS (
+      |  SELECT n.vec_id AS nid, e.vec_id, ${dotSql("n.v", "e.v")} / (n.nrm * e.nrm) AS cos
+      |  FROM gnew n, gent JOIN en e ON e.vec_id = gent.vid),
+      |""".stripMargin
+    for (t <- 1 to GsHops) {
+      sb ++= s"""abc$t AS (
+        |  SELECT nid, vec_id FROM ab${t - 1}
+        |  UNION
+        |  SELECT b.nid, g.dst FROM ab${t - 1} b JOIN gged g ON b.vec_id = g.src),
+        |abs$t AS (
+        |  SELECT c.nid, c.vec_id, ${dotSql("n.v", "e.v")} / (n.nrm * e.nrm) AS cos
+        |  FROM abc$t c JOIN en e ON c.vec_id = e.vec_id JOIN gnew n ON c.nid = n.vec_id),
+        |ab$t AS MATERIALIZED (SELECT nid, vec_id, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY cos DESC, vec_id) AS rk
+        |    FROM abs$t) WHERE rk <= $DivEfC),
+        |""".stripMargin
+    }
+    sb ++= s"""ndv1 AS MATERIALIZED (SELECT nid, vec_id FROM (
+      |    SELECT nid, vec_id, row_number() OVER (PARTITION BY nid ORDER BY cos DESC, vec_id) AS rn
+      |    FROM ab$GsHops) WHERE rn = 1),
+      |""".stripMargin
+    for (t <- 2 to KnnGK) {
+      sb ++= s"""ncf$t AS MATERIALIZED (
+        |  SELECT DISTINCT c.nid, c.vec_id
+        |  FROM ab$GsHops c JOIN ndv${t - 1} k ON c.nid = k.nid AND c.vec_id <> k.vec_id
+        |  JOIN en ec ON ec.vec_id = c.vec_id JOIN en ek ON ek.vec_id = k.vec_id
+        |  WHERE ${dotSql("ec.v", "ek.v")} / (ec.nrm * ek.nrm) >= c.cos),
+        |nnx$t AS (SELECT nid, vec_id FROM (
+        |    SELECT c.nid, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.nid ORDER BY c.cos DESC, c.vec_id) AS rn
+        |    FROM ab$GsHops c
+        |    LEFT JOIN ndv${t - 1} k ON c.nid = k.nid AND c.vec_id = k.vec_id
+        |    LEFT JOIN ncf$t f ON c.nid = f.nid AND c.vec_id = f.vec_id
+        |    WHERE k.vec_id IS NULL AND f.vec_id IS NULL) WHERE rn = 1),
+        |ndv$t AS MATERIALIZED (SELECT * FROM ndv${t - 1} UNION ALL SELECT * FROM nnx$t),
+        |""".stripMargin
+    }
+    sb ++= s"""gkd2 AS (SELECT src, dst FROM gkd UNION ALL SELECT nid AS src, vec_id AS dst FROM ndv$KnnGK),
+      |cged AS MATERIALIZED (
+      |  SELECT src, dst FROM gkd2
+      |  UNION SELECT dst, src FROM gkd2
+      |  UNION SELECT a.rid, b.rid FROM greps a, greps b WHERE a.rid <> b.rid),
+      |qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 5),
+      |ent AS (SELECT min(vec_id) AS vid FROM en),
+      |fb0 AS (
+      |  SELECT q.query_id, e.vec_id, ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) AS cos
+      |  FROM qx q, ent JOIN en e ON e.vec_id = ent.vid),
+      |""".stripMargin
+    for (t <- 1 to GsHops) {
+      sb ++= s"""fgc$t AS (
+        |  SELECT query_id, vec_id FROM fb${t - 1}
+        |  UNION
+        |  SELECT b.query_id, g.dst FROM fb${t - 1} b JOIN cged g ON b.vec_id = g.src),
+        |fgs$t AS (
+        |  SELECT c.query_id, c.vec_id, ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) AS cos
+        |  FROM fgc$t c JOIN en e ON c.vec_id = e.vec_id JOIN qx q ON c.query_id = q.query_id),
+        |fb$t AS (SELECT query_id, vec_id, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |    FROM fgs$t) WHERE rk <= $GsBeam),
+        |""".stripMargin
+    }
+    sb ++= s"""ex151 AS (SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) DESC, e.vec_id) AS rk
+      |    FROM en e, qx q WHERE e.vec_id <> q.query_id) WHERE rk <= 5),
+      |fin151 AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM fb$GsHops WHERE vec_id <> query_id)
+      |SELECT f.query_id, CAST(f.rank AS INT) AS rank, f.vec_id,
+      |  f.vec_id >= (SELECT cut FROM g151cut) AS is_new, f.cos,
+      |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact_topk
+      |FROM fin151 f LEFT JOIN ex151 e ON f.query_id = e.query_id AND f.vec_id = e.vec_id
+      |WHERE f.rank <= 5
+      |ORDER BY f.query_id, f.rank""".stripMargin
+    sb.toString
   }
 
   /** The shared q135/q143 oracle: edge-quantizer prefix, scored
@@ -4181,35 +4439,36 @@ object TextQueries {
     * [[ivfTrainAssignCtes]]). Ends with `eqaf(vec_id, cell)` after a
     * standalone `e`/`en` header.
     */
-  private def edgeQuantCtes(materialized: Boolean = false): String = {
+  private def edgeQuantCtes(materialized: Boolean = false, src: String = "en",
+      kFrom: String = "embeddings", p: String = "", header: Boolean = true): String = {
     val m = if (materialized) "MATERIALIZED " else ""
     val sb = new StringBuilder
-    sb ++= embHeadCtes(materialized)
-    sb ++= s"""eqk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-      |eqc0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n
-      |  FROM en, eqk WHERE vec_id < eqk.k),
+    if (header) sb ++= embHeadCtes(materialized)
+    sb ++= s"""${p}eqk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM $kFrom),
+      |${p}eqc0 AS (SELECT CAST(vec_id AS INT) AS cid, vq AS S, CAST(1 AS BIGINT) AS n
+      |  FROM $src, ${p}eqk WHERE vec_id < ${p}eqk.k),
       |""".stripMargin
     for (t <- 1 to IvfIters) {
-      sb ++= s"""eqcv$t AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM eqc${t - 1}),
-        |eqasg$t AS (
+      sb ++= s"""${p}eqcv$t AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM ${p}eqc${t - 1}),
+        |${p}eqasg$t AS (
         |  SELECT vec_id, vq, cid FROM (
         |    SELECT vec_id, vq, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM (SELECT en.vec_id, en.vq, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, eqcv$t c))
+        |    FROM (SELECT $src.vec_id, $src.vq, c.cid, ${d2Sql(s"$src.v", "c.cv")} AS d2 FROM $src, ${p}eqcv$t c))
         |  WHERE rn = 1),
-        |eqsums$t AS (
+        |${p}eqsums$t AS (
         |  SELECT a.cid, t.pos, CAST(sum(t.q) AS BIGINT) AS sq, count(*) AS cnt
-        |  FROM eqasg$t a, LATERAL (SELECT unnest(a.vq) AS q, generate_subscripts(a.vq, 1) AS pos) t
+        |  FROM ${p}eqasg$t a, LATERAL (SELECT unnest(a.vq) AS q, generate_subscripts(a.vq, 1) AS pos) t
         |  GROUP BY a.cid, t.pos),
-        |equ$t AS (SELECT cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM eqsums$t GROUP BY cid),
-        |eqc$t AS (SELECT p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
-        |  FROM eqc${t - 1} p LEFT JOIN equ$t u ON p.cid = u.cid),
+        |${p}equ$t AS (SELECT cid, list(sq ORDER BY pos) AS S, max(cnt) AS n FROM ${p}eqsums$t GROUP BY cid),
+        |${p}eqc$t AS (SELECT p.cid, COALESCE(u.S, p.S) AS S, COALESCE(u.n, p.n) AS n
+        |  FROM ${p}eqc${t - 1} p LEFT JOIN ${p}equ$t u ON p.cid = u.cid),
         |""".stripMargin
     }
-    sb ++= s"""eqcvF AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM eqc$IvfIters),
-      |eqaf AS $m(
+    sb ++= s"""${p}eqcvF AS (SELECT cid, list_transform(S, q -> CAST(q AS DOUBLE) / (1000000.0 * n)) AS cv FROM ${p}eqc$IvfIters),
+      |${p}eqaf AS $m(
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM (SELECT en.vec_id, c.cid, ${d2Sql("en.v", "c.cv")} AS d2 FROM en, eqcvF c))
+      |    FROM (SELECT $src.vec_id, c.cid, ${d2Sql(s"$src.v", "c.cv")} AS d2 FROM $src, ${p}eqcvF c))
       |  WHERE rn = 1),
       |""".stripMargin
     sb.toString
@@ -4918,6 +5177,7 @@ object TextQueries {
     "q148_rolling_cc" -> q148OracleSql,
     "q149_cc_delete" -> q149OracleSql,
     "q150_passage_cut" -> q150OracleSql,
+    "q151_graph_append" -> q151OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,

@@ -46,5 +46,28 @@ class GraphDivSpec extends AnyFunSuite {
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
     }
+
+    test(s"frozen-graph append: new nodes served, recall tracks the retrained graph ($d)") {
+      // the q144 refresh decision for the GRAPH family: frozen-build +
+      // per-node attach (q151) vs the full retrain (q143), both audited
+      // against the same exact top-5 truth
+      val frozen = SparkEntry.queries("q151_graph_append")(spark, d).collect()
+      assert(frozen.length == 25)
+      // non-vacuity: the appended wave must actually be SERVED — some
+      // result is a new-generation vector (measured: 4/25 at sf0.001,
+      // 6/25 at sf0.01), or the attach is decorative
+      assert(frozen.count(_.getAs[Boolean]("is_new")) > 0,
+        "no appended vector ever reached a top-5 — attach is vacuous")
+      val hitsFrozen = frozen.map(_.getAs[Int]("in_exact_topk").toLong).sum
+      val hitsRetrained = recallHits("q143_graph_ann_div", d)
+      // the frozen index may trail the retrain (that gap is what q144's
+      // refresh decision prices) but must stay within one hit per query
+      // of it — a collapse means the attach wiring is broken, not a
+      // freshness tradeoff
+      assert(hitsFrozen >= hitsRetrained - 5,
+        s"frozen recall $hitsFrozen collapsed vs retrained $hitsRetrained")
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
   }
 }
