@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StreamingCorpus, StreamingDedup, StreamingIndex, StreamingLabels}
+
+/** The COMPOSED rolling pipeline, driven as one system (each component
+  * has its own spec; this is the loop a serving deployment actually
+  * runs): documents arrive in three waves through ONE arrival stream
+  * consumed by BOTH the corpus ingest (admit/gate/sample → parquet) and
+  * the dedup chain (verified pairs → partitioned label table), while
+  * the vector index appends each wave's embeddings through the frozen
+  * quantizers; the stream RESTARTS mid-run (both queries stopped after
+  * wave 2 and relaunched from their checkpoints). End state must
+  * satisfy the cross-component invariants no per-component spec can
+  * see:
+  *
+  *  - rolling labels ≡ the batch q56 components of the full pair graph;
+  *  - written corpus ≡ the sequential greedy admit model ∩ gates
+  *    ([[OnlineModels]] — the same formulation StreamingCorpusSpec
+  *    uses);
+  *  - ADMITTED ∩ DUP: no verified near-dup pair has both endpoints in
+  *    the corpus — the dedup chain and the admit chain run separate
+  *    band-bucket state, and this is the consistency promise between
+  *    them;
+  *  - index search ≡ batch q92 bit-for-bit, then search-after-delete:
+  *    a tombstoned result vanishes, survivors keep their relative
+  *    order (the promotion law), and a policy-driven compaction
+  *    (maybeCompact) preserves the post-delete results exactly.
+  */
+class RollingPipelineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  test("three waves + mid-stream restart: labels, corpus, cross-invariant, index lifecycle") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = Files.createTempDirectory("roll_corpus").toString
+      val corpusCkpt = Files.createTempDirectory("roll_corpus_ckpt").toString
+      val labelDir = Files.createTempDirectory("roll_labels").toString
+      val lblCkpt = Files.createTempDirectory("roll_labels_ckpt").toString
+      val idxDir = Files.createTempDirectory("roll_index").toString
+
+      val docs = OnlineModels.corpus(spark, d)
+      val waves = docs.grouped((docs.length + 2) / 3).toSeq
+
+      // the index's frozen generation + the wave-aligned vector chunks
+      val cut = StreamingIndex.buildFrozen(spark, d, idxDir)
+      val newVecs = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") >= cut).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+      val vecWaves = newVecs.grouped((newVecs.length + 2) / 3).toSeq
+
+      implicit val sqlCtx = spark.sqlContext
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, String)]
+      val stream = source.toDS().toDF("doc_id", "source", "lang", "text")
+      def startCorpus() = StreamingCorpus.ingest(stream, out, corpusCkpt)
+      def startLabels() = StreamingLabels.start(
+        StreamingDedup.pairs(stream.select(col("doc_id"), col("text"))).toDF(),
+        labelDir, lblCkpt)
+
+      // phase 1: waves 0 and 1 through both consumers + index appends
+      var qC = startCorpus()
+      var qL = startLabels()
+      for (i <- 0 to 1) {
+        source.addData(waves(i): _*)
+        qC.processAllAvailable(); qL.processAllAvailable()
+        StreamingIndex.appendBatch(idxDir)(
+          vecWaves(i).toDF("vec_id", "embedding"), i.toLong)
+      }
+      // mid-stream restart: both queries stop and relaunch from their
+      // checkpoints before the final wave
+      qC.stop(); qL.stop()
+      qC = startCorpus()
+      qL = startLabels()
+      try {
+        source.addData(waves(2): _*)
+        qC.processAllAvailable(); qL.processAllAvailable()
+      } finally { qC.stop(); qL.stop() }
+      StreamingIndex.appendBatch(idxDir)(
+        vecWaves(2).toDF("vec_id", "embedding"), 2L)
+
+      // ---- labels ≡ batch components ----
+      val gotLabels = StreamingLabels.labels(spark, labelDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wantLabels = graft.ops.Dedup.fromPairs(
+          graft.queries.TextQueries.dupPairs(spark, d))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLabels.nonEmpty && gotLabels == wantLabels,
+        "rolling labels diverge from the batch components after restart")
+
+      // ---- corpus ≡ greedy model ∩ gates ----
+      val gotIds = spark.read.parquet(s"$out/corpus")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val expected = OnlineModels.expectedIds(spark, d,
+        OnlineModels.greedyAdmitted(docs))
+      assert(gotIds === expected,
+        s"only-streamed=${(gotIds -- expected).take(5)} only-model=${(expected -- gotIds).take(5)}")
+
+      // ---- cross-component: admitted ∩ dup components ----
+      // every verified pair was witnessed by the admit state in the same
+      // arrival order, so its later endpoint must have been rejected —
+      // the corpus may hold at most one side of any pair
+      val livePairs = StreamingLabels.livePairs(spark, labelDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(livePairs.nonEmpty, "no verified pair crossed the pipeline — vacuous run")
+      val bothIn = livePairs.filter { case (a, b) => gotIds(a) && gotIds(b) }
+      assert(bothIn.isEmpty,
+        s"near-dup pair fully admitted: ${bothIn.take(5).toSeq}")
+
+      // ---- index: search ≡ batch q92, then the delete/compact tail ----
+      val streamed = StreamingIndex.searchTopK(spark, d, idxDir).collect().toSeq
+      val batch = SparkEntry.queries("q92_index_append")(spark, d).collect().toSeq
+      assert(streamed === batch, "composed index search diverged from batch q92")
+      assert(streamed.exists(_.getAs[Boolean]("is_new")))
+
+      val pre20 = StreamingIndex.searchTopK(spark, d, idxDir, k = 20).collect()
+      val delNew = pre20.map(_.getAs[Long]("vec_id")).find(_ >= cut).get
+      StreamingIndex.deleteBatch(idxDir)(Seq(delNew).toDF("vec_id"), 0L)
+      // 4 generation dirs on disk (gen=-1 + three appends) → the
+      // generation-count policy fires and compacts through the same
+      // call a serving loop makes
+      assert(StreamingIndex.maybeCompact(spark, idxDir, maxGens = 2),
+        "policy compaction declined a fragmented index")
+      assert(!new java.io.File(s"$idxDir/tombs").exists())
+      val post = StreamingIndex.searchTopK(spark, d, idxDir).collect()
+      assert(post.forall(_.getAs[Long]("vec_id") != delNew),
+        "deleted vector served after compaction")
+      val expect = pre20.groupBy(_.getAs[Long]("query_id")).view.mapValues(
+        _.sortBy(_.getAs[Int]("rank"))
+          .filterNot(_.getAs[Long]("vec_id") == delNew)
+          .take(5).map(_.getAs[Long]("vec_id")).toSeq).toMap
+      val got = post.groupBy(_.getAs[Long]("query_id")).view.mapValues(
+        _.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq).toMap
+      assert(got === expect, "survivor order broke across delete+compact")
+
+      for (dir <- Seq(out, corpusCkpt, labelDir, lblCkpt, idxDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}

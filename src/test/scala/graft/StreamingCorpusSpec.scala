@@ -24,59 +24,14 @@ class StreamingCorpusSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
-  private def corpus(): Seq[(Long, String, String, String)] = {
-    import spark.implicits._
-    spark.read.parquet(s"$d/documents.parquet")
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
-  }
+  private def corpus(): Seq[(Long, String, String, String)] =
+    OnlineModels.corpus(spark, d)
 
-  /** Sequential greedy admit model (plain Scala, no Spark): first-wins
-    * bucketed witness dedup in arrival order — the spec's independent
-    * formulation of the AdmitProcessor contract.
-    */
-  private def greedyAdmitted(docs: Seq[(Long, String, String, String)]): Set[Long] = {
-    val mods = graft.queries.TextQueries.SimhashMods
-    def sim16(text: String, mod: Long): Long = {
-      // per-bit majority vote of token hashes — the SimHash16 contract
-      val votes = Array.fill(16)(0)
-      for (w <- text.split(" ", -1)) {
-        var h = 0L
-        for (c <- w) h = (h * 31 + c.toLong) % mod
-        for (b <- 0 until 16) votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
-      }
-      (0 until 16).map(b => if (votes(b) > 0) 1L << b else 0L).sum
-    }
-    val sigs = docs.map(r => r._1 -> mods.map(m => sim16(r._4, m))).toMap
-    val buckets = scala.collection.mutable.Map.empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Long]]
-    val admitted = scala.collection.mutable.Set.empty[Long]
-    for ((id, _, _, _) <- docs) {
-      val sig = sigs(id)
-      val dup = (0 until 4).exists { b =>
-        buckets.getOrElse((b, sig(b)), Nil).exists { other =>
-          val o = sigs(other)
-          (0 until 4).map(i => java.lang.Long.bitCount(sig(i) ^ o(i))).sum <=
-            graft.queries.TextQueries.SimhashMaxDist
-        }
-      }
-      for (b <- 0 until 4) {
-        val buf = buckets.getOrElseUpdate((b, sig(b)), scala.collection.mutable.ArrayBuffer.empty)
-        if (buf.size < graft.queries.TextQueries.BandOccCap) buf += id
-      }
-      if (!dup) admitted += id
-    }
-    admitted.toSet
-  }
+  private def greedyAdmitted(docs: Seq[(Long, String, String, String)]): Set[Long] =
+    OnlineModels.greedyAdmitted(docs)
 
-  /** Greedy-admitted ∩ shared quality gate ∩ stratified sample. */
-  private def expectedIds(admitted: Set[Long]): Set[Long] = {
-    import spark.implicits._
-    spark.read.parquet(s"$d/documents.parquet")
-      .filter(col("doc_id").isInCollection(admitted))
-      .filter(graft.queries.PipelineQueries.qualityGate(col("text")))
-      .filter(graft.queries.TextQueries.sampleHash < graft.queries.TextQueries.sampleRateBp)
-      .select(col("doc_id")).as[Long].collect().toSet
-  }
+  private def expectedIds(admitted: Set[Long]): Set[Long] =
+    OnlineModels.expectedIds(spark, d, admitted)
 
   private def withRocks(body: => Unit): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
