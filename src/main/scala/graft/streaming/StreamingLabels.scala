@@ -128,11 +128,9 @@ object StreamingLabels {
     * also appends its pairs here (wave-bounded append, the reason a
     * production dedup service keeps its edge log). Tombstoned endpoints
     * filter out at read time (the StreamingIndex liveCodes discipline);
-    * the log itself is immutable per generation. Log compaction (fold
-    * the generations into one, drop materialized-dead pairs and the
-    * tombstones) would follow [[StreamingIndex.compact]]'s
-    * digest-certified swap verbatim — not wired yet; the anti-join's
-    * tombstone side grows with the delete history until then.
+    * the log itself is immutable per generation; [[compactPairLog]]
+    * periodically folds the generations into one and drops the
+    * tombstones so the anti-join's dead side stays bounded.
     */
   private def livePairsAsOf(s: SparkSession, labelDir: String,
       before: Option[Long]): DataFrame = {
@@ -166,6 +164,62 @@ object StreamingLabels {
     */
   def livePairs(s: SparkSession, labelDir: String): DataFrame =
     livePairsAsOf(s, labelDir, None)
+
+  /** Digest-certified pair-log compaction — [[StreamingIndex.compact]]'s
+    * discipline applied to the edge log: fold every generation into one
+    * (`gen=-1`, which sorts below any future batchId), MATERIALIZE the
+    * tombstone filter into it, certify with an order-independent row
+    * digest read back from the sink's actual files, swap with checked
+    * renames (rollback on failure, rename-back recovery for a hard
+    * crash between the two renames), then drop the tombstone dirs —
+    * this is what bounds the per-wave anti-join, which otherwise grows
+    * with the whole delete history. Call BETWEEN waves (the serving
+    * loop's maybeCompact slot): committed waves never replay (their
+    * markers skip), so dropping the tombstones cannot resurrect
+    * anything a replay could reintroduce; a pair naming a compacted-
+    * away id that arrives AFTER compaction is a genuinely new
+    * observation (the document re-entering the corpus) and is admitted
+    * as such.
+    */
+  def compactPairLog(s: SparkSession, labelDir: String): Unit = {
+    val f = hfs(s, labelDir)
+    val logP = path(labelDir, "pairlog")
+    // recover a prior crash inside the swap window first
+    locally {
+      val oldP = path(labelDir, "pairlog_old")
+      if (!f.exists(logP) && f.exists(oldP)) f.rename(oldP, logP)
+    }
+    if (!f.exists(logP)) return
+    def digest(df: DataFrame): Long = df
+      .agg(coalesce(
+        pmod(
+          sum(hash(col("da"), col("db")).cast("decimal(38,0)")),
+          lit(1152921504606846976L).cast("decimal(38,0)")).cast("long"),
+        lit(0L)))
+      .collect()(0).getLong(0)
+    val before = digest(livePairsAsOf(s, labelDir, None))
+    val newDir = s"$labelDir/pairlog_compacting/gen=-1"
+    livePairsAsOf(s, labelDir, None).write.mode("overwrite").parquet(newDir)
+    s.catalog.refreshByPath(newDir)
+    val after = digest(s.read.parquet(newDir))
+    if (before != after)
+      throw new IllegalStateException(
+        s"pair-log compaction digest mismatch: $before before, $after read back")
+    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path, rollback: => Unit = ()): Unit =
+      if (!f.rename(from, to)) {
+        rollback
+        throw new IllegalStateException(s"pair-log swap: rename $from -> $to failed")
+      }
+    val oldP = path(labelDir, "pairlog_old")
+    f.delete(oldP, true) // stale leftover from a prior crashed swap
+    renameOrThrow(logP, oldP)
+    renameOrThrow(path(labelDir, "pairlog_compacting"), logP,
+      rollback = f.rename(oldP, logP))
+    f.delete(oldP, true)
+    f.delete(path(labelDir, "tombs"), true)
+    s.catalog.refreshByPath(logP.toString)
+  }
 
   /** The table's pinned bucket count: written once by the first wave,
     * read back (ignoring the caller's value) ever after — two writers

@@ -231,6 +231,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(lp === liveAfter7.map { case (a, b) => (a, b) }.toSet,
       "pair log out of sync with the folded waves")
 
+    // ---- pair-log compaction (bounds the tombstone anti-join) ----
+    // crash-window first: log renamed aside mid-swap — the next compact
+    // must recover it before doing anything else
+    assert(new java.io.File(s"$dir/pairlog")
+      .renameTo(new java.io.File(s"$dir/pairlog_old")))
+    StreamingLabels.compactPairLog(spark, dir)
+    assert(new java.io.File(s"$dir/pairlog").exists() &&
+      !new java.io.File(s"$dir/pairlog_old").exists())
+    assert(!new java.io.File(s"$dir/tombs").exists(),
+      "compaction left the tombstone dirs")
+    assert(new java.io.File(s"$dir/pairlog/gen=-1/_SUCCESS").exists(),
+      "compacted log generation not committed")
+    spark.catalog.refreshByPath(s"$dir/pairlog")
+    val lpc = StreamingLabels.livePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lpc === lp, "compaction changed the live pair set")
+    // the loop continues off the compacted log: delete 4 (bridge of
+    // {3,4,17}? no — 4 is a leaf; {3,17} survive via (17,3))
+    StreamingLabels.deleteBatch(dir, P)(Seq(4L).toDF("id"), 8L)
+    assert(allLabels() === want(Seq((9L, 10L), (11L, 12L), (17L, 3L))),
+      "post-compaction delete wave diverged")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     queries.releasePersisted()
     spark.catalog.clearCache()
