@@ -84,6 +84,13 @@ object Bench {
       // q31/q96/q121/q122/q131's shared MinHash banded candidate pairs
       timeMemoBuild("cand_memo_build") {
         graft.queries.TextQueries.minhashCands(spark, sfDir).count()
+      },
+      // q151's frozen graph substrate: old-generation edge quantizer,
+      // old within-cell pairs, old diversified edges — in production
+      // the HELD index, built once per corpus generation; q151's timed
+      // run shows the recurring per-wave cost (attach + search)
+      timeMemoBuild("graph_memo_build_old") {
+        graft.queries.TextQueries.oldDivEdges(spark, sfDir).count()
       })
     // drain memo-build side caches so the FIRST timed query doesn't
     // absorb their eviction: dupLabels/the tower builders persist()

@@ -159,6 +159,40 @@ object TowerMemo {
             (col("na") * col("nb"))).as("cos"))
     }
 
+  /** OLD-generation √n_old-cell edge-quantizer assignment — q151's
+    * frozen-graph substrate (trained AND assigned on the ⌊4n/5⌋ old
+    * generation only). In production this IS the held index, built
+    * once per corpus generation and served across waves — so the bench
+    * charges it (and [[oldCellPairs]] / the diversified old edges) as
+    * the `graph_memo_build_old` line and q151's timed run shows the
+    * RECURRING per-wave cost: attach + search (the cc_memo/q146
+    * accounting discipline).
+    */
+  def oldEdgeAssigned(s: SparkSession, d: String): DataFrame =
+    get(s, d, "old_edge_assigned") {
+      val p = prep(s, d)
+      val cut = p.count() * 4 / 5
+      val old = p.filter(col("vec_id") < cut)
+      val k = math.ceil(math.sqrt(cut.toDouble)).toInt
+      Ivf.assignAll(old, Ivf.trainCells(old, k = k))
+    }
+
+  /** Scored within-cell ordered pairs over the OLD edge quantizer —
+    * [[cellPairs]] restricted to the frozen generation.
+    */
+  def oldCellPairs(s: SparkSession, d: String): DataFrame =
+    get(s, d, "old_cell_pairs") {
+      val asg = oldEdgeAssigned(s, d)
+      asg.select(col("cell"), col("vec_id").as("src"),
+          col("v").as("va"), col("nrm").as("na"))
+        .join(asg.select(col("cell"), col("vec_id").as("dst"),
+          col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (graft.functions.DotFold(col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cos"))
+    }
+
   /** The standard 5-query probe set over the full-corpus centroids. */
   def probes5(s: SparkSession, d: String): DataFrame =
     get(s, d, "probes5")(Ivf.probeCells(

