@@ -91,6 +91,13 @@ object Bench {
       // run shows the recurring per-wave cost (attach + search)
       timeMemoBuild("graph_memo_build_old") {
         graft.queries.TextQueries.oldDivEdges(spark, sfDir).count()
+      },
+      // q143/q152's shared full-corpus diversified edge list — in
+      // production the HELD NSW index (same argument as the old-
+      // generation line above); q143's timed run shows the serving
+      // search, q152's the per-delete-wave repair + search
+      timeMemoBuild("graph_memo_build") {
+        graft.queries.TextQueries.divEdges(spark, sfDir).count()
       })
     // drain memo-build side caches so the FIRST timed query doesn't
     // absorb their eviction: dupLabels/the tower builders persist()

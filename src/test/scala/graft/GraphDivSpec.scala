@@ -69,5 +69,57 @@ class GraphDivSpec extends AnyFunSuite {
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
     }
+
+    test(s"graph delete: repaired adjacency sound, dead never served, recall holds ($d)") {
+      import graft.queries.TextQueries
+      val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+      val deadP = (c: org.apache.spark.sql.Column) =>
+        pmod(c * lit(1103515245L) + lit(12345L), lit(2147483647L)) < lit(TextQueries.DeleteBound)
+      val edges = hold(TextQueries.divEdges(spark, d))
+      val newAdj = hold(TextQueries.repairedAdjacency(spark, d, hold))
+      // the delete must be non-vacuous on this corpus: some adjacency
+      // row pointed at a tombstone, and some exact-top-5 member died
+      val affected = edges.filter(!deadP(col("src")) && deadP(col("dst")))
+        .select(col("src")).distinct()
+      assert(affected.count() > 0, "no live vertex lost a neighbor — delete is vacuous")
+      // (a) no tombstoned endpoint survives anywhere in the repaired graph
+      assert(newAdj.filter(deadP(col("src")) || deadP(col("dst"))).count() === 0L)
+      // (b) repair respects the degree budget
+      val maxDeg = newAdj.groupBy(col("src")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      assert(maxDeg <= TextQueries.KnnGK)
+      // (c) untouched vertices keep byte-identical adjacency
+      val untouchedDrift = edges
+        .filter(!deadP(col("src")) && !deadP(col("dst")))
+        .join(affected, Seq("src"), "left_anti")
+        .exceptAll(newAdj.join(affected, Seq("src"), "left_anti"))
+        .count()
+      assert(untouchedDrift === 0L, "an untouched vertex's adjacency moved")
+      // (d) the inherit rule fires: some repaired vertex keeps an edge
+      // that was NOT in its pre-delete adjacency (a dead neighbor's
+      // neighbor won the re-prune)
+      val inherited = newAdj.join(affected, Seq("src"), "left_semi")
+        .exceptAll(edges).count()
+      assert(inherited > 0, "repair never inherited a link — the candidate union is decorative")
+      // (e) some cell representative died, so rep election ran
+      val asg = graft.ops.TowerMemo.edgeAssigned(spark, d)
+      val deadReps = asg.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
+        .filter(deadP(col("rid"))).count()
+      assert(deadReps > 0, "no cell rep died — rep election untested on this corpus")
+      // (f) the served list: live-only, and recall within one hit/query
+      // of the pre-delete graph (deletion prices freshness, not collapse)
+      val served = SparkEntry.queries("q152_graph_delete")(spark, d).collect()
+      assert(served.length == 25)
+      assert(!served.exists(r => (r.getAs[Long]("vec_id") * 1103515245L + 12345L)
+        % 2147483647L < TextQueries.DeleteBound), "a tombstoned vector was served")
+      val hitsDel = served.map(_.getAs[Int]("in_exact_topk").toLong).sum
+      val hitsRetrained = recallHits("q143_graph_ann_div", d)
+      assert(hitsDel >= hitsRetrained - 5,
+        s"post-delete recall $hitsDel collapsed vs pre-delete $hitsRetrained")
+      locals.foreach(_.unpersist(false))
+      graft.queries.releasePersisted()
+      spark.catalog.clearCache()
+    }
   }
 }
