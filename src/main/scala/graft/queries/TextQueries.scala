@@ -172,17 +172,22 @@ object TextQueries {
     dedupAuditCore(s, d, if (full) None else Some(AuditSampleBound))
   }
 
-  /** Docs beyond this count switch q96 to sample mode. Round-10 sweep
-    * (SweepQ96, sf0.1 = 50k docs): sampled recall tracks full within
-    * 0.0002 on the estimable deciles (bar 0.15) and the audit drops
-    * 19.3 → 4.1 s (each mode timed with its own memo build — the
-    * unbiased re-measure after the round-10 review), so the gate sits
-    * at 25k — above every oracle-SF
-    * corpus (sf0.01 = 5k docs stays full/oracled), below sf0.1. The
-    * oracle mirrors the gate as a scalar-subquery predicate, so the
-    * fixed SQL is correct at EVERY SF (the q135 discipline).
+  /** Docs beyond this count switch q96 to sample mode. The testdata
+    * regeneration before round 12 shrank the corpus 10× (sf0.1
+    * 50k → 5k docs), putting every test SF under the round-10 25k gate
+    * — the sampled branch would never run on real data again. Round-12
+    * re-sweep on the regenerated corpus (SweepQ96, sf0.1 = 5k docs):
+    * sampled recall tracks full within 0.0002 on the estimable deciles
+    * (bar 0.15; jb=9 reads 1.0 exactly on both sides below the
+    * estimability bar) and the audit drops 23.3 → 4.4 s, so the gate
+    * moves to 2k — above the oracle-SF corpus (sf0.01 = 500 docs stays
+    * full/oracled), below sf0.1 (sampled branch hash-verified there).
+    * The oracle mirrors the gate as a scalar-subquery predicate, so
+    * the fixed SQL is correct at EVERY SF (the q135 discipline).
+    * History: round-10 swept 100k → 25k on the old 50k-doc corpus with
+    * the same tracking margin.
     */
-  private[graft] val AuditSampleThreshold = 25000L
+  private[graft] val AuditSampleThreshold = 2000L
   /** Sample-mode admission bound: h(doc_id) < mod/5 keeps ~20%.
     * (lazy: [[PriorityMod]] is declared further down this object — an
     * eager val here reads 0 before initialization)
