@@ -1132,6 +1132,87 @@ object PipelineQueries {
     merged.join(kmv, Seq("source")).orderBy(col("source"))
   }
 
+  /** The q153 retraction core over an arbitrary doc-stats frame
+    * `(source, n_chars, nt, dead)` — factored so the spec can drive the
+    * corpus-dormant branches (untouched source, source death) through
+    * the same plan on synthetic frames (the q114/q142 discipline).
+    */
+  private[graft] def statsRetractCore(docs: org.apache.spark.sql.DataFrame,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dd = hold(docs)
+    // the state a pipeline HOLDS between waves: full-corpus partials
+    val held = dd.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        min(col("n_chars")).as("min_nc"), max(col("n_chars")).as("max_nc"))
+    // the delete wave's partials — the only per-wave aggregation
+    val delp = dd.filter(col("dead")).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_del"), sum(col("nt")).as("del_tokens"),
+        min(col("n_chars")).as("del_min"), max(col("n_chars")).as("del_max"))
+    val joined = held.join(delp, Seq("source"), "left")
+      .withColumn("n_live", col("n_docs") - coalesce(col("n_del"), lit(0L)))
+      .withColumn("sum_live", col("sum_tokens") - coalesce(col("del_tokens"), lit(0L)))
+      .withColumn("min_hit", coalesce(col("del_min") === col("min_nc"), lit(false)))
+      .withColumn("max_hit", coalesce(col("del_max") === col("max_nc"), lit(false)))
+    // group-scoped rescan: only sources whose extreme was attained by a
+    // deleted doc re-read their LIVE rows (the q149 component-scoped
+    // recompute discipline applied to aggregates)
+    val rescanSrc = joined.filter(col("min_hit") || col("max_hit"))
+      .select(col("source"))
+    val rescanned = dd.filter(!col("dead"))
+      .join(rescanSrc, Seq("source"), "left_semi")
+      .groupBy(col("source"))
+      .agg(min(col("n_chars")).as("live_min"), max(col("n_chars")).as("live_max"))
+    joined.join(rescanned, Seq("source"), "left")
+      .filter(col("n_live") > 0)
+      .select(col("source"), col("n_live").as("n_docs"),
+        col("sum_live").as("sum_tokens"),
+        when(col("min_hit"), col("live_min")).otherwise(col("min_nc")).as("min_nc"),
+        when(col("max_hit"), col("live_max")).otherwise(col("max_nc")).as("max_nc"),
+        col("min_hit").cast("int").as("rescanned_min"),
+        col("max_hit").cast("int").as("rescanned_max"))
+      .orderBy(col("source"))
+  }
+
+  /** EXT — DECREMENTAL aggregate maintenance (q111's retraction twin:
+    * the takedown / right-to-be-forgotten path a 100 TB pipeline needs
+    * when documents LEAVE — q149 removes them from dedup labels, q152
+    * from the ANN graph, this from derived corpus statistics without a
+    * full recompute). The held per-source stats retract algebraically
+    * where the algebra allows — counts and sums subtract the delete
+    * wave's partials — and min/max, which do NOT retract, rescan only
+    * the sources whose extreme was attained by a deleted doc
+    * (group-scoped, never corpus-wide; flags `rescanned_min/max` report
+    * which path each source took). Tombstones are q152's seeded ~12.8%
+    * hash slice. Measured before wiring (sf0.01): 4 min-rescans, 3
+    * max-rescans, the other ~13 sources per side retract purely
+    * algebraically; every source loses ≥1 doc and none dies, so the
+    * untouched-source and source-death branches are corpus-dormant —
+    * RetractSpec pins both on synthetic frames through the same core.
+    * KMV distinct sketches deliberately do NOT appear: min-k sketches
+    * cannot retract; the production pattern is q111's per-generation
+    * partials, where deletion = dropping a generation.
+    *
+    * The ORACLE recomputes everything from live docs in one pass with
+    * no retraction anywhere (the q111/q146 merge-law discipline in
+    * reverse) — a hash match machine-proves subtract-and-scoped-rescan
+    * ≡ recompute-on-live, including that an unhit min/max survives
+    * deletion unchanged.
+    *
+    * Scale shape: held stats are |sources| rows a pipeline persists;
+    * the wave scan aggregates only deleted rows; the rescan reads only
+    * the affected sources' live rows (at 100 TB: partition-pruned by
+    * source). Nothing else touches the corpus.
+    */
+  val q153StatsRetract: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        (TextQueries.priorityHashOn(col("doc_id")) <
+          lit(TextQueries.DeleteBound)).as("dead"))
+    statsRetractCore(docs, tracked)
+  }
+
   /** HDR/DDSketch geometry: [[HdrSub]] linear sub-buckets per power-of-2
     * bucket → relative error ≤ 1/(2·[[HdrSub]]) ≈ 3% on every reported
     * quantile bound; [[HdrShards]] partial sketches prove the merge law
@@ -1874,6 +1955,7 @@ object PipelineQueries {
     "q78_epoch_draw" -> q78EpochDraw,
     "q83_kmv_distinct" -> q83KmvDistinct,
     "q111_incremental_merge" -> q111IncrementalMerge,
+    "q153_stats_retract" -> q153StatsRetract,
     "q113_quantile_norm" -> q113QuantileNorm,
     "q119_hdr_quantile" -> q119HdrQuantile,
     "q130_shard_balance" -> q130ShardBalance,
@@ -2063,6 +2145,7 @@ object PipelineQueries {
         |ORDER BY w.doc_id""".stripMargin,
     "q83_kmv_distinct" -> q83OracleSql,
     "q111_incremental_merge" -> q111OracleSql,
+    "q153_stats_retract" -> q153OracleSql,
     "q119_hdr_quantile" -> q119OracleSql,
     "q133_zorder_layout" ->
       s"""WITH m133 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
@@ -2519,6 +2602,35 @@ object PipelineQueries {
       |  END AS est_distinct
       |FROM agg111 a JOIN k111 k USING (source)
       |ORDER BY a.source""".stripMargin
+
+  /** q153's oracle: one full-corpus pass over LIVE docs only — no
+    * retraction, no held state, no rescan anywhere. The flags mirror
+    * the gate condition itself (deleted-side extreme = held extreme),
+    * computed directly from the corpus.
+    */
+  private def q153OracleSql: String =
+    s"""WITH d153 AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    ${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound} AS dead
+      |  FROM documents),
+      |held153 AS (
+      |  SELECT source, min(n_chars) AS mn_all, max(n_chars) AS mx_all
+      |  FROM d153 GROUP BY source),
+      |del153 AS (
+      |  SELECT source, min(n_chars) AS dmn, max(n_chars) AS dmx
+      |  FROM d153 WHERE dead GROUP BY source),
+      |liv153 AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS sum_tokens,
+      |    min(n_chars) AS min_nc, max(n_chars) AS max_nc
+      |  FROM d153 WHERE NOT dead GROUP BY source)
+      |SELECT l.source, l.n_docs, l.sum_tokens, l.min_nc, l.max_nc,
+      |  CAST(CASE WHEN del.dmn = h.mn_all THEN 1 ELSE 0 END AS INT) AS rescanned_min,
+      |  CAST(CASE WHEN del.dmx = h.mx_all THEN 1 ELSE 0 END AS INT) AS rescanned_max
+      |FROM liv153 l JOIN held153 h USING (source)
+      |LEFT JOIN del153 del USING (source)
+      |ORDER BY l.source""".stripMargin
 
   private def q86OracleSql: String =
     s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t0 FROM documents),
