@@ -2384,7 +2384,7 @@ object TextQueries {
     * min-vec_id entry, exact-cosine re-rank per hop, in-plan recall
     * audit.
     */
-  private def graphBeamSearch(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def graphBeamSearch(s: org.apache.spark.sql.SparkSession, d: String,
       knn: org.apache.spark.sql.DataFrame,
       repAsg: org.apache.spark.sql.DataFrame = null,
       withIsNew: Boolean = false,
@@ -2519,21 +2519,55 @@ object TextQueries {
     * audits frozen-vs-retrained recall (the q144 comparison) and
     * PLANS.md records the ×10 stress wall.
     */
-  val q151GraphAppend: Q = (s, d) => {
+  /** The [[KnnGK]]-step heuristic-2 greedy with FRESH-FOLD conflict
+    * scoring — q151's attach prune (candidates span cells, so the
+    * conflict cosine cannot be a pair-table lookup) factored so the
+    * composed-lifecycle repair ([[repairFold]]) runs the identical
+    * greedy. `cand` carries (`key`, vec_id, cos); returns the kept
+    * (`key`, vec_id) pairs.
+    */
+  private[graft] def heuristic2FoldPrune(cand: org.apache.spark.sql.DataFrame,
+      key: String, vecs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.DotFold
+    val wn = Window.partitionBy(col(key)).orderBy(col("cos").desc, col("vec_id"))
+    var kept = cand.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+      .select(col(key), col("vec_id")).localCheckpoint(true)
+    for (_ <- 2 to KnnGK) {
+      val conflicts = cand.as("c")
+        .join(kept.as("k"),
+          col(s"c.$key") === col(s"k.$key") && col("c.vec_id") =!= col("k.vec_id"))
+        .join(vecs.select(col("vec_id").as("cv_id"), col("v").as("cv"), col("nrm").as("cn")),
+          col("c.vec_id") === col("cv_id"))
+        .join(vecs.select(col("vec_id").as("kv_id"), col("v").as("kv"), col("nrm").as("kn")),
+          col("k.vec_id") === col("kv_id"))
+        .filter(DotFold(col("cv"), col("kv")) / (col("cn") * col("kn")) >= col("c.cos"))
+        .select(col(s"c.$key").as(key), col("c.vec_id").as("vec_id")).distinct()
+      val alive = cand
+        .join(kept, Seq(key, "vec_id"), "left_anti")
+        .join(conflicts, Seq(key, "vec_id"), "left_anti")
+      val next = alive.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+        .select(col(key), col("vec_id"))
+      kept = kept.union(next).localCheckpoint(true)
+    }
+    kept
+  }
+
+  /** q151's per-node attach over the frozen old graph, factored so the
+    * composed-lifecycle spec can append a wave and then delete from the
+    * combined index. Returns the new nodes' kept out-edges (src = new
+    * vec_id, dst = old vec_id).
+    */
+  private[graft] def attachEdges(s: org.apache.spark.sql.SparkSession, d: String,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.ops.TowerMemo
     import graft.functions.DotFold
-    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
     val emb = TowerMemo.prep(s, d)
     val cutF = broadcast(TowerMemo.oldCut(s, d))
-    // the frozen substrate (old quantizer, old pairs, old diversified
-    // edges) is session-memoized — in production it IS the held index,
-    // so its build is charged to graph_memo_build_old and this query's
-    // timed run shows the recurring per-wave cost (attach + search)
     val old = hold(emb.crossJoin(cutF).filter(col("vec_id") < col("cut")).drop("cut"))
     val asgOld = TowerMemo.oldEdgeAssigned(s, d)
     val oldEdges = oldDivEdges(s, d)
-    // ---- per-node attach over the frozen graph ----
     val reps = asgOld.groupBy(col("cell")).agg(min(col("vec_id")).as("rid"))
     val gedOld = hold(oldEdges
       .union(oldEdges.select(col("dst").as("src"), col("src").as("dst")))
@@ -2565,26 +2599,69 @@ object TextQueries {
     }
     // heuristic-2 over the attach candidates; conflict cosine is a
     // fresh fold (candidates span cells)
-    var kept = abeam.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
-      .select(col("nid"), col("vec_id")).localCheckpoint(true)
-    for (_ <- 2 to KnnGK) {
-      val conflicts = abeam.as("c")
-        .join(kept.as("k"),
-          col("c.nid") === col("k.nid") && col("c.vec_id") =!= col("k.vec_id"))
-        .join(vecs.select(col("vec_id").as("cv_id"), col("v").as("cv"), col("nrm").as("cn")),
-          col("c.vec_id") === col("cv_id"))
-        .join(vecs.select(col("vec_id").as("kv_id"), col("v").as("kv"), col("nrm").as("kn")),
-          col("k.vec_id") === col("kv_id"))
-        .filter(DotFold(col("cv"), col("kv")) / (col("cn") * col("kn")) >= col("c.cos"))
-        .select(col("c.nid").as("nid"), col("c.vec_id").as("vec_id")).distinct()
-      val alive = abeam
-        .join(kept, Seq("nid", "vec_id"), "left_anti")
-        .join(conflicts, Seq("nid", "vec_id"), "left_anti")
-      val next = alive.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
-        .select(col("nid"), col("vec_id"))
-      kept = kept.union(next).localCheckpoint(true)
-    }
-    val newEdges = kept.select(col("nid").as("src"), col("vec_id").as("dst"))
+    val kept = heuristic2FoldPrune(abeam, "nid", vecs)
+    kept.select(col("nid").as("src"), col("vec_id").as("dst"))
+  }
+
+  /** The FOLD-SCORED repair — [[repairedAdjacency]] generalized to
+    * graphs whose edges cross quantizer cells (the composed lifecycle:
+    * attach edges link a new node to old nodes in other cells, so
+    * neither candidate nor conflict cosines can be pair-table rows).
+    * On a purely within-cell graph it computes bit-identical output to
+    * the pair-scored repair — every cosine is the same [[graft.functions.DotFold]]
+    * the pair table was built from — which GraphLifecycleSpec asserts
+    * as the internal-consistency law.
+    */
+  private[graft] def repairFold(s: org.apache.spark.sql.SparkSession, d: String,
+      edges0: org.apache.spark.sql.DataFrame,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.ops.TowerMemo
+    import graft.functions.DotFold
+    val emb = TowerMemo.prep(s, d)
+    val vecs = emb.select(col("vec_id"), col("v"), col("nrm"))
+    val deadP = priorityHashOn(col("vec_id")) < lit(DeleteBound)
+    val dead = hold(emb.filter(deadP).select(col("vec_id")))
+    val edges = hold(edges0)
+    val srcLive = hold(edges.join(dead.select(col("vec_id").as("src")),
+      Seq("src"), "left_anti"))
+    val liveEdges = hold(srcLive.join(dead.select(col("vec_id").as("dst")),
+      Seq("dst"), "left_anti").select(col("src"), col("dst")))
+    val deadOut = hold(srcLive.join(dead.select(col("vec_id").as("dst")),
+      Seq("dst"), "left_semi").select(col("src"), col("dst").as("x")))
+    val affected = deadOut.select(col("src")).distinct()
+    val repl = deadOut
+      .join(edges.select(col("src").as("x"), col("dst").as("y")), Seq("x"))
+      .join(dead.select(col("vec_id").as("y")), Seq("y"), "left_anti")
+      .filter(col("y") =!= col("src"))
+      .select(col("src"), col("y").as("dst"))
+    val candIds = liveEdges.join(affected, Seq("src"), "left_semi")
+      .union(repl).distinct()
+    val scored = candIds
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("sv"), col("nrm").as("sn")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv"), col("nrm").as("dn")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        (DotFold(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("cos"))
+    val wsrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val cand = hold(scored.withColumn("rk", row_number().over(wsrc))
+      .filter(col("rk") <= DivEfC)
+      .select(col("src"), col("dst").as("vec_id"), col("cos")))
+    val repaired = heuristic2FoldPrune(cand, "src", vecs)
+      .select(col("src"), col("vec_id").as("dst"))
+    liveEdges.join(affected, Seq("src"), "left_anti").union(repaired)
+  }
+
+  val q151GraphAppend: Q = (s, d) => {
+    import graft.ops.TowerMemo
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    // the frozen substrate (old quantizer, old pairs, old diversified
+    // edges) is session-memoized — in production it IS the held index,
+    // so its build is charged to graph_memo_build_old and this query's
+    // timed run shows the recurring per-wave cost (attach + search)
+    val asgOld = TowerMemo.oldEdgeAssigned(s, d)
+    val oldEdges = oldDivEdges(s, d)
+    val newEdges = attachEdges(s, d, hold)
     val out = graphBeamSearch(s, d, oldEdges.union(newEdges),
         repAsg = asgOld, withIsNew = true)
       .localCheckpoint(true)
