@@ -55,6 +55,13 @@ object StressEmbedding {
           // n_old^1.5; the attach is wave-bounded (|wave|·DivEfC·deg
           // beam rows + |wave|·DivEfC·KnnGK conflict folds)
           "q151_graph_append" -> graft.queries.TextQueries.q151GraphAppend,
+          // round 12: the delete twin — tombstone filtering is two
+          // anti-joins on the degree-bounded edge list; the repair
+          // candidate table is |affected|·K² worst case, pruned by
+          // pair-table probes; under exact-replica pileup the dead
+          // fraction stays ~12.8% of every family, so affected mass
+          // grows linearly with the corpus
+          "q152_graph_delete" -> graft.queries.TextQueries.q152GraphDelete,
           "q136_truncation_curve" -> graft.queries.TextQueries.q136TruncationCurve)) {
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()

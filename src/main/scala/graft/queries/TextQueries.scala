@@ -2669,6 +2669,46 @@ object TextQueries {
     out
   }
 
+  /** EXT-3n — the COMPOSED index lifecycle, oracled end-to-end: build
+    * the frozen old graph, APPEND a wave (q151's per-node attach), then
+    * DELETE tombstones from the combined index (fold-scored repair —
+    * attach edges cross quantizer cells, so [[repairFold]] prices both
+    * candidates and conflicts with fresh [[graft.functions.DotFold]]s)
+    * and serve. q151 and q152 prove each maintenance op alone;
+    * GraphLifecycleSpec proves behavioral composition; THIS query makes
+    * the composition itself a hash-checked theorem — the DuckDB oracle
+    * replays frozen build → attach → tombstone → repair → live beam in
+    * one statement ([[g151PrefixCtes]] + delete CTEs +
+    * [[foldPruneCtes]], every generator shared with q151/q152 — the
+    * q144 shared-generator rule). Output rows carry `is_new` (an
+    * appended vector served post-delete) and the exact-top-5 audit over
+    * LIVE vectors.
+    *
+    * Scale shape: the frozen build amortizes across waves
+    * (graph_memo_build_old); the attach is wave-bounded (q151's
+    * scaladoc); the repair touches |affected|·K² candidate rows with
+    * fold scoring (q152's shape, fresh folds instead of pair probes);
+    * the serve is q135's. The composed per-wave cost is attach + repair
+    * + search — exactly what a rolling index pays per
+    * ingest-and-takedown cycle.
+    */
+  val q154GraphLifecycle: Q = (s, d) => {
+    import graft.ops.TowerMemo
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val oldEdges = oldDivEdges(s, d)
+    val attach = attachEdges(s, d, hold)
+    val repaired = repairFold(s, d, oldEdges.union(attach), hold)
+    val deadP = priorityHashOn(col("vec_id")) < lit(DeleteBound)
+    val liveAsg = TowerMemo.oldEdgeAssigned(s, d).filter(!deadP)
+    val liveCorp = TowerMemo.prep(s, d).filter(!deadP)
+    val out = graphBeamSearch(s, d, repaired,
+        repAsg = liveAsg, withIsNew = true, corpus = liveCorp)
+      .localCheckpoint(true)
+    locals.foreach(_.unpersist(false))
+    out
+  }
+
   /** Tombstone-admission bound for [[q152GraphDelete]]: h(vec_id) <
     * [[PriorityMod]]/8 marks ~12.8% of the corpus deleted (the q55/q89
     * seeded-hash idiom — no RNG state, same tombstone set on any
@@ -3672,6 +3712,7 @@ object TextQueries {
     "q150_passage_cut" -> q150PassageCut,
     "q151_graph_append" -> q151GraphAppend,
     "q152_graph_delete" -> q152GraphDelete,
+    "q154_graph_lifecycle" -> q154GraphLifecycle,
   )
 
   /** DuckDB CTE pair `(g$sfx, hs$sfx)` mirroring
@@ -4059,7 +4100,12 @@ object TextQueries {
     * combined edge set with the frozen rep clique, exact-top-5 audit,
     * and the is_new flag from the same `count(*)*4//5` cut q92 uses.
     */
-  private def q151OracleSql: String = {
+  /** The q151 lifecycle prefix — frozen old tower, attach beam, attach
+    * prune, combined edge set `gkd2` — factored so q154 (the composed
+    * append-then-delete) hosts the identical build before its delete
+    * CTEs. Emits byte-identical SQL to the pre-factor q151 oracle.
+    */
+  private def g151PrefixCtes(): String = {
     val sb = new StringBuilder
     sb ++= embHeadCtes(materialized = true)
     sb ++= s"""g151cut AS (SELECT count(*) * 4 // 5 AS cut FROM embeddings),
@@ -4099,28 +4145,48 @@ object TextQueries {
         |    FROM abs$t) WHERE rk <= $DivEfC),
         |""".stripMargin
     }
-    sb ++= s"""ndv1 AS MATERIALIZED (SELECT nid, vec_id FROM (
-      |    SELECT nid, vec_id, row_number() OVER (PARTITION BY nid ORDER BY cos DESC, vec_id) AS rn
-      |    FROM ab$GsHops) WHERE rn = 1),
+    sb ++= foldPruneCtes(s"ab$GsHops", "nid", "n")
+    sb ++= s"""gkd2 AS (SELECT src, dst FROM gkd UNION ALL SELECT nid AS src, vec_id AS dst FROM ndv$KnnGK),
+      |""".stripMargin
+    sb.toString
+  }
+
+  /** The [[heuristic2FoldPrune]] greedy unrolled as CTEs — conflicts
+    * are fresh dot folds via `en` (never pair-table rows). q151's
+    * attach prune instantiates it keyed by `nid` with the `n` prefix
+    * (byte-identical to the pre-factor inline SQL — diffed against the
+    * committed oracle_sql.json); q154's repair prune keys by `src`
+    * with the `r` prefix. Ends defining `${p}dv$KnnGK(key, vec_id)`.
+    */
+  private def foldPruneCtes(candSrc: String, key: String, p: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}dv1 AS MATERIALIZED (SELECT $key, vec_id FROM (
+      |    SELECT $key, vec_id, row_number() OVER (PARTITION BY $key ORDER BY cos DESC, vec_id) AS rn
+      |    FROM $candSrc) WHERE rn = 1),
       |""".stripMargin
     for (t <- 2 to KnnGK) {
-      sb ++= s"""ncf$t AS MATERIALIZED (
-        |  SELECT DISTINCT c.nid, c.vec_id
-        |  FROM ab$GsHops c JOIN ndv${t - 1} k ON c.nid = k.nid AND c.vec_id <> k.vec_id
+      sb ++= s"""${p}cf$t AS MATERIALIZED (
+        |  SELECT DISTINCT c.$key, c.vec_id
+        |  FROM $candSrc c JOIN ${p}dv${t - 1} k ON c.$key = k.$key AND c.vec_id <> k.vec_id
         |  JOIN en ec ON ec.vec_id = c.vec_id JOIN en ek ON ek.vec_id = k.vec_id
         |  WHERE ${dotSql("ec.v", "ek.v")} / (ec.nrm * ek.nrm) >= c.cos),
-        |nnx$t AS (SELECT nid, vec_id FROM (
-        |    SELECT c.nid, c.vec_id,
-        |      row_number() OVER (PARTITION BY c.nid ORDER BY c.cos DESC, c.vec_id) AS rn
-        |    FROM ab$GsHops c
-        |    LEFT JOIN ndv${t - 1} k ON c.nid = k.nid AND c.vec_id = k.vec_id
-        |    LEFT JOIN ncf$t f ON c.nid = f.nid AND c.vec_id = f.vec_id
+        |${p}nx$t AS (SELECT $key, vec_id FROM (
+        |    SELECT c.$key, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.$key ORDER BY c.cos DESC, c.vec_id) AS rn
+        |    FROM $candSrc c
+        |    LEFT JOIN ${p}dv${t - 1} k ON c.$key = k.$key AND c.vec_id = k.vec_id
+        |    LEFT JOIN ${p}cf$t f ON c.$key = f.$key AND c.vec_id = f.vec_id
         |    WHERE k.vec_id IS NULL AND f.vec_id IS NULL) WHERE rn = 1),
-        |ndv$t AS MATERIALIZED (SELECT * FROM ndv${t - 1} UNION ALL SELECT * FROM nnx$t),
+        |${p}dv$t AS MATERIALIZED (SELECT * FROM ${p}dv${t - 1} UNION ALL SELECT * FROM ${p}nx$t),
         |""".stripMargin
     }
-    sb ++= s"""gkd2 AS (SELECT src, dst FROM gkd UNION ALL SELECT nid AS src, vec_id AS dst FROM ndv$KnnGK),
-      |cged AS MATERIALIZED (
+    sb.toString
+  }
+
+  private def q151OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= g151PrefixCtes()
+    sb ++= s"""cged AS MATERIALIZED (
       |  SELECT src, dst FROM gkd2
       |  UNION SELECT dst, src FROM gkd2
       |  UNION SELECT a.rid, b.rid FROM greps a, greps b WHERE a.rid <> b.rid),
@@ -4154,6 +4220,93 @@ object TextQueries {
       |  f.vec_id >= (SELECT cut FROM g151cut) AS is_new, f.cos,
       |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact_topk
       |FROM fin151 f LEFT JOIN ex151 e ON f.query_id = e.query_id AND f.vec_id = e.vec_id
+      |WHERE f.rank <= 5
+      |ORDER BY f.query_id, f.rank""".stripMargin
+    sb.toString
+  }
+
+  /** q154's oracle: the ENTIRE composed lifecycle in one statement —
+    * the q151 prefix verbatim ([[g151PrefixCtes]]: frozen old tower,
+    * attach beam + prune, combined edges `gkd2`), the q152-style
+    * tombstone and liveness-split CTEs over the COMBINED adjacency, the
+    * FOLD-SCORED repair candidates (attach edges cross cells, so the
+    * score is a fresh dot fold, not an scknn probe), the repair prune
+    * ([[foldPruneCtes]] keyed by `src`), then the live beam with the
+    * frozen-cell reps minus tombstones and the exact audit over live
+    * vectors.
+    */
+  private def q154OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= g151PrefixCtes()
+    sb ++= s"""ddel AS MATERIALIZED (SELECT vec_id FROM en
+      |  WHERE ${priorityHashSqlOn("vec_id")} < $DeleteBound),
+      |dsl AS (SELECT k.src, k.dst FROM gkd2 k
+      |  LEFT JOIN ddel a ON k.src = a.vec_id WHERE a.vec_id IS NULL),
+      |dle AS MATERIALIZED (SELECT s.src, s.dst FROM dsl s
+      |  LEFT JOIN ddel b ON s.dst = b.vec_id WHERE b.vec_id IS NULL),
+      |ddo AS (SELECT s.src, s.dst AS x FROM dsl s
+      |  JOIN ddel b ON s.dst = b.vec_id),
+      |daf AS (SELECT DISTINCT src FROM ddo),
+      |drp AS (SELECT d.src, k.dst FROM ddo d JOIN gkd2 k ON k.src = d.x
+      |  LEFT JOIN ddel y ON k.dst = y.vec_id
+      |  WHERE y.vec_id IS NULL AND k.dst <> d.src),
+      |dcand AS (SELECT DISTINCT src, dst FROM (
+      |    SELECT e.src, e.dst FROM dle e JOIN daf a ON e.src = a.src
+      |    UNION ALL SELECT src, dst FROM drp)),
+      |rsc AS MATERIALIZED (
+      |  SELECT c.src, c.dst AS vec_id,
+      |    ${dotSql("es.v", "ed.v")} / (es.nrm * ed.nrm) AS cos
+      |  FROM dcand c JOIN en es ON es.vec_id = c.src
+      |  JOIN en ed ON ed.vec_id = c.dst),
+      |rcand AS MATERIALIZED (SELECT src, vec_id, cos FROM (
+      |    SELECT src, vec_id, cos,
+      |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, vec_id) AS rk
+      |    FROM rsc) WHERE rk <= $DivEfC),
+      |""".stripMargin
+    sb ++= foldPruneCtes("rcand", "src", "r")
+    sb ++= s"""radj AS (
+      |  SELECT e.src, e.dst FROM dle e LEFT JOIN daf a ON e.src = a.src
+      |  WHERE a.src IS NULL
+      |  UNION ALL SELECT src, vec_id AS dst FROM rdv$KnnGK),
+      |lasg AS (SELECT q.vec_id, q.cell FROM geqaf q
+      |  LEFT JOIN ddel x ON q.vec_id = x.vec_id WHERE x.vec_id IS NULL),
+      |lreps AS (SELECT cell, min(vec_id) AS rid FROM lasg GROUP BY cell),
+      |lged AS MATERIALIZED (
+      |  SELECT src, dst FROM radj
+      |  UNION SELECT dst, src FROM radj
+      |  UNION SELECT a.rid, b.rid FROM lreps a, lreps b WHERE a.rid <> b.rid),
+      |enl AS MATERIALIZED (SELECT e.* FROM en e
+      |  LEFT JOIN ddel x ON e.vec_id = x.vec_id WHERE x.vec_id IS NULL),
+      |qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 5),
+      |lent AS (SELECT min(vec_id) AS vid FROM enl),
+      |lb0 AS (
+      |  SELECT q.query_id, e.vec_id, ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) AS cos
+      |  FROM qx q, lent JOIN en e ON e.vec_id = lent.vid),
+      |""".stripMargin
+    for (t <- 1 to GsHops) {
+      sb ++= s"""lgc$t AS (
+        |  SELECT query_id, vec_id FROM lb${t - 1}
+        |  UNION
+        |  SELECT b.query_id, g.dst FROM lb${t - 1} b JOIN lged g ON b.vec_id = g.src),
+        |lgs$t AS (
+        |  SELECT c.query_id, c.vec_id, ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) AS cos
+        |  FROM lgc$t c JOIN en e ON c.vec_id = e.vec_id JOIN qx q ON c.query_id = q.query_id),
+        |lb$t AS (SELECT query_id, vec_id, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |    FROM lgs$t) WHERE rk <= $GsBeam),
+        |""".stripMargin
+    }
+    sb ++= s"""ex154 AS (SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${dotSql("q.qv", "e.v")} / (q.qnrm * e.nrm) DESC, e.vec_id) AS rk
+      |    FROM enl e, qx q WHERE e.vec_id <> q.query_id) WHERE rk <= 5),
+      |fin154 AS (SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM lb$GsHops WHERE vec_id <> query_id)
+      |SELECT f.query_id, CAST(f.rank AS INT) AS rank, f.vec_id,
+      |  f.vec_id >= (SELECT cut FROM g151cut) AS is_new, f.cos,
+      |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact_topk
+      |FROM fin154 f LEFT JOIN ex154 e ON f.query_id = e.query_id AND f.vec_id = e.vec_id
       |WHERE f.rank <= 5
       |ORDER BY f.query_id, f.rank""".stripMargin
     sb.toString
@@ -5499,6 +5652,7 @@ object TextQueries {
     "q150_passage_cut" -> q150OracleSql,
     "q151_graph_append" -> q151OracleSql,
     "q152_graph_delete" -> q152OracleSql,
+    "q154_graph_lifecycle" -> q154OracleSql,
     "q79_best_rep" -> q79OracleSql,
     "q72_incremental_dedup" -> q72OracleSql,
     "q87_fuzzy_decontam" -> q87OracleSql,

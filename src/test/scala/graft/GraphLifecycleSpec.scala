@@ -92,6 +92,14 @@ class GraphLifecycleSpec extends AnyFunSuite {
         .agg(sum(col("in_exact_topk"))).collect()(0).getLong(0)
       assert(hits >= hitsDeleteOnly - 5,
         s"composed recall $hits collapsed vs delete-only $hitsDeleteOnly")
+      // the REGISTERED composed query (q154 — the oracle-checked twin of
+      // this pipeline) must serve some surviving appended vector, or the
+      // append leg of the composition is decorative (measured: 3/25 at
+      // sf0.001, 5/25 at sf0.01)
+      val q154 = SparkEntry.queries("q154_graph_lifecycle")(spark, d).collect()
+      assert(q154.count(_.getAs[Boolean]("is_new")) > 0,
+        "no appended vector survived to a post-delete top-5")
+      assert(!q154.exists(r => isDead(r.getAs[Long]("vec_id"))))
       locals.foreach(_.unpersist(false))
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
