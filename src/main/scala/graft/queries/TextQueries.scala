@@ -2554,12 +2554,17 @@ object TextQueries {
   }
 
   /** q151's per-node attach over the frozen old graph, factored so the
-    * composed-lifecycle spec can append a wave and then delete from the
-    * combined index. Returns the new nodes' kept out-edges (src = new
-    * vec_id, dst = old vec_id).
+    * composed-lifecycle spec AND the [[graft.streaming.StreamingGraph]]
+    * service can append a wave. By default the wave is the ≥cut corpus
+    * slice (q151's batch semantics); the service passes its micro-batch
+    * as `wave` (vec_id, v, nrm — the [[graft.ops.Ivf.prep]] shape,
+    * per-row deterministic, so a wave equal to the default slice
+    * attaches bit-identically). Returns the new nodes' kept out-edges
+    * (src = new vec_id, dst = old vec_id).
     */
   private[graft] def attachEdges(s: org.apache.spark.sql.SparkSession, d: String,
-      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      wave: org.apache.spark.sql.DataFrame = null)
       : org.apache.spark.sql.DataFrame = {
     import graft.ops.TowerMemo
     import graft.functions.DotFold
@@ -2575,7 +2580,9 @@ object TextQueries {
         .crossJoin(broadcast(reps.select(col("rid").as("dst"))))
         .filter(col("src") =!= col("dst")))
       .distinct())
-    val newQ = hold(emb.crossJoin(cutF).filter(col("vec_id") >= col("cut")).drop("cut")
+    val waveQ = if (wave != null) wave
+      else emb.crossJoin(cutF).filter(col("vec_id") >= col("cut")).drop("cut")
+    val newQ = hold(waveQ
       .select(col("vec_id").as("nid"), col("v").as("qv"), col("nrm").as("qnrm")))
     val vecs = emb.select(col("vec_id"), col("v"), col("nrm"))
     def scoreN(cand: org.apache.spark.sql.DataFrame) = cand
@@ -2614,14 +2621,18 @@ object TextQueries {
     */
   private[graft] def repairFold(s: org.apache.spark.sql.SparkSession, d: String,
       edges0: org.apache.spark.sql.DataFrame,
-      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      tombstones: org.apache.spark.sql.DataFrame = null)
       : org.apache.spark.sql.DataFrame = {
     import graft.ops.TowerMemo
     import graft.functions.DotFold
     val emb = TowerMemo.prep(s, d)
     val vecs = emb.select(col("vec_id"), col("v"), col("nrm"))
+    // q154 deletes the seeded hash slice; the StreamingGraph service
+    // passes its on-disk tombstone table instead
     val deadP = priorityHashOn(col("vec_id")) < lit(DeleteBound)
-    val dead = hold(emb.filter(deadP).select(col("vec_id")))
+    val dead = hold(if (tombstones != null) tombstones.select(col("vec_id"))
+      else emb.filter(deadP).select(col("vec_id")))
     val edges = hold(edges0)
     val srcLive = hold(edges.join(dead.select(col("vec_id").as("src")),
       Seq("src"), "left_anti"))
