@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{StreamingCorpus, StreamingDedup, StreamingIndex, StreamingLabels}
+import graft.streaming.{StreamingCorpus, StreamingDedup, StreamingGraph, StreamingIndex, StreamingLabels}
 
 /** The COMPOSED rolling pipeline, driven as one system (each component
   * has its own spec; this is the loop a serving deployment actually
@@ -29,7 +29,12 @@ import graft.streaming.{StreamingCorpus, StreamingDedup, StreamingIndex, Streami
   *  - index search ≡ batch q92 bit-for-bit, then search-after-delete:
   *    a tombstoned result vanishes, survivors keep their relative
   *    order (the promotion law), and a policy-driven compaction
-  *    (maybeCompact) preserves the post-delete results exactly.
+  *    (maybeCompact) preserves the post-delete results exactly;
+  *  - GRAPH index (round 12): per-wave attach COMPOSES to the batch
+  *    attach — three sub-wave appends serve bit-for-bit the q151 rows
+  *    (each new node beams the frozen old graph only, so attach is
+  *    per-node independent and wave-decomposable), and the delete +
+  *    policy-compaction tail serves bit-for-bit the q154 rows.
   */
 class RollingPipelineSpec extends AnyFunSuite {
 
@@ -50,8 +55,10 @@ class RollingPipelineSpec extends AnyFunSuite {
       val docs = OnlineModels.corpus(spark, d)
       val waves = docs.grouped((docs.length + 2) / 3).toSeq
 
+      val gIdxDir = Files.createTempDirectory("roll_gindex").toString
       // the index's frozen generation + the wave-aligned vector chunks
       val cut = StreamingIndex.buildFrozen(spark, d, idxDir)
+      StreamingGraph.buildFrozen(spark, d, gIdxDir)
       val newVecs = spark.read.parquet(s"$d/embeddings.parquet")
         .filter(col("vec_id") >= cut).select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
@@ -74,6 +81,8 @@ class RollingPipelineSpec extends AnyFunSuite {
         qC.processAllAvailable(); qL.processAllAvailable()
         StreamingIndex.appendBatch(idxDir)(
           vecWaves(i).toDF("vec_id", "embedding"), i.toLong)
+        StreamingGraph.appendBatch(d, gIdxDir)(
+          vecWaves(i).toDF("vec_id", "embedding"), i.toLong)
       }
       // mid-stream restart: both queries stop and relaunch from their
       // checkpoints before the final wave
@@ -85,6 +94,8 @@ class RollingPipelineSpec extends AnyFunSuite {
         qC.processAllAvailable(); qL.processAllAvailable()
       } finally { qC.stop(); qL.stop() }
       StreamingIndex.appendBatch(idxDir)(
+        vecWaves(2).toDF("vec_id", "embedding"), 2L)
+      StreamingGraph.appendBatch(d, gIdxDir)(
         vecWaves(2).toDF("vec_id", "embedding"), 2L)
 
       // ---- labels ≡ batch components ----
@@ -141,7 +152,29 @@ class RollingPipelineSpec extends AnyFunSuite {
         _.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq).toMap
       assert(got === expect, "survivor order broke across delete+compact")
 
-      for (dir <- Seq(out, corpusCkpt, labelDir, lblCkpt, idxDir))
+      // ---- graph index: wave-decomposed attach ≡ batch q151, then the
+      // delete + policy-compaction tail ≡ batch q154, bit-for-bit ----
+      def gRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getBoolean(3), r.getDouble(4), r.getInt(5))).toSeq
+      val gServed = gRows(StreamingGraph.search(spark, d, gIdxDir))
+      val gBatch = gRows(SparkEntry.queries("q151_graph_append")(spark, d))
+      assert(gServed === gBatch,
+        "three sub-wave attaches diverged from the one-batch q151 attach")
+      val gDead = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id")).filter(
+          pmod(col("vec_id") * lit(1103515245L) + lit(12345L), lit(2147483647L)) <
+            lit(graft.queries.TextQueries.DeleteBound))
+      StreamingGraph.deleteBatch(gIdxDir)(gDead, 3L)
+      // 4 edge generation dirs → the generation-count policy fires
+      assert(StreamingGraph.maybeCompact(spark, d, gIdxDir, maxGens = 2),
+        "graph policy compaction declined a fragmented index")
+      val gPost = gRows(StreamingGraph.search(spark, d, gIdxDir))
+      val g154 = gRows(SparkEntry.queries("q154_graph_lifecycle")(spark, d))
+      assert(gPost === g154,
+        "composed graph delete+compact diverged from batch q154")
+
+      for (dir <- Seq(out, corpusCkpt, labelDir, lblCkpt, idxDir, gIdxDir))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
