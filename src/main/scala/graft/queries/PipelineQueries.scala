@@ -619,6 +619,73 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-trigram surprisal gate for [[q155SurprisalFilter]], in
+    * MILLI-BITS per trigram. Swept on the regenerated corpus before
+    * adoption: per-doc mean surprisal spans 4,480–5,777 mbits at the
+    * oracle SF (5,000–6,000 at sf0.1); 5,450 flags 48/100 wave docs at
+    * sf0.01 and 634/1,000 at sf0.1 — non-vacuous and non-universal at
+    * both SFs.
+    */
+  val SurpriseMbits = 5450L
+
+  /** EXT — HELD-OUT LM quality filter (the CCNet/KenLM perplexity gate
+    * as a 100 TB pipeline actually runs it, and the piece q65 does not
+    * cover: q65 scores documents under an LM trained on the corpus
+    * INCLUDING them — fine for corpus QC, wrong for admission). Here
+    * the trigram LM trains on the frozen ⌊4n/5⌋ generation only (the
+    * q92/q151 cut) and scores the INCOMING wave, so unseen n-grams are
+    * first-class: add-V smoothing via integer surprisal — each wave
+    * trigram costs bitlen((cu + V) DIV (cb + 1)) bits, the log₂ proxy
+    * with no transcendentals anywhere (invariant 4; the round-7 HDR
+    * bit-length idiom), where cb/cu are the train counts (0 when
+    * unseen — measured non-vacuous: 2,281 unseen wave-trigram
+    * occurrences at sf0.01, 60 at sf0.1) and V is the train vocabulary
+    * (a scalar subquery in the oracle, a driver-side count here — the
+    * q151 dynamic-constant discipline). Per doc: total bits, milli-bits
+    * per trigram (integer DIV), unseen count, and the admission flag
+    * at [[SurpriseMbits]]. Everything integer end-to-end — stronger
+    * than a float mean: no quantized sum needed at all.
+    *
+    * At scale: one scan explodes the token stream ×1 into trigrams;
+    * the two train tables aggregate map-side and join the wave by
+    * (ctx, w) equi-keys (shuffle-partitioned by context — never
+    * corpus-quadratic); the per-doc rollup shuffles on doc_id.
+    */
+  val q155SurprisalFilter: Q = (s, d) => {
+    val tk = documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      // min corpus doc length is 10 tokens (measured) — the guard is
+      // for generality, it never binds here
+      .filter(size(col("t")) >= 3)
+    val tri = tracked(tk.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 2).as("a"),
+          slice(col("t"), lit(2), size(col("t")) - 2).as("b"),
+          slice(col("t"), lit(3), size(col("t")) - 2).as("c"))).as("p"))
+      .select(col("doc_id"),
+        concat(col("p.a"), lit(" "), col("p.b")).as("ctx"), col("p.c").as("w")))
+    val cutF = broadcast(documents(s, d).agg(expr("count(1) * 4 div 5").as("cut")))
+    val train = tracked(tri.crossJoin(cutF)
+      .filter(col("doc_id") < col("cut")).drop("cut"))
+    val v = train.select(col("w")).distinct().count()
+    val trainN = train.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb"))
+    val trainC = train.groupBy(col("ctx")).agg(count(lit(1)).as("cu"))
+    tri.crossJoin(cutF).filter(col("doc_id") >= col("cut")).drop("cut")
+      .join(trainN, Seq("ctx", "w"), "left")
+      .join(trainC, Seq("ctx"), "left")
+      .select(col("doc_id"),
+        length(bin(expr(s"(COALESCE(cu, 0) + $v) DIV (COALESCE(cb, 0) + 1)")))
+          .cast("long").as("bits"),
+        when(col("cb").isNull, 1L).otherwise(0L).as("unseen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("bits")).as("total_bits"),
+        sum(col("unseen")).as("n_unseen"))
+      .withColumn("mbits_per_tri", expr("(1000 * total_bits) DIV n_tri"))
+      .withColumn("flagged",
+        (col("mbits_per_tri") > lit(SurpriseMbits)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXT — cross-source overlap matrix: distinct-trigram Jaccard
     * between every source pair — the corpus-QC dashboard that tells a
     * pipeline owner which crawls/feeds duplicate each other before
@@ -1945,6 +2012,7 @@ object PipelineQueries {
     "q63_pii_scrub"     -> q63PiiScrub,
     "q64_seq_pack"      -> q64SeqPack,
     "q65_bigram_lm"     -> q65BigramLm,
+    "q155_surprisal_filter" -> q155SurprisalFilter,
     "q66_source_overlap" -> q66SourceOverlap,
     "q67_bpe_train"     -> q67BpeTrain,
     "q68_bpe_encode"    -> q68BpeEncode,
@@ -2401,6 +2469,37 @@ object PipelineQueries {
         |  min(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS min_p
         |FROM bg JOIN cb USING (prev, w) JOIN cu USING (prev)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q155_surprisal_filter" ->
+      s"""WITH tk155 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri155 AS (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-2]) || ' ' || unnest(t[2:len(t)-1]) AS ctx,
+        |    unnest(t[3:len(t)]) AS w
+        |  FROM tk155),
+        |cut155 AS (SELECT count(*) * 4 // 5 AS c FROM documents),
+        |tr155 AS MATERIALIZED (
+        |  SELECT tri155.* FROM tri155, cut155 WHERE doc_id < cut155.c),
+        |v155 AS (SELECT count(DISTINCT w) AS v FROM tr155),
+        |tn155 AS (SELECT ctx, w, count(*) AS cb FROM tr155 GROUP BY ctx, w),
+        |tc155 AS (SELECT ctx, count(*) AS cu FROM tr155 GROUP BY ctx),
+        |wv155 AS (SELECT tri155.* FROM tri155, cut155 WHERE doc_id >= cut155.c),
+        |sc155 AS (
+        |  SELECT wv.doc_id,
+        |    CAST(length(format('{:b}',
+        |      (COALESCE(tc.cu, 0) + (SELECT v FROM v155)) // (COALESCE(tn.cb, 0) + 1))) AS BIGINT) AS bits,
+        |    CASE WHEN tn.cb IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM wv155 wv
+        |  LEFT JOIN tn155 tn ON wv.ctx = tn.ctx AND wv.w = tn.w
+        |  LEFT JOIN tc155 tc ON wv.ctx = tc.ctx)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  (1000 * CAST(sum(bits) AS BIGINT)) // count(*) AS mbits_per_tri,
+        |  CAST(CASE WHEN (1000 * CAST(sum(bits) AS BIGINT)) // count(*) > $SurpriseMbits
+        |    THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM sc155 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q66_source_overlap" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
         |g AS (
