@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.TextOps
@@ -684,6 +684,88 @@ object PipelineQueries {
       .withColumn("flagged",
         (col("mbits_per_tri") > lit(SurpriseMbits)).cast("int"))
       .orderBy(col("doc_id"))
+  }
+
+  /** EXT — ROLLING LM maintenance (q155's incremental twin — the q111
+    * merge-law discipline applied to the quality gate's trained state):
+    * a serving pipeline cannot retrain the admission LM from scratch
+    * every wave, so the LM state (trigram counts, context counts,
+    * vocabulary) is held as per-generation PARTIALS and folded
+    * algebraically — `(ctx, w)` and `ctx` counts ADD, the vocabulary
+    * merges as a DISTINCT UNION (|V| does NOT add — the non-trivial
+    * half of the law) — and each fold is `localCheckpoint`ed exactly
+    * like production state, so serve-2's plan never rescans history.
+    * Two serve points prove the fold at two depths: wave 1
+    * (docs [4n/5, 9n/10)) scores under fold(gen0, gen1); wave 1 is then
+    * ADMITTED and wave 2 (docs [9n/10, n)) scores under
+    * fold(fold(gen0, gen1), wave1). The ORACLE recomputes both scorings
+    * from the unsplit train slices — the hash match IS the merge law at
+    * both depths, q155's integer surprisal end-to-end (bits, unseen,
+    * flag at [[SurpriseMbits]]) so a single miscounted gram flips a row.
+    * Measured non-vacuous at every SF before wiring: both waves carry
+    * unseen occurrences (1,234/947 at sf0.01; 32/25 at sf0.1) and the
+    * threshold flags a strict subset of each (25/50 + 25/50 at sf0.01;
+    * 310/500 + 291/500 at sf0.1).
+    *
+    * At scale: generation partials are gram-domain-sized (vocabulary²
+    * at worst, never corpus-sized), the folds are one hash agg each,
+    * and the wave joins are (ctx, w) equi-keys — identical shuffle
+    * shape to q155, plus O(|grams|) state folds.
+    */
+  val q156RollingLm: Q = (s, d) => {
+    val tk = documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val tri = tracked(tk.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 2).as("a"),
+          slice(col("t"), lit(2), size(col("t")) - 2).as("b"),
+          slice(col("t"), lit(3), size(col("t")) - 2).as("c"))).as("p"))
+      .select(col("doc_id"),
+        concat(col("p.a"), lit(" "), col("p.b")).as("ctx"), col("p.c").as("w")))
+    val cuts = broadcast(documents(s, d).agg(
+      expr("count(1) * 2 div 5").as("k0"),
+      expr("count(1) * 4 div 5").as("k1"),
+      expr("count(1) * 9 div 10").as("k2")))
+    def slice2(pred: Column): DataFrame =
+      tri.crossJoin(cuts).filter(pred).select(col("doc_id"), col("ctx"), col("w"))
+    // per-generation partials — what a service persists per wave
+    def partials(g: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+      g.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb")),
+      g.groupBy(col("ctx")).agg(count(lit(1)).as("cu")),
+      g.select(col("w")).distinct())
+    // the fold: counts add, vocabulary unions — materialized like state
+    def fold(a: (DataFrame, DataFrame, DataFrame), b: (DataFrame, DataFrame, DataFrame)) = (
+      a._1.unionByName(b._1).groupBy(col("ctx"), col("w"))
+        .agg(sum(col("cb")).as("cb")).localCheckpoint(true),
+      a._2.unionByName(b._2).groupBy(col("ctx"))
+        .agg(sum(col("cu")).as("cu")).localCheckpoint(true),
+      a._3.unionByName(b._3).distinct().localCheckpoint(true))
+    def score(wave: DataFrame, st: (DataFrame, DataFrame, DataFrame), id: Int) = {
+      val v = st._3.count()
+      wave.join(st._1, Seq("ctx", "w"), "left")
+        .join(st._2, Seq("ctx"), "left")
+        .select(col("doc_id"),
+          length(bin(expr(s"(COALESCE(cu, 0) + $v) DIV (COALESCE(cb, 0) + 1)")))
+            .cast("long").as("bits"),
+          when(col("cb").isNull, 1L).otherwise(0L).as("unseen"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"), sum(col("bits")).as("total_bits"),
+          sum(col("unseen")).as("n_unseen"))
+        .withColumn("mbits_per_tri", expr("(1000 * total_bits) DIV n_tri"))
+        .withColumn("flagged",
+          (col("mbits_per_tri") > lit(SurpriseMbits)).cast("int"))
+        .withColumn("wave", lit(id.toLong))
+    }
+    val s1 = fold(partials(slice2(col("doc_id") < col("k0"))),
+      partials(slice2(col("doc_id") >= col("k0") && col("doc_id") < col("k1"))))
+    val w1 = tracked(slice2(col("doc_id") >= col("k1") && col("doc_id") < col("k2")))
+    val s2 = fold(s1, partials(w1))
+    score(w1, s1, 1)
+      .unionByName(score(slice2(col("doc_id") >= col("k2")), s2, 2))
+      .select(col("wave"), col("doc_id"), col("n_tri"), col("total_bits"),
+        col("n_unseen"), col("mbits_per_tri"), col("flagged"))
+      .orderBy(col("wave"), col("doc_id"))
   }
 
   /** EXT — cross-source overlap matrix: distinct-trigram Jaccard
@@ -2013,6 +2095,7 @@ object PipelineQueries {
     "q64_seq_pack"      -> q64SeqPack,
     "q65_bigram_lm"     -> q65BigramLm,
     "q155_surprisal_filter" -> q155SurprisalFilter,
+    "q156_rolling_lm" -> q156RollingLm,
     "q66_source_overlap" -> q66SourceOverlap,
     "q67_bpe_train"     -> q67BpeTrain,
     "q68_bpe_encode"    -> q68BpeEncode,
@@ -2500,6 +2583,55 @@ object PipelineQueries {
         |  CAST(CASE WHEN (1000 * CAST(sum(bits) AS BIGINT)) // count(*) > $SurpriseMbits
         |    THEN 1 ELSE 0 END AS INT) AS flagged
         |FROM sc155 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q156_rolling_lm" -> {
+      // the two serve points share one generator so the cuts live in one
+      // place (invariant 7); the oracle trains each wave's LM from the
+      // UNSPLIT slice — the Spark side folds generation partials, so the
+      // hash match is the merge law at both depths. Count tables
+      // MATERIALIZED (DuckDB re-inlines plain CTEs at every reference).
+      def serve(i: Int, trainCut: String, wavePred: String): String =
+        s"""tr156_$i AS MATERIALIZED (
+          |  SELECT tri156.* FROM tri156, n156 WHERE doc_id < $trainCut),
+          |v156_$i AS (SELECT count(DISTINCT w) AS v FROM tr156_$i),
+          |tn156_$i AS MATERIALIZED (SELECT ctx, w, count(*) AS cb FROM tr156_$i GROUP BY ctx, w),
+          |tc156_$i AS MATERIALIZED (SELECT ctx, count(*) AS cu FROM tr156_$i GROUP BY ctx),
+          |wv156_$i AS (SELECT tri156.* FROM tri156, n156 WHERE $wavePred),
+          |sc156_$i AS (
+          |  SELECT wv.doc_id,
+          |    CAST(length(format('{:b}',
+          |      (COALESCE(tc.cu, 0) + (SELECT v FROM v156_$i)) // (COALESCE(tn.cb, 0) + 1))) AS BIGINT) AS bits,
+          |    CASE WHEN tn.cb IS NULL THEN 1 ELSE 0 END AS unseen
+          |  FROM wv156_$i wv
+          |  LEFT JOIN tn156_$i tn ON wv.ctx = tn.ctx AND wv.w = tn.w
+          |  LEFT JOIN tc156_$i tc ON wv.ctx = tc.ctx),
+          |ag156_$i AS (
+          |  SELECT CAST($i AS BIGINT) AS wave, doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+          |    CAST(sum(bits) AS BIGINT) AS total_bits,
+          |    CAST(sum(unseen) AS BIGINT) AS n_unseen,
+          |    (1000 * CAST(sum(bits) AS BIGINT)) // count(*) AS mbits_per_tri,
+          |    CAST(CASE WHEN (1000 * CAST(sum(bits) AS BIGINT)) // count(*) > $SurpriseMbits
+          |      THEN 1 ELSE 0 END AS INT) AS flagged
+          |  FROM sc156_$i GROUP BY doc_id),
+          |""".stripMargin
+      s"""WITH tk156 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri156 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-2]) || ' ' || unnest(t[2:len(t)-1]) AS ctx,
+        |    unnest(t[3:len(t)]) AS w
+        |  FROM tk156),
+        |n156 AS (SELECT count(*) AS n FROM documents),
+        |""".stripMargin +
+        serve(1, "(SELECT n * 4 // 5 FROM n156)",
+          "doc_id >= (SELECT n * 4 // 5 FROM n156) AND doc_id < (SELECT n * 9 // 10 FROM n156)") +
+        serve(2, "(SELECT n * 9 // 10 FROM n156)",
+          "doc_id >= (SELECT n * 9 // 10 FROM n156)") +
+        """fin156 AS (SELECT 1)
+        |SELECT wave, doc_id, n_tri, total_bits, n_unseen, mbits_per_tri, flagged
+        |FROM (SELECT * FROM ag156_1 UNION ALL SELECT * FROM ag156_2)
+        |ORDER BY wave, doc_id""".stripMargin
+    },
     "q66_source_overlap" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
         |g AS (

@@ -783,8 +783,15 @@ object TextQueries {
   /** q51/q56/q57's shared pair generation: verified 64-bit SimHash
     * near-dup pairs `(da < db, dist ≤ SimhashMaxDist)`, unordered.
     */
-  private[graft] def simhash64Pairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sig = tracked(simhashSig(documents(s, d)))
+  private[graft] def simhash64Pairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    simhash64PairsOf(documents(s, d))
+
+  /** [[simhash64Pairs]] over an arbitrary `(doc_id, text)` frame — the
+    * q157 update wave re-derives pairs from the RE-CRAWLED corpus, so
+    * the pair generation must be corpus-parameterized, not dir-bound.
+    */
+  private[graft] def simhash64PairsOf(docs: org.apache.spark.sql.DataFrame) = {
+    val sig = tracked(simhashSig(docs))
     val bands = tracked(bandOccCapped(simhashBands(sig)))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -3512,6 +3519,70 @@ object TextQueries {
     out
   }
 
+  /** q157's re-crawl slice (`doc_id % UpdMod == UpdRes`) and content
+    * transform (`upper(text)` — wholesale content change, identical in
+    * both engines over this ASCII corpus). Measured on the regenerated
+    * corpus BEFORE wiring (the r6 discipline), at sf0.01: 44 of 139
+    * verified pairs touch the slice; under the update 42 die, 2 survive
+    * (both endpoints updated together — near-dups of each other stay
+    * near-dups), and 3 NEW pairs appear that never existed; pairs
+    * between untouched docs are bit-stable (the occupancy cap binds in
+    * neither universe). Every update-law branch fires on real data.
+    */
+  val UpdMod = 5
+  val UpdRes = 2
+
+  /** EXT — label maintenance under DOCUMENT UPDATE (the re-crawl wave —
+    * the third and last direction a rolling corpus moves: q146/q148
+    * covered pair ARRIVALS, q149 covered DELETIONS; a re-crawled
+    * document changes content in place, so its OLD pairs must die while
+    * its NEW content's pairs admit it back). The operator is the
+    * composition of the two proven halves: [[graft.ops.Dedup.deleteLabels]]
+    * retracts the slice's old membership (components may split), then
+    * [[graft.ops.Dedup.mergeLabels]] folds in the pair observations of
+    * the re-crawled content — derived by re-running the q51 banding
+    * over the UPDATED corpus, restricted to pairs touching the slice
+    * (pairs between untouched docs are unchanged, so the service never
+    * recomputes them; measured bit-stable under the update — the
+    * occupancy cap binds in neither universe). The ORACLE is the full
+    * recompute over the re-crawled corpus: one closure over the updated
+    * pair universe (final labels), one over the original (the
+    * was_old/relabeled flags) — the hash match IS the update law
+    * `merge(delete(cc(P), U), pairs'(U)) ≡ cc(P'_whole-corpus)`,
+    * including which docs drop (old content's last pairs gone) and
+    * which appear (new content's first pairs).
+    */
+  val q157LabelUpdate: Q = (s, d) => {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val pairs = hold(dupPairs(s, d))
+    val old = dupLabels(s, d)
+    val updated = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong)
+      .select(col("doc_id").as("id"))
+    val afterDel = graft.ops.Dedup.deleteLabels(old, pairs, updated, track = hold)
+    val docsU = documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong,
+        upper(col("text"))).otherwise(col("text")).as("text"))
+    val newPairs = hold(simhash64PairsOf(docsU)
+      .filter(pmod(col("da"), lit(UpdMod.toLong)) === UpdRes.toLong ||
+        pmod(col("db"), lit(UpdMod.toLong)) === UpdRes.toLong)
+      .select(col("da"), col("db")))
+    val merged = graft.ops.Dedup.mergeLabels(afterDel, newPairs, track = hold)
+    val out = merged
+      .join(old.select(col("id"), col("lbl").as("old_lbl")), Seq("id"), "left")
+      .select(col("id"), col("lbl"),
+        when(col("old_lbl").isNotNull, 1L).otherwise(0L).as("was_old"),
+        when(col("old_lbl").isNotNull && col("old_lbl") =!= col("lbl"), 1L)
+          .otherwise(0L).as("relabeled"),
+        when(pmod(col("id"), lit(UpdMod.toLong)) === UpdRes.toLong, 1L)
+          .otherwise(0L).as("is_updated"))
+      .orderBy(col("id"))
+      .localCheckpoint(true)
+    locals.foreach(_.unpersist(false))
+    out
+  }
+
   /** Passages shorter than this many tokens don't make the q147 report
     * (the Lee et al. ExactSubstr cut applied corpus-wide; q122's
     * measured run spectrum populates both sides of it).
@@ -3720,6 +3791,7 @@ object TextQueries {
     "q147_dup_passages" -> q147DupPassages,
     "q148_rolling_cc" -> q148RollingCc,
     "q149_cc_delete" -> q149CcDelete,
+    "q157_label_update" -> q157LabelUpdate,
     "q150_passage_cut" -> q150PassageCut,
     "q151_graph_append" -> q151GraphAppend,
     "q152_graph_delete" -> q152GraphDelete,
@@ -3761,49 +3833,58 @@ object TextQueries {
     * band join + Hamming verify as the Spark plan. Used by both the q51
     * and q56 oracles.
     */
-  private[queries] def simhashPairCtes: String = {
+  private[queries] def simhashPairCtes: String = simhashPairCtesOn()
+
+  /** The SimHash pair-universe CTE chain, parameterized by the corpus
+    * source relation and a CTE-name prefix (the q144 shared-WITH
+    * discipline: default arguments emit byte-identical SQL for every
+    * existing consumer; q157 instantiates it twice in one statement —
+    * once over `documents`, once over the re-crawled corpus CTE).
+    */
+  private[queries] def simhashPairCtesOn(src: String = "documents",
+      q: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |bits AS (SELECT unnest(generate_series(0, 15)) AS b),
+    sb ++= s"""WITH ${q}tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $src),
+      |${q}bits AS (SELECT unnest(generate_series(0, 15)) AS b),
       |""".stripMargin
     for ((m, i) <- SimhashMods.zipWithIndex) {
       // list_prepend(0, …) seeds the fold at 0 so an empty token (double
       // space in `text`) hashes to 0 exactly like the Spark fold, instead
       // of erroring the init-less list_reduce
-      sb ++= s"""th$i AS (
+      sb ++= s"""${q}th$i AS (
         |  SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(w)), k -> CAST(ascii(w[k]) AS BIGINT))),
         |      (a, x) -> (a * 31 + x) % $m) AS h
-        |  FROM tok),
-        |v$i AS (
+        |  FROM ${q}tok),
+        |${q}v$i AS (
         |  SELECT doc_id, b,
         |    sum(CASE WHEN (h // CAST(2 ** b AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th$i, bits GROUP BY doc_id, b),
-        |s$i AS (
+        |  FROM ${q}th$i, ${q}bits GROUP BY doc_id, b),
+        |${q}s$i AS (
         |  SELECT doc_id,
         |    CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
-        |  FROM v$i GROUP BY doc_id),
+        |  FROM ${q}v$i GROUP BY doc_id),
         |""".stripMargin
     }
-    sb ++= s"""sig AS (
-      |  SELECT s0.doc_id, s0.sh AS b0, s1.sh AS b1, s2.sh AS b2, s3.sh AS b3
-      |  FROM s0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)),
-      |bands0 AS (
+    sb ++= s"""${q}sig AS (
+      |  SELECT ${q}s0.doc_id, ${q}s0.sh AS b0, ${q}s1.sh AS b1, ${q}s2.sh AS b2, ${q}s3.sh AS b3
+      |  FROM ${q}s0 JOIN ${q}s1 USING (doc_id) JOIN ${q}s2 USING (doc_id) JOIN ${q}s3 USING (doc_id)),
+      |${q}bands0 AS (
       |  SELECT doc_id, b AS band,
       |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
-      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
-      |keepb AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= $BandOccCap),
-      |bands AS (SELECT bands0.* FROM bands0 JOIN keepb USING (band, key)),
-      |cands AS (
+      |  FROM ${q}sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      |${q}keepb AS (SELECT band, key FROM ${q}bands0 GROUP BY band, key HAVING count(*) <= $BandOccCap),
+      |${q}bands AS (SELECT ${q}bands0.* FROM ${q}bands0 JOIN ${q}keepb USING (band, key)),
+      |${q}cands AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-      |p AS (
+      |  FROM ${q}bands a JOIN ${q}bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |${q}p AS (
       |  SELECT c.da, c.db,
       |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
       |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS dist
-      |  FROM cands c JOIN sig x ON c.da = x.doc_id JOIN sig y ON c.db = y.doc_id),
-      |pairs AS (SELECT da, db FROM p WHERE dist <= $SimhashMaxDist),
+      |  FROM ${q}cands c JOIN ${q}sig x ON c.da = x.doc_id JOIN ${q}sig y ON c.db = y.doc_id),
+      |${q}pairs AS (SELECT da, db FROM ${q}p WHERE dist <= $SimhashMaxDist),
       |""".stripMargin
     sb.toString
   }
@@ -3968,6 +4049,34 @@ object TextQueries {
         |SELECT v.id, v.lbl,
         |  CAST(CASE WHEN c.lbl <> v.lbl THEN 1 ELSE 0 END AS BIGINT) AS relabeled
         |FROM vcl v JOIN cl c ON v.id = c.id
+        |ORDER BY v.id""".stripMargin
+
+  /** q157's oracle: the pair chain instantiated TWICE in one statement
+    * ([[simhashPairCtesOn]] — once over `documents`, once over the
+    * re-crawled corpus CTE `docs157`), then one recursive closure per
+    * universe: `ncl` (final labels, over the updated pair table) and
+    * `ocl` (old labels, for the was_old/relabeled flags). Pair tables
+    * materialize (each feeds a recursive closure that references it
+    * several times — the round-9 DuckDB re-inlining lesson). Endpoints
+    * are non-negative, so `%` ≡ Spark's `pmod`.
+    */
+  private def q157OracleSql: String =
+    simhashPairCtesOn().replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s"""docs157 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % $UpdMod = $UpdRes THEN upper(text) ELSE text END AS text
+        |  FROM documents),
+        |""".stripMargin +
+      simhashPairCtesOn("docs157", "u").stripPrefix("WITH ") +
+      s"""mo157 AS MATERIALIZED (SELECT da, db FROM pairs),
+        |mu157 AS MATERIALIZED (SELECT da, db FROM upairs),
+        |""".stripMargin +
+      ccCtesOn("mu157", "n") + ccCtesOn("mo157", "o") +
+      s"""fin157 AS (SELECT 1)
+        |SELECT v.id, c.lbl,
+        |  CAST(CASE WHEN oc.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS was_old,
+        |  CAST(CASE WHEN oc.lbl IS NOT NULL AND oc.lbl <> c.lbl THEN 1 ELSE 0 END AS BIGINT) AS relabeled,
+        |  CAST(CASE WHEN v.id % $UpdMod = $UpdRes THEN 1 ELSE 0 END AS BIGINT) AS is_updated
+        |FROM nverts v JOIN ncl c ON v.id = c.id LEFT JOIN ocl oc ON v.id = oc.id
         |ORDER BY v.id""".stripMargin
 
   /** q147's oracle: the same df-gated islands over [[gramHashCtes]]
@@ -5660,6 +5769,7 @@ object TextQueries {
     "q147_dup_passages" -> q147OracleSql,
     "q148_rolling_cc" -> q148OracleSql,
     "q149_cc_delete" -> q149OracleSql,
+    "q157_label_update" -> q157OracleSql,
     "q150_passage_cut" -> q150OracleSql,
     "q151_graph_append" -> q151OracleSql,
     "q152_graph_delete" -> q152OracleSql,

@@ -132,31 +132,74 @@ object StreamingLabels {
     * periodically folds the generations into one and drops the
     * tombstones so the anti-join's dead side stays bounded.
     */
+  private def completeGenDirs(s: SparkSession, labelDir: String, sub: String,
+      before: Option[Long]): Seq[String] = {
+    val f = hfs(s, labelDir)
+    val p = path(labelDir, sub)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+        st.getPath.getName.stripPrefix("gen=").toLong < before.getOrElse(Long.MaxValue) &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  /** Per-id LATEST tombstone generation strictly before `before` —
+    * empty-schema `(id, tgen)` frame when no tombstones exist.
+    */
+  private def latestTombs(s: SparkSession, labelDir: String,
+      before: Option[Long]): DataFrame = {
+    val tombGens = completeGenDirs(s, labelDir, "tombs", before)
+    if (tombGens.isEmpty)
+      s.range(0).select(col("id"), col("id").as("tgen"))
+    else s.read.option("basePath", s"$labelDir/tombs").parquet(tombGens: _*)
+      .select(col("id"), col("gen").cast("long").as("tgen"))
+      .groupBy(col("id")).agg(max(col("tgen")).as("tgen"))
+  }
+
+  /** Ids that are dead AS OF `before` for INGESTION purposes: latest
+    * tombstone not superseded by a later-or-same-wave revive
+    * ([[updateBatch]] writes both at one batchId — a re-crawled doc is
+    * tombstoned for its OLD pairs yet alive for new ones). A plain
+    * delete history has no revives, so this is exactly the old
+    * "any tombstoned id" set there.
+    */
+  private def deadIdsAsOf(s: SparkSession, labelDir: String,
+      before: Option[Long]): DataFrame = {
+    val revGens = completeGenDirs(s, labelDir, "revives", before)
+    val tombs = latestTombs(s, labelDir, before)
+    if (revGens.isEmpty) tombs.select(col("id"))
+    else {
+      val rev = s.read.option("basePath", s"$labelDir/revives").parquet(revGens: _*)
+        .select(col("id"), col("gen").cast("long").as("rgen"))
+        .groupBy(col("id")).agg(max(col("rgen")).as("rgen"))
+      tombs.join(rev, Seq("id"), "left")
+        .filter(col("rgen").isNull || col("rgen") < col("tgen"))
+        .select(col("id"))
+    }
+  }
+
   private def livePairsAsOf(s: SparkSession, labelDir: String,
       before: Option[Long]): DataFrame = {
-    val f = hfs(s, labelDir)
-    def complete(sub: String): Seq[String] = {
-      val p = path(labelDir, sub)
-      if (!f.exists(p)) Seq.empty
-      else f.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-          st.getPath.getName.stripPrefix("gen=").toLong < before.getOrElse(Long.MaxValue) &&
-          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
-    }
-    val logGens = complete("pairlog")
+    val logGens = completeGenDirs(s, labelDir, "pairlog", before)
     if (logGens.isEmpty)
       return s.range(0).select(col("id").as("da"), col("id").as("db"))
-    val pairs = s.read.parquet(logGens: _*).select(col("da"), col("db"))
-    val tombGens = complete("tombs")
-    if (tombGens.isEmpty) pairs
-    else {
-      val dead = s.read.parquet(tombGens: _*).select(col("id")).distinct()
-      pairs
-        .join(dead.select(col("id").as("da")), Seq("da"), "left_anti")
-        .join(dead.select(col("id").as("db")), Seq("db"), "left_anti")
-        .select(col("da"), col("db")) // using-joins float the key column first
-    }
+    // pair liveness is GENERATION-ORDERED: a pair written at gen g dies
+    // iff an endpoint was tombstoned STRICTLY LATER (t > g). A delete
+    // history is unchanged by the ordering (merge waves pre-filter
+    // against the dead set, so a logged pair always predates any
+    // tombstone naming it); the strictness is what lets an update wave
+    // co-commit tombstones (killing the old content's pairs) and the
+    // re-crawled content's pairs at ONE batchId.
+    val pairs = s.read.option("basePath", s"$labelDir/pairlog").parquet(logGens: _*)
+      .select(col("da"), col("db"), col("gen").cast("long").as("pgen"))
+    val tombs = latestTombs(s, labelDir, before)
+    pairs
+      .join(tombs.select(col("id").as("da"), col("tgen").as("ta")), Seq("da"), "left")
+      .join(tombs.select(col("id").as("db"), col("tgen").as("tb")), Seq("db"), "left")
+      .filter((col("ta").isNull || col("ta") <= col("pgen")) &&
+        (col("tb").isNull || col("tb") <= col("pgen")))
+      .select(col("da"), col("db")) // using-joins float the key column first
   }
 
   /** The current live pair log (every appended pair minus those
@@ -218,6 +261,7 @@ object StreamingLabels {
       rollback = f.rename(oldP, logP))
     f.delete(oldP, true)
     f.delete(path(labelDir, "tombs"), true)
+    f.delete(path(labelDir, "revives"), true)
     s.catalog.refreshByPath(logP.toString)
   }
 
@@ -258,25 +302,15 @@ object StreamingLabels {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hold(df: DataFrame) = { locals += df.persist(); df }
     val old = hold(labelsAsOf(s, labelDir, Some(batchId)))
-    // drop pairs naming an already-deleted doc: a duplicate/replayed
-    // emission must not resurrect a tombstoned vertex's membership
-    val tombGens = {
-      val tp = path(labelDir, "tombs")
-      if (!f.exists(tp)) Seq.empty[String]
-      else f.listStatus(tp).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-          st.getPath.getName.stripPrefix("gen=").toLong < batchId &&
-          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
-    }
-    val rawWave = pairs.select(col("da"), col("db"))
-    val wave = hold(if (tombGens.isEmpty) rawWave else {
-      val dead = s.read.parquet(tombGens: _*).select(col("id")).distinct()
-      rawWave
-        .join(dead.select(col("id").as("da")), Seq("da"), "left_anti")
-        .join(dead.select(col("id").as("db")), Seq("db"), "left_anti")
-        .select(col("da"), col("db")) // using-joins float the key column first
-    })
+    // drop pairs naming a CURRENTLY-dead doc: a duplicate/replayed
+    // emission must not resurrect a tombstoned vertex's membership. An
+    // id whose latest tombstone was co-committed with a revive (an
+    // update wave) is alive again — its new pairs are legit arrivals.
+    val dead = deadIdsAsOf(s, labelDir, Some(batchId))
+    val wave = hold(pairs.select(col("da"), col("db"))
+      .join(dead.select(col("id").as("da")), Seq("da"), "left_anti")
+      .join(dead.select(col("id").as("db")), Seq("db"), "left_anti")
+      .select(col("da"), col("db"))) // using-joins float the key column first
     // pair-log append FIRST (it feeds future delete waves; writing it
     // before the label gen keeps the label marker the commit point — a
     // crash between the two replays into a log-skip + label recompute)
@@ -357,6 +391,87 @@ object StreamingLabels {
       if (!f.exists(pd)) f.mkdirs(pd)
     }
     del.write.mode("overwrite").parquet(tombDir.toString)
+    locals.foreach(_.unpersist(false))
+    retireSuperseded(s, labelDir, batchId)
+  }
+
+  /** Fold one wave of document UPDATES (the re-crawl — q157's operator
+    * as the service runs it): each id in `ids` changed content in
+    * place, so its OLD pairs die and `pairs` (the detector re-run over
+    * the new content — every pair must touch an updated id) admit it
+    * back, all at ONE batchId. Composition of the two proven halves:
+    * [[graft.ops.Dedup.deleteLabels]] retracts the slice (components
+    * may split), [[graft.ops.Dedup.mergeLabels]] folds the new
+    * observations in; buckets holding any dropped/relabeled/fresh row
+    * rewrite under `gen=<batchId>/part=<b>`.
+    *
+    * On-disk, the wave co-commits `tombs/gen=<batchId>` (kills the old
+    * pairs under the generation-ordered liveness rule — strictly-older
+    * pairs only, so the wave's own pairlog entries survive) and
+    * `revives/gen=<batchId>` (marks the ids alive again for future
+    * merge waves' ingestion filter). New pairs naming a doc that is
+    * currently dead and NOT in this wave's ids still drop — an update
+    * cannot resurrect a third party.
+    *
+    * Replay/crash safety: the commit point is the REVIVES marker
+    * (checked first — the last write). Every earlier write replays
+    * idempotently: `labelsAsOf`/`livePairsAsOf` read strictly below
+    * `batchId`, so the crashed attempt's own gens never feed its
+    * replay, and all writes are overwrite-mode. The one crash window
+    * with observable intermediate state (tombs committed, revives not)
+    * only suppresses NEW arrivals for the ids at the ingestion filter —
+    * pair liveness and labels are already correct — and the replay
+    * heals it.
+    */
+  def updateBatch(labelDir: String, parts: Int = DefaultParts)(
+      ids: DataFrame, pairs: DataFrame, batchId: Long): Unit = {
+    val s = ids.sparkSession
+    val f = hfs(s, labelDir)
+    val revDir = path(labelDir, s"revives/gen=$batchId")
+    if (f.exists(new org.apache.hadoop.fs.Path(revDir, "_SUCCESS"))) return
+    val p = pinnedParts(s, labelDir, parts)
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def hold(df: DataFrame) = { locals += df.persist(); df }
+    val upd = hold(ids.select(col("id")))
+    val old = hold(labelsAsOf(s, labelDir, Some(batchId)))
+    // third-party guard: drop new pairs whose OTHER endpoint is dead
+    // and not being revived by this very wave
+    val dead = deadIdsAsOf(s, labelDir, Some(batchId))
+      .join(upd, Seq("id"), "left_anti")
+    val wave = hold(pairs.select(col("da"), col("db"))
+      .join(dead.select(col("id").as("da")), Seq("da"), "left_anti")
+      .join(dead.select(col("id").as("db")), Seq("db"), "left_anti")
+      .select(col("da"), col("db")))
+    // pair-log append FIRST (the mergeBatch discipline — the revives
+    // marker is the commit point, everything earlier replays)
+    val logDir = path(labelDir, s"pairlog/gen=$batchId")
+    if (!f.exists(new org.apache.hadoop.fs.Path(logDir, "_SUCCESS")))
+      wave.write.mode("overwrite").parquet(logDir.toString)
+    val afterDel = graft.ops.Dedup.deleteLabels(
+      old, livePairsAsOf(s, labelDir, Some(batchId)), upd, track = hold)
+    val merged = hold(graft.ops.Dedup.mergeLabels(afterDel, wave, track = hold)
+      .withColumn("part", pmod(col("id"), lit(p.toLong))))
+    // touched buckets: any row that is gone, fresh, or relabeled
+    // between old and merged — both directions probed (a delete can
+    // empty a bucket the merge never refills)
+    val touched = old
+      .join(merged.select(col("id"), col("lbl").as("nl")), Seq("id"), "full")
+      .filter(col("lbl").isNull || col("nl").isNull || col("nl") =!= col("lbl"))
+      .select(pmod(col("id"), lit(p.toLong)).as("part")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    merged.filter(if (touched.isEmpty) lit(false)
+        else col("part").isin(touched.map(java.lang.Long.valueOf): _*))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(path(labelDir, s"gen=$batchId").toString)
+    // a bucket the update EMPTIED writes no dir under partitionBy — the
+    // explicit empty part dir masks the older copy (deleteBatch rule)
+    for (b <- touched) {
+      val pd = path(labelDir, s"gen=$batchId", s"part=$b")
+      if (!f.exists(pd)) f.mkdirs(pd)
+    }
+    upd.write.mode("overwrite").parquet(
+      path(labelDir, s"tombs/gen=$batchId").toString)
+    upd.write.mode("overwrite").parquet(revDir.toString)
     locals.foreach(_.unpersist(false))
     retireSuperseded(s, labelDir, batchId)
   }

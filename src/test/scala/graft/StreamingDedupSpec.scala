@@ -257,4 +257,107 @@ class StreamingDedupSpec extends AnyFunSuite {
     queries.releasePersisted()
     spark.catalog.clearCache()
   }
+
+  test("update waves: re-crawl kills old pairs, revives the doc, co-commits at one batchId") {
+    import spark.implicits._
+    import graft.streaming.StreamingLabels
+    val dir = java.nio.file.Files.createTempDirectory("graft_ulbl").toString
+    val P = 8
+    def allLabels(): Map[Long, Long] =
+      StreamingLabels.labels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def want(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.ops.Dedup.fromPairs(pairs.toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def livePairSet(): Set[(Long, Long)] =
+      StreamingLabels.livePairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def genParts(g: Long): Set[String] =
+      new java.io.File(s"$dir/gen=$g").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("part="))
+        .map(_.getName).toSet
+
+    // waves 1-3: the delete-then-stale-arrival preamble — doc 2 leaves,
+    // a late pair naming it must stay suppressed
+    StreamingLabels.mergeBatch(dir, P)(
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 7L)).toDF("da", "db"), 1L)
+    StreamingLabels.deleteBatch(dir, P)(Seq(2L).toDF("id"), 2L)
+    StreamingLabels.mergeBatch(dir, P)(Seq((2L, 9L)).toDF("da", "db"), 3L)
+    assert(allLabels() === want(Seq((3L, 4L), (5L, 6L))),
+      "stale arrival resurrected a tombstoned doc")
+
+    // wave 4: doc 2 RE-CRAWLED — new content pairs with 5. The update
+    // must admit the new pair while the pre-delete pairs (1,2)/(2,7)
+    // and the suppressed stale (2,9) stay dead.
+    StreamingLabels.updateBatch(dir, P)(
+      Seq(2L).toDF("id"), Seq((2L, 5L)).toDF("da", "db"), 4L)
+    assert(allLabels() === want(Seq((3L, 4L), (5L, 6L), (2L, 5L))),
+      "update wave did not revive the re-crawled doc with exactly its new pairs")
+    assert(livePairSet() === Set((3L, 4L), (5L, 6L), (2L, 5L)),
+      "generation-ordered liveness wrong after the update wave")
+    // touched buckets only: 2 is fresh, 5 and 6 relabel 5 -> 2
+    assert(genParts(4L) === Set("part=2", "part=5", "part=6"),
+      "update wave rewrote untouched buckets")
+
+    // wave 5: 2 is alive again — a fresh pair naming it must be ADMITTED
+    // (the ingestion filter consults revives, not just tombstones)
+    StreamingLabels.mergeBatch(dir, P)(Seq((2L, 11L)).toDF("da", "db"), 5L)
+    assert(allLabels() === want(Seq((3L, 4L), (5L, 6L), (2L, 5L), (2L, 11L))),
+      "post-revival arrival was wrongly suppressed")
+
+    // wave 6: update of a LIVE doc (4): old pair (3,4) dies — 3 drops
+    // pairless — and the new content pairs with fresh 13
+    StreamingLabels.updateBatch(dir, P)(
+      Seq(4L).toDF("id"), Seq((4L, 13L)).toDF("da", "db"), 6L)
+    val after6 = Seq((5L, 6L), (2L, 5L), (2L, 11L), (4L, 13L))
+    assert(allLabels() === want(after6),
+      "in-place update did not retract the old content's pairs")
+
+    // wave 7 deletes 6; wave 8 updates 13 whose only new pair names the
+    // DEAD 6 — the third-party guard drops it, and 13's own old pair
+    // (4,13) dies with the update: 4 and 13 both drop pairless
+    StreamingLabels.deleteBatch(dir, P)(Seq(6L).toDF("id"), 7L)
+    assert(allLabels() === want(Seq((2L, 5L), (2L, 11L), (4L, 13L))))
+    StreamingLabels.updateBatch(dir, P)(
+      Seq(13L).toDF("id"), Seq((13L, 6L)).toDF("da", "db"), 8L)
+    val after8 = Seq((2L, 5L), (2L, 11L))
+    assert(allLabels() === want(after8),
+      "an update resurrected a third party through its new pairs")
+
+    // crash window: revives lost after everything else landed — the
+    // replay must recompute identically and restore the marker
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/revives/gen=8"))
+    StreamingLabels.updateBatch(dir, P)(
+      Seq(13L).toDF("id"), Seq((13L, 6L)).toDF("da", "db"), 8L)
+    assert(allLabels() === want(after8), "crash-window update replay diverged")
+    assert(new java.io.File(s"$dir/revives/gen=8/_SUCCESS").exists())
+    // committed replay is a marker no-op
+    StreamingLabels.updateBatch(dir, P)(
+      Seq(13L).toDF("id"), Seq((13L, 6L)).toDF("da", "db"), 8L)
+    assert(allLabels() === want(after8))
+
+    // compaction materializes the generation-ordered filter and drops
+    // BOTH the tombstones and the revives
+    val lpBefore = livePairSet()
+    StreamingLabels.compactPairLog(spark, dir)
+    assert(!new java.io.File(s"$dir/tombs").exists())
+    assert(!new java.io.File(s"$dir/revives").exists(),
+      "compaction left the revives dirs")
+    spark.catalog.refreshByPath(s"$dir/pairlog")
+    assert(livePairSet() === lpBefore, "compaction changed the live pair set")
+    // the loop continues: an update wave off the compacted log
+    StreamingLabels.updateBatch(dir, P)(
+      Seq(11L).toDF("id"), Seq((11L, 5L)).toDF("da", "db"), 9L)
+    assert(allLabels() === want(Seq((2L, 5L), (11L, 5L))),
+      "post-compaction update wave diverged")
+    // the compacted log's pairs sit at gen=-1: the update's tombstone
+    // (gen 9) kills (2,11) there while the wave's own (11,5) survives
+    assert(livePairSet() === Set((2L, 5L), (11L, 5L)),
+      "generation-ordered liveness wrong against the compacted log")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }
