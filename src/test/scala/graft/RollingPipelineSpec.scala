@@ -174,6 +174,34 @@ class RollingPipelineSpec extends AnyFunSuite {
       assert(gPost === g154,
         "composed graph delete+compact diverged from batch q154")
 
+      // ---- re-crawl wave (round 13): an UPDATE flows through the
+      // label service. The streaming band state cannot retract old
+      // content (it would need the old text), so the update wave's
+      // pairs are re-derived as a batch probe over the updated corpus —
+      // q157's derivation — and folded with updateBatch. The service
+      // must land on the batch recompute over the UPDATED corpus.
+      val updIds = livePairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .sorted.take(3)
+      assert(updIds.nonEmpty, "no labeled doc to update — vacuous tail")
+      val docsU = graft.Tables.documents(spark, d).select(col("doc_id"),
+        when(col("doc_id").isin(updIds: _*), upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      val updPairsU = graft.queries.TextQueries.simhash64PairsOf(docsU)
+        .select(col("da"), col("db")).persist()
+      val wavePairs = updPairsU
+        .filter(col("da").isin(updIds: _*) || col("db").isin(updIds: _*))
+      StreamingLabels.updateBatch(labelDir)(
+        updIds.toSeq.toDF("id"), wavePairs, 100L)
+      val gotUpd = StreamingLabels.labels(spark, labelDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wantUpd = graft.ops.Dedup.fromPairs(updPairsU)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotUpd == wantUpd,
+        "re-crawl wave through the service diverged from the batch recompute over the updated corpus")
+      assert(gotUpd != wantLabels,
+        "update wave changed nothing — vacuous re-crawl")
+      updPairsU.unpersist(false)
+
       for (dir <- Seq(out, corpusCkpt, labelDir, lblCkpt, idxDir, gIdxDir))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       graft.queries.releasePersisted()
