@@ -3564,9 +3564,29 @@ object TextQueries {
     val docsU = documents(s, d).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong,
         upper(col("text"))).otherwise(col("text")).as("text"))
-    val newPairs = hold(simhash64PairsOf(docsU)
-      .filter(pmod(col("da"), lit(UpdMod.toLong)) === UpdRes.toLong ||
-        pmod(col("db"), lit(UpdMod.toLong)) === UpdRes.toLong)
+    // slice-touching pairs via the PROBE shape (slice bands against the
+    // full band table, candidate mass Σ occ_slice·occ instead of the
+    // full self-join's Σ occ² — the q72/StressR13 build/probe plan);
+    // the occupancy cap applies over the SAME whole-universe banding
+    // the full derivation uses, so the pair set is identical and the
+    // full-universe oracle verifies the shortcut
+    val sigU = hold(simhashSig(docsU))
+    val bandsU = hold(bandOccCapped(simhashBands(sigU)))
+    val sliceBands = bandsU
+      .filter(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong)
+    val cands = sliceBands.as("a").join(bandsU.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    val xa = sigU.select(col("doc_id").as("da") +:
+      SimhashMods.indices.map(b => col(s"b$b").as(s"xa$b")): _*)
+    val xb = sigU.select(col("doc_id").as("db") +:
+      SimhashMods.indices.map(b => col(s"b$b").as(s"xb$b")): _*)
+    val newPairs = hold(cands.join(xa, Seq("da")).join(xb, Seq("db"))
+      .withColumn("dist", simhashDist("xa", "xb"))
+      .filter(col("dist") <= SimhashMaxDist)
       .select(col("da"), col("db")))
     val merged = graft.ops.Dedup.mergeLabels(afterDel, newPairs, track = hold)
     val out = merged

@@ -173,4 +173,151 @@ object StreamingCorpus {
       }
       .start()
   }
+
+  // ---- row lifecycle: the corpus TABLE's delete (takedown/GDPR) and
+  // update (re-crawl) paths — the "separate pipeline stage" the index
+  // components defer corpus takedown to. Same semantics as
+  // StreamingLabels: generation-ordered liveness (a row written at
+  // batch b dies only to a STRICTLY LATER tombstone, t > b), so one
+  // batchId can co-commit an update's tombstones and its replacement
+  // rows, and the latest surviving version wins per doc. Ingest waves
+  // and lifecycle waves share ONE monotone batchId sequence per table
+  // (the StreamingLabels contract).
+
+  private def hfs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+
+  private def completeDirs(s: org.apache.spark.sql.SparkSession,
+      root: String, prefix: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = hfs(s, root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  /** The LIVE corpus view: per doc, the newest committed version that
+    * no strictly-later tombstone kills — `(doc_id, source, lang, text)`.
+    * A table with no lifecycle waves reads exactly as the plain
+    * append-only view did (every doc has one version, no tombstones).
+    *
+    * At scale this is merge-on-read: one per-doc argmax (invariant-8
+    * struct-max, map-side partial) over the committed batches plus a
+    * broadcast-sized tombstone join; [[compactCorpus]] materializes it
+    * back to one generation so the read cost stays bounded between
+    * compactions.
+    */
+  def liveCorpus(s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val dirs = completeDirs(s, s"$outDir/corpus", "batch_id=")
+    if (dirs.isEmpty)
+      return s.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), lit("").as("lang"), lit("").as("text"))
+    val rows = s.read.option("basePath", s"$outDir/corpus").parquet(dirs: _*)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("batch_id").cast("long").as("b"))
+    val tombDirs = completeDirs(s, s"$outDir/tombs", "gen=")
+    val alive = if (tombDirs.isEmpty) rows else {
+      val tombs = s.read.option("basePath", s"$outDir/tombs").parquet(tombDirs: _*)
+        .select(col("doc_id"), col("gen").cast("long").as("tgen"))
+        .groupBy(col("doc_id")).agg(max(col("tgen")).as("tgen"))
+      rows.join(tombs, Seq("doc_id"), "left")
+        .filter(col("tgen").isNull || col("tgen") <= col("b"))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"), col("b"))
+    }
+    alive.groupBy(col("doc_id"))
+      .agg(max(struct(col("b"), col("source"), col("lang"), col("text"))).as("v"))
+      .select(col("doc_id"), col("v.source").as("source"),
+        col("v.lang").as("lang"), col("v.text").as("text"))
+  }
+
+  /** Tombstone one wave of doc_ids (takedown / GDPR erasure): rows of
+    * every strictly-older batch stop serving at the next [[liveCorpus]]
+    * read; bytes leave the disk at [[compactCorpus]]. Idempotent on the
+    * `_SUCCESS` marker.
+    */
+  def deleteBatch(outDir: String)(ids: DataFrame, batchId: Long): Unit = {
+    val s = ids.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir/tombs/gen=$batchId")
+    val f = hfs(s, outDir)
+    if (f.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    ids.select(col("doc_id")).write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Fold one wave of RE-CRAWLED rows `(doc_id, source, lang, text)` in
+    * at one batchId: tombstones kill every older version, the new rows
+    * land in the same wave — and the shared quality gate applies to the
+    * NEW content, so an update whose re-crawled text fails the gate
+    * degrades to a takedown (its tombstone lands, no replacement row —
+    * the old, passing version must NOT resurface as latest). Commit
+    * point = the tombstone marker (last write); the row write before it
+    * replays idempotently.
+    */
+  def updateBatch(outDir: String)(rows: DataFrame, batchId: Long): Unit = {
+    val s = rows.sparkSession
+    val f = hfs(s, outDir)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$outDir/tombs/gen=$batchId")
+    if (f.exists(new org.apache.hadoop.fs.Path(tombDir, "_SUCCESS"))) return
+    val wave = rows.select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .persist()
+    wave.filter(graft.queries.PipelineQueries.qualityGate(col("text")))
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$outDir/corpus/batch_id=$batchId")
+    wave.select(col("doc_id"))
+      .write.mode("overwrite").parquet(tombDir.toString)
+    wave.unpersist(false)
+    ()
+  }
+
+  /** Digest-certified corpus compaction: materialize [[liveCorpus]]
+    * into ONE generation (`batch_id=-1`, below any future wave),
+    * certify by an order-independent row digest read back from the
+    * sink, swap with checked renames (rename-back recovery for a crash
+    * between the two renames), then drop the tombstones — bounding the
+    * merge-on-read cost and physically erasing tombstoned bytes (the
+    * GDPR half a lazy delete defers).
+    */
+  def compactCorpus(s: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
+    val f = hfs(s, outDir)
+    val liveP = new org.apache.hadoop.fs.Path(s"$outDir/corpus")
+    locally {
+      val oldP = new org.apache.hadoop.fs.Path(s"$outDir/corpus_old")
+      if (!f.exists(liveP) && f.exists(oldP)) f.rename(oldP, liveP)
+    }
+    if (!f.exists(liveP)) return
+    def digest(df: DataFrame): Long = df
+      .agg(coalesce(
+        pmod(
+          sum(hash(col("doc_id"), col("source"), col("lang"), col("text"))
+            .cast("decimal(38,0)")),
+          lit(1152921504606846976L).cast("decimal(38,0)")).cast("long"),
+        lit(0L)))
+      .collect()(0).getLong(0)
+    val before = digest(liveCorpus(s, outDir))
+    val newDir = s"$outDir/corpus_compacting/batch_id=-1"
+    liveCorpus(s, outDir)
+      .write.mode("overwrite").partitionBy("lang").parquet(newDir)
+    s.catalog.refreshByPath(newDir)
+    val after = digest(s.read.parquet(newDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")))
+    if (before != after)
+      throw new IllegalStateException(
+        s"corpus compaction digest mismatch: $before before, $after read back")
+    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path, rollback: => Unit = ()): Unit =
+      if (!f.rename(from, to)) {
+        rollback
+        throw new IllegalStateException(s"corpus swap: rename $from -> $to failed")
+      }
+    val oldP = new org.apache.hadoop.fs.Path(s"$outDir/corpus_old")
+    f.delete(oldP, true)
+    renameOrThrow(liveP, oldP)
+    renameOrThrow(new org.apache.hadoop.fs.Path(s"$outDir/corpus_compacting"), liveP,
+      rollback = f.rename(oldP, liveP))
+    f.delete(oldP, true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$outDir/tombs"), true)
+    s.catalog.refreshByPath(liveP.toString)
+  }
 }

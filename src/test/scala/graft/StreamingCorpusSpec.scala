@@ -120,4 +120,105 @@ class StreamingCorpusSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("corpus row lifecycle: takedown, re-crawl update, revival, compaction") {
+    import spark.implicits._
+    withRocks {
+      val out = Files.createTempDirectory("life_out").toString
+      val ckpt = Files.createTempDirectory("life_ckpt").toString
+      val docs = corpus()
+      implicit val sqlCtx = spark.sqlContext
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, String)]
+      val q = StreamingCorpus.ingest(
+        source.toDS().toDF("doc_id", "source", "lang", "text"), out, ckpt)
+      try { source.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+
+      def live(): Map[Long, (String, String, String)] =
+        StreamingCorpus.liveCorpus(spark, out).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+          .toMap
+      // no lifecycle waves: the latest-wins view IS the append-only view
+      val base = live()
+      val plain = spark.read.parquet(s"$out/corpus")
+        .select(col("doc_id"), col("source"), col("lang"), col("text")).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+        .toMap
+      assert(base === plain, "liveCorpus diverges from the plain read pre-lifecycle")
+      assert(base.size >= 5, "too few admitted docs to drive the lifecycle")
+
+      val ids = base.keySet.toSeq.sorted
+      val (updId, delId, revId) = (ids(0), ids(1), ids(2))
+      def passesGate(text: String): Boolean =
+        Seq(text).toDF("text")
+          .filter(graft.queries.PipelineQueries.qualityGate(col("text")))
+          .count() == 1
+      // the failing text must fail the SHARED gate (pure repetition)
+      val badText = Array.fill(24)("zz").mkString(" ")
+      assert(!passesGate(badText),
+        "chosen takedown text passes the quality gate — branch vacuous")
+
+      // one update wave: updId re-crawls to a passing text (another
+      // admitted doc's text — gate-passing by construction; repeating
+      // updId's own text would trip the rep2 gate), revId's re-crawl
+      // FAILS the gate and must degrade to a takedown
+      val goodText = base(ids(3))._3
+      assert(passesGate(goodText) && goodText != base(updId)._3)
+      StreamingCorpus.updateBatch(out)(Seq(
+        (updId, base(updId)._1, base(updId)._2, goodText),
+        (revId, base(revId)._1, base(revId)._2, badText)).toDF(
+        "doc_id", "source", "lang", "text"), 100L)
+      val after100 = live()
+      assert(after100(updId)._3 === goodText, "update did not replace the text")
+      assert(!after100.contains(revId),
+        "a failing-gate re-crawl left the OLD version serving — takedown degradation broken")
+      assert(after100.size === base.size - 1)
+
+      // plain takedown
+      StreamingCorpus.deleteBatch(out)(Seq(delId).toDF("doc_id"), 101L)
+      assert(!live().contains(delId), "tombstoned doc still serving")
+
+      // revival: a LATER update of the taken-down doc wins by gen order
+      val revText = base(ids(4))._3
+      assert(passesGate(revText) && revText != base(revId)._3)
+      StreamingCorpus.updateBatch(out)(Seq(
+        (revId, base(revId)._1, base(revId)._2, revText)).toDF(
+        "doc_id", "source", "lang", "text"), 102L)
+      assert(live()(revId)._3 === revText, "revival did not serve the new version")
+
+      // committed replay is a marker no-op; crash window (tombs lost
+      // after the rows landed) replays into an identical wave
+      StreamingCorpus.updateBatch(out)(Seq(
+        (revId, base(revId)._1, base(revId)._2, revText)).toDF(
+        "doc_id", "source", "lang", "text"), 102L)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$out/tombs/gen=102"))
+      StreamingCorpus.updateBatch(out)(Seq(
+        (revId, base(revId)._1, base(revId)._2, revText)).toDF(
+        "doc_id", "source", "lang", "text"), 102L)
+      val preCompact = live()
+      assert(preCompact(revId)._3 === revText, "crash-window update replay diverged")
+
+      // digest-certified compaction: one generation left, tombstoned
+      // bytes gone from disk, view unchanged
+      StreamingCorpus.compactCorpus(spark, out)
+      assert(!new java.io.File(s"$out/tombs").exists(), "compaction left tombstones")
+      val gens = new java.io.File(s"$out/corpus").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
+      assert(gens.toSeq === Seq("batch_id=-1"), s"compaction left generations: ${gens.toSeq}")
+      spark.catalog.refreshByPath(s"$out/corpus")
+      assert(live() === preCompact, "compaction changed the served view")
+      val rawIds = spark.read.parquet(s"$out/corpus").select(col("doc_id"))
+        .as[Long].collect()
+      assert(!rawIds.contains(delId) && rawIds.length === rawIds.distinct.length,
+        "tombstoned bytes survived compaction or a doc kept two versions")
+
+      // the loop continues off the compacted table
+      StreamingCorpus.deleteBatch(out)(Seq(updId).toDF("doc_id"), 103L)
+      assert(!live().contains(updId), "post-compaction delete wave diverged")
+
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
