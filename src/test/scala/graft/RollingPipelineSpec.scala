@@ -202,6 +202,52 @@ class RollingPipelineSpec extends AnyFunSuite {
         "update wave changed nothing — vacuous re-crawl")
       updPairsU.unpersist(false)
 
+      // ---- the corpus side of the re-crawl, coherently: a re-crawl
+      // whose new content DUPLICATES an existing corpus doc flows
+      // through BOTH tables — the corpus serves the new text, the label
+      // service verifies the new near-dup pair, the admitted∩dup
+      // invariant is now violated BY CONSTRUCTION and the violation is
+      // detectable from exactly the state the system holds, and a
+      // takedown wave restores it.
+      val corpusIds = gotIds.toSeq.sorted.filterNot(updIds.contains)
+      val (ca, cb) = (corpusIds(0), corpusIds(1))
+      val donorText = docs.find(_._1 == cb).get._4
+      val caRow = docs.find(_._1 == ca).get
+      StreamingCorpus.updateBatch(out)(
+        Seq((ca, caRow._2, caRow._3, donorText)).toDF(
+          "doc_id", "source", "lang", "text"), 200L)
+      val live2 = StreamingCorpus.liveCorpus(spark, out).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(live2(ca) === donorText, "corpus re-crawl did not serve the new text")
+      // the label service sees the same universe: wave-100 transforms
+      // plus ca carrying cb's text — its new pairs must include (ca, cb)
+      val docsU2 = docsU.select(col("doc_id"),
+        when(col("doc_id") === ca, donorText).otherwise(col("text")).as("text"))
+      val wavePairs2 = graft.queries.TextQueries.simhash64PairsOf(docsU2)
+        .select(col("da"), col("db"))
+        .filter(col("da") === ca || col("db") === ca)
+      StreamingLabels.updateBatch(labelDir)(Seq(ca).toDF("id"), wavePairs2, 101L)
+      val pairsNow = StreamingLabels.livePairs(spark, labelDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsNow.contains((math.min(ca, cb), math.max(ca, cb))),
+        "the duplicate-introducing re-crawl produced no verified pair")
+      // service invariant after any wave mix: labels ≡ CC of the live log
+      val lblNow = StreamingLabels.labels(spark, labelDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ccNow = graft.ops.Dedup.fromPairs(
+          pairsNow.toSeq.toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lblNow == ccNow, "labels diverged from the live pair log's components")
+      // detect the violation from held state, resolve by takedown
+      val liveIds2 = live2.keySet
+      val violations = pairsNow.filter(p => liveIds2(p._1) && liveIds2(p._2))
+      assert(violations.nonEmpty, "duplicate admission not detectable — vacuous")
+      StreamingCorpus.deleteBatch(out)(Seq(ca).toDF("doc_id"), 201L)
+      val live3 = StreamingCorpus.liveCorpus(spark, out).collect()
+        .map(_.getLong(0)).toSet
+      assert(pairsNow.forall(p => !(live3(p._1) && live3(p._2))),
+        "takedown did not restore the admitted-dup invariant")
+
       for (dir <- Seq(out, corpusCkpt, labelDir, lblCkpt, idxDir, gIdxDir))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       graft.queries.releasePersisted()
