@@ -1445,6 +1445,97 @@ object PipelineQueries {
     statsRetractCore(docs, tracked)
   }
 
+  /** The q159 update-maintenance core over an arbitrary doc-stats frame
+    * `(source, n_chars, nt, upd, u_nc, u_nt)` — old and new per-doc
+    * stats side by side, factored so the spec can drive the
+    * corpus-dormant branches (untouched source, new-content maximum,
+    * fully-updated source) through the same plan on synthetic frames
+    * (the q153/statsRetractCore discipline).
+    */
+  private[graft] def statsUpdateCore(docs: org.apache.spark.sql.DataFrame,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dd = hold(docs)
+    // the state a pipeline HOLDS between waves: full-corpus partials
+    val held = dd.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        min(col("n_chars")).as("min_nc"), max(col("n_chars")).as("max_nc"))
+    // ONE wave aggregation carries both the retired and the fresh
+    // partials (the update reads its own wave once)
+    val wave = dd.filter(col("upd")).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_updated"),
+        sum(col("nt")).as("old_tokens"), min(col("n_chars")).as("omn"),
+        max(col("n_chars")).as("omx"),
+        sum(col("u_nt")).as("new_tokens"), min(col("u_nc")).as("nmn"),
+        max(col("u_nc")).as("nmx"))
+    val joined = held.join(wave, Seq("source"), "left")
+      .withColumn("sum_live", col("sum_tokens")
+        - coalesce(col("old_tokens"), lit(0L)) + coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("min_hit", coalesce(col("omn") === col("min_nc"), lit(false)))
+      .withColumn("max_hit", coalesce(col("omx") === col("max_nc"), lit(false)))
+    // group-scoped rescan of the UNCHANGED rows, only where the old
+    // extreme was attained by an updated doc (the q153 discipline; the
+    // new content's own extremes come from the wave partials, so the
+    // rescan never reads updated rows)
+    val rescanSrc = joined.filter(col("min_hit") || col("max_hit"))
+      .select(col("source"))
+    val rescanned = dd.filter(!col("upd"))
+      .join(rescanSrc, Seq("source"), "left_semi")
+      .groupBy(col("source"))
+      .agg(min(col("n_chars")).as("live_min"), max(col("n_chars")).as("live_max"))
+    // final extreme = extreme over (unchanged base, new content) — the
+    // base is NULL for a fully-updated rescan source and the new side
+    // is NULL for an untouched source, so both least/greatest arguments
+    // coalesce against each other (Spark least skips nulls but DuckDB
+    // propagates — invariant: coalesce args first, CLAUDE.md r3)
+    val baseMin = when(col("min_hit"), col("live_min")).otherwise(col("min_nc"))
+    val baseMax = when(col("max_hit"), col("live_max")).otherwise(col("max_nc"))
+    joined.join(rescanned, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sum_live").as("sum_tokens"),
+        least(coalesce(baseMin, col("nmn")), coalesce(col("nmn"), baseMin)).as("min_nc"),
+        greatest(coalesce(baseMax, col("nmx")), coalesce(col("nmx"), baseMax)).as("max_nc"),
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        col("min_hit").cast("int").as("rescanned_min"),
+        col("max_hit").cast("int").as("rescanned_max"))
+      .orderBy(col("source"))
+  }
+
+  /** EXT — aggregate maintenance under UPDATE (the q153 delete-twin's
+    * re-crawl counterpart, completing the maintained-stats lifecycle:
+    * q111 merges arrivals, q153 retracts deletions, this folds a
+    * content-update wave — doc count unchanged, sums subtract the old
+    * partials and add the new, min/max rescan ONLY the sources whose
+    * old extreme was attained by an updated doc, with the new content's
+    * own extremes folded from the wave partials, never a corpus scan).
+    * The update slice is q152/q153's seeded ~12.8% hash slice; new
+    * content = the first half of the text (re-crawl returning a
+    * truncated page — deterministic, length-changing; upper() would be
+    * stats-vacuous). Measured before wiring: 3–4 min-rescans and 1–3
+    * max-rescans per SF fire, the new content sets 9–20 source minima,
+    * every source is touched (untouched-source and new-maximum branches
+    * are corpus-dormant — RetractSpec drives them synthetically through
+    * the same core).
+    *
+    * The ORACLE recomputes everything from the updated corpus in one
+    * pass with no maintenance anywhere — the hash match machine-proves
+    * subtract-add-and-scoped-rescan ≡ recompute-on-updated.
+    *
+    * Scale shape: held stats are |sources| rows; the wave aggregation
+    * reads only updated rows; the rescan reads only the affected
+    * sources' unchanged rows (partition-pruned by source at 100 TB).
+    */
+  val q159StatsUpdate: Q = (s, d) => {
+    val half = expr("substring(text, 1, length(text) DIV 2)")
+    val docs = documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        (TextQueries.priorityHashOn(col("doc_id")) <
+          lit(TextQueries.DeleteBound)).as("upd"),
+        length(half).cast("long").as("u_nc"),
+        size(split(half, " ")).cast("long").as("u_nt"))
+    statsUpdateCore(docs, tracked)
+  }
+
   /** HDR/DDSketch geometry: [[HdrSub]] linear sub-buckets per power-of-2
     * bucket → relative error ≤ 1/(2·[[HdrSub]]) ≈ 3% on every reported
     * quantile bound; [[HdrShards]] partial sketches prove the merge law
@@ -2191,6 +2282,7 @@ object PipelineQueries {
     "q83_kmv_distinct" -> q83KmvDistinct,
     "q111_incremental_merge" -> q111IncrementalMerge,
     "q153_stats_retract" -> q153StatsRetract,
+    "q159_stats_update" -> q159StatsUpdate,
     "q113_quantile_norm" -> q113QuantileNorm,
     "q119_hdr_quantile" -> q119HdrQuantile,
     "q130_shard_balance" -> q130ShardBalance,
@@ -2381,6 +2473,7 @@ object PipelineQueries {
     "q83_kmv_distinct" -> q83OracleSql,
     "q111_incremental_merge" -> q111OracleSql,
     "q153_stats_retract" -> q153OracleSql,
+    "q159_stats_update" -> q159OracleSql,
     "q119_hdr_quantile" -> q119OracleSql,
     "q133_zorder_layout" ->
       s"""WITH m133 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
@@ -2987,6 +3080,38 @@ object PipelineQueries {
       |  CAST(CASE WHEN del.dmx = h.mx_all THEN 1 ELSE 0 END AS INT) AS rescanned_max
       |FROM liv153 l JOIN held153 h USING (source)
       |LEFT JOIN del153 del USING (source)
+      |ORDER BY l.source""".stripMargin
+
+  /** q159's oracle: one pass over the UPDATED corpus (per-row CASE on
+    * the update flag), no maintenance anywhere; the rescan flags mirror
+    * the maintenance decision recomputed independently from the raw
+    * table (the q153 discipline).
+    */
+  private def q159OracleSql: String =
+    s"""WITH d159 AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    ${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound} AS upd,
+      |    CAST(length(substr(text, 1, length(text) // 2)) AS BIGINT) AS u_nc,
+      |    CAST(len(string_split(substr(text, 1, length(text) // 2), ' ')) AS BIGINT) AS u_nt
+      |  FROM documents),
+      |liv159 AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN upd THEN u_nt ELSE nt END) AS BIGINT) AS sum_tokens,
+      |    min(CASE WHEN upd THEN u_nc ELSE n_chars END) AS min_nc,
+      |    max(CASE WHEN upd THEN u_nc ELSE n_chars END) AS max_nc,
+      |    CAST(count(*) FILTER (upd) AS BIGINT) AS n_updated
+      |  FROM d159 GROUP BY source),
+      |held159 AS (
+      |  SELECT source, min(n_chars) AS mn_all, max(n_chars) AS mx_all
+      |  FROM d159 GROUP BY source),
+      |wv159 AS (
+      |  SELECT source, min(n_chars) AS omn, max(n_chars) AS omx
+      |  FROM d159 WHERE upd GROUP BY source)
+      |SELECT l.source, l.n_docs, l.sum_tokens, l.min_nc, l.max_nc, l.n_updated,
+      |  CAST(CASE WHEN w.omn = h.mn_all THEN 1 ELSE 0 END AS INT) AS rescanned_min,
+      |  CAST(CASE WHEN w.omx = h.mx_all THEN 1 ELSE 0 END AS INT) AS rescanned_max
+      |FROM liv159 l JOIN held159 h USING (source) LEFT JOIN wv159 w USING (source)
       |ORDER BY l.source""".stripMargin
 
   private def q86OracleSql: String =
