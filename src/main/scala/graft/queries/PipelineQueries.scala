@@ -2185,15 +2185,22 @@ object PipelineQueries {
     * sha — the q30 scale shape at chunk cardinality; the output is
     * dup-population-sized, never corpus-sized.
     */
+  /** The q94/q99 chunk-sha derivation over an arbitrary `(doc_id,
+    * text)` frame — q160 re-derives ONLY the update slice's chunks
+    * through it, so it must be corpus-parameterized.
+    */
+  private def chunkShas(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .withColumn("nc", expr(s"(size(toks) - 1) div $ChunkS"))
+    .select(col("doc_id"), col("toks"),
+      explode(sequence(lit(0), col("nc"))).as("chunk_id"))
+    .select(col("doc_id"), col("chunk_id"),
+      sha2(array_join(
+        slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW)), " "), 256).as("h"))
+
   val q99ChunkDedup: Q = (s, d) => {
-    val chunks = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("nc", expr(s"(size(toks) - 1) div $ChunkS"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), col("nc"))).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        sha2(array_join(
-          slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW)), " "), 256).as("h"))
+    val chunks = chunkShas(documents(s, d).select(col("doc_id"), col("text")))
     chunks.groupBy(col("h"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -2203,6 +2210,82 @@ object PipelineQueries {
         col("m.kd").as("keep_doc"), col("m.kc").cast("int").as("keep_chunk"))
       .orderBy(col("h"))
   }
+
+  /** EXT — chunk-index maintenance under UPDATE (the re-crawl wave at
+    * the RAG index's grain, completing the update lifecycle across
+    * every derived artifact: labels q157, corpus rows, stats q159, and
+    * now the q94/q99 chunk table): chunk derivation is per-doc, so the
+    * wave re-chunks ONLY the updated slice (old chunks retract, new
+    * content's chunks insert), and the GROUP state (copies, distinct
+    * docs, keeper) — where min/countDistinct do not retract — recomputes
+    * group-scoped: exactly the shas the wave touched re-aggregate from
+    * the held chunk index's surviving members plus the new members
+    * (the q149 component-scoped discipline at group grain); untouched
+    * groups pass through an anti-join byte-unchanged. Output = the
+    * post-update dup groups (q99's shape) plus `touched` and
+    * `keeper_changed` flags. Measured before wiring: the wave changes
+    * 4–8 dup groups, kills 3–7 (copies drop below 2), and flips 1
+    * keeper at each SF; group BIRTH is corpus-dormant (a truncated
+    * re-crawl only removes chunks — halved text's chunks are prefixes
+    * of the old ones) — ChunkUpdateSpec drives it synthetically.
+    *
+    * The ORACLE recomputes the groups from the updated corpus with no
+    * maintenance anywhere, flags mirrored from independent recomputes
+    * of both universes.
+    *
+    * Scale shape: the wave scan reads the slice twice (old text from
+    * the corpus table, new from the wave); the regroup reads only
+    * touched shas' members (at 100 TB: the chunk index is sha-keyed, a
+    * partition-pruned read); untouched groups never leave their files.
+    */
+  /** The q160 maintenance core over an arbitrary `(doc_id, text, upd,
+    * new_text)` frame — factored so the spec can drive the
+    * corpus-dormant group-BIRTH branch (two docs re-crawled into the
+    * same new content) through the same plan on a synthetic frame.
+    */
+  private[graft] def chunkUpdateCore(docs: org.apache.spark.sql.DataFrame,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dd = hold(docs)
+    val updIds = dd.filter(col("upd")).select(col("doc_id"))
+    val heldChunks = hold(chunkShas(dd.select(col("doc_id"), col("text"))))
+    val held = hold(heldChunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id").as("kd"), col("chunk_id").as("kc"))).as("m")))
+    val newW = hold(chunkShas(dd.filter(col("upd"))
+      .select(col("doc_id"), col("new_text").as("text"))))
+    val touched = hold(heldChunks.join(updIds, Seq("doc_id"), "left_semi")
+      .select(col("h"))
+      .union(newW.select(col("h"))).distinct())
+    val regroup = heldChunks.join(touched, Seq("h"), "left_semi")
+      .join(updIds, Seq("doc_id"), "left_anti")
+      .unionByName(newW)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id").as("kd"), col("chunk_id").as("kc"))).as("m"))
+      .join(held.select(col("h"), col("m").as("om")), Seq("h"), "left")
+      .select(col("h"), col("n_copies"), col("n_docs"), col("m"),
+        lit(1).as("touched"),
+        when(col("om").isNotNull && !(col("om") <=> col("m")), 1)
+          .otherwise(0).as("keeper_changed"))
+    val untouched = held.join(touched, Seq("h"), "left_anti")
+      .select(col("h"), col("n_copies"), col("n_docs"), col("m"),
+        lit(0).as("touched"), lit(0).as("keeper_changed"))
+    regroup.unionByName(untouched)
+      .filter(col("n_copies") > 1)
+      .select(col("h"), col("n_copies"), col("n_docs"),
+        col("m.kd").as("keep_doc"), col("m.kc").cast("int").as("keep_chunk"),
+        col("touched"), col("keeper_changed"))
+      .orderBy(col("h"))
+  }
+
+  val q160ChunkUpdate: Q = (s, d) =>
+    chunkUpdateCore(documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (TextQueries.priorityHashOn(col("doc_id")) <
+          lit(TextQueries.DeleteBound)).as("upd"),
+        expr("substring(text, 1, length(text) DIV 2)").as("new_text")),
+      tracked)
 
   /** Coverage checkpoints for [[q100VocabCoverage]] (vocab-sizing
     * sweep; the largest overshoots the sf0.01 type count so the
@@ -2293,6 +2376,7 @@ object PipelineQueries {
     "q88_bloom_decontam" -> q88BloomDecontam,
     "q89_priority_sample" -> q89PrioritySample,
     "q99_chunk_dedup"   -> q99ChunkDedup,
+    "q160_chunk_update" -> q160ChunkUpdate,
     "q100_vocab_coverage" -> q100VocabCoverage,
   )
 
@@ -2408,6 +2492,57 @@ object PipelineQueries {
         |  CAST(r.chunk_id AS INT) AS keep_chunk
         |FROM agg a JOIN rk r ON a.h = r.h AND r.rn = 1
         |ORDER BY a.h""".stripMargin,
+    "q160_chunk_update" ->
+      // the oracle recomputes the groups from the UPDATED corpus with no
+      // maintenance anywhere; the flags mirror independent recomputes of
+      // both universes (keeper convention = rn 1 over (doc_id, chunk_id),
+      // the q99 min-struct twin)
+      s"""WITH t160 AS (
+        |  SELECT doc_id, text,
+        |    ${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound} AS upd
+        |  FROM documents),
+        |co160 AS MATERIALIZED (
+        |  SELECT doc_id, g.i AS chunk_id,
+        |    sha256(array_to_string(list_slice(toks, g.i * $ChunkS + 1, g.i * $ChunkS + $ChunkW), ' ')) AS h,
+        |    upd
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks, upd FROM t160),
+        |    LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $ChunkS)) AS i) g),
+        |cu160 AS MATERIALIZED (
+        |  SELECT doc_id, g.i AS chunk_id,
+        |    sha256(array_to_string(list_slice(toks, g.i * $ChunkS + 1, g.i * $ChunkS + $ChunkW), ' ')) AS h,
+        |    upd
+        |  FROM (SELECT doc_id,
+        |          string_split(CASE WHEN upd THEN substr(text, 1, length(text) // 2) ELSE text END, ' ') AS toks,
+        |          upd
+        |        FROM t160),
+        |    LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $ChunkS)) AS i) g),
+        |tch160 AS (
+        |  SELECT DISTINCT h FROM (
+        |    SELECT h FROM co160 WHERE upd UNION ALL SELECT h FROM cu160 WHERE upd)),
+        |ko160 AS (
+        |  SELECT h, doc_id, chunk_id FROM (
+        |    SELECT h, doc_id, chunk_id,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+        |    FROM co160) WHERE rn = 1),
+        |ru160 AS (
+        |  SELECT h, doc_id, chunk_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+        |  FROM cu160),
+        |gu160 AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM cu160 GROUP BY h HAVING count(*) > 1)
+        |SELECT g.h, g.n_copies, g.n_docs, r.doc_id AS keep_doc,
+        |  CAST(r.chunk_id AS INT) AS keep_chunk,
+        |  CAST(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS touched,
+        |  CAST(CASE WHEN t.h IS NOT NULL AND k.h IS NOT NULL
+        |    AND (k.doc_id <> r.doc_id OR k.chunk_id <> r.chunk_id)
+        |    THEN 1 ELSE 0 END AS INT) AS keeper_changed
+        |FROM gu160 g
+        |JOIN ru160 r ON g.h = r.h AND r.rn = 1
+        |LEFT JOIN tch160 t ON g.h = t.h
+        |LEFT JOIN ko160 k ON g.h = k.h
+        |ORDER BY g.h""".stripMargin,
     "q100_vocab_coverage" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (
