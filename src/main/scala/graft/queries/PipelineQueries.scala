@@ -1751,6 +1751,93 @@ object PipelineQueries {
       .orderBy(col("grp"))
   }
 
+  /** The q161 retraction core over an arbitrary `(grp, vc, dead)` frame
+    * (value in integer cents, deletion flag) — factored so the spec can
+    * drive the corpus-dormant branches (a deletion that moves the p99
+    * bracket, a group that empties) on synthetic frames.
+    */
+  private[graft] def hdrRetractCore(rows: org.apache.spark.sql.DataFrame,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = hold(rows
+      .filter(col("vc") >= 1)
+      .withColumn("bl", length(bin(col("vc"))))
+      .withColumn("lo", expr("shiftleft(CAST(1 AS BIGINT), bl - 1)"))
+      .withColumn("bin", col("bl").cast("long") * HdrSub
+        + expr(s"((vc - lo) * $HdrSub) DIV lo")))
+    // the state a pipeline HOLDS: merged per-(grp, bin) counts
+    val held = hold(binned.groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("c")))
+    // the delete wave's partials — bin counts RETRACT by subtraction
+    // (exactly where KMV/min-k cannot, the q153 exclusion made good)
+    val wave = binned.filter(col("dead")).groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("dc"))
+    val live = hold(held.join(wave, Seq("grp", "bin"), "left")
+      .withColumn("lc", col("c") - coalesce(col("dc"), lit(0L)))
+      .withColumn("dropped", (col("lc") === 0L).cast("long")))
+    def brackets(src: org.apache.spark.sql.DataFrame, ccol: String,
+        suffix: String) = {
+      val wcum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("grp"))
+      val cum = src.filter(col(ccol) > 0)
+        .withColumn("cum", sum(col(ccol)).over(wcum))
+        .withColumn("n", sum(col(ccol)).over(wall))
+      def qbin(p: Int) =
+        min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("bin")))
+          .as(s"b$p$suffix")
+      cum.groupBy(col("grp"))
+        .agg(max(col("n")).as(s"n$suffix"), count(lit(1)).as(s"n_bins$suffix"),
+          qbin(50), qbin(90), qbin(99))
+    }
+    def binLo(b: String) = expr(
+      s"shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)" +
+        s" + (($b % $HdrSub) * shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)) DIV $HdrSub")
+    val dropStats = live.groupBy(col("grp"))
+      .agg(sum(col("dropped")).as("bins_dropped"),
+        sum(coalesce(col("dc"), lit(0L))).as("n_del"))
+    brackets(live.withColumnRenamed("lc", "c2"), "c2", "")
+      .join(brackets(held, "c", "_h"), Seq("grp"))
+      .join(dropStats, Seq("grp"))
+      .select(col("grp"), col("n"), col("n_bins"), col("n_del"),
+        col("bins_dropped"),
+        binLo("b50").as("p50_lo"), binLo("(b50 + 1)").as("p50_hi"),
+        binLo("b90").as("p90_lo"), binLo("(b90 + 1)").as("p90_hi"),
+        binLo("b99").as("p99_lo"), binLo("(b99 + 1)").as("p99_hi"),
+        (col("b50") =!= col("b50_h")).cast("int").as("moved50"),
+        (col("b90") =!= col("b90_h")).cast("int").as("moved90"),
+        (col("b99") =!= col("b99_h")).cast("int").as("moved99"))
+      .orderBy(col("grp"))
+  }
+
+  /** EXT — quantile-SKETCH maintenance under deletion: the HDR/DDSketch
+    * state (q119) retracts algebraically — bin counts subtract the
+    * delete wave's partials, emptied bins drop — exactly the sketch
+    * family where retraction IS possible (q153 had to exclude KMV:
+    * min-k cannot retract; HDR can, and this query machine-proves it).
+    * Readout = q119's guaranteed-bracket quantiles over the LIVE
+    * sketch, plus the wave's footprint (n_del, bins_dropped) and
+    * moved50/90/99 flags vs the held sketch. Delete slice = the seeded
+    * hash slice on o_orderkey. Measured before wiring: 14–18 bins drop
+    * and the p50 bracket moves for one group per SF; p99 never moves
+    * under a 12.8% uniform deletion (dormant — HdrRetractSpec moves it
+    * synthetically with a tail-concentrated delete).
+    *
+    * The ORACLE rebuilds both sketches from scratch (live rows for the
+    * readout, all rows for the flags) with no subtraction anywhere.
+    *
+    * Scale shape: the sketch is O(bins) state per group; the wave
+    * aggregation reads only deleted rows; nothing else rescans.
+    */
+  val q161HdrRetract: Q = (s, d) =>
+    hdrRetractCore(orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        cents(col("o_totalprice")).as("vc"),
+        (TextQueries.priorityHashOn(col("o_orderkey")) <
+          lit(TextQueries.DeleteBound)).as("dead")),
+      tracked)
+
   /** EXT — cross-source quantile normalization (quantile matching): map
     * each doc's per-source token-count rank onto the GLOBAL length
     * distribution — norm(doc) = the global value at rank
@@ -2368,6 +2455,7 @@ object PipelineQueries {
     "q159_stats_update" -> q159StatsUpdate,
     "q113_quantile_norm" -> q113QuantileNorm,
     "q119_hdr_quantile" -> q119HdrQuantile,
+    "q161_hdr_retract" -> q161HdrRetract,
     "q130_shard_balance" -> q130ShardBalance,
     "q133_zorder_layout" -> q133ZorderLayout,
     "q116_drift_ks" -> q116DriftKs,
@@ -2610,6 +2698,7 @@ object PipelineQueries {
     "q153_stats_retract" -> q153OracleSql,
     "q159_stats_update" -> q159OracleSql,
     "q119_hdr_quantile" -> q119OracleSql,
+    "q161_hdr_retract" -> q161OracleSql,
     "q133_zorder_layout" ->
       s"""WITH m133 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
         |b133 AS (
@@ -3155,6 +3244,64 @@ object PipelineQueries {
       |  ${binLo("b90")} AS p90_lo, ${binLo("(b90 + 1)")} AS p90_hi,
       |  ${binLo("b99")} AS p99_lo, ${binLo("(b99 + 1)")} AS p99_hi
       |FROM sel119 ORDER BY grp""".stripMargin
+  }
+
+  /** q161's oracle: BOTH sketches rebuilt from scratch — the live one
+    * from surviving rows (the readout), the held one from all rows (the
+    * moved flags) — with no subtraction anywhere, so the hash match
+    * proves bin-retraction ≡ recompute-on-live, including which bins
+    * empty and which brackets move.
+    */
+  private def q161OracleSql: String = {
+    def binLo(b: String) =
+      s"(CAST(1 AS BIGINT) << (CAST($b // $HdrSub AS INT) - 1))" +
+        s" + (($b % $HdrSub) * (CAST(1 AS BIGINT) << (CAST($b // $HdrSub AS INT) - 1))) // $HdrSub"
+    def sel(src: String, ccol: String, out: String, suffix: String) =
+      s"""cum$out AS (
+        |  SELECT grp, bin, $ccol AS c,
+        |    sum($ccol) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        |    sum($ccol) OVER (PARTITION BY grp) AS n
+        |  FROM $src WHERE $ccol > 0),
+        |sel$out AS (
+        |  SELECT grp, CAST(max(n) AS BIGINT) AS n$suffix,
+        |    CAST(count(*) AS BIGINT) AS n_bins$suffix,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50$suffix,
+        |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS b90$suffix,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99$suffix
+        |  FROM cum$out GROUP BY grp),
+        |""".stripMargin
+    s"""WITH b161 AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS vc,
+      |    ${TextQueries.priorityHashSqlOn("o_orderkey")} < ${TextQueries.DeleteBound} AS dead
+      |  FROM orders),
+      |bin161 AS (
+      |  SELECT grp, dead,
+      |    CAST(length(format('{:b}', vc)) AS BIGINT) * $HdrSub
+      |      + ((vc - (CAST(1 AS BIGINT) << (CAST(length(format('{:b}', vc)) AS INT) - 1))) * $HdrSub)
+      |        // (CAST(1 AS BIGINT) << (CAST(length(format('{:b}', vc)) AS INT) - 1)) AS bin
+      |  FROM b161 WHERE vc >= 1),
+      |hb161 AS (
+      |  SELECT grp, bin, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(count(*) FILTER (dead) AS BIGINT) AS dc
+      |  FROM bin161 GROUP BY grp, bin),
+      |lb161 AS (SELECT grp, bin, c - dc AS lc FROM hb161),
+      |ds161 AS (
+      |  SELECT grp, CAST(sum(CASE WHEN c = dc THEN 1 ELSE 0 END) AS BIGINT) AS bins_dropped,
+      |    CAST(sum(dc) AS BIGINT) AS n_del
+      |  FROM hb161 GROUP BY grp),
+      |""".stripMargin +
+      sel("lb161", "lc", "l161", "") + sel("hb161", "c", "h161", "_h") +
+      s"""fin161 AS (SELECT 1)
+      |SELECT l.grp, l.n, l.n_bins, d.n_del, d.bins_dropped,
+      |  ${binLo("b50")} AS p50_lo, ${binLo("(b50 + 1)")} AS p50_hi,
+      |  ${binLo("b90")} AS p90_lo, ${binLo("(b90 + 1)")} AS p90_hi,
+      |  ${binLo("b99")} AS p99_lo, ${binLo("(b99 + 1)")} AS p99_hi,
+      |  CAST(CASE WHEN l.b50 <> h.b50_h THEN 1 ELSE 0 END AS INT) AS moved50,
+      |  CAST(CASE WHEN l.b90 <> h.b90_h THEN 1 ELSE 0 END AS INT) AS moved90,
+      |  CAST(CASE WHEN l.b99 <> h.b99_h THEN 1 ELSE 0 END AS INT) AS moved99
+      |FROM sell161 l JOIN selh161 h USING (grp) JOIN ds161 d USING (grp)
+      |ORDER BY l.grp""".stripMargin
   }
 
   /** q111's oracle: the FULL recompute — one pass over the whole
