@@ -929,11 +929,19 @@ object PipelineQueries {
     * vocabulary — at a real merge count, re-persist every few rounds.
     */
   private def bpeTrain(s: SparkSession, d: String)
+      : (Vector[(Int, String, String, String, Long)], DataFrame) =
+    bpeTrainOn(s, documents(s, d))
+
+  /** [[bpeTrain]] over an arbitrary corpus frame — q162 trains the OLD
+    * tokenizer on the frozen generation and the refreshed one on the
+    * full corpus, so the trainer must be corpus-parameterized.
+    */
+  private def bpeTrainOn(s: SparkSession, docs: DataFrame)
       : (Vector[(Int, String, String, String, Long)], DataFrame) = {
     val enc0 = expr(
       s"array_join(transform(sequence(1, length(w)), i -> concat('$BpeSep', substring(w, i, 1), '$BpeSep')), '')")
     // the one heavy input: vocabulary aggregate over the corpus scan
-    var cur = tracked(documents(s, d)
+    var cur = tracked(docs
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"), enc0.as("enc")))
@@ -974,6 +982,38 @@ object PipelineQueries {
   val q67BpeTrain: Q = (s, d) => {
     import s.implicits._
     bpeTrain(s, d)._1.toDF("round", "a", "b", "merged", "weight").orderBy(col("round"))
+  }
+
+  /** EXT — tokenizer REFRESH audit (the q144 discipline for the third
+    * trained artifact: towers audit via q144, the ANN graph via
+    * q151/q154 — the tokenizer was the one trained artifact a corpus
+    * wave could silently drift away from): the OLD tokenizer trains on
+    * the frozen ⌊4n/5⌋ generation, the refreshed one on the full
+    * corpus, and the audit reads the two merge tables side by side —
+    * per round, both merges with weights and a `pair_changed` flag.
+    * This is the dashboard a pipeline owner reads before deciding to
+    * re-encode a corpus under a refreshed tokenizer. Measured before
+    * wiring: weights drift every round at every SF; the merge PAIRS
+    * drift at sf0.001 (rounds 2–3 swap) and sf0.1 (rounds 3, 4, and a
+    * genuinely different round-6 merge) and happen to agree at sf0.01 —
+    * the flag's live/zero expectations are spec-pinned per SF.
+    *
+    * At scale: two Lloyd-style driver-sequenced trainers over
+    * vocabulary-sized state (q67's shape, twice); the corpus text is
+    * scanned once per tower.
+    */
+  val q162BpeRefresh: Q = (s, d) => {
+    import s.implicits._
+    val cut = graft.Tables.rowCount(s, d, "documents") * 4 / 5
+    val oldM = bpeTrainOn(s, documents(s, d).filter(col("doc_id") < cut))._1
+    val newM = bpeTrainOn(s, documents(s, d))._1
+    // a tower that exhausts early truncates the audit to the common
+    // rounds (the oracle's per-round cross join mirrors this)
+    oldM.zip(newM).map { case ((r, oa, ob, _, ow), (_, na, nb, _, nw)) =>
+      (r, oa, ob, ow, na, nb, nw, if (oa != na || ob != nb) 1 else 0)
+    }.toDF("round", "old_a", "old_b", "old_weight",
+      "new_a", "new_b", "new_weight", "pair_changed")
+      .orderBy(col("round"))
   }
 
   /** EXT — BPE tokenizer APPLICATION: encode every document with the
@@ -2443,6 +2483,7 @@ object PipelineQueries {
     "q158_dsir_select" -> q158DsirSelect,
     "q66_source_overlap" -> q66SourceOverlap,
     "q67_bpe_train"     -> q67BpeTrain,
+    "q162_bpe_refresh"  -> q162BpeRefresh,
     "q68_bpe_encode"    -> q68BpeEncode,
     "q69_embedding_drift" -> q69EmbeddingDrift,
     "q70_exactk_sample" -> q70ExactKSample,
@@ -3104,6 +3145,7 @@ object PipelineQueries {
         |$finalUnion
         |ORDER BY round""".stripMargin
     },
+    "q162_bpe_refresh" -> q162OracleSql,
     "q68_bpe_encode" ->
       s"""$bpeOracleCtes
         |vs AS (
@@ -3548,33 +3590,64 @@ object PipelineQueries {
     * final word→encoding table — and a trailing comma, so callers
     * append at least one CTE of their own before the main SELECT.
     */
-  private def bpeOracleCtes: String = {
+  private def bpeOracleCtes: String = bpeOracleCtesOn()
+
+  /** The unrolled BPE-trainer CTE tower, parameterized by the corpus
+    * source relation and a CTE-name prefix (the q144 shared-WITH
+    * discipline — default arguments emit byte-identical SQL for
+    * q67/q68; q162 instantiates it twice in one statement).
+    */
+  private def bpeOracleCtesOn(src: String = "documents", q: String = ""): String = {
     val perRound = (1 to BpeRounds).map { r =>
-      s"""p$r AS (
+      s"""${q}p$r AS (
         |  SELECT t_a AS a, t_b AS b, CAST(sum(cnt) AS BIGINT) AS weight
         |  FROM (
         |    SELECT cnt, unnest(t[1:len(t)-1]) AS t_a, unnest(t[2:len(t)]) AS t_b
         |    FROM (SELECT cnt, string_split(substring(enc, 2, length(enc) - 2), '$BpeSep$BpeSep') AS t
-        |          FROM e${r - 1})
+        |          FROM ${q}e${r - 1})
         |    WHERE len(t) >= 2)
         |  GROUP BY t_a, t_b),
-        |b$r AS (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
-        |e$r AS (
+        |${q}b$r AS (SELECT a, b, weight FROM ${q}p$r ORDER BY weight DESC, a, b LIMIT 1),
+        |${q}e$r AS (
         |  SELECT w, cnt,
         |    CASE WHEN a IS NULL THEN enc
         |         ELSE replace(enc, '$BpeSep' || a || '$BpeSep$BpeSep' || b || '$BpeSep',
         |                      '$BpeSep' || a || b || '$BpeSep') END AS enc
-        |  FROM e${r - 1} LEFT JOIN b$r ON TRUE),
+        |  FROM ${q}e${r - 1} LEFT JOIN ${q}b$r ON TRUE),
         |""".stripMargin
     }.mkString
-    s"""WITH v0 AS (
+    s"""WITH ${q}v0 AS (
       |  SELECT w, count(*) AS cnt
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src)
       |  GROUP BY w),
-      |e0 AS (
+      |${q}e0 AS (
       |  SELECT w, cnt, array_to_string(list_transform(generate_series(1, length(w)),
       |    i -> '$BpeSep' || w[i] || '$BpeSep'), '') AS enc
-      |  FROM v0),
+      |  FROM ${q}v0),
       |$perRound""".stripMargin
+  }
+
+  /** q162's oracle: the unrolled trainer tower TWICE in one statement —
+    * once over the frozen generation, once over the full corpus — with
+    * the per-round audit row read from the two argmax CTEs (an
+    * exhausted round's empty argmax drops the row on both sides,
+    * mirroring the Spark zip).
+    */
+  private def q162OracleSql: String = {
+    val rows = (1 to BpeRounds).map { r =>
+      s"""SELECT $r AS round, oa.a AS old_a, oa.b AS old_b, oa.weight AS old_weight,
+        |  na.a AS new_a, na.b AS new_b, na.weight AS new_weight,
+        |  CAST(CASE WHEN oa.a <> na.a OR oa.b <> na.b THEN 1 ELSE 0 END AS INT) AS pair_changed
+        |FROM ob$r oa, nb$r na""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH docs162 AS (
+      |  SELECT * FROM documents
+      |  WHERE doc_id < (SELECT count(*) * 4 // 5 FROM documents)),
+      |""".stripMargin +
+      bpeOracleCtesOn("docs162", "o").stripPrefix("WITH ") +
+      bpeOracleCtesOn("documents", "n").stripPrefix("WITH ") +
+      s"""fin162 AS (SELECT 1)
+      |$rows
+      |ORDER BY round""".stripMargin
   }
 }

@@ -163,4 +163,27 @@ class BpeAndPackSpec extends AnyFunSuite {
         math.abs(j - nc.toDouble / (na + nb - nc).toDouble) == 0.0
     })
   }
+
+  test("q162 refresh audit: pair drift binds at sf0.001; weight drift binds everywhere") {
+    // measured expectations per SF (round-13): the frozen-4/5 and
+    // full-corpus merge tables differ in PAIRS at sf0.001 (rounds 2–3
+    // swap) and agree at sf0.01 — but the WEIGHTS drift every round at
+    // every SF (the corpus grew), so the audit is non-vacuous even
+    // where the pair flag reads zero
+    for ((dir, wantChanged) <- Seq("/root/testdata/sf0.001" -> true,
+        "/root/testdata/sf0.01" -> false)) {
+      val rows = SparkEntry.queries("q162_bpe_refresh")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getString(4), r.getString(5), r.getLong(6), r.getInt(7)))
+      graft.queries.releasePersisted()
+      assert(rows.nonEmpty && rows.map(_._1).toSeq == (1 to rows.length),
+        "audit rounds not contiguous")
+      assert(rows.forall { case (_, oa, ob, _, na, nb, _, f) =>
+        (f == 1) == (oa != na || ob != nb) }, "pair_changed flag inconsistent")
+      assert(rows.exists(_._8 == 1) == wantChanged,
+        s"pair drift expectation violated at $dir")
+      assert(rows.exists(r => r._4 != r._7),
+        s"weights identical at $dir — the refresh audit is vacuous there")
+    }
+  }
 }
