@@ -210,15 +210,22 @@ object StreamingCorpus {
     * back to one generation so the read cost stays bounded between
     * compactions.
     */
-  def liveCorpus(s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
-    val dirs = completeDirs(s, s"$outDir/corpus", "batch_id=")
+  def liveCorpus(s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    liveCorpusUpTo(s, outDir, None)
+
+  private def liveCorpusUpTo(s: org.apache.spark.sql.SparkSession,
+      outDir: String, upTo: Option[Long]): DataFrame = {
+    def keep(dir: String): Boolean = upTo.forall { b =>
+      dir.substring(dir.lastIndexOf("=") + 1).toLong <= b
+    }
+    val dirs = completeDirs(s, s"$outDir/corpus", "batch_id=").filter(keep)
     if (dirs.isEmpty)
       return s.range(0).select(col("id").as("doc_id"),
         lit("").as("source"), lit("").as("lang"), lit("").as("text"))
     val rows = s.read.option("basePath", s"$outDir/corpus").parquet(dirs: _*)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("batch_id").cast("long").as("b"))
-    val tombDirs = completeDirs(s, s"$outDir/tombs", "gen=")
+    val tombDirs = completeDirs(s, s"$outDir/tombs", "gen=").filter(keep)
     val alive = if (tombDirs.isEmpty) rows else {
       val tombs = s.read.option("basePath", s"$outDir/tombs").parquet(tombDirs: _*)
         .select(col("doc_id"), col("gen").cast("long").as("tgen"))
@@ -231,6 +238,39 @@ object StreamingCorpus {
       .agg(max(struct(col("b"), col("source"), col("lang"), col("text"))).as("v"))
       .select(col("doc_id"), col("v.source").as("source"),
         col("v.lang").as("lang"), col("v.text").as("text"))
+  }
+
+  /** The corpus compaction horizon (highest wave folded by
+    * [[compactCorpus]]), or None if never compacted.
+    */
+  def compactionHorizon(s: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[Long] = {
+    val f = hfs(s, outDir)
+    val m = new org.apache.hadoop.fs.Path(s"$outDir/corpus/_HORIZON")
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** AUDIT-grade time travel: the served corpus view as of the END of
+    * wave `batchId` (batches and tombstones at or below it). Exact at
+    * or above the compaction horizon; throws below it — compaction
+    * materializes the latest-wins view and erases the history an older
+    * point needs, and an audit must fail loudly rather than return a
+    * silently-wrong corpus.
+    */
+  def liveCorpusAt(s: org.apache.spark.sql.SparkSession, outDir: String,
+      batchId: Long): DataFrame = {
+    compactionHorizon(s, outDir).foreach { h =>
+      if (batchId < h)
+        throw new IllegalArgumentException(
+          s"liveCorpusAt($batchId) is below the compaction horizon $h: " +
+            "the versions needed to reconstruct it were compacted away")
+    }
+    liveCorpusUpTo(s, outDir, Some(batchId))
   }
 
   /** Tombstone one wave of doc_ids (takedown / GDPR erasure): rows of
@@ -300,6 +340,19 @@ object StreamingCorpus {
     liveCorpus(s, outDir)
       .write.mode("overwrite").partitionBy("lang").parquet(newDir)
     s.catalog.refreshByPath(newDir)
+    // the compaction HORIZON rides the compacting dir so the swap
+    // carries it atomically (liveCorpusAt refuses points below it)
+    locally {
+      val folded =
+        completeDirs(s, s"$outDir/corpus", "batch_id=")
+          .map(p => p.substring(p.lastIndexOf("=") + 1).toLong) ++
+        completeDirs(s, s"$outDir/tombs", "gen=")
+          .map(p => p.substring(p.lastIndexOf("=") + 1).toLong)
+      val horizon = (folded ++ compactionHorizon(s, outDir)).foldLeft(-1L)(math.max)
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$outDir/corpus_compacting/_HORIZON"), true)
+      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+    }
     val after = digest(s.read.parquet(newDir)
       .select(col("doc_id"), col("source"), col("lang"), col("text")))
     if (before != after)

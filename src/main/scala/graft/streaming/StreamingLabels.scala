@@ -208,6 +208,41 @@ object StreamingLabels {
   def livePairs(s: SparkSession, labelDir: String): DataFrame =
     livePairsAsOf(s, labelDir, None)
 
+  /** The compaction horizon: the highest batchId folded into the
+    * compacted generation, or None if the log was never compacted.
+    * As-of reads below the horizon are unreconstructible — compaction
+    * MATERIALIZES the liveness filter and drops the tombstones, so the
+    * history needed to replay an older point is gone.
+    */
+  def compactionHorizon(s: SparkSession, labelDir: String): Option[Long] = {
+    val f = hfs(s, labelDir)
+    val m = path(labelDir, "pairlog", "_HORIZON")
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** AUDIT-grade time travel: the label table as of the END of wave
+    * `batchId`, recomputed from the pair log (one closure over
+    * `livePairsAsOf` — derived state, so the log is the source of
+    * truth; direct generation reads are NOT used because superseded
+    * generations retire). Exact for any point at or above the
+    * compaction horizon; throws below it (the history is gone — an
+    * audit must fail loudly, not return a silently-wrong table).
+    */
+  def labelsAt(s: SparkSession, labelDir: String, batchId: Long): DataFrame = {
+    compactionHorizon(s, labelDir).foreach { h =>
+      if (batchId < h)
+        throw new IllegalArgumentException(
+          s"labelsAt($batchId) is below the compaction horizon $h: " +
+            "the pair-log history needed to reconstruct it was compacted away")
+    }
+    graft.ops.Dedup.fromPairs(livePairsAsOf(s, labelDir, Some(batchId + 1)))
+  }
+
   /** Digest-certified pair-log compaction — [[StreamingIndex.compact]]'s
     * discipline applied to the edge log: fold every generation into one
     * (`gen=-1`, which sorts below any future batchId), MATERIALIZE the
@@ -244,6 +279,19 @@ object StreamingLabels {
     val newDir = s"$labelDir/pairlog_compacting/gen=-1"
     livePairsAsOf(s, labelDir, None).write.mode("overwrite").parquet(newDir)
     s.catalog.refreshByPath(newDir)
+    // the compaction HORIZON rides the compacting dir so the swap
+    // carries it atomically: the highest wave folded in (pairs, tombs,
+    // or revives — a deletion is history too), floored at any prior
+    // horizon. As-of reads below it are unreconstructible and
+    // labelsAt refuses them.
+    locally {
+      val folded = Seq("pairlog", "tombs", "revives")
+        .flatMap(sub => completeGenDirs(s, labelDir, sub, None))
+        .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
+      val horizon = (folded ++ compactionHorizon(s, labelDir)).foldLeft(-1L)(math.max)
+      val out = f.create(path(labelDir, "pairlog_compacting", "_HORIZON"), true)
+      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+    }
     val after = digest(s.read.parquet(newDir))
     if (before != after)
       throw new IllegalStateException(

@@ -199,6 +199,15 @@ class StreamingCorpusSpec extends AnyFunSuite {
       val preCompact = live()
       assert(preCompact(revId)._3 === revText, "crash-window update replay diverged")
 
+      // time travel before compaction: the as-of views reconstruct each
+      // observed state from the versioned batches + gen-ordered tombs
+      def liveAt(b: Long): Map[Long, (String, String, String)] =
+        StreamingCorpus.liveCorpusAt(spark, out, b).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+          .toMap
+      assert(liveAt(100L) === after100, "liveCorpusAt(100) diverged")
+      assert(liveAt(99L) === base, "liveCorpusAt(99) did not predate the update wave")
+
       // digest-certified compaction: one generation left, tombstoned
       // bytes gone from disk, view unchanged
       StreamingCorpus.compactCorpus(spark, out)
@@ -213,9 +222,19 @@ class StreamingCorpusSpec extends AnyFunSuite {
       assert(!rawIds.contains(delId) && rawIds.length === rawIds.distinct.length,
         "tombstoned bytes survived compaction or a doc kept two versions")
 
+      // the horizon bounds time travel: at-or-above replays, below
+      // fails loudly (compaction erased the versions)
+      assert(StreamingCorpus.compactionHorizon(spark, out) === Some(102L))
+      assert(liveAt(102L) === preCompact,
+        "liveCorpusAt at the horizon diverged from the pre-compaction view")
+      intercept[IllegalArgumentException] { liveAt(101L) }
+
       // the loop continues off the compacted table
       StreamingCorpus.deleteBatch(out)(Seq(updId).toDF("doc_id"), 103L)
       assert(!live().contains(updId), "post-compaction delete wave diverged")
+      assert(liveAt(103L) === live(), "liveCorpusAt(now) diverged from the live view")
+      assert(liveAt(102L) === preCompact,
+        "a post-compaction wave leaked into an older as-of view")
 
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))

@@ -305,6 +305,16 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(allLabels() === want(Seq((3L, 4L), (5L, 6L), (2L, 5L), (2L, 11L))),
       "post-revival arrival was wrongly suppressed")
 
+    // time travel: the as-of read reconstructs the post-wave-4 state
+    // from the log (generation-ordered liveness replayed at that point)
+    def labelsAt(b: Long): Map[Long, Long] =
+      StreamingLabels.labelsAt(spark, dir, b)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsAt(4L) === want(Seq((3L, 4L), (5L, 6L), (2L, 5L))),
+      "labelsAt(4) diverged from the state observed after wave 4")
+    assert(labelsAt(2L) === want(Seq((3L, 4L), (5L, 6L))),
+      "labelsAt(2) did not replay the delete wave's effect")
+
     // wave 6: update of a LIVE doc (4): old pair (3,4) dies — 3 drops
     // pairless — and the new content pairs with fresh 13
     StreamingLabels.updateBatch(dir, P)(
@@ -346,6 +356,12 @@ class StreamingDedupSpec extends AnyFunSuite {
       "compaction left the revives dirs")
     spark.catalog.refreshByPath(s"$dir/pairlog")
     assert(livePairSet() === lpBefore, "compaction changed the live pair set")
+    // the compaction horizon bounds time travel: at-or-above replays,
+    // below FAILS LOUDLY (the history is materialized away)
+    assert(StreamingLabels.compactionHorizon(spark, dir) === Some(8L))
+    assert(labelsAt(8L) === want(after8),
+      "labelsAt at the horizon diverged from the pre-compaction state")
+    intercept[IllegalArgumentException] { labelsAt(7L) }
     // the loop continues: an update wave off the compacted log
     StreamingLabels.updateBatch(dir, P)(
       Seq(11L).toDF("id"), Seq((11L, 5L)).toDF("da", "db"), 9L)
