@@ -218,7 +218,22 @@ object StreamingCorpus {
     def keep(dir: String): Boolean = upTo.forall { b =>
       dir.substring(dir.lastIndexOf("=") + 1).toLong <= b
     }
-    val dirs = completeDirs(s, s"$outDir/corpus", "batch_id=").filter(keep)
+    // an update wave whose every row failed the gate commits a FILE-LESS
+    // batch dir (its tombstones still count) — parquet cannot infer a
+    // schema from it, so readers skip it (the labelsAsOf discipline)
+    def hasData(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = hfs(s, dir)
+      def walk(q: org.apache.hadoop.fs.Path): Boolean = {
+        val st = f.listStatus(q)
+        st.exists(x => x.isFile && !x.getPath.getName.startsWith("_") &&
+          !x.getPath.getName.startsWith(".")) ||
+          st.exists(x => x.isDirectory && walk(x.getPath))
+      }
+      walk(p)
+    }
+    val dirs = completeDirs(s, s"$outDir/corpus", "batch_id=")
+      .filter(keep).filter(hasData)
     if (dirs.isEmpty)
       return s.range(0).select(col("id").as("doc_id"),
         lit("").as("source"), lit("").as("lang"), lit("").as("text"))

@@ -196,8 +196,18 @@ class StreamingCorpusSpec extends AnyFunSuite {
       StreamingCorpus.updateBatch(out)(Seq(
         (revId, base(revId)._1, base(revId)._2, revText)).toDF(
         "doc_id", "source", "lang", "text"), 102L)
+      assert(live()(revId)._3 === revText, "crash-window update replay diverged")
+
+      // an update wave whose EVERY row fails the gate is a pure
+      // takedown: the batch dir commits file-less (tombstones still
+      // count) and readers must skip it rather than fail schemaless
+      StreamingCorpus.updateBatch(out)(Seq(
+        (updId, base(updId)._1, base(updId)._2, badText)).toDF(
+        "doc_id", "source", "lang", "text"), 103L)
       val preCompact = live()
-      assert(preCompact(revId)._3 === revText, "crash-window update replay diverged")
+      assert(!preCompact.contains(updId),
+        "all-failing update wave left the old version serving")
+      assert(preCompact(revId)._3 === revText)
 
       // time travel before compaction: the as-of views reconstruct each
       // observed state from the versioned batches + gen-ordered tombs
@@ -224,16 +234,17 @@ class StreamingCorpusSpec extends AnyFunSuite {
 
       // the horizon bounds time travel: at-or-above replays, below
       // fails loudly (compaction erased the versions)
-      assert(StreamingCorpus.compactionHorizon(spark, out) === Some(102L))
-      assert(liveAt(102L) === preCompact,
+      assert(StreamingCorpus.compactionHorizon(spark, out) === Some(103L))
+      assert(liveAt(103L) === preCompact,
         "liveCorpusAt at the horizon diverged from the pre-compaction view")
-      intercept[IllegalArgumentException] { liveAt(101L) }
+      intercept[IllegalArgumentException] { liveAt(102L) }
 
-      // the loop continues off the compacted table
-      StreamingCorpus.deleteBatch(out)(Seq(updId).toDF("doc_id"), 103L)
-      assert(!live().contains(updId), "post-compaction delete wave diverged")
-      assert(liveAt(103L) === live(), "liveCorpusAt(now) diverged from the live view")
-      assert(liveAt(102L) === preCompact,
+      // the loop continues off the compacted table (updId already gone
+      // via the all-failing update; take down revId now)
+      StreamingCorpus.deleteBatch(out)(Seq(revId).toDF("doc_id"), 104L)
+      assert(!live().contains(revId), "post-compaction delete wave diverged")
+      assert(liveAt(104L) === live(), "liveCorpusAt(now) diverged from the live view")
+      assert(liveAt(103L) === preCompact,
         "a post-compaction wave leaked into an older as-of view")
 
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
