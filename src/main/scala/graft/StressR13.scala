@@ -29,7 +29,7 @@ object StressR13 {
       val out = run
       (out, (System.nanoTime() - t0) / 1e9)
     }
-    for (copies <- Seq(1, 10)) {
+    for (copies <- Seq(1, 4, 10)) {
       graft.ops.TowerMemo.clear()
       val docs = (0 until copies).map(k =>
         base.select((col("doc_id") + k * n * 10).as("doc_id"), col("text"),
