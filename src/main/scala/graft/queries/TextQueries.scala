@@ -3560,7 +3560,10 @@ object TextQueries {
     val updated = documents(s, d)
       .filter(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong)
       .select(col("doc_id").as("id"))
-    val afterDel = graft.ops.Dedup.deleteLabels(old, pairs, updated, track = hold)
+    // held: mergeLabels reads its `old` side three times (endpoint
+    // reps, the relabel join, the fresh anti-join) — invariant 6
+    val afterDel = hold(
+      graft.ops.Dedup.deleteLabels(old, pairs, updated, track = hold))
     val docsU = documents(s, d).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong,
         upper(col("text"))).otherwise(col("text")).as("text"))

@@ -495,8 +495,9 @@ object StreamingLabels {
     val logDir = path(labelDir, s"pairlog/gen=$batchId")
     if (!f.exists(new org.apache.hadoop.fs.Path(logDir, "_SUCCESS")))
       wave.write.mode("overwrite").parquet(logDir.toString)
-    val afterDel = graft.ops.Dedup.deleteLabels(
-      old, livePairsAsOf(s, labelDir, Some(batchId)), upd, track = hold)
+    // held: mergeLabels reads its `old` side three times (invariant 6)
+    val afterDel = hold(graft.ops.Dedup.deleteLabels(
+      old, livePairsAsOf(s, labelDir, Some(batchId)), upd, track = hold))
     val merged = hold(graft.ops.Dedup.mergeLabels(afterDel, wave, track = hold)
       .withColumn("part", pmod(col("id"), lit(p.toLong))))
     // touched buckets: any row that is gone, fresh, or relabeled
