@@ -118,9 +118,12 @@ object StressR13 {
           .localCheckpoint(true)
       }
       locals.foreach(_.unpersist(false))
-      val diff = updLbl.as("m").join(fullLbl.as("s"), Seq("id"))
-        .filter(col("m.lbl") =!= col("s.lbl")).count() +
-        math.abs(updLbl.count() - fullLbl.count())
+      // divergent ids: label mismatch OR present in only one labeling
+      val divIds = updLbl.select(col("id"), col("lbl").as("ml"))
+        .join(fullLbl.select(col("id"), col("lbl").as("sl")), Seq("id"), "full")
+        .filter(col("ml").isNull || col("sl").isNull || col("ml") =!= col("sl"))
+        .select(col("id")).localCheckpoint(true)
+      val diff = divIds.count()
       // occupancy-cap flips between the two universes: a bucket just
       // above the cap that loses slice rows is RELEASED — the batch
       // recompute then probes pairs the original universe never saw.
@@ -131,23 +134,44 @@ object StressR13 {
       // boundary and the two formulations agree exactly; at x10 the
       // replica cliques pile occupancy onto it by construction and the
       // divergence must be fully explained by the flip count.
+      val oldBands = simhashBands(simhashSig(docsAll)).localCheckpoint(true)
+      val newBands = simhashBands(simhashSig(docsU)).localCheckpoint(true)
       def occ(b: org.apache.spark.sql.DataFrame) =
         b.groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
-      val oldOcc = occ(simhashBands(simhashSig(docsAll)))
-      val newOcc = occ(simhashBands(simhashSig(docsU)))
-      val flips = oldOcc.as("o").join(newOcc.as("u"), Seq("band", "key"), "full")
-        .filter((coalesce(col("o.c"), lit(0L)) > BandOccCap) =!=
-          (coalesce(col("u.c"), lit(0L)) > BandOccCap)).count()
+      val flippedB = occ(oldBands).select(col("band"), col("key"), col("c").as("oc"))
+        .join(occ(newBands).select(col("band"), col("key"), col("c").as("uc")),
+          Seq("band", "key"), "full")
+        .filter((coalesce(col("oc"), lit(0L)) > BandOccCap) =!=
+          (coalesce(col("uc"), lit(0L)) > BandOccCap))
+        .select(col("band"), col("key")).localCheckpoint(true)
+      val flips = flippedB.count()
+      // the tightened claim (round-14): EVERY divergent id lives in a
+      // component — in either labeling — that contains a member of a
+      // flipped (band,key) bucket. "diff == 0 || flips > 0" alone would
+      // let one boundary flip excuse an unrelated rolling-path bug.
+      val members = oldBands.unionByName(newBands)
+        .join(flippedB, Seq("band", "key"), "left_semi")
+        .select(col("doc_id").as("id")).distinct()
+      def explainedIds(lblT: org.apache.spark.sql.DataFrame) = {
+        val explLbl = lblT.join(members, Seq("id"), "left_semi")
+          .select(col("lbl")).distinct()
+        lblT.join(explLbl, Seq("lbl"), "left_semi").select(col("id"))
+      }
+      val unexplained = divIds
+        .join(explainedIds(fullLbl), Seq("id"), "left_anti")
+        .join(explainedIds(updLbl), Seq("id"), "left_anti")
+        .count()
       if (copies == 1)
         assert(diff == 0 && flips == 0,
           s"x1 must be cap-stable and identical: diff=$diff flips=$flips")
-      else assert(diff == 0 || flips > 0,
-        s"x$copies diverged ($diff rows) with NO cap flip to explain it")
+      else assert(unexplained == 0,
+        s"x$copies: $unexplained of $diff divergent rows are NOT in any " +
+          s"flipped bucket's component ($flips flips) — a rolling-path bug")
       println(f"[stress] x$copies update-wave: docs=$nDocs hashed " +
         f"slice=$slHashed vs all=$nDocs; pairs=${pairs.count()} " +
         f"cand=$candMass reduced=$reduced; " +
         f"recompute=$tFull%.1f s rolling=$tUpd%.1f s " +
-        f"labelDiff=$diff capFlips=$flips")
+        f"labelDiff=$diff capFlips=$flips unexplained=$unexplained")
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
     }

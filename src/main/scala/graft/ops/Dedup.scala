@@ -369,7 +369,29 @@ object Dedup {
       old: DataFrame,
       newPairs: DataFrame,
       maxRounds: Int = 64,
-      track: DataFrame => DataFrame = identity): DataFrame = {
+      track: DataFrame => DataFrame = identity): DataFrame =
+    mergeLabelsDelta(old, newPairs, maxRounds, track).labels
+
+  /** [[mergeLabelsDelta]]'s result: the merged labels plus the
+    * wave-bounded CHANGE WITNESS the merge already computed on the way —
+    * `changedReps(rep)` is the set of representatives (old labels or
+    * fresh ids) whose component label moved. An old row relabels iff its
+    * old `lbl` ∈ changedReps, so a maintenance service can derive its
+    * touched rows from one broadcast semi-join against this delta
+    * instead of re-joining the old and merged tables wholesale (the
+    * round-14 probe fix — at 100 TB a table×table probe per wave defeats
+    * the wave-bounded merge).
+    */
+  final case class MergeDelta(labels: DataFrame, changedReps: DataFrame)
+
+  /** [[mergeLabels]] with the change delta exposed; `labels` is the
+    * byte-identical plan [[mergeLabels]] returns.
+    */
+  def mergeLabelsDelta(
+      old: DataFrame,
+      newPairs: DataFrame,
+      maxRounds: Int = 64,
+      track: DataFrame => DataFrame = identity): MergeDelta = {
     val ends = newPairs.select(col("da").as("id"))
       .union(newPairs.select(col("db").as("id"))).distinct()
     // endpoint → representative: old label when seen, own id when fresh.
@@ -394,7 +416,13 @@ object Dedup {
     val fresh = endRep.join(old.select(col("id")), Seq("id"), "left_anti")
       .join(touched.select(col("id").as("rep"), col("lbl").as("nl")), Seq("rep"), "left")
       .select(col("id"), coalesce(col("nl"), col("rep")).as("lbl"))
-    oldNew.union(fresh)
+    // reps whose label moved — reading the reduced-CC output (a
+    // checkpoint-backed scan), wave-bounded by construction. Fresh reps
+    // in the set are harmless to an old-row probe: a fresh id is never
+    // an old label (old labels are old member ids).
+    val changedReps = touched.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("rep"))
+    MergeDelta(oldNew.union(fresh), changedReps)
   }
 
   /** Decremental label maintenance — [[mergeLabels]]' missing half
@@ -443,7 +471,28 @@ object Dedup {
       pairs: DataFrame,
       deleted: DataFrame,
       maxRounds: Int = 64,
-      track: DataFrame => DataFrame = identity): DataFrame = {
+      track: DataFrame => DataFrame = identity): DataFrame =
+    deleteLabelsDelta(old, pairs, deleted, maxRounds, track).labels
+
+  /** [[deleteLabelsDelta]]'s result: the post-delete labels plus the
+    * delete-bounded CHANGE WITNESS — `deadLbls(lbl)` is the label set of
+    * components holding ≥1 deleted vertex. Every row the delete drops or
+    * relabels has its OLD `lbl` in this set (untouched components pass
+    * through an anti-join unchanged), so a maintenance service derives
+    * its touched rows from one broadcast semi-join against it (the
+    * round-14 probe fix).
+    */
+  final case class DeleteDelta(labels: DataFrame, deadLbls: DataFrame)
+
+  /** [[deleteLabels]] with the change delta exposed; `labels` is the
+    * byte-identical plan [[deleteLabels]] returns.
+    */
+  def deleteLabelsDelta(
+      old: DataFrame,
+      pairs: DataFrame,
+      deleted: DataFrame,
+      maxRounds: Int = 64,
+      track: DataFrame => DataFrame = identity): DeleteDelta = {
     val del = deleted.select(col("id"))
     // labels of components holding at least one deleted vertex
     val deadLbl = track(old.join(del, Seq("id"), "left_semi")
@@ -459,8 +508,10 @@ object Dedup {
       .join(del.select(col("id").as("db")), Seq("db"), "left_anti")
       .select(col("da"), col("db")))
     val relabeled = fromPairs(surviving, maxRounds, track)
-    old.join(deadLbl, Seq("lbl"), "left_anti").select(col("id"), col("lbl"))
-      .union(relabeled)
+    DeleteDelta(
+      old.join(deadLbl, Seq("lbl"), "left_anti").select(col("id"), col("lbl"))
+        .union(relabeled),
+      deadLbl)
   }
 
   /** Rounds sufficient to COVER a given maximum cluster diameter on an

@@ -2281,6 +2281,9 @@ object PipelineQueries {
       .withColumn("src_rank", row_number().over(wsrc))
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
     val hist = qual.groupBy(col("qb")).agg(count(lit(1)).as("cnt"))
+    // unpartitioned window over the DISTINCT-bucket table (≤1001 rows,
+    // value-domain-bounded) — WindowExec's all-to-one WARN is expected
+    // noise here, not a scale bug
     val cum = hist.withColumn("above",
       coalesce(sum(col("cnt")).over(Window.orderBy(col("qb").desc)
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -2289,6 +2292,8 @@ object PipelineQueries {
       .filter(col("above") < col("kg") && col("above") + col("cnt") >= col("kg"))
       .select(col("qb").as("tqb"), (col("kg") - col("above")).as("k_rem")))
     val inT = qual.crossJoin(trow).filter(col("qb") === col("tqb"))
+      // unpartitioned rank over ONE bucket's docs (tie-bounded) —
+      // WindowExec's all-to-one WARN is expected noise here
       .withColumn("ib", row_number().over(
         Window.orderBy(col("quality").desc, col("doc_id").asc)))
       .select(col("doc_id"), (col("ib") <= col("k_rem")).as("sel_in_t"))

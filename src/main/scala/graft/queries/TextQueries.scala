@@ -3528,6 +3528,13 @@ object TextQueries {
     * near-dups), and 3 NEW pairs appear that never existed; pairs
     * between untouched docs are bit-stable (the occupancy cap binds in
     * neither universe). Every update-law branch fires on real data.
+    *
+    * WARNING — this slice is SOURCE-ALIGNED: source = doc_id % 20 on
+    * this corpus, so gcd(5, 20) > 1 means the slice touches exactly the
+    * 4 sources ≡ 2 (mod 5) and touches them WHOLESALE. Harmless for
+    * source-agnostic label CC (this consumer), but NEVER copy it into a
+    * source-stratified operator — use the seeded priority-hash slice
+    * there (q159/q160/q161 do).
     */
   val UpdMod = 5
   val UpdRes = 2

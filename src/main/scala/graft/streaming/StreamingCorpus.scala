@@ -165,9 +165,11 @@ object StreamingCorpus {
           // stores must advance to this batch's version (Spark validates
           // every batch commits its state)
           batch.foreachPartition((it: Iterator[BandVerdict]) => it.foreach(_ => ()))
-        else
+        else {
           // a marker-less leftover from a crash mid-write is overwritten
           admitted.write.mode("overwrite").partitionBy("lang").parquet(dir.toString)
+          stampIfEmpty(fs, dir)
+        }
         onBatchCommitted(batchId)
         ()
       }
@@ -187,6 +189,28 @@ object StreamingCorpus {
   private def hfs(s: org.apache.spark.sql.SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Marker a writer stamps on a committed batch dir that holds NO data
+    * files (an all-rejected wave): readers skip it on one exists()
+    * probe instead of walking the partition tree.
+    */
+  private val NoDataMarker = "_NODATA"
+
+  /** Stamp `_NODATA` if the just-written batch dir carries no data file
+    * (one shallow walk over a dir the writer just produced — commit-time
+    * cost, so every future read skips the walk).
+    */
+  private def stampIfEmpty(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    def walk(q: org.apache.hadoop.fs.Path): Boolean = {
+      val st = f.listStatus(q)
+      st.exists(x => x.isFile && !x.getPath.getName.startsWith("_") &&
+        !x.getPath.getName.startsWith(".")) ||
+        st.exists(x => x.isDirectory && walk(x.getPath))
+    }
+    if (f.exists(dir) && !walk(dir))
+      f.create(new org.apache.hadoop.fs.Path(dir, NoDataMarker), true).close()
+  }
 
   private def completeDirs(s: org.apache.spark.sql.SparkSession,
       root: String, prefix: String): Seq[String] = {
@@ -220,12 +244,20 @@ object StreamingCorpus {
     }
     // an update wave whose every row failed the gate commits a FILE-LESS
     // batch dir (its tombstones still count) — parquet cannot infer a
-    // schema from it, so readers skip it (the labelsAsOf discipline)
+    // schema from it, so readers skip it (the labelsAsOf discipline).
+    // Writers stamp such dirs `_NODATA` at commit time so readers skip
+    // them on one exists() probe instead of a recursive walk; the walk
+    // remains as the fallback for pre-marker tables, and tolerates a dir
+    // retired concurrently (listStatus throwing FileNotFound = no data).
     def hasData(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val f = hfs(s, dir)
+      if (f.exists(new org.apache.hadoop.fs.Path(p, NoDataMarker))) return false
       def walk(q: org.apache.hadoop.fs.Path): Boolean = {
-        val st = f.listStatus(q)
+        val st = try f.listStatus(q) catch {
+          case _: java.io.FileNotFoundException =>
+            return false
+        }
         st.exists(x => x.isFile && !x.getPath.getName.startsWith("_") &&
           !x.getPath.getName.startsWith(".")) ||
           st.exists(x => x.isDirectory && walk(x.getPath))
@@ -320,6 +352,7 @@ object StreamingCorpus {
     wave.filter(graft.queries.PipelineQueries.qualityGate(col("text")))
       .write.mode("overwrite").partitionBy("lang")
       .parquet(s"$outDir/corpus/batch_id=$batchId")
+    stampIfEmpty(f, new org.apache.hadoop.fs.Path(s"$outDir/corpus/batch_id=$batchId"))
     wave.select(col("doc_id"))
       .write.mode("overwrite").parquet(tombDir.toString)
     wave.unpersist(false)

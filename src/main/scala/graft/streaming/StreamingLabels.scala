@@ -313,6 +313,54 @@ object StreamingLabels {
     s.catalog.refreshByPath(logP.toString)
   }
 
+  /** EXACT changed-row bucket derivation WITHOUT a table×table join —
+    * the round-14 probe fix. `candIds` must be a superset of every row
+    * that differs between `oldT` and `newT` (the per-wave callers build
+    * it from the delta witness [[graft.ops.Dedup.mergeLabelsDelta]] /
+    * [[graft.ops.Dedup.deleteLabelsDelta]] already computed — it is
+    * wave/component-bounded, hence broadcastable). Both tables are
+    * sliced by one BROADCAST semi-join each (scan-linear over the
+    * persisted frames, no shuffle of a table-sized side), and the slices
+    * compare through one small hash aggregation — changed iff present on
+    * one side only or labels differ. At 100 TB this is the difference
+    * between a per-wave cost proportional to the delta and a full-table
+    * shuffle per wave; ProbeShapeSpec asserts the plan carries no
+    * SortMergeJoin/ShuffledHashJoin and that the derived part set equals
+    * the old full-outer formulation's.
+    */
+  private[graft] def changedParts(oldT: DataFrame, newT: DataFrame,
+      candIds: DataFrame, p: Int): DataFrame = {
+    val c = broadcast(candIds.select(col("id")).distinct())
+    val oldSlice = oldT.select(col("id"), col("lbl"))
+      .join(c, Seq("id"), "left_semi")
+      .select(col("id"), col("lbl"), lit(1L).as("side"))
+    val newSlice = newT.select(col("id"), col("lbl"))
+      .join(c, Seq("id"), "left_semi")
+      .select(col("id"), col("lbl"), lit(2L).as("side"))
+    oldSlice.union(newSlice).groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), min(col("lbl")).as("l1"), max(col("lbl")).as("l2"))
+      .filter(col("n") === 1L || col("l1") =!= col("l2"))
+      .select(pmod(col("id"), lit(p.toLong)).as("part")).distinct()
+  }
+
+  /** Merge-wave candidate ids: every wave-pair endpoint (covers fresh
+    * rows) ∪ old rows whose label is a changed representative (covers
+    * relabels — one broadcast semi-join, scan-linear).
+    */
+  private[graft] def mergeCandIds(old: DataFrame, wave: DataFrame,
+      changedReps: DataFrame): DataFrame =
+    wave.select(col("da").as("id")).union(wave.select(col("db").as("id")))
+      .union(old.join(broadcast(changedReps.select(col("rep").as("lbl"))),
+        Seq("lbl"), "left_semi").select(col("id")))
+
+  /** Delete-wave candidate ids: old rows of components holding a
+    * deleted vertex (every dropped or relabeled row lives there).
+    */
+  private[graft] def deleteCandIds(old: DataFrame,
+      deadLbls: DataFrame): DataFrame =
+    old.join(broadcast(deadLbls.select(col("lbl"))), Seq("lbl"), "left_semi")
+      .select(col("id"))
+
   /** The table's pinned bucket count: written once by the first wave,
     * read back (ignoring the caller's value) ever after — two writers
     * disagreeing on P must not split one table across two bucketings.
@@ -367,14 +415,15 @@ object StreamingLabels {
       wave.write.mode("overwrite").parquet(logDir.toString)
     // persisted: the touched-bucket probe and the bucket-filtered write
     // both read the merged table (invariant 6)
-    val merged = hold(graft.ops.Dedup.mergeLabels(old, wave, track = hold)
+    val md = graft.ops.Dedup.mergeLabelsDelta(old, wave, track = hold)
+    val merged = hold(md.labels
       .withColumn("part", pmod(col("id"), lit(p.toLong))))
-    // buckets that must rewrite: any holding a fresh id or a relabel.
-    // Driver-side list is bounded by P (a scalar per bucket, not rows).
-    val touched = merged
-      .join(old.withColumnRenamed("lbl", "old_lbl"), Seq("id"), "left")
-      .filter(col("old_lbl").isNull || col("old_lbl") =!= col("lbl"))
-      .select(col("part")).distinct()
+    // buckets that must rewrite: any holding a fresh id or a relabel —
+    // derived from the merge's own delta witness (broadcast semi-joins,
+    // never a table×table join; see changedParts). Driver-side list is
+    // bounded by P (a scalar per bucket, not rows).
+    val touched = changedParts(old, merged,
+        mergeCandIds(old, wave, md.changedReps), p)
       .collect().map(_.getLong(0)).sorted
     // a whole touched bucket rewrites (files are immutable — unchanged
     // rows sharing the bucket ride along); untouched buckets are never
@@ -415,16 +464,16 @@ object StreamingLabels {
     def hold(df: DataFrame) = { locals += df.persist(); df }
     val del = hold(ids.select(col("id")))
     val old = hold(labelsAsOf(s, labelDir, Some(batchId)))
-    val live = hold(graft.ops.Dedup.deleteLabels(
+    val dd = graft.ops.Dedup.deleteLabelsDelta(
       old, livePairsAsOf(s, labelDir, Some(batchId)), del, track = hold)
+    val live = hold(dd.labels
       .withColumn("part", pmod(col("id"), lit(p.toLong))))
     // touched buckets: any old row that is gone (deleted or dropped
-    // pairless) or relabeled. A touched bucket's rewrite EXCLUDES the
-    // gone rows by construction (it writes live rows only).
-    val touched = old
-      .join(live.select(col("id"), col("lbl").as("nl")), Seq("id"), "left")
-      .filter(col("nl").isNull || col("nl") =!= col("lbl"))
-      .select(pmod(col("id"), lit(p.toLong)).as("part")).distinct()
+    // pairless) or relabeled — all such rows live in the delete's
+    // affected components (deadLbls), so the probe is delta-bounded
+    // (changedParts — no table×table join). A touched bucket's rewrite
+    // EXCLUDES the gone rows by construction (it writes live rows only).
+    val touched = changedParts(old, live, deleteCandIds(old, dd.deadLbls), p)
       .collect().map(_.getLong(0)).sorted
     live.filter(if (touched.isEmpty) lit(false)
         else col("part").isin(touched.map(java.lang.Long.valueOf): _*))
@@ -465,11 +514,20 @@ object StreamingLabels {
     * (checked first — the last write). Every earlier write replays
     * idempotently: `labelsAsOf`/`livePairsAsOf` read strictly below
     * `batchId`, so the crashed attempt's own gens never feed its
-    * replay, and all writes are overwrite-mode. The one crash window
-    * with observable intermediate state (tombs committed, revives not)
-    * only suppresses NEW arrivals for the ids at the ingestion filter —
-    * pair liveness and labels are already correct — and the replay
-    * heals it.
+    * replay, and all writes are overwrite-mode. THREE pre-commit crash
+    * windows have observable intermediate state, each healed by the
+    * replay: (1) pairlog committed, label gen not — `livePairs` sees
+    * the wave's new pairs ALONGSIDE the old pairs they should kill
+    * (tombs are not yet written), so `labelsAt(batchId)` over-merges
+    * until replay; (2) label gen committed, tombs not — served
+    * `labels` already reflect delete+merge while `livePairs`/`labelsAt`
+    * still count the old pairs, so labels ≢ CC(livePairs) transiently;
+    * (3) tombs committed, revives not — pair liveness and labels are
+    * both correct, but NEW arrivals for the updated ids are suppressed
+    * at the ingestion filter. The standing invariant
+    * labels ≡ CC(livePairs) is therefore guaranteed only at WAVE
+    * BOUNDARIES after replay, never mid-wave — callers that read both
+    * stores must read between waves (RollingPipelineSpec's discipline).
     */
   def updateBatch(labelDir: String, parts: Int = DefaultParts)(
       ids: DataFrame, pairs: DataFrame, batchId: Long): Unit = {
@@ -496,17 +554,22 @@ object StreamingLabels {
     if (!f.exists(new org.apache.hadoop.fs.Path(logDir, "_SUCCESS")))
       wave.write.mode("overwrite").parquet(logDir.toString)
     // held: mergeLabels reads its `old` side three times (invariant 6)
-    val afterDel = hold(graft.ops.Dedup.deleteLabels(
-      old, livePairsAsOf(s, labelDir, Some(batchId)), upd, track = hold))
-    val merged = hold(graft.ops.Dedup.mergeLabels(afterDel, wave, track = hold)
+    val dd = graft.ops.Dedup.deleteLabelsDelta(
+      old, livePairsAsOf(s, labelDir, Some(batchId)), upd, track = hold)
+    val afterDel = hold(dd.labels)
+    val md = graft.ops.Dedup.mergeLabelsDelta(afterDel, wave, track = hold)
+    val merged = hold(md.labels
       .withColumn("part", pmod(col("id"), lit(p.toLong))))
-    // touched buckets: any row that is gone, fresh, or relabeled
-    // between old and merged — both directions probed (a delete can
-    // empty a bucket the merge never refills)
-    val touched = old
-      .join(merged.select(col("id"), col("lbl").as("nl")), Seq("id"), "full")
-      .filter(col("lbl").isNull || col("nl").isNull || col("nl") =!= col("lbl"))
-      .select(pmod(col("id"), lit(p.toLong)).as("part")).distinct()
+    // touched buckets: any row gone, fresh, or relabeled between old
+    // and merged. Every such row is a candidate from one of the two
+    // halves' delta witnesses — gone/delete-relabeled rows live in the
+    // delete's affected components, merge-relabeled rows carry an
+    // afterDel label in changedReps, fresh rows are wave endpoints —
+    // so the probe is delta-bounded (changedParts; the r13 version
+    // full-outer-joined two label-table-sized frames here).
+    val cand = deleteCandIds(old, dd.deadLbls)
+      .union(mergeCandIds(afterDel, wave, md.changedReps))
+    val touched = changedParts(old, merged, cand, p)
       .collect().map(_.getLong(0)).sorted
     merged.filter(if (touched.isEmpty) lit(false)
         else col("part").isin(touched.map(java.lang.Long.valueOf): _*))
