@@ -99,6 +99,57 @@ object Bench {
       timeMemoBuild("graph_memo_build") {
         graft.queries.TextQueries.divEdges(spark, sfDir).count()
       })
+    // ---- data-dependent masses (round-14): the bench artifact records
+    // the masses that DRIVE the expensive families alongside wall and
+    // loadavg, so a round-over-round wall shift is decomposable — same
+    // masses + same (code-fixed) job count = per-job overhead
+    // (environment); moved masses = the regenerated data, with the
+    // responsible stage named. Costs one cheap pass over memoized frames
+    // plus one corpus SimHash (charged as the masses_probe line).
+    var masses = Map.empty[String, Long]
+    val massesLine = timeMemoBuild("masses_probe") {
+      import org.apache.spark.sql.functions._
+      import graft.ops.TowerMemo
+      import graft.queries.TextQueries
+      def occStats(asg: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)), max(col("c")), sum(col("c") * col("c"))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (cells, occMax, pairMass) = occStats(TowerMemo.edgeAssigned(spark, sfDir))
+      val (oCells, oOccMax, oPairMass) = occStats(TowerMemo.oldEdgeAssigned(spark, sfDir))
+      val bandOcc = TextQueries.simhashBands(TextQueries.simhashSig(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("mx"),
+          sum(when(col("c") > TextQueries.BandOccCap, 1L).otherwise(0L)).as("over"))
+        .collect()(0)
+      masses = Map(
+        "n_vec" -> TowerMemo.prep(spark, sfDir).count(),
+        "edge_cells" -> cells, "edge_occ_max" -> occMax,
+        "edge_pair_mass" -> pairMass,
+        "old_edge_cells" -> oCells, "old_edge_occ_max" -> oOccMax,
+        "old_edge_pair_mass" -> oPairMass,
+        "cell_pairs" -> TowerMemo.cellPairs(spark, sfDir).count(),
+        "old_cell_pairs" -> TowerMemo.oldCellPairs(spark, sfDir).count(),
+        "div_edges" -> TextQueries.divEdges(spark, sfDir).count(),
+        "old_div_edges" -> TextQueries.oldDivEdges(spark, sfDir).count(),
+        "dup_pairs" -> TextQueries.dupPairs(spark, sfDir).count(),
+        "minhash_cands" -> TextQueries.minhashCands(spark, sfDir).count(),
+        "band_occ_max" -> bandOcc.getLong(0),
+        "band_over_cap" -> bandOcc.getLong(1))
+      // per-job overhead calibration (µs per trivial 1-stage job): the
+      // graph family's wall is job-count dominated at these SFs
+      // (GraphDecomp: identical job counts and near-identical walls at
+      // sf0.01 vs sf0.1) — this normalizer lets a future round decide
+      // "slower box" vs "regression" from the artifact alone.
+      locally {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 50) { spark.range(8).count(); i += 1 }
+        masses += ("job_overhead_us" -> (System.nanoTime() - t0) / 50000)
+      }
+    }
     // drain memo-build side caches so the FIRST timed query doesn't
     // absorb their eviction: dupLabels/the tower builders persist()
     // intermediates they branch over, and those tracked entries stay in
@@ -107,7 +158,7 @@ object Bench {
     // touch (TowerMemo doc).
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
-    val results = memoLines.toMap ++
+    val results = memoLines.toMap + massesLine ++
       SparkEntry.queries.map { case (name, fn) =>
         val first = timeOnce(name, fn)
         val best = if (first > RerunThresholdSec) math.min(first, timeOnce(name, fn)) else first
@@ -129,8 +180,10 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim
     } catch { case _: Throwable => "" }
+    val ms = masses.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"masses":$ms,"sf":"$sfDir","loadavg":"$loadavg"}"""
     val stdoutJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":"$loadavg"}"""
     // The driver parses this JSON from stdout; round 1 failed to extract it
