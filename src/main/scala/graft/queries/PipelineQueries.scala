@@ -651,28 +651,33 @@ object PipelineQueries {
     * (ctx, w) equi-keys (shuffle-partitioned by context — never
     * corpus-quadratic); the per-doc rollup shuffles on doc_id.
     */
-  val q155SurprisalFilter: Q = (s, d) => {
-    val tk = documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      // min corpus doc length is 10 tokens (measured) — the guard is
-      // for generality, it never binds here
-      .filter(size(col("t")) >= 3)
-    val tri = tracked(tk.select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("t"), lit(1), size(col("t")) - 2).as("a"),
-          slice(col("t"), lit(2), size(col("t")) - 2).as("b"),
-          slice(col("t"), lit(3), size(col("t")) - 2).as("c"))).as("p"))
-      .select(col("doc_id"),
-        concat(col("p.a"), lit(" "), col("p.b")).as("ctx"), col("p.c").as("w")))
-    val cutF = broadcast(documents(s, d).agg(expr("count(1) * 4 div 5").as("cut")))
-    val train = tracked(tri.crossJoin(cutF)
-      .filter(col("doc_id") < col("cut")).drop("cut"))
-    val v = train.select(col("w")).distinct().count()
-    val trainN = train.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb"))
-    val trainC = train.groupBy(col("ctx")).agg(count(lit(1)).as("cu"))
-    tri.crossJoin(cutF).filter(col("doc_id") >= col("cut")).drop("cut")
-      .join(trainN, Seq("ctx", "w"), "left")
-      .join(trainC, Seq("ctx"), "left")
+  /** THE single trigram derivation for the surprisal-gate family —
+    * q155, q156, and [[graft.streaming.StreamingLm]] all derive
+    * `(doc_id, ctx, w)` through here, so the service's held state can
+    * never drift from the oracled queries' gram definition.
+    */
+  private[graft] def lmTrigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    // min corpus doc length is 10 tokens (measured) — the guard is
+    // for generality, it never binds here
+    .filter(size(col("t")) >= 3)
+    .select(col("doc_id"),
+      explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 2).as("a"),
+        slice(col("t"), lit(2), size(col("t")) - 2).as("b"),
+        slice(col("t"), lit(3), size(col("t")) - 2).as("c"))).as("p"))
+    .select(col("doc_id"),
+      concat(col("p.a"), lit(" "), col("p.b")).as("ctx"), col("p.c").as("w"))
+
+  /** THE single q155 scorer: integer add-V surprisal of `wave(doc_id,
+    * ctx, w)` under LM state `(cb(ctx, w, cb), cu(ctx, cu), v)` —
+    * shared by q155/q156/[[graft.streaming.StreamingLm]] (same reason
+    * as [[lmTrigrams]]).
+    */
+  private[graft] def lmScoreOver(wave: DataFrame, cb: DataFrame,
+      cu: DataFrame, v: Long): DataFrame =
+    wave.join(cb, Seq("ctx", "w"), "left")
+      .join(cu, Seq("ctx"), "left")
       .select(col("doc_id"),
         length(bin(expr(s"(COALESCE(cu, 0) + $v) DIV (COALESCE(cb, 0) + 1)")))
           .cast("long").as("bits"),
@@ -683,6 +688,18 @@ object PipelineQueries {
       .withColumn("mbits_per_tri", expr("(1000 * total_bits) DIV n_tri"))
       .withColumn("flagged",
         (col("mbits_per_tri") > lit(SurpriseMbits)).cast("int"))
+
+  val q155SurprisalFilter: Q = (s, d) => {
+    val tri = tracked(lmTrigrams(documents(s, d)))
+    val cutF = broadcast(documents(s, d).agg(expr("count(1) * 4 div 5").as("cut")))
+    val train = tracked(tri.crossJoin(cutF)
+      .filter(col("doc_id") < col("cut")).drop("cut"))
+    val v = train.select(col("w")).distinct().count()
+    val trainN = train.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb"))
+    val trainC = train.groupBy(col("ctx")).agg(count(lit(1)).as("cu"))
+    lmScoreOver(
+      tri.crossJoin(cutF).filter(col("doc_id") >= col("cut")).drop("cut"),
+      trainN, trainC, v)
       .orderBy(col("doc_id"))
   }
 
@@ -713,16 +730,7 @@ object PipelineQueries {
     * shape to q155, plus O(|grams|) state folds.
     */
   val q156RollingLm: Q = (s, d) => {
-    val tk = documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-    val tri = tracked(tk.select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("t"), lit(1), size(col("t")) - 2).as("a"),
-          slice(col("t"), lit(2), size(col("t")) - 2).as("b"),
-          slice(col("t"), lit(3), size(col("t")) - 2).as("c"))).as("p"))
-      .select(col("doc_id"),
-        concat(col("p.a"), lit(" "), col("p.b")).as("ctx"), col("p.c").as("w")))
+    val tri = tracked(lmTrigrams(documents(s, d)))
     val cuts = broadcast(documents(s, d).agg(
       expr("count(1) * 2 div 5").as("k0"),
       expr("count(1) * 4 div 5").as("k1"),
@@ -741,22 +749,9 @@ object PipelineQueries {
       a._2.unionByName(b._2).groupBy(col("ctx"))
         .agg(sum(col("cu")).as("cu")).localCheckpoint(true),
       a._3.unionByName(b._3).distinct().localCheckpoint(true))
-    def score(wave: DataFrame, st: (DataFrame, DataFrame, DataFrame), id: Int) = {
-      val v = st._3.count()
-      wave.join(st._1, Seq("ctx", "w"), "left")
-        .join(st._2, Seq("ctx"), "left")
-        .select(col("doc_id"),
-          length(bin(expr(s"(COALESCE(cu, 0) + $v) DIV (COALESCE(cb, 0) + 1)")))
-            .cast("long").as("bits"),
-          when(col("cb").isNull, 1L).otherwise(0L).as("unseen"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"), sum(col("bits")).as("total_bits"),
-          sum(col("unseen")).as("n_unseen"))
-        .withColumn("mbits_per_tri", expr("(1000 * total_bits) DIV n_tri"))
-        .withColumn("flagged",
-          (col("mbits_per_tri") > lit(SurpriseMbits)).cast("int"))
+    def score(wave: DataFrame, st: (DataFrame, DataFrame, DataFrame), id: Int) =
+      lmScoreOver(wave, st._1, st._2, st._3.count())
         .withColumn("wave", lit(id.toLong))
-    }
     val s1 = fold(partials(slice2(col("doc_id") < col("k0"))),
       partials(slice2(col("doc_id") >= col("k0") && col("doc_id") < col("k1"))))
     val w1 = tracked(slice2(col("doc_id") >= col("k1") && col("doc_id") < col("k2")))

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingLm
+
+/** [[StreamingLm]] — the q155 admission-LM state maintained as a
+  * service (VERDICT r13 #4). Proves, across three waves with a genuine
+  * stream restart and a crash-window replay:
+  *
+  *  - SERVE ≡ ORACLE: after folding the q155 train slice as two
+  *    streamed waves, the service's scorer over its held state returns
+  *    row-for-row the oracled q155 output (same grams, same integer
+  *    surprisal, same flag — shared code, and this asserts it stays
+  *    shared);
+  *  - FOLD ≡ RETRAIN: after wave 3 the folded state scores identically
+  *    to a from-scratch batch retrain over the union corpus (q156's
+  *    merge law, now through the on-disk service);
+  *  - idempotent replay (marker skip), crash-before-commit replay
+  *    (vocab generation lost → wave re-lands), and digest-certified
+  *    compaction that changes nothing a reader can see;
+  *  - the vocabulary merge is genuinely non-additive on this corpus
+  *    (|V∪| < Σ|Vᵢ| — the law's non-trivial half is exercised).
+  */
+class StreamingLmSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  test("three waves + restart + crash replay: serve ≡ q155, fold ≡ batch retrain") {
+    import spark.implicits._
+    val lmDir = Files.createTempDirectory("slm").toString
+    val ckpt = Files.createTempDirectory("slm_ckpt").toString
+
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val k0 = n * 2 / 5
+    val cut = n * 4 / 5
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val wave0 = rows.filter(_._1 < k0)
+    val wave1 = rows.filter(r => r._1 >= k0 && r._1 < cut)
+    val wave2 = rows.filter(_._1 >= cut)
+
+    // ---- waves 0 and 1 through the STREAM, with a restart between ----
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def startQ() = StreamingLm.start(
+      source.toDS().toDF("doc_id", "text"), lmDir, ckpt)
+    var q = startQ()
+    source.addData(wave0: _*)
+    q.processAllAvailable(); q.stop()
+    q = startQ() // restart from the checkpoint
+    try {
+      source.addData(wave1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // ---- serve ≡ the oracled q155 (train = the same 4n/5 slice) ----
+    val got = StreamingLm.score(spark, lmDir,
+      docs.filter(col("doc_id") >= cut)).collect().toSeq
+    val want = SparkEntry.queries("q155_surprisal_filter")(spark, d)
+      .collect().toSeq
+    assert(got === want,
+      "service scorer over folded state diverged from the oracled q155")
+    assert(got.exists(_.getAs[Int]("flagged") == 1) &&
+      got.exists(_.getAs[Int]("flagged") == 0),
+      "gate vacuous: the threshold flags everything or nothing")
+
+    // vocabulary non-additivity is exercised (the law's non-trivial half)
+    val vUnion = StreamingLm.state(spark, lmDir)._3.count()
+    val vSum = Seq(wave0, wave1).map(w =>
+      graft.queries.PipelineQueries.lmTrigrams(w.toSeq.toDF("doc_id", "text"))
+        .select(col("w")).distinct().count()).sum
+    assert(vUnion < vSum, s"wave vocabularies disjoint (v=$vUnion sum=$vSum) — " +
+      "the distinct-union half of the merge law is vacuous on this split")
+
+    // ---- replay idempotence: a committed wave re-lands as a no-op ----
+    StreamingLm.updateBatch(lmDir)(wave1.toSeq.toDF("doc_id", "text"), 1L)
+    val gotReplay = StreamingLm.score(spark, lmDir,
+      docs.filter(col("doc_id") >= cut)).collect().toSeq
+    assert(gotReplay === got, "committed wave replay changed the state")
+
+    // ---- wave 2 with a crash BEFORE its commit marker, then replay ----
+    StreamingLm.updateBatch(lmDir)(wave2.toSeq.toDF("doc_id", "text"), 2L)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$lmDir/vocab/gen=2")) // the commit point is lost
+    StreamingLm.updateBatch(lmDir)(wave2.toSeq.toDF("doc_id", "text"), 2L)
+
+    // ---- fold ≡ from-scratch batch retrain over the union corpus ----
+    val probe = docs.filter(col("doc_id") >= cut)
+    val gotAll = StreamingLm.score(spark, lmDir, probe).collect().toSeq
+    val triAll = graft.queries.PipelineQueries.lmTrigrams(docs).persist()
+    val wantAll = graft.queries.PipelineQueries.lmScoreOver(
+        graft.queries.PipelineQueries.lmTrigrams(probe),
+        triAll.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb")),
+        triAll.groupBy(col("ctx")).agg(count(lit(1)).as("cu")),
+        triAll.select(col("w")).distinct().count())
+      .orderBy(col("doc_id")).collect().toSeq
+    triAll.unpersist(false)
+    assert(gotAll === wantAll,
+      "folded state after 3 waves diverged from the batch retrain")
+
+    // ---- compaction: invisible to readers, bounds the generations ----
+    StreamingLm.compactLm(spark, lmDir)
+    assert(new java.io.File(s"$lmDir/cb/gen=-1").exists() &&
+      new java.io.File(s"$lmDir/cb").listFiles().count(_.getName.startsWith("gen=")) == 1,
+      "compaction did not fold the generations")
+    val gotCompact = StreamingLm.score(spark, lmDir, probe).collect().toSeq
+    assert(gotCompact === gotAll, "compaction changed what the scorer sees")
+
+    for (dir <- Seq(lmDir, ckpt))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
+}
