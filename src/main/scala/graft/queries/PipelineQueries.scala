@@ -846,6 +846,186 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The q158 DSIR tower as a parameterized CTE generator (the q144 /
+    * g151PrefixCtes shared-generator rule): `docsRel` is the document
+    * relation the tower reads, `sfx` prefixes every CTE name so two
+    * instantiations can share one WITH statement. Defaults emit
+    * byte-identical SQL to the committed q158 oracle (diffed against
+    * oracle_sql.json before q163 was added — the r12 discipline). Ends
+    * WITHOUT a trailing comma (r6 rule).
+    */
+  private[graft] def dsirCtes(docsRel: String = "documents",
+      sfx: String = "158"): String =
+    s"""tk$sfx AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM $docsRel
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg$sfx AS (
+      |  SELECT doc_id, source,
+      |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(g)), k -> CAST(ascii(g[k]) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % ${TextOps.P})) % $DsirDims AS dim
+      |  FROM (SELECT doc_id, source,
+      |          unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS g
+      |        FROM tk$sfx)),
+      |tgt$sfx AS (SELECT dim, count(*) AS ct FROM bg$sfx WHERE source = '$DsirTargetSrc' GROUP BY dim),
+      |nt$sfx AS (SELECT count(*) AS n FROM bg$sfx WHERE source = '$DsirTargetSrc'),
+      |pool$sfx AS MATERIALIZED (SELECT * FROM bg$sfx WHERE source <> '$DsirTargetSrc'),
+      |cs$sfx AS (SELECT dim, count(*) AS cs FROM pool$sfx GROUP BY dim),
+      |ns$sfx AS (SELECT count(*) AS n FROM pool$sfx),
+      |sc$sfx AS (
+      |  SELECT p.doc_id, p.source,
+      |    CAST(length(format('{:b}', ((SELECT n FROM ns$sfx) + $DsirDims) // (cs + 1))) AS BIGINT) AS bs,
+      |    CAST(length(format('{:b}', ((SELECT n FROM nt$sfx) + $DsirDims) // (COALESCE(ct, 0) + 1))) AS BIGINT) AS bt
+      |  FROM pool$sfx p JOIN cs$sfx USING (dim) LEFT JOIN tgt$sfx t ON p.dim = t.dim),
+      |ag$sfx AS MATERIALIZED (
+      |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(bs) AS BIGINT) AS src_bits, CAST(sum(bt) AS BIGINT) AS tgt_bits,
+      |    (1000 * (CAST(sum(bs) AS BIGINT) - CAST(sum(bt) AS BIGINT))) // count(*) AS mbits_diff
+      |  FROM sc$sfx GROUP BY doc_id, source),
+      |k$sfx AS (SELECT count(*) // 10 AS k FROM ag$sfx),
+      |h$sfx AS (SELECT mbits_diff AS md, count(*) AS cnt FROM ag$sfx GROUP BY 1),
+      |c$sfx AS (SELECT md, cnt, CAST(sum(cnt) OVER (ORDER BY md DESC) AS BIGINT) AS c FROM h$sfx),
+      |thr$sfx AS (
+      |  SELECT md AS mstar, c - cnt AS above FROM c$sfx, k$sfx
+      |  WHERE c >= k$sfx.k ORDER BY md DESC LIMIT 1),
+      |tie$sfx AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      |  FROM ag$sfx, thr$sfx WHERE mbits_diff = mstar)"""
+
+  /** The q158 final projection over a [[dsirCtes]] instantiation —
+    * `extraCols` appends columns (q163 adds `is_updated`).
+    */
+  private[graft] def dsirFinalSelect(sfx: String = "158",
+      extraCols: String = ""): String =
+    s"""SELECT a.doc_id, a.source, a.n_grams, a.src_bits, a.tgt_bits, a.mbits_diff,
+      |  CAST(CASE WHEN a.mbits_diff > t.mstar
+      |    OR (a.mbits_diff = t.mstar AND e.rn <= (SELECT k FROM k$sfx) - t.above)
+      |    THEN 1 ELSE 0 END AS INT) AS selected$extraCols
+      |FROM ag$sfx a CROSS JOIN thr$sfx t LEFT JOIN tie$sfx e ON a.doc_id = e.doc_id"""
+
+  /** q163's oracle: the ENTIRE q158 selection recomputed from scratch
+    * over the UPDATED corpus (the q157 two-instantiation discipline —
+    * the Spark side folds held counts, the oracle knows no maintenance,
+    * so the hash match IS the fold law).
+    */
+  private def q163OracleSql: String =
+    s"""WITH u163 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN ${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound}
+      |      THEN substr(text, 1, length(text) // 2) ELSE text END AS text
+      |  FROM documents),
+      |${dsirCtes("u163", "163")}
+      |${dsirFinalSelect("163", s""",
+      |  CAST(CASE WHEN ${TextQueries.priorityHashSqlOn("a.doc_id")} < ${TextQueries.DeleteBound}
+      |    THEN 1 ELSE 0 END AS INT) AS is_updated""")}
+      |ORDER BY a.doc_id""".stripMargin
+
+  /** EXT — DSIR selection under the RE-CRAWL wave (VERDICT r13 #5 —
+    * q158's feature counts are exactly the subtract-old-add-new shape
+    * q159 proved for stats, so the selection is maintainable): the
+    * seeded ~12.8% hash slice re-crawls to truncated content (q159's
+    * slice and transform — the mod-5 slice is source-aligned and DSIR
+    * stratifies by source, so it is BANNED here; see UpdMod's warning),
+    * and the selection re-derives under the updated universe with the
+    * LM STATE FOLDED, never retrained: per-dim target/pool counts and
+    * the two totals each fold as held − old-slice-partials +
+    * new-slice-partials (one union-sum aggregation over state +
+    * wave-bounded deltas); only the per-doc SCORING rescans the pool
+    * stream — inherent, since the totals enter every gram's surprisal,
+    * so every doc's score moves under any wave. The cut then re-derives
+    * by the q95 histogram idiom. Measured before wiring (r6 rule): the
+    * wave touches 4–33 target and 60–594 pool docs, flips 28/36/468
+    * selection flags at sf0.001/0.01/0.1, pool membership is stable
+    * (no halved doc drops below 2 tokens), and the tie-break BINDS
+    * (3 docs at the cut for 1 seat at sf0.001; 44 for 13 at sf0.1).
+    *
+    * The ORACLE recomputes q158 from scratch over the updated corpus
+    * ([[dsirCtes]] instantiated on the u163 relation) — the hash match
+    * machine-proves fold ≡ retrain, selection included.
+    *
+    * Scale shape: held postings scan + wave-bounded deltas fold in two
+    * hash aggs; scoring joins the updated pool stream on dim against
+    * two ≤[[DsirDims]]-row broadcasts; selection adds value-domain
+    * work only (the q158 envelope, plus O(wave) delta terms).
+    */
+  val q163DsirUpdate: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val updP = TextQueries.priorityHashOn(col("doc_id")) < lit(TextQueries.DeleteBound)
+    val half = expr("substring(text, 1, length(text) DIV 2)")
+    def dimsOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.ShingleHash(col("text"), TextOps.P, 2)).as("h"))
+      .select(col("doc_id"), col("source"), pmod(col("h"), lit(DsirDims)).as("dim"))
+    // the held state: the ORIGINAL corpus postings (what q158 indexed)
+    val base = tracked(dimsOf(documents(s, d)))
+    // the wave: the slice's retired (old-content) and fresh (new-content)
+    // postings — both wave-bounded
+    val sliceOld = tracked(base.filter(updP))
+    val sliceNew = tracked(dimsOf(documents(s, d).filter(updP)
+      .select(col("doc_id"), col("source"), half.as("text"))))
+    def isTgt = col("source") === DsirTargetSrc
+    // per-dim counts FOLD: held − old + new (union-sum, zeros drop)
+    def foldCnt(heldD: DataFrame, oldD: DataFrame, newD: DataFrame,
+        out: String): DataFrame =
+      heldD.groupBy(col("dim")).agg(count(lit(1)).as("c"))
+        .unionByName(oldD.groupBy(col("dim")).agg((-count(lit(1))).as("c")))
+        .unionByName(newD.groupBy(col("dim")).agg(count(lit(1)).as("c")))
+        .groupBy(col("dim")).agg(sum(col("c")).as(out))
+        .filter(col(out) > 0)
+    val ct = foldCnt(base.filter(isTgt), sliceOld.filter(isTgt),
+      sliceNew.filter(isTgt), "ct")
+    val cs = foldCnt(base.filter(!isTgt), sliceOld.filter(!isTgt),
+      sliceNew.filter(!isTgt), "cs")
+    // totals fold the same way (1-row each)
+    def foldTot(heldD: DataFrame, oldD: DataFrame, newD: DataFrame,
+        out: String): DataFrame =
+      heldD.select(lit(1L).as("c")).unionByName(oldD.select(lit(-1L).as("c")))
+        .unionByName(newD.select(lit(1L).as("c")))
+        .agg(sum(col("c")).as(out))
+    val nt = broadcast(foldTot(base.filter(isTgt), sliceOld.filter(isTgt),
+      sliceNew.filter(isTgt), "nt"))
+    val ns = broadcast(foldTot(base.filter(!isTgt), sliceOld.filter(!isTgt),
+      sliceNew.filter(!isTgt), "ns"))
+    // the updated pool stream for scoring: untouched docs' held postings
+    // ∪ the slice's fresh postings
+    val pool = tracked(base.filter(!isTgt && !updP)
+      .unionByName(sliceNew.filter(!isTgt)))
+    val agg = tracked(pool
+      .join(cs, Seq("dim"))
+      .join(ct, Seq("dim"), "left")
+      .crossJoin(nt).crossJoin(ns)
+      .select(col("doc_id"), col("source"),
+        length(bin(expr(s"(ns + $DsirDims) DIV (cs + 1)"))).cast("long").as("bs"),
+        length(bin(expr(s"(nt + $DsirDims) DIV (COALESCE(ct, 0) + 1)")))
+          .cast("long").as("bt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("bs")).as("src_bits"),
+        sum(col("bt")).as("tgt_bits"))
+      .withColumn("mbits_diff",
+        expr("(1000 * (src_bits - tgt_bits)) DIV n_grams")))
+    val k = broadcast(agg.agg(expr("count(1) DIV 10").as("k")))
+    val hist = agg.groupBy(col("mbits_diff").as("md")).agg(count(lit(1)).as("cnt"))
+    // the cumulative window runs over the DISTINCT-score table —
+    // value-domain-bounded, the q95/q100 idiom (expected WindowExec WARN)
+    val cum = hist.withColumn("c",
+      sum(col("cnt")).over(Window.orderBy(col("md").desc)))
+    val thr = broadcast(cum.crossJoin(k).filter(col("c") >= col("k"))
+      .orderBy(col("md").desc).limit(1)
+      .select(col("md").as("mstar"), (col("c") - col("cnt")).as("above"), col("k")))
+    val ties = agg.crossJoin(thr).filter(col("mbits_diff") === col("mstar"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("rn"))
+    agg.crossJoin(thr).join(ties, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"), col("src_bits"),
+        col("tgt_bits"), col("mbits_diff"),
+        (col("mbits_diff") > col("mstar") ||
+          (col("mbits_diff") === col("mstar") &&
+            col("rn") <= col("k") - col("above")))
+          .cast("int").as("selected"),
+        updP.cast("int").as("is_updated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXT — cross-source overlap matrix: distinct-trigram Jaccard
     * between every source pair — the corpus-QC dashboard that tells a
     * pipeline owner which crawls/feeds duplicate each other before
@@ -2481,6 +2661,7 @@ object PipelineQueries {
     "q155_surprisal_filter" -> q155SurprisalFilter,
     "q156_rolling_lm" -> q156RollingLm,
     "q158_dsir_select" -> q158DsirSelect,
+    "q163_dsir_update" -> q163DsirUpdate,
     "q66_source_overlap" -> q66SourceOverlap,
     "q67_bpe_train"     -> q67BpeTrain,
     "q162_bpe_refresh"  -> q162BpeRefresh,
@@ -3075,47 +3256,10 @@ object PipelineQueries {
         |ORDER BY wave, doc_id""".stripMargin
     },
     "q158_dsir_select" ->
-      s"""WITH tk158 AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |bg158 AS (
-        |  SELECT doc_id, source,
-        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(generate_series(1, length(g)), k -> CAST(ascii(g[k]) AS BIGINT))),
-        |      (a, x) -> (a * 31 + x) % ${TextOps.P})) % $DsirDims AS dim
-        |  FROM (SELECT doc_id, source,
-        |          unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS g
-        |        FROM tk158)),
-        |tgt158 AS (SELECT dim, count(*) AS ct FROM bg158 WHERE source = '$DsirTargetSrc' GROUP BY dim),
-        |nt158 AS (SELECT count(*) AS n FROM bg158 WHERE source = '$DsirTargetSrc'),
-        |pool158 AS MATERIALIZED (SELECT * FROM bg158 WHERE source <> '$DsirTargetSrc'),
-        |cs158 AS (SELECT dim, count(*) AS cs FROM pool158 GROUP BY dim),
-        |ns158 AS (SELECT count(*) AS n FROM pool158),
-        |sc158 AS (
-        |  SELECT p.doc_id, p.source,
-        |    CAST(length(format('{:b}', ((SELECT n FROM ns158) + $DsirDims) // (cs + 1))) AS BIGINT) AS bs,
-        |    CAST(length(format('{:b}', ((SELECT n FROM nt158) + $DsirDims) // (COALESCE(ct, 0) + 1))) AS BIGINT) AS bt
-        |  FROM pool158 p JOIN cs158 USING (dim) LEFT JOIN tgt158 t ON p.dim = t.dim),
-        |ag158 AS MATERIALIZED (
-        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
-        |    CAST(sum(bs) AS BIGINT) AS src_bits, CAST(sum(bt) AS BIGINT) AS tgt_bits,
-        |    (1000 * (CAST(sum(bs) AS BIGINT) - CAST(sum(bt) AS BIGINT))) // count(*) AS mbits_diff
-        |  FROM sc158 GROUP BY doc_id, source),
-        |k158 AS (SELECT count(*) // 10 AS k FROM ag158),
-        |h158 AS (SELECT mbits_diff AS md, count(*) AS cnt FROM ag158 GROUP BY 1),
-        |c158 AS (SELECT md, cnt, CAST(sum(cnt) OVER (ORDER BY md DESC) AS BIGINT) AS c FROM h158),
-        |thr158 AS (
-        |  SELECT md AS mstar, c - cnt AS above FROM c158, k158
-        |  WHERE c >= k158.k ORDER BY md DESC LIMIT 1),
-        |tie158 AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-        |  FROM ag158, thr158 WHERE mbits_diff = mstar)
-        |SELECT a.doc_id, a.source, a.n_grams, a.src_bits, a.tgt_bits, a.mbits_diff,
-        |  CAST(CASE WHEN a.mbits_diff > t.mstar
-        |    OR (a.mbits_diff = t.mstar AND e.rn <= (SELECT k FROM k158) - t.above)
-        |    THEN 1 ELSE 0 END AS INT) AS selected
-        |FROM ag158 a CROSS JOIN thr158 t LEFT JOIN tie158 e ON a.doc_id = e.doc_id
+      s"""WITH ${dsirCtes()}
+        |${dsirFinalSelect()}
         |ORDER BY a.doc_id""".stripMargin,
+    "q163_dsir_update" -> q163OracleSql,
     "q66_source_overlap" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
         |g AS (
