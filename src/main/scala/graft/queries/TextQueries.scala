@@ -1217,6 +1217,143 @@ object TextQueries {
       .orderBy(col("ma"), col("mb"))
   }
 
+  /** EXT — the MEDIA dedup state under RE-CRAWL (VERDICT r13 #6 —
+    * multimodal was the one dedup family without an update-lifecycle
+    * story). Measured on this corpus before wiring (r6 rule): the
+    * content-HASH side (q73's clusters) is near-vacuous under the
+    * seeded update slice — at sf0.01 NO slice member sits in a
+    * multi-member cluster (updates only re-hash singletons; 2 keeper
+    * hand-offs exist corpus-wide at sf0.1 only) — so the maintained
+    * artifact here is the PERCEPTUAL near-dup state (q74's), which is
+    * richly live: 21/21/1170 verified pairs die and 8/8/718 are born
+    * across sf0.001/0.01/0.1, including cap-flip births between
+    * UNTOUCHED docs at sf0.1 (an updated doc leaving a saturated band
+    * bucket releases it — the StressR13 phenomenon, inside an
+    * oracle-able query).
+    *
+    * The maintained path holds the original SIGNATURE table (the state
+    * a production media pipeline persists — decode + perceptual hash is
+    * the expensive step at 100 TB) and re-derives ONLY the slice's
+    * signatures from the re-crawled payloads; the updated universe's
+    * band table is held-rows ∪ slice-rows with the occupancy cap
+    * re-checked over the UNION (q157's rule: the cap is a probe-time
+    * skew guard over current occupancy — pre-capped state would miss
+    * the released-bucket pairs the recompute finds). The band join
+    * itself re-runs — it is the cheap equi-join; the saving is the
+    * decode+hash pass over the untouched corpus. Each output pair
+    * carries `touches_update`.
+    *
+    * The ORACLE recomputes q74 from scratch over the updated corpus
+    * ([[media74Ctes]] instantiated on the u164 relation): signatures
+    * are per-row deterministic, so held-signature reuse ≡ recompute is
+    * exact — the hash match proves it, cap flips included.
+    */
+  /** The q74 perceptual-signature tower as a parameterized CTE
+    * generator (the dsirCtes discipline): `docsRel` is the document
+    * relation, `sfx` renames every CTE for same-statement coexistence.
+    * Defaults emit byte-identical SQL to the committed q74 oracle
+    * (diffed against oracle_sql.json before q164 was added). Ends at
+    * `ap<sfx>` WITHOUT a trailing comma; the final SELECT stays with
+    * the consumer.
+    */
+  private[graft] def media74Ctes(docsRel: String = "documents",
+      sfx: String = "74"): String = {
+    val mm = if (sfx == "74") "mm" else s"mm$sfx"
+    s"""$mm AS (SELECT doc_id AS media_id, text FROM $docsRel),
+      |by$sfx AS (
+      |  SELECT media_id,
+      |    (CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT) * 31
+      |      + CAST(ascii(substring(text, CAST(p AS INT) + 1, 1)) AS BIGINT)) % 64 AS bk,
+      |    CAST(length(text) - 1 AS BIGINT) AS n
+      |  FROM $mm, LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS p)),
+      |bs$sfx AS (
+      |  SELECT media_id, bk, CAST(count(*) AS BIGINT) AS c, max(n) AS n
+      |  FROM by$sfx GROUP BY media_id, bk),
+      |bit$sfx AS (
+      |  SELECT media_id, bk,
+      |    CASE WHEN c * 64 > n THEN 1 ELSE 0 END AS bit
+      |  FROM bs$sfx),
+      |ah$sfx AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN bk < 16 THEN bit * CAST(2 ** bk AS BIGINT) ELSE 0 END) AS BIGINT) AS a0,
+      |    CAST(sum(CASE WHEN bk >= 16 AND bk < 32 THEN bit * CAST(2 ** (bk - 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS a1,
+      |    CAST(sum(CASE WHEN bk >= 32 AND bk < 48 THEN bit * CAST(2 ** (bk - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS a2,
+      |    CAST(sum(CASE WHEN bk >= 48 THEN bit * CAST(2 ** (bk - 48) AS BIGINT) ELSE 0 END) AS BIGINT) AS a3
+      |  FROM bit$sfx GROUP BY media_id),
+      |ab$sfx AS (
+      |  SELECT media_id, b AS band,
+      |    CASE b WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS key
+      |  FROM ah$sfx, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      |ak$sfx AS (SELECT band, key FROM ab$sfx GROUP BY band, key HAVING count(*) <= $BandOccCap),
+      |abn$sfx AS (SELECT ab$sfx.* FROM ab$sfx JOIN ak$sfx USING (band, key)),
+      |ac$sfx AS (
+      |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+      |  FROM abn$sfx a JOIN abn$sfx b ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id),
+      |ap$sfx AS (
+      |  SELECT c.ma, c.mb,
+      |    CAST(bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1))
+      |      + bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) AS INT) AS dist
+      |  FROM ac$sfx c JOIN ah$sfx x ON c.ma = x.media_id JOIN ah$sfx y ON c.mb = y.media_id)"""
+  }
+
+  /** q164's oracle: q74 recomputed from scratch over the updated media
+    * corpus (signatures re-derived for every doc — the Spark side reuses
+    * held signatures for untouched docs, so the hash match proves the
+    * reuse exact, cap flips included).
+    */
+  private def q164OracleSql: String =
+    s"""WITH u164 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ${priorityHashSqlOn("doc_id")} < $DeleteBound
+      |      THEN substr(text, 1, length(text) // 2) ELSE text END AS text
+      |  FROM documents),
+      |${media74Ctes("u164", "164")}
+      |SELECT ma, mb, dist,
+      |  CAST(CASE WHEN ${priorityHashSqlOn("ma")} < $DeleteBound
+      |    OR ${priorityHashSqlOn("mb")} < $DeleteBound
+      |    THEN 1 ELSE 0 END AS INT) AS touches_update
+      |FROM ap164 WHERE dist <= $MediaSigMaxDist
+      |ORDER BY ma, mb""".stripMargin
+
+  val q164MediaUpdate: Q = (s, d) => {
+    val updM = priorityHashOn(col("media_id")) < lit(DeleteBound)
+    val half = expr("substring(text, 1, length(text) DIV 2)")
+    val docs = documents(s, d)
+    // HELD: the original signature table
+    val sig0 = tracked(graft.ops.Multimodal.perceptualRows(
+      graft.ops.Multimodal.syntheticMedia(s, docs)).filter(col("n_content") >= 2))
+    // the wave: slice payloads re-decode + re-hash (wave-bounded)
+    val sigU = tracked(graft.ops.Multimodal.perceptualRows(
+      graft.ops.Multimodal.syntheticMedia(s,
+        docs.filter(priorityHashOn(col("doc_id")) < lit(DeleteBound))
+          .withColumn("text", half)))
+      .filter(col("n_content") >= 2))
+    val sig = tracked(sig0.filter(!updM).unionByName(sigU))
+    // q74's banded machinery verbatim over the maintained signatures
+    val bands = tracked(bandOccCapped(sig.select(col("media_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"a$b").as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key"))))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .distinct()
+    val xa = sig.select(col("media_id").as("ma") +:
+      (0 until 4).map(b => col(s"a$b").as(s"xa$b")): _*)
+    val xb = sig.select(col("media_id").as("mb") +:
+      (0 until 4).map(b => col(s"a$b").as(s"xb$b")): _*)
+    cands.join(xa, Seq("ma")).join(xb, Seq("mb"))
+      .withColumn("dist", (0 until 4).map(b =>
+        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .filter(col("dist") <= MediaSigMaxDist)
+      .select(col("ma"), col("mb"), col("dist"),
+        ((priorityHashOn(col("ma")) < lit(DeleteBound)) ||
+          (priorityHashOn(col("mb")) < lit(DeleteBound))).cast("int")
+          .as("touches_update"))
+      .orderBy(col("ma"), col("mb"))
+  }
+
   /** Within-cell duplicate threshold for [[q76SemanticDedup]]: the
     * corpus's related-pair tail sits at cos ≈ 0.4 (the q29/q40 verify
     * threshold — the synthetic embeddings top out near 0.5, no tighter
@@ -3785,6 +3922,7 @@ object TextQueries {
     "q72_incremental_dedup" -> q72IncrementalDedup,
     "q73_multimodal_dedup" -> q73MultimodalDedup,
     "q74_media_neardup" -> q74MediaNeardup,
+    "q164_media_update" -> q164MediaUpdate,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_tfidf_topk" -> q77TfidfTopk,
     "q79_best_rep" -> q79BestRep,
@@ -6059,43 +6197,10 @@ object TextQueries {
         |WHERE p.n_shared >= $WinnowMinShared
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "q74_media_neardup" ->
-      s"""WITH mm AS (SELECT doc_id AS media_id, text FROM documents),
-        |by74 AS (
-        |  SELECT media_id,
-        |    (CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT) * 31
-        |      + CAST(ascii(substring(text, CAST(p AS INT) + 1, 1)) AS BIGINT)) % 64 AS bk,
-        |    CAST(length(text) - 1 AS BIGINT) AS n
-        |  FROM mm, LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS p)),
-        |bs74 AS (
-        |  SELECT media_id, bk, CAST(count(*) AS BIGINT) AS c, max(n) AS n
-        |  FROM by74 GROUP BY media_id, bk),
-        |bit74 AS (
-        |  SELECT media_id, bk,
-        |    CASE WHEN c * 64 > n THEN 1 ELSE 0 END AS bit
-        |  FROM bs74),
-        |ah74 AS (
-        |  SELECT media_id,
-        |    CAST(sum(CASE WHEN bk < 16 THEN bit * CAST(2 ** bk AS BIGINT) ELSE 0 END) AS BIGINT) AS a0,
-        |    CAST(sum(CASE WHEN bk >= 16 AND bk < 32 THEN bit * CAST(2 ** (bk - 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS a1,
-        |    CAST(sum(CASE WHEN bk >= 32 AND bk < 48 THEN bit * CAST(2 ** (bk - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS a2,
-        |    CAST(sum(CASE WHEN bk >= 48 THEN bit * CAST(2 ** (bk - 48) AS BIGINT) ELSE 0 END) AS BIGINT) AS a3
-        |  FROM bit74 GROUP BY media_id),
-        |ab74 AS (
-        |  SELECT media_id, b AS band,
-        |    CASE b WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS key
-        |  FROM ah74, (SELECT unnest([0, 1, 2, 3]) AS b)),
-        |ak74 AS (SELECT band, key FROM ab74 GROUP BY band, key HAVING count(*) <= $BandOccCap),
-        |abn74 AS (SELECT ab74.* FROM ab74 JOIN ak74 USING (band, key)),
-        |ac74 AS (
-        |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
-        |  FROM abn74 a JOIN abn74 b ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id),
-        |ap74 AS (
-        |  SELECT c.ma, c.mb,
-        |    CAST(bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1))
-        |      + bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) AS INT) AS dist
-        |  FROM ac74 c JOIN ah74 x ON c.ma = x.media_id JOIN ah74 y ON c.mb = y.media_id)
+      s"""WITH ${media74Ctes()}
         |SELECT ma, mb, dist FROM ap74 WHERE dist <= $MediaSigMaxDist
         |ORDER BY ma, mb""".stripMargin,
+    "q164_media_update" -> q164OracleSql,
     "q73_multimodal_dedup" ->
       """WITH m73 AS (
         |  SELECT doc_id AS media_id,
