@@ -160,6 +160,79 @@ object StreamingGraph {
       repAsg = liveAsg(s, indexDir), withIsNew = true, corpus = corp)
   }
 
+  // ---- AS-OF serving (round-14, VERDICT r13 #7): the labelsAt /
+  // liveCorpusAt pattern over the edge/member generations — exact at or
+  // above the compaction horizon, failing loudly below it (compaction
+  // IS the repair: it rewrites the adjacency and drops the tombstones,
+  // so older points are unreconstructible).
+
+  private def completeGenDirs(s: SparkSession, root: String,
+      upTo: Option[Long]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+        st.getPath.getName.stripPrefix("gen=").toLong <= upTo.getOrElse(Long.MaxValue) &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  private def readGens(s: SparkSession, root: String, upTo: Long,
+      cols: Seq[String]): Option[DataFrame] = {
+    val dirs = completeGenDirs(s, root, Some(upTo))
+    if (dirs.isEmpty) None
+    else Some(s.read.option("basePath", root).parquet(dirs: _*)
+      .select(cols.map(col): _*))
+  }
+
+  private def tombsAsOf(s: SparkSession, indexDir: String,
+      upTo: Long): Option[DataFrame] =
+    readGens(s, s"$indexDir/tombs", upTo, Seq("vec_id")).map(_.distinct())
+
+  /** The compaction horizon (highest wave folded by [[compact]]), or
+    * None if never compacted.
+    */
+  def compactionHorizon(s: SparkSession, indexDir: String): Option[Long] = {
+    val m = new org.apache.hadoop.fs.Path(s"$indexDir/edges/_HORIZON")
+    val f = m.getFileSystem(s.sessionState.newHadoopConf())
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** AUDIT-grade as-of search: [[search]]'s exact plan over the index
+    * state as of the END of wave `batchId` — attach waves and
+    * tombstones at or below it, everything later invisible. Exact at or
+    * above the compaction horizon; throws below it.
+    */
+  def searchAt(s: SparkSession, sfDir: String, indexDir: String,
+      batchId: Long): DataFrame = {
+    compactionHorizon(s, indexDir).foreach { h =>
+      if (batchId < h)
+        throw new IllegalArgumentException(
+          s"searchAt($batchId) is below the compaction horizon $h: " +
+            "the edge/tombstone history needed to reconstruct it was compacted away")
+    }
+    val t = tombsAsOf(s, indexDir, batchId)
+    def minus(df: DataFrame, key: String): DataFrame = t.fold(df)(tt =>
+      df.join(tt.select(col("vec_id").as(key)), Seq(key), "left_anti"))
+    val edges = readGens(s, s"$indexDir/edges", batchId, Seq("src", "dst"))
+      .getOrElse(s.range(0).select(col("id").as("src"), col("id").as("dst")))
+    val asg = readGens(s, s"$indexDir/asg", batchId, Seq("vec_id", "cell"))
+      .getOrElse(s.range(0).select(col("id").as("vec_id"), col("id").cast("int").as("cell")))
+    val members = readGens(s, s"$indexDir/members", batchId, Seq("vec_id"))
+      .getOrElse(s.range(0).select(col("id").as("vec_id")))
+    val corp = graft.ops.TowerMemo.prep(s, sfDir)
+      .join(minus(members, "vec_id"), Seq("vec_id"), "left_semi")
+    graft.queries.TextQueries.graphBeamSearch(s, sfDir,
+      minus(minus(edges, "src"), "dst").select(col("src"), col("dst")),
+      repAsg = minus(asg, "vec_id"), withIsNew = true, corpus = corp)
+  }
+
   /** Repair-as-compaction: run the fold-scored neighborhood repair
     * (q152/q154's operator) over the combined adjacency with the
     * on-disk tombstones, certify the repaired edge set by an
@@ -197,6 +270,21 @@ object StreamingGraph {
     val newEdges = s"$indexDir/edges_compacting/gen=-1"
     repaired.write.mode("overwrite").parquet(newEdges)
     s.catalog.refreshByPath(newEdges)
+    // the compaction HORIZON rides the compacting dir so the swap
+    // carries it atomically (the StreamingLabels discipline): highest
+    // wave folded — edge/member/tombstone gens, any prior horizon.
+    // searchAt refuses points below it.
+    locally {
+      val conf1 = s.sessionState.newHadoopConf()
+      val f1 = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf1)
+      val folded = Seq("edges", "members", "tombs")
+        .flatMap(sub => completeGenDirs(s, s"$indexDir/$sub", None))
+        .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
+      val horizon = (folded ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max)
+      val out = f1.create(
+        new org.apache.hadoop.fs.Path(s"$indexDir/edges_compacting/_HORIZON"), true)
+      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+    }
     val after = digest(s.read.parquet(newEdges))
     if (before != after)
       throw new IllegalStateException(

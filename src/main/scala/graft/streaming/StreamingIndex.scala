@@ -145,6 +145,77 @@ object StreamingIndex {
       Seq("vec_id"), "left_anti")
   }
 
+  // ---- AS-OF serving (round-14, VERDICT r13 #7): the labelsAt /
+  // liveCorpusAt pattern over code generations — the index's state as
+  // of the END of wave `batchId`, exact at or above the compaction
+  // horizon, failing loudly below it (compaction materializes the live
+  // set and drops the tombstones, so older points are gone).
+
+  private def completeGenDirs(s: SparkSession, root: String,
+      upTo: Option[Long]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+        st.getPath.getName.stripPrefix("gen=").toLong <= upTo.getOrElse(Long.MaxValue) &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  /** Code rows as of the END of wave `batchId`: committed code
+    * generations ≤ batchId (the compacted `gen=-1` sorts below any
+    * wave) minus ids tombstoned at or below it.
+    */
+  private def codesAsOf(s: SparkSession, indexDir: String,
+      batchId: Long): DataFrame = {
+    val dirs = completeGenDirs(s, s"$indexDir/codes", Some(batchId))
+    if (dirs.isEmpty)
+      return s.range(0).select(col("id").as("vec_id"),
+        col("id").cast("int").as("m"), col("id").cast("int").as("cid"),
+        col("id").cast("int").as("cell"))
+    val codes = s.read.option("basePath", s"$indexDir/codes").parquet(dirs: _*)
+      .select(col("vec_id"), col("m"), col("cid"), col("cell"))
+    val tombDirs = completeGenDirs(s, s"$indexDir/tombs", Some(batchId))
+    if (tombDirs.isEmpty) codes
+    else codes.join(
+      s.read.option("basePath", s"$indexDir/tombs").parquet(tombDirs: _*)
+        .select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** The compaction horizon (highest wave folded by [[compact]]), or
+    * None if never compacted. As-of reads below it are
+    * unreconstructible.
+    */
+  def compactionHorizon(s: SparkSession, indexDir: String): Option[Long] = {
+    val m = new org.apache.hadoop.fs.Path(s"$indexDir/codes/_HORIZON")
+    val f = m.getFileSystem(s.sessionState.newHadoopConf())
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** AUDIT-grade as-of search: [[searchTopK]]'s exact plan over the
+    * index state as of the END of wave `batchId`. Exact at or above
+    * the compaction horizon; throws below it (the generations and
+    * tombstones needed to reconstruct the point were folded away — an
+    * audit must fail loudly, not serve a silently-wrong index).
+    */
+  def searchAtTopK(s: SparkSession, sfDir: String, indexDir: String,
+      batchId: Long, k: Int = 5): DataFrame = {
+    compactionHorizon(s, indexDir).foreach { h =>
+      if (batchId < h)
+        throw new IllegalArgumentException(
+          s"searchAtTopK($batchId) is below the compaction horizon $h: " +
+            "the code/tombstone history needed to reconstruct it was compacted away")
+    }
+    searchOver(s, sfDir, codesAsOf(s, indexDir, batchId), indexDir, k)
+  }
+
   /** Digest-certified compaction: rewrite the codes table to exactly
     * its live rows (dropping tombstoned ids and collapsing the
     * generation dirs), prove the rewrite lost nothing — an
@@ -185,6 +256,21 @@ object StreamingIndex {
     // the same scratch path is re-read across successive compacts in
     // one session — drop any stale FileStatusCache listing first
     s.catalog.refreshByPath(newDir)
+    // the compaction HORIZON rides the compacting dir so the swap
+    // carries it atomically (the StreamingLabels discipline): highest
+    // wave folded in — code gens, tombstone gens, any prior horizon.
+    // searchAtTopK refuses points below it.
+    locally {
+      val conf1 = s.sessionState.newHadoopConf()
+      val f1 = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf1)
+      val folded = Seq("codes", "tombs")
+        .flatMap(sub => completeGenDirs(s, s"$indexDir/$sub", None))
+        .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
+      val horizon = (folded ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max)
+      val out = f1.create(
+        new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting/_HORIZON"), true)
+      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+    }
     val after = digest(s.read.parquet(newDir))
     if (before != after)
       throw new IllegalStateException(
@@ -277,10 +363,17 @@ object StreamingIndex {
     * been appended (and none deleted).
     */
   def searchTopK(s: SparkSession, sfDir: String, indexDir: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    searchOver(s, sfDir, liveCodes(s, indexDir), indexDir, k)
+
+  /** The q92-shaped search over an arbitrary code frame — shared by
+    * the live path ([[searchTopK]]) and the as-of path
+    * ([[searchAtTopK]]) so the two can never drift.
+    */
+  private def searchOver(s: SparkSession, sfDir: String, codes: DataFrame,
+      indexDir: String, k: Int): DataFrame = {
     val cent = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")
-    val codes = liveCodes(s, indexDir)
     val emb = Ivf.prep(s.read.parquet(s"$sfDir/embeddings.parquet"))
     val cut = broadcast(emb.agg(expr("count(1) * 4 div 5").as("cut")))
     val probes = Ivf.probeCells(
