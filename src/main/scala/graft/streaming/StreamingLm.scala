@@ -42,12 +42,14 @@ object StreamingLm {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
 
-  private def gens(s: SparkSession, lmDir: String, sub: String): Seq[String] = {
+  private def gens(s: SparkSession, lmDir: String, sub: String,
+      upTo: Option[Long] = None): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$lmDir/$sub")
     val f = hfs(s, lmDir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+        st.getPath.getName.stripPrefix("gen=").toLong <= upTo.getOrElse(Long.MaxValue) &&
         f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
   }
@@ -79,10 +81,14 @@ object StreamingLm {
     * vocabulary distinct-unioned. Empty-schema frames before the first
     * wave.
     */
-  def state(s: SparkSession, lmDir: String): (DataFrame, DataFrame, DataFrame) = {
-    val cbGens = gens(s, lmDir, "cb")
-    val cuGens = gens(s, lmDir, "cu")
-    val vGens = gens(s, lmDir, "vocab")
+  def state(s: SparkSession, lmDir: String): (DataFrame, DataFrame, DataFrame) =
+    stateAsOf(s, lmDir, None)
+
+  private def stateAsOf(s: SparkSession, lmDir: String,
+      upTo: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+    val cbGens = gens(s, lmDir, "cb", upTo)
+    val cuGens = gens(s, lmDir, "cu", upTo)
+    val vGens = gens(s, lmDir, "vocab", upTo)
     val cb =
       if (cbGens.isEmpty)
         s.range(0).select(lit("").as("ctx"), lit("").as("w"), col("id").as("cb"))
@@ -105,6 +111,43 @@ object StreamingLm {
     */
   def score(s: SparkSession, lmDir: String, docs: DataFrame): DataFrame = {
     val (cb, cu, vocab) = state(s, lmDir)
+    graft.queries.PipelineQueries.lmScoreOver(
+      graft.queries.PipelineQueries.lmTrigrams(
+        docs.select(col("doc_id"), col("text"))),
+      cb, cu, vocab.count())
+      .orderBy(col("doc_id"))
+  }
+
+  /** The compaction horizon (highest wave folded by [[compactLm]]), or
+    * None if never compacted. As-of reads below it are
+    * unreconstructible.
+    */
+  def compactionHorizon(s: SparkSession, lmDir: String): Option[Long] = {
+    val m = new org.apache.hadoop.fs.Path(s"$lmDir/cb/_HORIZON")
+    val f = hfs(s, lmDir)
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** AUDIT-grade as-of scoring: [[score]]'s exact plan over the LM
+    * state as of the END of wave `batchId` (generation partials at or
+    * below it). Exact at or above the compaction horizon; throws below
+    * it — compaction folds the per-wave partials into one generation,
+    * so older points are gone.
+    */
+  def scoreAt(s: SparkSession, lmDir: String, docs: DataFrame,
+      batchId: Long): DataFrame = {
+    compactionHorizon(s, lmDir).foreach { h =>
+      if (batchId < h)
+        throw new IllegalArgumentException(
+          s"scoreAt($batchId) is below the compaction horizon $h: " +
+            "the generation partials needed to reconstruct it were compacted away")
+    }
+    val (cb, cu, vocab) = stateAsOf(s, lmDir, Some(batchId))
     graft.queries.PipelineQueries.lmScoreOver(
       graft.queries.PipelineQueries.lmTrigrams(
         docs.select(col("doc_id"), col("text"))),
@@ -139,6 +182,17 @@ object StreamingLm {
     cb.write.mode("overwrite").parquet(s"$lmDir/cb_compacting/gen=-1")
     cu.write.mode("overwrite").parquet(s"$lmDir/cu_compacting/gen=-1")
     vocab.write.mode("overwrite").parquet(s"$lmDir/vocab_compacting/gen=-1")
+    // the compaction HORIZON rides the compacting dir so the swap
+    // carries it atomically; scoreAt refuses points below it
+    locally {
+      val folded = Seq("cb", "cu", "vocab")
+        .flatMap(sub => gens(s, lmDir, sub))
+        .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
+      val horizon = (folded ++ compactionHorizon(s, lmDir)).foldLeft(-1L)(math.max)
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$lmDir/cb_compacting/_HORIZON"), true)
+      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+    }
     for (sub <- Seq("cb", "cu", "vocab")) s.catalog.refreshByPath(s"$lmDir/${sub}_compacting")
     val backMb = mass(s.read.parquet(s"$lmDir/cb_compacting/gen=-1"), "cb")
     val backNv = s.read.parquet(s"$lmDir/vocab_compacting/gen=-1").count()

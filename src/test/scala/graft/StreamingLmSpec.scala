@@ -104,8 +104,22 @@ class StreamingLmSpec extends AnyFunSuite {
     assert(gotAll === wantAll,
       "folded state after 3 waves diverged from the batch retrain")
 
+    // ---- as-of scoring: points reconstruct exactly while the
+    // generations are uncompacted ----
+    assert(StreamingLm.scoreAt(spark, lmDir,
+        docs.filter(col("doc_id") >= cut), 1L).collect().toSeq === got,
+      "scoreAt(1) diverged from the wave-0+1 scoring")
+    assert(StreamingLm.scoreAt(spark, lmDir, probe, 2L).collect().toSeq === gotAll,
+      "scoreAt(latest) diverged from the live scoring")
+
     // ---- compaction: invisible to readers, bounds the generations ----
     StreamingLm.compactLm(spark, lmDir)
+    assert(StreamingLm.compactionHorizon(spark, lmDir) === Some(2L))
+    intercept[IllegalArgumentException] {
+      StreamingLm.scoreAt(spark, lmDir, probe, 1L).collect()
+    }
+    assert(StreamingLm.scoreAt(spark, lmDir, probe, 2L).collect().toSeq === gotAll,
+      "the horizon point stopped scoring after compaction")
     assert(new java.io.File(s"$lmDir/cb/gen=-1").exists() &&
       new java.io.File(s"$lmDir/cb").listFiles().count(_.getName.startsWith("gen=")) == 1,
       "compaction did not fold the generations")
