@@ -1834,16 +1834,33 @@ object TextQueries {
       .select(col("ch"), explode(
         graft.functions.ShingleHash(col("text"), P, 3, TextOps.P2)).as("h"))
       .groupBy(col("ch"), col("h")).agg(count(lit(1)).as("tf")))
+    bm25FromState(docs, grp.select(col("ch"), col("c_corp"), col("c_qry")), tfg)
+  }
+
+  /** The content-grouped BM25 scorer over ARBITRARY held state — the
+    * round-14 split that makes the retrieval state maintainable:
+    * `docs(doc_id, ch, isq)` is the membership mapping, `grpc(ch,
+    * c_corp, c_qry)` the per-content member counts, `tfg(ch, h, tf)`
+    * the per-content gram multisets. [[bm25Scored]] derives all three
+    * from the corpus (q106/q125's path); q165 FOLDS them under a
+    * re-crawl wave and scores through this same body, so the
+    * maintained path cannot drift from the oracled ones. A content
+    * whose folded counts drop to zero may keep its `tfg` rows — the
+    * `grpc` joins exclude it everywhere.
+    */
+  private[graft] def bm25FromState(docs: org.apache.spark.sql.DataFrame,
+      grpc: org.apache.spark.sql.DataFrame,
+      tfg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dlg = tracked(tfg.groupBy(col("ch")).agg(sum(col("tf")).as("dl")))
     val corpTf = tracked(tfg
-      .join(grp.filter(col("c_corp") > 0).select(col("ch"), col("c_corp")), Seq("ch")))
+      .join(grpc.filter(col("c_corp") > 0).select(col("ch"), col("c_corp")), Seq("ch")))
     val dft = corpTf.groupBy(col("h")).agg(sum(col("c_corp")).as("df"))
       .filter(col("df") <= Bm25DfCap)
     val st = corpTf.select(col("ch"), col("c_corp")).distinct()
       .join(dlg, Seq("ch"))
       .agg(sum(col("c_corp")).as("n"), sum(col("c_corp") * col("dl")).as("t"))
     val qryTf = tfg
-      .join(grp.filter(col("c_qry") > 0).select(col("ch")), Seq("ch"))
+      .join(grpc.filter(col("c_qry") > 0).select(col("ch")), Seq("ch"))
       .select(col("ch").as("qch"), col("h"))
     val pair = broadcast(qryTf)
       .join(corpTf.select(col("ch"), col("h"), col("tf")), Seq("h"))
@@ -1883,6 +1900,134 @@ object TextQueries {
       .filter(col("rank") <= Bm25TopK)
       .select(col("qid"), col("rank").cast("int").as("rank"), col("doc_id"),
         col("score"), col("n_shared"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The per-document brute BM25 oracle chain through `sc6` — factored
+    * so q106, q125, and q165 share one generator (the dsirCtes
+    * discipline): `docsRel` is the document relation, `nShared` emits
+    * sc6's n_shared column (q106/q165 carry it, q125 does not).
+    * Defaults reproduce the committed q106/q125 oracles byte-for-byte
+    * (diffed before q165 landed). Ends at `sc6` WITHOUT a trailing
+    * comma.
+    */
+  private def bm25ScoreCtes(docsRel: String, nShared: Boolean): String = {
+    val nsh = if (nShared) ",\n        |    CAST(count(*) AS BIGINT) AS n_shared" else ""
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM $docsRel),
+      |${gramHashCtes("b6", 3, distinct = false)}px6 AS (
+      |  SELECT doc_id, unnest(hs) AS h FROM hsb6),
+      |tf6 AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+      |  FROM px6 GROUP BY doc_id, h),
+      |corp6 AS (SELECT * FROM tf6 WHERE doc_id % 10 <> 0),
+      |qry6 AS (SELECT doc_id AS qid, h FROM tf6 WHERE doc_id % 10 = 0),
+      |dl6 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM corp6 GROUP BY 1),
+      |dft6 AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM corp6
+      |  GROUP BY 1 HAVING count(*) <= $Bm25DfCap),
+      |st6 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl6),
+      |sc6 AS (
+      |  SELECT q.qid, c.doc_id,
+      |    CAST(sum(((100000 * st6.n) // dft6.df) *
+      |      ((220000000000 * c.tf) //
+      |       (10000000 * c.tf + 3000000 +
+      |        (9000000000000 * dl6.dl) // ((1000000 * st6.t) // st6.n)))) AS BIGINT) AS score$nsh
+      |  FROM qry6 q JOIN corp6 c USING (h) JOIN dft6 USING (h)
+      |    JOIN dl6 ON c.doc_id = dl6.doc_id, st6
+      |  GROUP BY q.qid, c.doc_id)"""
+  }
+
+  /** q165's oracle: the ENTIRE q106 brute formulation recomputed over
+    * the updated corpus — it knows neither the content grouping NOR the
+    * fold, so the hash match proves both at once.
+    */
+  private def q165OracleSql: String =
+    s"""WITH u165 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ${priorityHashSqlOn("doc_id")} < $DeleteBound
+      |      THEN substr(text, 1, length(text) // 2) ELSE text END AS text
+      |  FROM documents),
+      |${bm25ScoreCtes("u165", nShared = true)},
+      |r6 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc6)
+      |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score, n_shared,
+      |  CAST(CASE WHEN ${priorityHashSqlOn("qid")} < $DeleteBound THEN 1 ELSE 0 END AS INT) AS q_upd
+      |FROM r6 WHERE rank <= $Bm25TopK
+      |ORDER BY qid, rank""".stripMargin
+
+  /** EXT — BM25 retrieval state maintained under the RE-CRAWL wave
+    * (the last retrieval artifact without an update story; the q163
+    * fold pattern applied to q106's content-grouped state): the seeded
+    * ~12.8% hash slice re-crawls to truncated content; the held state —
+    * the membership mapping `docs(doc_id, ch, isq)`, per-content member
+    * counts, and per-content gram MULTISETS — folds instead of
+    * retraining: counts fold as held − slice-old + slice-new
+    * (union-sum, empty contents drop), the mapping re-derives slice-only
+    * (per-row sha, scan-linear), and the only HASHING the wave pays is
+    * the genuinely NEW contents' gram multisets (anti-joined against the
+    * held content set — a re-crawl that lands on an existing content
+    * reuses its multiset). Scoring then runs the shared
+    * [[bm25FromState]] body — inherent full rescore, since N/T/avgdl
+    * enter every term weight. Measured before wiring: every SF's top-5
+    * lists move (all 50/50/500 queries change at least a score;
+    * rankings shift through both updated queries and updated corpus
+    * docs).
+    *
+    * The ORACLE recomputes q106's PER-DOCUMENT brute formulation over
+    * the updated corpus — it knows neither the content grouping nor the
+    * fold, so one hash match proves the group refactor AND the fold law
+    * together (the q56/q105 different-algorithm discipline).
+    *
+    * Scale shape: q106's (content-grouped postings, broadcast query
+    * side, WindowGroupLimit top-k) plus O(wave) delta terms; the
+    * re-crawl pays slice-sized hashing only.
+    */
+  val q165Bm25Update: Q = (s, d) => {
+    val updP = priorityHashOn(col("doc_id")) < lit(DeleteBound)
+    val half = expr("substring(text, 1, length(text) DIV 2)")
+    val isqE = (pmod(col("doc_id"), lit(10)) === 0).cast("long")
+    // HELD state — exactly what q106's serving tier persists
+    val docs0 = tracked(documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("ch"), isqE.as("isq")))
+    val grp0 = tracked(docs0.groupBy(col("ch")).agg(
+      min(col("doc_id")).as("rep"),
+      sum(lit(1L) - col("isq")).as("c_corp"), sum(col("isq")).as("c_qry")))
+    val tfg0 = tracked(documents(s, d).select(col("doc_id"), col("text"))
+      .join(grp0.select(col("rep").as("doc_id"), col("ch")), Seq("doc_id"))
+      .select(col("ch"), explode(
+        graft.functions.ShingleHash(col("text"), P, 3, TextOps.P2)).as("h"))
+      .groupBy(col("ch"), col("h")).agg(count(lit(1)).as("tf")))
+    // the wave: slice re-crawls to truncated content
+    val sliceNew = tracked(documents(s, d).filter(updP)
+      .select(col("doc_id"), sha2(half, 256).as("ch"), isqE.as("isq"),
+        half.as("text")))
+    // folded membership mapping (per-row, scan-linear)
+    val docsU = tracked(docs0.filter(!updP)
+      .unionByName(sliceNew.select(col("doc_id"), col("ch"), col("isq"))))
+    // folded member counts: held − slice-old + slice-new
+    val grpc = grp0.select(col("ch"), col("c_corp"), col("c_qry"))
+      .unionByName(docs0.filter(updP)
+        .select(col("ch"), (col("isq") - lit(1L)).as("c_corp"),
+          (-col("isq")).as("c_qry")))
+      .unionByName(sliceNew
+        .select(col("ch"), (lit(1L) - col("isq")).as("c_corp"),
+          col("isq").as("c_qry")))
+      .groupBy(col("ch"))
+      .agg(sum(col("c_corp")).as("c_corp"), sum(col("c_qry")).as("c_qry"))
+      .filter(col("c_corp") + col("c_qry") > 0)
+    // folded gram state: held multisets ∪ genuinely NEW contents' — the
+    // wave's only hashing
+    val tfgNew = sliceNew.select(col("ch"), col("text")).distinct()
+      .join(tfg0.select(col("ch")).distinct(), Seq("ch"), "left_anti")
+      .select(col("ch"), explode(
+        graft.functions.ShingleHash(col("text"), P, 3, TextOps.P2)).as("h"))
+      .groupBy(col("ch"), col("h")).agg(count(lit(1)).as("tf"))
+    val tfgU = tracked(tfg0.unionByName(tfgNew))
+    val scored = bm25FromState(docsU, grpc, tfgU)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score"), col("n_shared"),
+        (priorityHashOn(col("qid")) < lit(DeleteBound)).cast("int").as("q_upd"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -3933,6 +4078,7 @@ object TextQueries {
     "q101_winnowing" -> q101Winnowing,
     "q105_simjoin" -> q105SimJoin,
     "q106_bm25" -> q106Bm25,
+    "q165_bm25_update" -> q165Bm25Update,
     "q125_rrf_fusion" -> q125RrfFusion,
     "q107_mmr_rerank" -> q107MmrRerank,
     "q108_group_split" -> q108GroupSplit,
@@ -5960,53 +6106,15 @@ object TextQueries {
         |WHERE 8 * i >= 3 * (ma.m + mb.m)
         |ORDER BY da, db""".stripMargin,
     "q106_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
-        |${gramHashCtes("b6", 3, distinct = false)}px6 AS (
-        |  SELECT doc_id, unnest(hs) AS h FROM hsb6),
-        |tf6 AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
-        |  FROM px6 GROUP BY doc_id, h),
-        |corp6 AS (SELECT * FROM tf6 WHERE doc_id % 10 <> 0),
-        |qry6 AS (SELECT doc_id AS qid, h FROM tf6 WHERE doc_id % 10 = 0),
-        |dl6 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM corp6 GROUP BY 1),
-        |dft6 AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM corp6
-        |  GROUP BY 1 HAVING count(*) <= $Bm25DfCap),
-        |st6 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl6),
-        |sc6 AS (
-        |  SELECT q.qid, c.doc_id,
-        |    CAST(sum(((100000 * st6.n) // dft6.df) *
-        |      ((220000000000 * c.tf) //
-        |       (10000000 * c.tf + 3000000 +
-        |        (9000000000000 * dl6.dl) // ((1000000 * st6.t) // st6.n)))) AS BIGINT) AS score,
-        |    CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM qry6 q JOIN corp6 c USING (h) JOIN dft6 USING (h)
-        |    JOIN dl6 ON c.doc_id = dl6.doc_id, st6
-        |  GROUP BY q.qid, c.doc_id),
+      s"""WITH ${bm25ScoreCtes("documents", nShared = true)},
         |r6 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
         |  FROM sc6)
         |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score, n_shared
         |FROM r6 WHERE rank <= $Bm25TopK
         |ORDER BY qid, rank""".stripMargin,
+    "q165_bm25_update" -> q165OracleSql,
     "q125_rrf_fusion" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
-        |${gramHashCtes("b6", 3, distinct = false)}px6 AS (
-        |  SELECT doc_id, unnest(hs) AS h FROM hsb6),
-        |tf6 AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
-        |  FROM px6 GROUP BY doc_id, h),
-        |corp6 AS (SELECT * FROM tf6 WHERE doc_id % 10 <> 0),
-        |qry6 AS (SELECT doc_id AS qid, h FROM tf6 WHERE doc_id % 10 = 0),
-        |dl6 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM corp6 GROUP BY 1),
-        |dft6 AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM corp6
-        |  GROUP BY 1 HAVING count(*) <= $Bm25DfCap),
-        |st6 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl6),
-        |sc6 AS (
-        |  SELECT q.qid, c.doc_id,
-        |    CAST(sum(((100000 * st6.n) // dft6.df) *
-        |      ((220000000000 * c.tf) //
-        |       (10000000 * c.tf + 3000000 +
-        |        (9000000000000 * dl6.dl) // ((1000000 * st6.t) // st6.n)))) AS BIGINT) AS score
-        |  FROM qry6 q JOIN corp6 c USING (h) JOIN dft6 USING (h)
-        |    JOIN dl6 ON c.doc_id = dl6.doc_id, st6
-        |  GROUP BY q.qid, c.doc_id),
+      s"""WITH ${bm25ScoreCtes("documents", nShared = false)},
         |lexr AS (SELECT qid, doc_id, CAST(rank AS INT) AS lex_rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
         |  FROM sc6) WHERE rank <= $RrfDepth),
