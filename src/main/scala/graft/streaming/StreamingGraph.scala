@@ -166,21 +166,9 @@ object StreamingGraph {
   // IS the repair: it rewrites the adjacency and drops the tombstones,
   // so older points are unreconstructible).
 
-  private def completeGenDirs(s: SparkSession, root: String,
-      upTo: Option[Long]): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val f = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-        st.getPath.getName.stripPrefix("gen=").toLong <= upTo.getOrElse(Long.MaxValue) &&
-        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.toString)
-  }
-
   private def readGens(s: SparkSession, root: String, upTo: Long,
       cols: Seq[String]): Option[DataFrame] = {
-    val dirs = completeGenDirs(s, root, Some(upTo))
+    val dirs = GenStore.completeGenDirs(s, root, Some(upTo))
     if (dirs.isEmpty) None
     else Some(s.read.option("basePath", root).parquet(dirs: _*)
       .select(cols.map(col): _*))
@@ -193,16 +181,8 @@ object StreamingGraph {
   /** The compaction horizon (highest wave folded by [[compact]]), or
     * None if never compacted.
     */
-  def compactionHorizon(s: SparkSession, indexDir: String): Option[Long] = {
-    val m = new org.apache.hadoop.fs.Path(s"$indexDir/edges/_HORIZON")
-    val f = m.getFileSystem(s.sessionState.newHadoopConf())
-    if (!f.exists(m)) None
-    else {
-      val in = f.open(m)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+  def compactionHorizon(s: SparkSession, indexDir: String): Option[Long] =
+    GenStore.readHorizon(s, s"$indexDir/edges/_HORIZON")
 
   /** AUDIT-grade as-of search: [[search]]'s exact plan over the index
     * state as of the END of wave `batchId` — attach waves and
@@ -266,6 +246,12 @@ object StreamingGraph {
     val combined = s.read.parquet(s"$indexDir/edges").select(col("src"), col("dst"))
     val repaired = hold(graft.queries.TextQueries.repairFold(
       s, sfDir, combined, hold, tombstones = t))
+    // the horizon's fold set is captured BEFORE the repair reads the
+    // edge table (single-listing rule; compaction runs BETWEEN waves —
+    // maybeCompact's serving-loop slot — so this is the complete set)
+    val foldedGens = Seq("edges", "members", "tombs")
+      .flatMap(sub => GenStore.completeGenDirs(s, s"$indexDir/$sub", None))
+      .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
     val before = digest(repaired)
     val newEdges = s"$indexDir/edges_compacting/gen=-1"
     repaired.write.mode("overwrite").parquet(newEdges)
@@ -274,17 +260,8 @@ object StreamingGraph {
     // carries it atomically (the StreamingLabels discipline): highest
     // wave folded — edge/member/tombstone gens, any prior horizon.
     // searchAt refuses points below it.
-    locally {
-      val conf1 = s.sessionState.newHadoopConf()
-      val f1 = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf1)
-      val folded = Seq("edges", "members", "tombs")
-        .flatMap(sub => completeGenDirs(s, s"$indexDir/$sub", None))
-        .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
-      val horizon = (folded ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max)
-      val out = f1.create(
-        new org.apache.hadoop.fs.Path(s"$indexDir/edges_compacting/_HORIZON"), true)
-      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
-    }
+    GenStore.writeHorizon(s, s"$indexDir/edges_compacting/_HORIZON",
+      (foldedGens ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max))
     val after = digest(s.read.parquet(newEdges))
     if (before != after)
       throw new IllegalStateException(

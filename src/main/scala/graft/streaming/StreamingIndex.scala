@@ -151,32 +151,20 @@ object StreamingIndex {
   // horizon, failing loudly below it (compaction materializes the live
   // set and drops the tombstones, so older points are gone).
 
-  private def completeGenDirs(s: SparkSession, root: String,
-      upTo: Option[Long]): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val f = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-        st.getPath.getName.stripPrefix("gen=").toLong <= upTo.getOrElse(Long.MaxValue) &&
-        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.toString)
-  }
-
   /** Code rows as of the END of wave `batchId`: committed code
     * generations ≤ batchId (the compacted `gen=-1` sorts below any
     * wave) minus ids tombstoned at or below it.
     */
   private def codesAsOf(s: SparkSession, indexDir: String,
       batchId: Long): DataFrame = {
-    val dirs = completeGenDirs(s, s"$indexDir/codes", Some(batchId))
+    val dirs = GenStore.completeGenDirs(s, s"$indexDir/codes", Some(batchId))
     if (dirs.isEmpty)
       return s.range(0).select(col("id").as("vec_id"),
         col("id").cast("int").as("m"), col("id").cast("int").as("cid"),
         col("id").cast("int").as("cell"))
     val codes = s.read.option("basePath", s"$indexDir/codes").parquet(dirs: _*)
       .select(col("vec_id"), col("m"), col("cid"), col("cell"))
-    val tombDirs = completeGenDirs(s, s"$indexDir/tombs", Some(batchId))
+    val tombDirs = GenStore.completeGenDirs(s, s"$indexDir/tombs", Some(batchId))
     if (tombDirs.isEmpty) codes
     else codes.join(
       s.read.option("basePath", s"$indexDir/tombs").parquet(tombDirs: _*)
@@ -188,16 +176,8 @@ object StreamingIndex {
     * None if never compacted. As-of reads below it are
     * unreconstructible.
     */
-  def compactionHorizon(s: SparkSession, indexDir: String): Option[Long] = {
-    val m = new org.apache.hadoop.fs.Path(s"$indexDir/codes/_HORIZON")
-    val f = m.getFileSystem(s.sessionState.newHadoopConf())
-    if (!f.exists(m)) None
-    else {
-      val in = f.open(m)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+  def compactionHorizon(s: SparkSession, indexDir: String): Option[Long] =
+    GenStore.readHorizon(s, s"$indexDir/codes/_HORIZON")
 
   /** AUDIT-grade as-of search: [[searchTopK]]'s exact plan over the
     * index state as of the END of wave `batchId`. Exact at or above
@@ -250,6 +230,14 @@ object StreamingIndex {
           lit(1152921504606846976L).cast("decimal(38,0)")).cast("long"),
         lit(0L)))
       .collect()(0).getLong(0)
+    // the horizon's fold set is captured BEFORE the live set is read
+    // (single-listing rule: a horizon computed from a re-listing after
+    // the fold could claim a concurrently-committed wave it never
+    // folded). Compaction runs BETWEEN waves — maybeCompact's slot in a
+    // serving loop — so this listing is the complete fold set.
+    val foldedGens = Seq("codes", "tombs")
+      .flatMap(sub => GenStore.completeGenDirs(s, s"$indexDir/$sub", None))
+      .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
     val before = digest(liveCodes(s, indexDir))
     val newDir = s"$indexDir/codes_compacting/gen=-1"
     liveCodes(s, indexDir).write.mode("overwrite").parquet(newDir)
@@ -260,17 +248,8 @@ object StreamingIndex {
     // carries it atomically (the StreamingLabels discipline): highest
     // wave folded in — code gens, tombstone gens, any prior horizon.
     // searchAtTopK refuses points below it.
-    locally {
-      val conf1 = s.sessionState.newHadoopConf()
-      val f1 = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf1)
-      val folded = Seq("codes", "tombs")
-        .flatMap(sub => completeGenDirs(s, s"$indexDir/$sub", None))
-        .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
-      val horizon = (folded ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max)
-      val out = f1.create(
-        new org.apache.hadoop.fs.Path(s"$indexDir/codes_compacting/_HORIZON"), true)
-      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
-    }
+    GenStore.writeHorizon(s, s"$indexDir/codes_compacting/_HORIZON",
+      (foldedGens ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max))
     val after = digest(s.read.parquet(newDir))
     if (before != after)
       throw new IllegalStateException(

@@ -333,10 +333,10 @@ object StreamingLabels {
     val c = broadcast(candIds.select(col("id")).distinct())
     val oldSlice = oldT.select(col("id"), col("lbl"))
       .join(c, Seq("id"), "left_semi")
-      .select(col("id"), col("lbl"), lit(1L).as("side"))
+      .select(col("id"), col("lbl"))
     val newSlice = newT.select(col("id"), col("lbl"))
       .join(c, Seq("id"), "left_semi")
-      .select(col("id"), col("lbl"), lit(2L).as("side"))
+      .select(col("id"), col("lbl"))
     oldSlice.union(newSlice).groupBy(col("id"))
       .agg(count(lit(1)).as("n"), min(col("lbl")).as("l1"), max(col("lbl")).as("l2"))
       .filter(col("n") === 1L || col("l1") =!= col("l2"))

@@ -42,16 +42,29 @@ object StreamingLm {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
 
-  private def gens(s: SparkSession, lmDir: String, sub: String,
-      upTo: Option[Long] = None): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$lmDir/$sub")
+  /** COMMITTED wave ids: generations whose VOCAB marker — the wave's
+    * declared commit point, written LAST — exists. Gating every reader
+    * and the compactor on the vocab marker (not each sub-table's own
+    * `_SUCCESS`) is what makes a torn wave invisible: a crash between
+    * the cb/cu writes and the vocab write leaves partials on disk that
+    * nothing reads and nothing compacts until the replay completes the
+    * wave — otherwise a pre-replay compaction would fold the torn
+    * wave's counts and the replay would then re-land them on top,
+    * double-counting cb AND cu equally (invariant-invisible, permanent;
+    * the round-14 review's finding).
+    */
+  private def committedGens(s: SparkSession, lmDir: String,
+      upTo: Option[Long] = None): Seq[Long] =
+    GenStore.completeGenIds(s, s"$lmDir/vocab")
+      .filter(g => g <= upTo.getOrElse(Long.MaxValue))
+
+  private def subDirs(s: SparkSession, lmDir: String, sub: String,
+      gens: Seq[Long]): Seq[String] = {
     val f = hfs(s, lmDir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-        st.getPath.getName.stripPrefix("gen=").toLong <= upTo.getOrElse(Long.MaxValue) &&
-        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.toString)
+    // cb/cu of a committed wave exist by write order; the filter guards
+    // a manually-damaged table rather than any normal state
+    gens.map(g => s"$lmDir/$sub/gen=$g")
+      .filter(dir => f.exists(new org.apache.hadoop.fs.Path(dir)))
   }
 
   /** Fold one wave of documents `(doc_id, text)` into the LM state:
@@ -66,13 +79,14 @@ object StreamingLm {
     if (f.exists(new org.apache.hadoop.fs.Path(vocabDir, "_SUCCESS"))) return
     val tri = graft.queries.PipelineQueries.lmTrigrams(
       docs.select(col("doc_id"), col("text"))).persist()
-    tri.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb"))
-      .write.mode("overwrite").parquet(s"$lmDir/cb/gen=$batchId")
-    tri.groupBy(col("ctx")).agg(count(lit(1)).as("cu"))
-      .write.mode("overwrite").parquet(s"$lmDir/cu/gen=$batchId")
-    tri.select(col("w")).distinct()
-      .write.mode("overwrite").parquet(vocabDir.toString)
-    tri.unpersist(false)
+    try {
+      tri.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb"))
+        .write.mode("overwrite").parquet(s"$lmDir/cb/gen=$batchId")
+      tri.groupBy(col("ctx")).agg(count(lit(1)).as("cu"))
+        .write.mode("overwrite").parquet(s"$lmDir/cu/gen=$batchId")
+      tri.select(col("w")).distinct()
+        .write.mode("overwrite").parquet(vocabDir.toString)
+    } finally tri.unpersist(false)
     ()
   }
 
@@ -82,13 +96,18 @@ object StreamingLm {
     * wave.
     */
   def state(s: SparkSession, lmDir: String): (DataFrame, DataFrame, DataFrame) =
-    stateAsOf(s, lmDir, None)
+    stateFor(s, lmDir, committedGens(s, lmDir))
 
-  private def stateAsOf(s: SparkSession, lmDir: String,
-      upTo: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
-    val cbGens = gens(s, lmDir, "cb", upTo)
-    val cuGens = gens(s, lmDir, "cu", upTo)
-    val vGens = gens(s, lmDir, "vocab", upTo)
+  /** The folded state over an explicit committed-wave set — the single
+    * fold body [[state]], [[scoreAt]], and [[compactLm]] share, so the
+    * compactor can never fold a different generation set than it
+    * records as its horizon (the single-listing rule).
+    */
+  private def stateFor(s: SparkSession, lmDir: String,
+      gens: Seq[Long]): (DataFrame, DataFrame, DataFrame) = {
+    val cbGens = subDirs(s, lmDir, "cb", gens)
+    val cuGens = subDirs(s, lmDir, "cu", gens)
+    val vGens = subDirs(s, lmDir, "vocab", gens)
     val cb =
       if (cbGens.isEmpty)
         s.range(0).select(lit("").as("ctx"), lit("").as("w"), col("id").as("cb"))
@@ -122,16 +141,8 @@ object StreamingLm {
     * None if never compacted. As-of reads below it are
     * unreconstructible.
     */
-  def compactionHorizon(s: SparkSession, lmDir: String): Option[Long] = {
-    val m = new org.apache.hadoop.fs.Path(s"$lmDir/cb/_HORIZON")
-    val f = hfs(s, lmDir)
-    if (!f.exists(m)) None
-    else {
-      val in = f.open(m)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+  def compactionHorizon(s: SparkSession, lmDir: String): Option[Long] =
+    GenStore.readHorizon(s, s"$lmDir/cb/_HORIZON")
 
   /** AUDIT-grade as-of scoring: [[score]]'s exact plan over the LM
     * state as of the END of wave `batchId` (generation partials at or
@@ -147,7 +158,8 @@ object StreamingLm {
           s"scoreAt($batchId) is below the compaction horizon $h: " +
             "the generation partials needed to reconstruct it were compacted away")
     }
-    val (cb, cu, vocab) = stateAsOf(s, lmDir, Some(batchId))
+    val (cb, cu, vocab) = stateFor(s, lmDir,
+      committedGens(s, lmDir, Some(batchId)))
     graft.queries.PipelineQueries.lmScoreOver(
       graft.queries.PipelineQueries.lmTrigrams(
         docs.select(col("doc_id"), col("text"))),
@@ -162,7 +174,8 @@ object StreamingLm {
     * total trigram mass (Σcb ≡ Σcu — both count every wave trigram
     * once) and vocabulary size read back from the sink's files. Counts
     * only add and nothing tombstones, so compaction is pure
-    * re-aggregation — no horizon needed.
+    * re-aggregation; the recorded horizon exists for [[scoreAt]], which
+    * cannot reconstruct per-wave points once the partials fold.
     */
   def compactLm(s: SparkSession, lmDir: String): Unit = {
     val f = hfs(s, lmDir)
@@ -171,8 +184,15 @@ object StreamingLm {
       val old = new org.apache.hadoop.fs.Path(s"$lmDir/${sub}_old")
       if (!f.exists(live) && f.exists(old)) f.rename(old, live)
     }
-    val (cb, cu, vocab) = state(s, lmDir)
-    if (gens(s, lmDir, "vocab").isEmpty) return
+    // ONE committed-wave listing feeds BOTH the fold and the horizon
+    // (the single-listing rule): a generation is folded iff it is in
+    // this list, and the horizon claims exactly these ids. Compaction
+    // runs BETWEEN waves (the compactPairLog contract — maybeCompact's
+    // slot in a serving loop); a wave committed concurrently would be
+    // destroyed by the whole-dir swap, single listing or not.
+    val gens = committedGens(s, lmDir)
+    if (gens.isEmpty) return
+    val (cb, cu, vocab) = stateFor(s, lmDir, gens)
     def mass(df: DataFrame, c: String): Long =
       df.agg(coalesce(sum(col(c)), lit(0L))).collect()(0).getLong(0)
     val (mb, mu, nv) = (mass(cb, "cb"), mass(cu, "cu"), vocab.count())
@@ -184,15 +204,8 @@ object StreamingLm {
     vocab.write.mode("overwrite").parquet(s"$lmDir/vocab_compacting/gen=-1")
     // the compaction HORIZON rides the compacting dir so the swap
     // carries it atomically; scoreAt refuses points below it
-    locally {
-      val folded = Seq("cb", "cu", "vocab")
-        .flatMap(sub => gens(s, lmDir, sub))
-        .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
-      val horizon = (folded ++ compactionHorizon(s, lmDir)).foldLeft(-1L)(math.max)
-      val out = f.create(
-        new org.apache.hadoop.fs.Path(s"$lmDir/cb_compacting/_HORIZON"), true)
-      try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
-    }
+    GenStore.writeHorizon(s, s"$lmDir/cb_compacting/_HORIZON",
+      (gens ++ compactionHorizon(s, lmDir)).foldLeft(-1L)(math.max))
     for (sub <- Seq("cb", "cu", "vocab")) s.catalog.refreshByPath(s"$lmDir/${sub}_compacting")
     val backMb = mass(s.read.parquet(s"$lmDir/cb_compacting/gen=-1"), "cb")
     val backNv = s.read.parquet(s"$lmDir/vocab_compacting/gen=-1").count()

@@ -112,19 +112,46 @@ class StreamingLmSpec extends AnyFunSuite {
     assert(StreamingLm.scoreAt(spark, lmDir, probe, 2L).collect().toSeq === gotAll,
       "scoreAt(latest) diverged from the live scoring")
 
+    // ---- the TORN-WAVE × COMPACTION window (round-14 review finding):
+    // a wave whose cb/cu landed but whose commit point (the vocab
+    // marker) did not must be INVISIBLE to readers and to compaction —
+    // otherwise compaction folds the torn partials and the replay
+    // re-lands them on top, double-counting cb and cu equally
+    // (invariant-invisible, permanent). Tear wave 3, compact, replay,
+    // and assert the state still equals the batch retrain.
+    val extra = Seq((100000L, "alpha beta gamma delta epsilon zeta"))
+    StreamingLm.updateBatch(lmDir)(extra.toDF("doc_id", "text"), 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$lmDir/vocab/gen=3")) // the commit point is lost
+    assert(StreamingLm.score(spark, lmDir, probe).collect().toSeq === gotAll,
+      "a torn wave's partials are visible to readers")
+    StreamingLm.compactLm(spark, lmDir) // must NOT fold the torn wave
+    StreamingLm.updateBatch(lmDir)(extra.toDF("doc_id", "text"), 3L) // replay
+    val tornDocs = docs.unionByName(extra.toDF("doc_id", "text")).persist()
+    val triT = graft.queries.PipelineQueries.lmTrigrams(tornDocs).persist()
+    val wantTorn = graft.queries.PipelineQueries.lmScoreOver(
+        graft.queries.PipelineQueries.lmTrigrams(probe),
+        triT.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb")),
+        triT.groupBy(col("ctx")).agg(count(lit(1)).as("cu")),
+        triT.select(col("w")).distinct().count())
+      .orderBy(col("doc_id")).collect().toSeq
+    triT.unpersist(false); tornDocs.unpersist(false)
+    assert(StreamingLm.score(spark, lmDir, probe).collect().toSeq === wantTorn,
+      "torn wave double-counted across a pre-replay compaction")
+
     // ---- compaction: invisible to readers, bounds the generations ----
     StreamingLm.compactLm(spark, lmDir)
-    assert(StreamingLm.compactionHorizon(spark, lmDir) === Some(2L))
+    assert(StreamingLm.compactionHorizon(spark, lmDir) === Some(3L))
     intercept[IllegalArgumentException] {
-      StreamingLm.scoreAt(spark, lmDir, probe, 1L).collect()
+      StreamingLm.scoreAt(spark, lmDir, probe, 2L).collect()
     }
-    assert(StreamingLm.scoreAt(spark, lmDir, probe, 2L).collect().toSeq === gotAll,
+    assert(StreamingLm.scoreAt(spark, lmDir, probe, 3L).collect().toSeq === wantTorn,
       "the horizon point stopped scoring after compaction")
     assert(new java.io.File(s"$lmDir/cb/gen=-1").exists() &&
       new java.io.File(s"$lmDir/cb").listFiles().count(_.getName.startsWith("gen=")) == 1,
       "compaction did not fold the generations")
     val gotCompact = StreamingLm.score(spark, lmDir, probe).collect().toSeq
-    assert(gotCompact === gotAll, "compaction changed what the scorer sees")
+    assert(gotCompact === wantTorn, "compaction changed what the scorer sees")
 
     for (dir <- Seq(lmDir, ckpt))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
