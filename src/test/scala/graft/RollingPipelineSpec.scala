@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{StreamingCorpus, StreamingDedup, StreamingGraph, StreamingIndex, StreamingLabels}
+import graft.streaming.{StreamingCorpus, StreamingDedup, StreamingGraph, StreamingIndex, StreamingLabels, StreamingLm}
 
 /** The COMPOSED rolling pipeline, driven as one system (each component
   * has its own spec; this is the loop a serving deployment actually
@@ -73,7 +73,10 @@ class RollingPipelineSpec extends AnyFunSuite {
         StreamingDedup.pairs(stream.select(col("doc_id"), col("text"))).toDF(),
         labelDir, lblCkpt)
 
-      // phase 1: waves 0 and 1 through both consumers + index appends
+      val lmDir = Files.createTempDirectory("roll_lm").toString
+      // phase 1: waves 0 and 1 through both consumers + index appends +
+      // the LM gate state (round-14: the fifth maintained store rides
+      // the same composed waves)
       var qC = startCorpus()
       var qL = startLabels()
       for (i <- 0 to 1) {
@@ -83,6 +86,8 @@ class RollingPipelineSpec extends AnyFunSuite {
           vecWaves(i).toDF("vec_id", "embedding"), i.toLong)
         StreamingGraph.appendBatch(d, gIdxDir)(
           vecWaves(i).toDF("vec_id", "embedding"), i.toLong)
+        StreamingLm.updateBatch(lmDir)(
+          waves(i).map(w => (w._1, w._4)).toDF("doc_id", "text"), i.toLong)
       }
       // mid-stream restart: both queries stop and relaunch from their
       // checkpoints before the final wave
@@ -97,6 +102,26 @@ class RollingPipelineSpec extends AnyFunSuite {
         vecWaves(2).toDF("vec_id", "embedding"), 2L)
       StreamingGraph.appendBatch(d, gIdxDir)(
         vecWaves(2).toDF("vec_id", "embedding"), 2L)
+      StreamingLm.updateBatch(lmDir)(
+        waves(2).map(w => (w._1, w._4)).toDF("doc_id", "text"), 2L)
+
+      // ---- LM gate state: three composed waves fold to the batch
+      // retrain over the whole arrival stream (the LM is an ARRIVALS
+      // model — re-crawls/takedowns below add observations, never
+      // retract; q156's additive fold law) ----
+      val lmProbe = waves(2).map(w => (w._1, w._4)).toDF("doc_id", "text")
+      val gotLm = StreamingLm.score(spark, lmDir, lmProbe).collect().toSeq
+      val allDocs = docs.map(w => (w._1, w._4)).toDF("doc_id", "text").persist()
+      val triAll = graft.queries.PipelineQueries.lmTrigrams(allDocs).persist()
+      val wantLm = graft.queries.PipelineQueries.lmScoreOver(
+          graft.queries.PipelineQueries.lmTrigrams(lmProbe),
+          triAll.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb")),
+          triAll.groupBy(col("ctx")).agg(count(lit(1)).as("cu")),
+          triAll.select(col("w")).distinct().count())
+        .orderBy(col("doc_id")).collect().toSeq
+      triAll.unpersist(false); allDocs.unpersist(false)
+      assert(gotLm === wantLm,
+        "LM state folded through the composed waves diverged from the batch retrain")
 
       // ---- labels ≡ batch components ----
       val gotLabels = StreamingLabels.labels(spark, labelDir)
@@ -248,7 +273,7 @@ class RollingPipelineSpec extends AnyFunSuite {
       assert(pairsNow.forall(p => !(live3(p._1) && live3(p._2))),
         "takedown did not restore the admitted-dup invariant")
 
-      for (dir <- Seq(out, corpusCkpt, labelDir, lblCkpt, idxDir, gIdxDir))
+      for (dir <- Seq(out, corpusCkpt, labelDir, lblCkpt, idxDir, gIdxDir, lmDir))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       graft.queries.releasePersisted()
       spark.catalog.clearCache()
