@@ -26,16 +26,21 @@ private[streaming] object GenStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sessionState.newHadoopConf())
 
-  /** Committed generation ids under `root` (dirs `gen=<id>` with
-    * `_SUCCESS`), ascending.
+  /** Committed generation ids under `root` (dirs `gen=<id>` carrying
+    * the commit `marker`), ascending. The marker defaults to parquet's
+    * own `_SUCCESS`; a MULTI-table wave must pass its single
+    * wave-level commit marker instead (the StreamingLm `_WAVE` rule:
+    * gating each table on its own `_SUCCESS` lets a torn wave be read
+    * or compacted).
     */
-  def completeGenIds(s: SparkSession, root: String): Seq[Long] = {
+  def completeGenIds(s: SparkSession, root: String,
+      marker: String = "_SUCCESS"): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = fs(s, root)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, marker)))
       .map(_.getPath.getName.stripPrefix("gen=").toLong).sorted
   }
 

@@ -65,6 +65,14 @@ object StreamingGraph {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/edges/gen=$batchId")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    // folded-wave replay guard (the StreamingIndex rule): compaction
+    // deleted the folded generations' markers, so an attach wave whose
+    // stream checkpoint was lost would re-land duplicate member/edge
+    // rows. Attach batchIds are monotone within THEIR OWN sequence
+    // (deletes run a separate stream), so the guard compares against
+    // the highest folded EDGES generation, not the mixed as-of horizon.
+    if (batchId <= GenStore.readHorizon(
+        s, s"$indexDir/edges/_HORIZON_APPEND").getOrElse(-1L)) return
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = { locals += df.persist(); df }
     // membership BEFORE edges: the edges `_SUCCESS` marker gates the
@@ -100,6 +108,9 @@ object StreamingGraph {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/tombs/gen=$batchId")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    // no folded-wave guard needed (unlike appendBatch): a replayed
+    // tombstone for an id the repair already removed anti-joins
+    // nothing — a no-op for live and as-of reads alike
     ids.select(col("vec_id")).write.mode("overwrite").parquet(dir.toString)
   }
 
@@ -133,12 +144,33 @@ object StreamingGraph {
     else asg.join(tombs(s, indexDir), Seq("vec_id"), "left_anti")
   }
 
-  /** The index's live member universe: every indexed id minus the
-    * tombstones — what bounds the entry point, the beam corpus, and
+  /** Member dirs of COMMITTED waves: a wave spans two tables (members
+    * written first, edges last), so its commit point is the EDGES
+    * marker — a torn wave's members must neither serve (ghost ids with
+    * no adjacency in the entry point, beam corpus, and exact-truth
+    * side) nor be folded by compaction (round-14 review). `upTo` bounds
+    * the as-of reads.
+    */
+  private def committedMemberDirs(s: SparkSession, indexDir: String,
+      upTo: Option[Long] = None): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    GenStore.completeGenIds(s, s"$indexDir/edges")
+      .filter(g => g <= upTo.getOrElse(Long.MaxValue))
+      .map(g => s"$indexDir/members/gen=$g")
+      .filter(d => f.exists(new org.apache.hadoop.fs.Path(d)))
+  }
+
+  /** The index's live member universe: every COMMITTED wave's ids minus
+    * the tombstones — what bounds the entry point, the beam corpus, and
     * the exact-truth side at serve time.
     */
   def liveMembers(s: SparkSession, indexDir: String): DataFrame = {
-    val m = s.read.parquet(s"$indexDir/members").select(col("vec_id"))
+    val dirs = committedMemberDirs(s, indexDir)
+    val m =
+      if (dirs.isEmpty) s.range(0).select(col("id").as("vec_id"))
+      else s.read.option("basePath", s"$indexDir/members").parquet(dirs: _*)
+        .select(col("vec_id"))
     if (!tombsExist(s, indexDir)) m
     else m.join(tombs(s, indexDir), Seq("vec_id"), "left_anti")
   }
@@ -204,8 +236,13 @@ object StreamingGraph {
       .getOrElse(s.range(0).select(col("id").as("src"), col("id").as("dst")))
     val asg = readGens(s, s"$indexDir/asg", batchId, Seq("vec_id", "cell"))
       .getOrElse(s.range(0).select(col("id").as("vec_id"), col("id").cast("int").as("cell")))
-    val members = readGens(s, s"$indexDir/members", batchId, Seq("vec_id"))
-      .getOrElse(s.range(0).select(col("id").as("vec_id")))
+    // members gate on the wave's commit point (the edges marker), same
+    // as liveMembers — a torn wave's members are as-of-invisible too
+    val mDirs = committedMemberDirs(s, indexDir, Some(batchId))
+    val members =
+      if (mDirs.isEmpty) s.range(0).select(col("id").as("vec_id"))
+      else s.read.option("basePath", s"$indexDir/members").parquet(mDirs: _*)
+        .select(col("vec_id"))
     val corp = graft.ops.TowerMemo.prep(s, sfDir)
       .join(minus(members, "vec_id"), Seq("vec_id"), "left_semi")
     graft.queries.TextQueries.graphBeamSearch(s, sfDir,
@@ -249,9 +286,10 @@ object StreamingGraph {
     // the horizon's fold set is captured BEFORE the repair reads the
     // edge table (single-listing rule; compaction runs BETWEEN waves —
     // maybeCompact's serving-loop slot — so this is the complete set)
-    val foldedGens = Seq("edges", "members", "tombs")
-      .flatMap(sub => GenStore.completeGenDirs(s, s"$indexDir/$sub", None))
-      .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
+    // edge-committed ids cover the members (two-table wave, edges =
+    // commit point); tombs are single-table waves with their own marker
+    val foldedEdges = GenStore.completeGenIds(s, s"$indexDir/edges")
+    val foldedGens = foldedEdges ++ GenStore.completeGenIds(s, s"$indexDir/tombs")
     val before = digest(repaired)
     val newEdges = s"$indexDir/edges_compacting/gen=-1"
     repaired.write.mode("overwrite").parquet(newEdges)
@@ -262,6 +300,11 @@ object StreamingGraph {
     // searchAt refuses points below it.
     GenStore.writeHorizon(s, s"$indexDir/edges_compacting/_HORIZON",
       (foldedGens ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max))
+    // the ATTACH sequence's own high-water mark (appendBatch's replay
+    // guard; same captured listing — single-listing rule)
+    GenStore.writeHorizon(s, s"$indexDir/edges_compacting/_HORIZON_APPEND",
+      (foldedEdges ++ GenStore.readHorizon(s, s"$indexDir/edges/_HORIZON_APPEND"))
+        .foldLeft(-1L)(math.max))
     val after = digest(s.read.parquet(newEdges))
     if (before != after)
       throw new IllegalStateException(

@@ -82,6 +82,16 @@ object StreamingIndex {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/codes/gen=$batchId")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    // a FOLDED wave's replay (committed on disk, stream checkpoint
+    // lost, compaction ran before the restart) finds no marker —
+    // compaction deleted its generation — and would re-land DUPLICATE
+    // code rows (doubling ADC sums). The append stream's batchIds are
+    // monotone within THEIR OWN sequence (deletes run a separate
+    // stream/sequence), so the guard compares against the highest
+    // folded CODES generation, never the mixed as-of horizon
+    // (round-14 review + the spec's independent-sequence lesson).
+    if (batchId <= GenStore.readHorizon(
+        s, s"$indexDir/codes/_HORIZON_APPEND").getOrElse(-1L)) return
     val cent = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")
     val asg = Ivf.assignAll(Ivf.prep(batch), cent)
@@ -113,6 +123,10 @@ object StreamingIndex {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/tombs/gen=$batchId")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    // no folded-wave guard needed here (unlike appendBatch): a replayed
+    // tombstone for an id compaction already erased anti-joins nothing —
+    // a no-op for the live view AND for as-of reads (killing an absent
+    // id changes no result)
     ids.select(col("vec_id")).write.mode("overwrite").parquet(dir.toString)
   }
 
@@ -235,9 +249,8 @@ object StreamingIndex {
     // the fold could claim a concurrently-committed wave it never
     // folded). Compaction runs BETWEEN waves — maybeCompact's slot in a
     // serving loop — so this listing is the complete fold set.
-    val foldedGens = Seq("codes", "tombs")
-      .flatMap(sub => GenStore.completeGenDirs(s, s"$indexDir/$sub", None))
-      .map(p => p.substring(p.lastIndexOf("gen=") + 4).toLong)
+    val foldedCodes = GenStore.completeGenIds(s, s"$indexDir/codes")
+    val foldedGens = foldedCodes ++ GenStore.completeGenIds(s, s"$indexDir/tombs")
     val before = digest(liveCodes(s, indexDir))
     val newDir = s"$indexDir/codes_compacting/gen=-1"
     liveCodes(s, indexDir).write.mode("overwrite").parquet(newDir)
@@ -250,6 +263,12 @@ object StreamingIndex {
     // searchAtTopK refuses points below it.
     GenStore.writeHorizon(s, s"$indexDir/codes_compacting/_HORIZON",
       (foldedGens ++ compactionHorizon(s, indexDir)).foldLeft(-1L)(math.max))
+    // the APPEND sequence's own high-water mark (appendBatch's replay
+    // guard — the sequences are independent, so the mixed as-of horizon
+    // must not gate appends); same captured listing, single-listing rule
+    GenStore.writeHorizon(s, s"$indexDir/codes_compacting/_HORIZON_APPEND",
+      (foldedCodes ++ GenStore.readHorizon(s, s"$indexDir/codes/_HORIZON_APPEND"))
+        .foldLeft(-1L)(math.max))
     val after = digest(s.read.parquet(newDir))
     if (before != after)
       throw new IllegalStateException(

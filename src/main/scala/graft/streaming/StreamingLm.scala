@@ -10,12 +10,27 @@ import org.apache.spark.sql.functions._
   * counts `cb(ctx, w)`, context counts `cu(ctx)`, and the vocabulary —
   * counts ADD across waves, the vocabulary merges as a DISTINCT UNION
   * (|V| does NOT add — the non-trivial half of the merge law). Each
-  * micro-batch appends one partial generation under
-  * `lmDir/{cb,cu,vocab}/gen=<batchId>`; reads fold the generations
-  * algebraically (merge-on-read, the StreamingSketch discipline lifted
-  * to disk so the state survives restarts), and [[compactLm]]
-  * periodically folds them into one generation with a digest-certified
-  * checked-rename swap so the read cost stays bounded.
+  * micro-batch commits one generation under `lmDir/waves/gen=<batchId>`
+  * holding ALL THREE partial tables plus a wave-level `_WAVE` marker
+  * written last; reads fold the committed generations algebraically
+  * (merge-on-read, the StreamingSketch discipline lifted to disk so the
+  * state survives restarts), and [[compactLm]] periodically folds them
+  * into one generation with a digest-certified checked-rename swap so
+  * the read cost stays bounded.
+  *
+  * Why ONE generation root instead of three parallel table roots (the
+  * round-14 review's finding): a wave spans three tables, so both its
+  * commit and its compaction must be atomic ACROSS them. The `_WAVE`
+  * marker is the single commit point (a crash between the sub-writes
+  * leaves partials nothing reads and nothing compacts — the replay
+  * completes the wave; gating each table on its own `_SUCCESS` would
+  * let a pre-replay compaction fold a torn wave and the replay then
+  * double-count it, equally in cb and cu where the mass digest cannot
+  * see it), and compaction swaps the ONE `waves` root (three parallel
+  * roots swapped sequentially left a mid-swap crash window where vocab
+  * still listed wave ids whose cb/cu dirs were already folded away —
+  * readers went silently empty and a re-compaction could certify and
+  * destroy the state at 0 == 0).
   *
   * Serve point = q155's scorer over the live state: [[score]] reuses
   * [[graft.queries.PipelineQueries.lmScoreOver]] and
@@ -23,13 +38,18 @@ import org.apache.spark.sql.functions._
   * derivation and integer add-V surprisal expression as the oracled
   * queries, so the service cannot drift from them (StreamingLmSpec
   * proves wave-folded state ≡ batch retrain across 3 waves with a
-  * crash + replay, and that the scorer equals the q155 formulation
-  * over the union corpus).
+  * crash + replay, plus the torn-wave × compaction window).
   *
-  * Replay/crash safety: the commit point is the VOCAB generation's
-  * `_SUCCESS` (checked first, written last). All three sub-writes are
-  * overwrite-mode and derive deterministically from the batch, so a
-  * crash between them replays into identical bytes.
+  * Replay/crash safety: a replayed batch skips on the `_WAVE` marker
+  * OR on `batchId ≤` the compaction horizon — the marker alone is not
+  * enough, because compaction DELETES the folded generation dirs: a
+  * wave committed on disk whose STREAM checkpoint had not yet
+  * committed would replay after a compaction, find no marker, and
+  * re-land its counts on top of the fold (the same double-count class;
+  * batchIds are monotone per table, so `≤ horizon` identifies exactly
+  * the replays of folded waves). All sub-writes are overwrite-mode and
+  * derive deterministically from the batch, so a crash between them
+  * replays into identical bytes.
   *
   * At scale: partials are gram-domain-sized (vocabulary² worst case,
   * never corpus-sized), the per-wave fold is one map-side-combining
@@ -42,52 +62,40 @@ object StreamingLm {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
 
-  /** COMMITTED wave ids: generations whose VOCAB marker — the wave's
-    * declared commit point, written LAST — exists. Gating every reader
-    * and the compactor on the vocab marker (not each sub-table's own
-    * `_SUCCESS`) is what makes a torn wave invisible: a crash between
-    * the cb/cu writes and the vocab write leaves partials on disk that
-    * nothing reads and nothing compacts until the replay completes the
-    * wave — otherwise a pre-replay compaction would fold the torn
-    * wave's counts and the replay would then re-land them on top,
-    * double-counting cb AND cu equally (invariant-invisible, permanent;
-    * the round-14 review's finding).
+  /** The wave-level commit marker (see the scaladoc: the single commit
+    * point for a three-table wave).
     */
+  private val WaveMarker = "_WAVE"
+
+  /** COMMITTED wave ids: generations carrying their `_WAVE` marker. */
   private def committedGens(s: SparkSession, lmDir: String,
       upTo: Option[Long] = None): Seq[Long] =
-    GenStore.completeGenIds(s, s"$lmDir/vocab")
+    GenStore.completeGenIds(s, s"$lmDir/waves", WaveMarker)
       .filter(g => g <= upTo.getOrElse(Long.MaxValue))
-
-  private def subDirs(s: SparkSession, lmDir: String, sub: String,
-      gens: Seq[Long]): Seq[String] = {
-    val f = hfs(s, lmDir)
-    // cb/cu of a committed wave exist by write order; the filter guards
-    // a manually-damaged table rather than any normal state
-    gens.map(g => s"$lmDir/$sub/gen=$g")
-      .filter(dir => f.exists(new org.apache.hadoop.fs.Path(dir)))
-  }
 
   /** Fold one wave of documents `(doc_id, text)` into the LM state:
     * derive the wave's trigram partials and commit them as generation
-    * `batchId`. Idempotent on the vocab `_SUCCESS` marker (the last
-    * write — the wave's commit point).
+    * `batchId`. Idempotent on the `_WAVE` marker and on the compaction
+    * horizon (a folded wave's replay must skip even though compaction
+    * deleted its marker).
     */
   def updateBatch(lmDir: String)(docs: DataFrame, batchId: Long): Unit = {
     val s = docs.sparkSession
     val f = hfs(s, lmDir)
-    val vocabDir = new org.apache.hadoop.fs.Path(s"$lmDir/vocab/gen=$batchId")
-    if (f.exists(new org.apache.hadoop.fs.Path(vocabDir, "_SUCCESS"))) return
+    val genDir = s"$lmDir/waves/gen=$batchId"
+    if (f.exists(new org.apache.hadoop.fs.Path(genDir, WaveMarker))) return
+    if (batchId <= compactionHorizon(s, lmDir).getOrElse(-1L)) return
     val tri = graft.queries.PipelineQueries.lmTrigrams(
       docs.select(col("doc_id"), col("text"))).persist()
     try {
       tri.groupBy(col("ctx"), col("w")).agg(count(lit(1)).as("cb"))
-        .write.mode("overwrite").parquet(s"$lmDir/cb/gen=$batchId")
+        .write.mode("overwrite").parquet(s"$genDir/cb")
       tri.groupBy(col("ctx")).agg(count(lit(1)).as("cu"))
-        .write.mode("overwrite").parquet(s"$lmDir/cu/gen=$batchId")
+        .write.mode("overwrite").parquet(s"$genDir/cu")
       tri.select(col("w")).distinct()
-        .write.mode("overwrite").parquet(vocabDir.toString)
+        .write.mode("overwrite").parquet(s"$genDir/vocab")
     } finally tri.unpersist(false)
-    ()
+    f.create(new org.apache.hadoop.fs.Path(genDir, WaveMarker), true).close()
   }
 
   /** The live LM state folded across committed generations:
@@ -105,21 +113,19 @@ object StreamingLm {
     */
   private def stateFor(s: SparkSession, lmDir: String,
       gens: Seq[Long]): (DataFrame, DataFrame, DataFrame) = {
-    val cbGens = subDirs(s, lmDir, "cb", gens)
-    val cuGens = subDirs(s, lmDir, "cu", gens)
-    val vGens = subDirs(s, lmDir, "vocab", gens)
+    def dirs(sub: String) = gens.map(g => s"$lmDir/waves/gen=$g/$sub")
     val cb =
-      if (cbGens.isEmpty)
+      if (gens.isEmpty)
         s.range(0).select(lit("").as("ctx"), lit("").as("w"), col("id").as("cb"))
-      else s.read.parquet(cbGens: _*).groupBy(col("ctx"), col("w"))
+      else s.read.parquet(dirs("cb"): _*).groupBy(col("ctx"), col("w"))
         .agg(sum(col("cb")).as("cb"))
     val cu =
-      if (cuGens.isEmpty) s.range(0).select(lit("").as("ctx"), col("id").as("cu"))
-      else s.read.parquet(cuGens: _*).groupBy(col("ctx"))
+      if (gens.isEmpty) s.range(0).select(lit("").as("ctx"), col("id").as("cu"))
+      else s.read.parquet(dirs("cu"): _*).groupBy(col("ctx"))
         .agg(sum(col("cu")).as("cu"))
     val vocab =
-      if (vGens.isEmpty) s.range(0).select(lit("").as("w"))
-      else s.read.parquet(vGens: _*).select(col("w")).distinct()
+      if (gens.isEmpty) s.range(0).select(lit("").as("w"))
+      else s.read.parquet(dirs("vocab"): _*).select(col("w")).distinct()
     (cb, cu, vocab)
   }
 
@@ -139,10 +145,10 @@ object StreamingLm {
 
   /** The compaction horizon (highest wave folded by [[compactLm]]), or
     * None if never compacted. As-of reads below it are
-    * unreconstructible.
+    * unreconstructible; wave replays at or below it are skipped.
     */
   def compactionHorizon(s: SparkSession, lmDir: String): Option[Long] =
-    GenStore.readHorizon(s, s"$lmDir/cb/_HORIZON")
+    GenStore.readHorizon(s, s"$lmDir/waves/_HORIZON")
 
   /** AUDIT-grade as-of scoring: [[score]]'s exact plan over the LM
     * state as of the END of wave `batchId` (generation partials at or
@@ -167,29 +173,29 @@ object StreamingLm {
       .orderBy(col("doc_id"))
   }
 
-  /** Digest-certified compaction: fold every committed generation of
-    * each partial table into one (`gen=-1`, below any future batchId)
-    * with a checked-rename swap (rename-back recovery for a crash
-    * between the renames — the compactPairLog discipline). Certify by
-    * total trigram mass (Σcb ≡ Σcu — both count every wave trigram
-    * once) and vocabulary size read back from the sink's files. Counts
-    * only add and nothing tombstones, so compaction is pure
-    * re-aggregation; the recorded horizon exists for [[scoreAt]], which
-    * cannot reconstruct per-wave points once the partials fold.
+  /** Digest-certified compaction: fold every committed generation into
+    * one (`gen=-1`, below any future batchId) and swap the SINGLE
+    * `waves` root with checked renames (rename-back recovery for a
+    * crash between the two renames — the compactPairLog discipline; one
+    * root means no cross-table mid-swap window). Certify by total
+    * trigram mass (Σcb ≡ Σcu — both count every wave trigram once) and
+    * vocabulary size read back from the sink's files. Counts only add
+    * and nothing tombstones, so compaction is pure re-aggregation; the
+    * recorded horizon serves [[scoreAt]] (which cannot reconstruct
+    * per-wave points once the partials fold) and the replay guard in
+    * [[updateBatch]]. Runs BETWEEN waves (maybeCompact's serving-loop
+    * slot).
     */
   def compactLm(s: SparkSession, lmDir: String): Unit = {
     val f = hfs(s, lmDir)
-    for (sub <- Seq("cb", "cu", "vocab")) {
-      val live = new org.apache.hadoop.fs.Path(s"$lmDir/$sub")
-      val old = new org.apache.hadoop.fs.Path(s"$lmDir/${sub}_old")
+    locally {
+      val live = new org.apache.hadoop.fs.Path(s"$lmDir/waves")
+      val old = new org.apache.hadoop.fs.Path(s"$lmDir/waves_old")
       if (!f.exists(live) && f.exists(old)) f.rename(old, live)
     }
     // ONE committed-wave listing feeds BOTH the fold and the horizon
     // (the single-listing rule): a generation is folded iff it is in
-    // this list, and the horizon claims exactly these ids. Compaction
-    // runs BETWEEN waves (the compactPairLog contract — maybeCompact's
-    // slot in a serving loop); a wave committed concurrently would be
-    // destroyed by the whole-dir swap, single listing or not.
+    // this list, and the horizon claims exactly these ids.
     val gens = committedGens(s, lmDir)
     if (gens.isEmpty) return
     val (cb, cu, vocab) = stateFor(s, lmDir, gens)
@@ -199,33 +205,32 @@ object StreamingLm {
     if (mb != mu)
       throw new IllegalStateException(
         s"LM state inconsistent before compaction: sum(cb)=$mb != sum(cu)=$mu")
-    cb.write.mode("overwrite").parquet(s"$lmDir/cb_compacting/gen=-1")
-    cu.write.mode("overwrite").parquet(s"$lmDir/cu_compacting/gen=-1")
-    vocab.write.mode("overwrite").parquet(s"$lmDir/vocab_compacting/gen=-1")
+    val next = s"$lmDir/waves_compacting"
+    cb.write.mode("overwrite").parquet(s"$next/gen=-1/cb")
+    cu.write.mode("overwrite").parquet(s"$next/gen=-1/cu")
+    vocab.write.mode("overwrite").parquet(s"$next/gen=-1/vocab")
+    f.create(new org.apache.hadoop.fs.Path(s"$next/gen=-1", WaveMarker), true).close()
     // the compaction HORIZON rides the compacting dir so the swap
-    // carries it atomically; scoreAt refuses points below it
-    GenStore.writeHorizon(s, s"$lmDir/cb_compacting/_HORIZON",
+    // carries it atomically
+    GenStore.writeHorizon(s, s"$next/_HORIZON",
       (gens ++ compactionHorizon(s, lmDir)).foldLeft(-1L)(math.max))
-    for (sub <- Seq("cb", "cu", "vocab")) s.catalog.refreshByPath(s"$lmDir/${sub}_compacting")
-    val backMb = mass(s.read.parquet(s"$lmDir/cb_compacting/gen=-1"), "cb")
-    val backNv = s.read.parquet(s"$lmDir/vocab_compacting/gen=-1").count()
+    s.catalog.refreshByPath(next)
+    val backMb = mass(s.read.parquet(s"$next/gen=-1/cb"), "cb")
+    val backNv = s.read.parquet(s"$next/gen=-1/vocab").count()
     if (backMb != mb || backNv != nv)
       throw new IllegalStateException(
         s"LM compaction digest mismatch: mass $mb->$backMb vocab $nv->$backNv")
-    for (sub <- Seq("cb", "cu", "vocab")) {
-      val live = new org.apache.hadoop.fs.Path(s"$lmDir/$sub")
-      val old = new org.apache.hadoop.fs.Path(s"$lmDir/${sub}_old")
-      val next = new org.apache.hadoop.fs.Path(s"$lmDir/${sub}_compacting")
-      f.delete(old, true)
-      if (!f.rename(live, old))
-        throw new IllegalStateException(s"LM compaction: rename $live -> $old failed")
-      if (!f.rename(next, live)) {
-        f.rename(old, live)
-        throw new IllegalStateException(s"LM compaction: rename $next -> $live failed")
-      }
-      f.delete(old, true)
-      s.catalog.refreshByPath(live.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$lmDir/waves")
+    val old = new org.apache.hadoop.fs.Path(s"$lmDir/waves_old")
+    f.delete(old, true)
+    if (!f.rename(live, old))
+      throw new IllegalStateException(s"LM compaction: rename $live -> $old failed")
+    if (!f.rename(new org.apache.hadoop.fs.Path(next), live)) {
+      f.rename(old, live)
+      throw new IllegalStateException(s"LM compaction: rename $next -> $live failed")
     }
+    f.delete(old, true)
+    s.catalog.refreshByPath(live.toString)
   }
 
   /** Start the LM maintainer over a streaming document frame

@@ -86,8 +86,8 @@ class StreamingLmSpec extends AnyFunSuite {
 
     // ---- wave 2 with a crash BEFORE its commit marker, then replay ----
     StreamingLm.updateBatch(lmDir)(wave2.toSeq.toDF("doc_id", "text"), 2L)
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(s"$lmDir/vocab/gen=2")) // the commit point is lost
+    assert(new java.io.File(s"$lmDir/waves/gen=2/_WAVE")
+      .delete()) // the commit point is lost
     StreamingLm.updateBatch(lmDir)(wave2.toSeq.toDF("doc_id", "text"), 2L)
 
     // ---- fold ≡ from-scratch batch retrain over the union corpus ----
@@ -121,8 +121,8 @@ class StreamingLmSpec extends AnyFunSuite {
     // and assert the state still equals the batch retrain.
     val extra = Seq((100000L, "alpha beta gamma delta epsilon zeta"))
     StreamingLm.updateBatch(lmDir)(extra.toDF("doc_id", "text"), 3L)
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(s"$lmDir/vocab/gen=3")) // the commit point is lost
+    assert(new java.io.File(s"$lmDir/waves/gen=3/_WAVE")
+      .delete()) // the commit point is lost
     assert(StreamingLm.score(spark, lmDir, probe).collect().toSeq === gotAll,
       "a torn wave's partials are visible to readers")
     StreamingLm.compactLm(spark, lmDir) // must NOT fold the torn wave
@@ -147,11 +147,19 @@ class StreamingLmSpec extends AnyFunSuite {
     }
     assert(StreamingLm.scoreAt(spark, lmDir, probe, 3L).collect().toSeq === wantTorn,
       "the horizon point stopped scoring after compaction")
-    assert(new java.io.File(s"$lmDir/cb/gen=-1").exists() &&
-      new java.io.File(s"$lmDir/cb").listFiles().count(_.getName.startsWith("gen=")) == 1,
+    assert(new java.io.File(s"$lmDir/waves/gen=-1").exists() &&
+      new java.io.File(s"$lmDir/waves").listFiles().count(_.getName.startsWith("gen=")) == 1,
       "compaction did not fold the generations")
     val gotCompact = StreamingLm.score(spark, lmDir, probe).collect().toSeq
     assert(gotCompact === wantTorn, "compaction changed what the scorer sees")
+
+    // ---- replay of a FOLDED wave (committed on disk, stream
+    // checkpoint lost, compaction ran before the restart): the marker
+    // is gone with its generation, so the horizon guard is what stops
+    // the double-count (round-14 review finding #2)
+    StreamingLm.updateBatch(lmDir)(wave2.toSeq.toDF("doc_id", "text"), 2L)
+    assert(StreamingLm.score(spark, lmDir, probe).collect().toSeq === gotCompact,
+      "a folded wave's replay re-landed its counts past the horizon guard")
 
     for (dir <- Seq(lmDir, ckpt))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -46,10 +46,12 @@ def shape():
             p = f"/root/testdata/sf{sf}/{t}.parquet"
             row[t] = con.execute(f"SELECT count(*) FROM '{p}'").fetchone()[0]
         # schema fingerprint catches physical-type drift (events.ts nanos
-        # vs micros — the round-7 trap) alongside row counts
-        row["_events_ts_type"] = str(con.execute(
+        # vs micros — the round-7 trap) alongside row counts; an empty
+        # events table reports as such rather than crashing the audit
+        ts = con.execute(
             f"SELECT typeof(ts) FROM '/root/testdata/sf{sf}/events.parquet' LIMIT 1"
-        ).fetchone()[0])
+        ).fetchone()
+        row["_events_ts_type"] = str(ts[0]) if ts else "EMPTY"
         out[f"sf{sf}"] = row
     return out
 
@@ -66,9 +68,14 @@ def main():
         return 1
     old = json.load(open(SNAP))
     diffs = []
-    for sf, row in cur.items():
-        for k, v in row.items():
+    # two-sided: a key present in only ONE of (snapshot, current) is a
+    # change too — a disappeared table/SF must not pass silently
+    sfs = sorted(set(cur) | set(old))
+    for sf in sfs:
+        keys = sorted(set(cur.get(sf, {})) | set(old.get(sf, {})))
+        for k in keys:
             ov = old.get(sf, {}).get(k)
+            v = cur.get(sf, {}).get(k)
             if ov != v:
                 diffs.append(f"  {sf}.{k}: {ov} -> {v}")
     if not diffs:
