@@ -138,17 +138,21 @@ object Bench {
         "minhash_cands" -> TextQueries.minhashCands(spark, sfDir).count(),
         "band_occ_max" -> bandOcc.getLong(0),
         "band_over_cap" -> bandOcc.getLong(1))
-      // per-job overhead calibration (µs per trivial 1-stage job): the
-      // graph family's wall is job-count dominated at these SFs
-      // (GraphDecomp: identical job counts and near-identical walls at
-      // sf0.01 vs sf0.1) — this normalizer lets a future round decide
-      // "slower box" vs "regression" from the artifact alone.
-      locally {
-        val t0 = System.nanoTime()
-        var i = 0
-        while (i < 50) { spark.range(8).count(); i += 1 }
-        masses += ("job_overhead_us" -> (System.nanoTime() - t0) / 50000)
-      }
+    }
+    // per-job overhead calibration (µs per trivial 1-stage job): the
+    // graph family's wall is job-count dominated at these SFs
+    // (GraphDecomp: identical job counts and near-identical walls at
+    // sf0.01 vs sf0.1) — this normalizer lets a future round decide
+    // "slower box" vs "regression" from the artifact alone. It runs
+    // OUTSIDE the timed masses_probe line (round-15, VERDICT r14 #5):
+    // it is meta-measurement like the session warmup, and its ~5 s of
+    // spark.range jobs permanently inflated the driver's headline total
+    // while measuring nothing about the engine.
+    locally {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 50) { spark.range(8).count(); i += 1 }
+      masses += ("job_overhead_us" -> (System.nanoTime() - t0) / 50000)
     }
     // drain memo-build side caches so the FIRST timed query doesn't
     // absorb their eviction: dupLabels/the tower builders persist()

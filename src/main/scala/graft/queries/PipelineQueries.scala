@@ -763,6 +763,67 @@ object PipelineQueries {
       .orderBy(col("wave"), col("doc_id"))
   }
 
+  /** EXT — LM-state DELETE (the lifecycle cell q156 left open: counts
+    * subtract trivially, but the vocabulary DISTINCT-UNION cannot
+    * retract — the q153 KMV distinction, until now implicit). The fix
+    * is algebraic, not a recompute: hold the vocabulary as a COUNTED
+    * multiset `cw(w)` = w's trigram occurrences in the train state —
+    * distinct-union is the support of a counted bag, and counts DO
+    * retract — so the delete wave folds all three tables by
+    * subtraction (cb, cu, cw; zeros drop) and |V_live| = |{w : cw>0}|.
+    * The readout is q155's integer surprisal over the admission wave
+    * under the LIVE state, plus `v_live` in every row so the counted
+    * vocabulary itself is hash-checked. Delete slice = the seeded
+    * ~12.8% hash slice of the TRAIN docs. Measured before wiring (r6
+    * rule): the deletion flips 14/100 admission flags at sf0.01
+    * (189/1000 at sf0.1) — non-vacuous; NO vocab word dies on this
+    * corpus (31-word alphabet, every word survives 87.2% of docs), so
+    * the cw→0 branch is corpus-dormant and LmRetractSpec drives it
+    * synthetically (the q161/HdrRetractSpec discipline).
+    *
+    * The ORACLE retrains from scratch over the surviving train docs —
+    * v as `count(DISTINCT w)`, no subtraction anywhere — so the hash
+    * match proves fold ≡ retrain AND counted-support ≡ distinct.
+    *
+    * Scale shape: held state is gram-domain-sized; the wave partials
+    * aggregate only the deleted docs' grams; scoring is q155's
+    * (ctx, w) equi-join shuffle.
+    */
+  val q167LmRetract: Q = (s, d) => {
+    val tri = tracked(lmTrigrams(documents(s, d)))
+    val cutF = broadcast(documents(s, d).agg(expr("count(1) * 4 div 5").as("cut")))
+    val train = tracked(tri.crossJoin(cutF)
+      .filter(col("doc_id") < col("cut")).drop("cut"))
+    val deadP = TextQueries.priorityHashOn(col("doc_id")) < lit(TextQueries.DeleteBound)
+    lmRetractOver(train, tracked(train.filter(deadP)),
+      tri.crossJoin(cutF).filter(col("doc_id") >= col("cut")).drop("cut"))
+  }
+
+  /** The q167 retraction core over arbitrary `(doc_id, ctx, w)` frames
+    * (`dead` ⊆ `train`) — factored like [[hdrRetractCore]] so the spec
+    * can drive the corpus-dormant cw→0 branch (a vocabulary word dying
+    * entirely) on synthetic frames.
+    */
+  private[graft] def lmRetractOver(train: DataFrame, dead: DataFrame,
+      probe: DataFrame): DataFrame = {
+    // held state − the delete wave's partials, per table (union-sum,
+    // zeros drop — the q163 foldCnt shape)
+    def foldMinus(keys: Seq[String], out: String): DataFrame =
+      train.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .unionByName(dead.groupBy(keys.map(col): _*).agg((-count(lit(1))).as("c")))
+        .groupBy(keys.map(col): _*).agg(sum(col("c")).as(out))
+        .filter(col(out) > 0)
+    val cbLive = foldMinus(Seq("ctx", "w"), "cb")
+    val cuLive = foldMinus(Seq("ctx"), "cu")
+    // the counted vocabulary: |V_live| = |support(cw)| — the retractable
+    // form of the distinct-union (driver-side count, the q155/q151
+    // dynamic-constant discipline)
+    val vLive = foldMinus(Seq("w"), "cw").count()
+    lmScoreOver(probe, cbLive, cuLive, vLive)
+      .withColumn("v_live", lit(vLive))
+      .orderBy(col("doc_id"))
+  }
+
   /** q158's hashed feature space (the DSIR paper's bag of hashed
     * n-grams — vocabulary-free, so vectorization is one stateless pass
     * at any corpus size) and target slice. Measured on this corpus
@@ -920,6 +981,19 @@ object PipelineQueries {
       |    THEN 1 ELSE 0 END AS INT) AS is_updated""")}
       |ORDER BY a.doc_id""".stripMargin
 
+  /** q168's oracle: the ENTIRE q158 selection recomputed from scratch
+    * over the SURVIVING corpus (same two-instantiation discipline as
+    * q163 — the Spark side folds held counts by subtraction, the oracle
+    * knows no maintenance, so the hash match IS the delete-fold law).
+    */
+  private def q168OracleSql: String =
+    s"""WITH l168 AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  WHERE NOT (${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound})),
+      |${dsirCtes("l168", "168")}
+      |${dsirFinalSelect("168")}
+      |ORDER BY a.doc_id""".stripMargin
+
   /** EXT — DSIR selection under the RE-CRAWL wave (VERDICT r13 #5 —
     * q158's feature counts are exactly the subtract-old-add-new shape
     * q159 proved for stats, so the selection is maintainable): the
@@ -1023,6 +1097,89 @@ object PipelineQueries {
             col("rn") <= col("k") - col("above")))
           .cast("int").as("selected"),
         updP.cast("int").as("is_updated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXT — DSIR selection under DELETE (the lifecycle cell q163 left
+    * open: update = subtract-old-add-new; delete is the subtract half
+    * alone, applied to BOTH LMs — a GDPR takedown removes the doc from
+    * the target corpus, the pool, and the selection universe at once).
+    * The seeded ~12.8% hash slice dies; per-dim target/pool counts and
+    * the two totals fold as held − slice partials (zeros drop — no
+    * rescan of surviving postings), the pool stream for scoring is the
+    * held postings minus the slice, and the top-⌊pool/10⌋ cut
+    * re-derives by the q95 histogram idiom (inherent: the totals enter
+    * every gram's surprisal, so every surviving doc's score moves).
+    * Measured before wiring (r6 rule): the deletion flips 25/415
+    * surviving selection flags at sf0.01 (374/4156 at sf0.1) and the
+    * exact-K tie-break BINDS (2 docs at the cut for 1 seat at sf0.01;
+    * 3 for 3 at sf0.1).
+    *
+    * The ORACLE recomputes q158 from scratch over the surviving corpus
+    * ([[dsirCtes]] on the l168 relation — the q163 two-instantiation
+    * discipline), so the hash match proves fold ≡ retrain, selection
+    * included.
+    *
+    * Scale shape: held postings fold with wave-bounded deltas in two
+    * hash aggs; scoring joins the surviving pool stream on dim against
+    * two ≤[[DsirDims]]-row broadcasts; selection adds value-domain
+    * work only.
+    */
+  val q168DsirDelete: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val deadP = TextQueries.priorityHashOn(col("doc_id")) < lit(TextQueries.DeleteBound)
+    val base = tracked(documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.ShingleHash(col("text"), TextOps.P, 2)).as("h"))
+      .select(col("doc_id"), col("source"), pmod(col("h"), lit(DsirDims)).as("dim")))
+    val sliceOld = tracked(base.filter(deadP))
+    def isTgt = col("source") === DsirTargetSrc
+    // per-dim counts fold: held − dead (union-sum, zeros drop)
+    def foldCnt(heldD: DataFrame, oldD: DataFrame, out: String): DataFrame =
+      heldD.groupBy(col("dim")).agg(count(lit(1)).as("c"))
+        .unionByName(oldD.groupBy(col("dim")).agg((-count(lit(1))).as("c")))
+        .groupBy(col("dim")).agg(sum(col("c")).as(out))
+        .filter(col(out) > 0)
+    val ct = foldCnt(base.filter(isTgt), sliceOld.filter(isTgt), "ct")
+    val cs = foldCnt(base.filter(!isTgt), sliceOld.filter(!isTgt), "cs")
+    def foldTot(heldD: DataFrame, oldD: DataFrame, out: String): DataFrame =
+      heldD.select(lit(1L).as("c")).unionByName(oldD.select(lit(-1L).as("c")))
+        .agg(sum(col("c")).as(out))
+    val nt = broadcast(foldTot(base.filter(isTgt), sliceOld.filter(isTgt), "nt"))
+    val ns = broadcast(foldTot(base.filter(!isTgt), sliceOld.filter(!isTgt), "ns"))
+    // the surviving pool stream for scoring
+    val pool = tracked(base.filter(!isTgt && !deadP))
+    val agg = tracked(pool
+      .join(cs, Seq("dim"))
+      .join(ct, Seq("dim"), "left")
+      .crossJoin(nt).crossJoin(ns)
+      .select(col("doc_id"), col("source"),
+        length(bin(expr(s"(ns + $DsirDims) DIV (cs + 1)"))).cast("long").as("bs"),
+        length(bin(expr(s"(nt + $DsirDims) DIV (COALESCE(ct, 0) + 1)")))
+          .cast("long").as("bt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("bs")).as("src_bits"),
+        sum(col("bt")).as("tgt_bits"))
+      .withColumn("mbits_diff",
+        expr("(1000 * (src_bits - tgt_bits)) DIV n_grams")))
+    val k = broadcast(agg.agg(expr("count(1) DIV 10").as("k")))
+    val hist = agg.groupBy(col("mbits_diff").as("md")).agg(count(lit(1)).as("cnt"))
+    // distinct-score window — value-domain-bounded (expected WindowExec WARN)
+    val cum = hist.withColumn("c",
+      sum(col("cnt")).over(Window.orderBy(col("md").desc)))
+    val thr = broadcast(cum.crossJoin(k).filter(col("c") >= col("k"))
+      .orderBy(col("md").desc).limit(1)
+      .select(col("md").as("mstar"), (col("c") - col("cnt")).as("above"), col("k")))
+    val ties = agg.crossJoin(thr).filter(col("mbits_diff") === col("mstar"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("rn"))
+    agg.crossJoin(thr).join(ties, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"), col("src_bits"),
+        col("tgt_bits"), col("mbits_diff"),
+        (col("mbits_diff") > col("mstar") ||
+          (col("mbits_diff") === col("mstar") &&
+            col("rn") <= col("k") - col("above")))
+          .cast("int").as("selected"))
       .orderBy(col("doc_id"))
   }
 
@@ -2053,6 +2210,111 @@ object PipelineQueries {
           lit(TextQueries.DeleteBound)).as("dead")),
       tracked)
 
+  /** EXT — quantile-sketch maintenance under UPDATE (the last empty
+    * cell of the HDR lifecycle: q119 add, q161 delete, this the re-price
+    * wave — the q159 subtract-old-add-new discipline ON BINS): the
+    * seeded hash slice of orders re-prices to `(vc·11) DIV 10` (+10%,
+    * integer-exact both engines), the held per-(grp, bin) counts fold
+    * as held − old-bin partials + new-bin partials (zeros drop, NEW
+    * bins are born — bins_born is the column q161 cannot have), and the
+    * readout is q119's guaranteed-bracket quantiles over the updated
+    * sketch plus the wave footprint (n_upd, bins_born, bins_dropped)
+    * and moved50/90/99 flags vs the held sketch. Measured before wiring
+    * (r6 rule): 22 bins born / 13 dropped at sf0.01 (17/2 at sf0.1),
+    * moved50 fires for 2 groups and moved99 for 3 at sf0.01 (4/4 at
+    * sf0.1) while other groups hold — both branches live; moved90 never
+    * fires under a +10% re-price of 12.8% of rows (dormant —
+    * HdrRetractSpec drives it synthetically, the q161 discipline).
+    *
+    * The ORACLE rebuilds both sketches from scratch — the updated one
+    * from per-row CASE values, the held one from old values — with no
+    * subtraction anywhere, so the hash match proves fold ≡ recompute,
+    * including which bins are born, which empty, and which brackets
+    * move.
+    *
+    * Scale shape: the sketch is O(bins) state per group; both wave
+    * aggregations read only the updated rows; nothing else rescans.
+    */
+  val q166HdrUpdate: Q = (s, d) =>
+    hdrUpdateCore(orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        cents(col("o_totalprice")).as("vc"),
+        (TextQueries.priorityHashOn(col("o_orderkey")) <
+          lit(TextQueries.DeleteBound)).as("upd")),
+      tracked)
+
+  /** The q166 update core over an arbitrary `(grp, vc, upd)` frame —
+    * factored like [[hdrRetractCore]] so the spec can drive the
+    * corpus-dormant branches (moved90; an update that empties a group's
+    * tail bin) on synthetic frames.
+    */
+  private[graft] def hdrUpdateCore(rows0: org.apache.spark.sql.DataFrame,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = rows0.filter(col("vc") >= 1)
+    def binOf(v: String) = expr(
+      s"CAST(length(bin($v)) AS BIGINT) * $HdrSub" +
+        s" + (($v - shiftleft(CAST(1 AS BIGINT), length(bin($v)) - 1)) * $HdrSub)" +
+        s" DIV shiftleft(CAST(1 AS BIGINT), length(bin($v)) - 1)")
+    // vc ≥ 1 ⇒ (vc·11) DIV 10 ≥ 1 — the new value never leaves the domain
+    val binned = hold(rows
+      .withColumn("bin", binOf("vc"))
+      .withColumn("bin_new", binOf("((vc * 11) DIV 10)")))
+    // the state a pipeline HOLDS: merged per-(grp, bin) counts
+    val held = hold(binned.groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("c")))
+    // the update wave's two partials: old bins retract, new bins add
+    // (union-sum — the q163 foldCnt shape on sketch bins)
+    val delta = binned.filter(col("upd"))
+      .select(col("grp"), col("bin"), lit(-1L).as("dc"))
+      .unionByName(binned.filter(col("upd"))
+        .select(col("grp"), col("bin_new").as("bin"), lit(1L).as("dc")))
+      .groupBy(col("grp"), col("bin")).agg(sum(col("dc")).as("dc"))
+    val live = hold(held.join(delta, Seq("grp", "bin"), "full_outer")
+      .select(col("grp"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c0"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("lc")))
+    def brackets(src: org.apache.spark.sql.DataFrame, ccol: String,
+        suffix: String) = {
+      val wcum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("grp"))
+      val cum = src.filter(col(ccol) > 0)
+        .withColumn("cum", sum(col(ccol)).over(wcum))
+        .withColumn("n", sum(col(ccol)).over(wall))
+      def qbin(p: Int) =
+        min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("bin")))
+          .as(s"b$p$suffix")
+      cum.groupBy(col("grp"))
+        .agg(max(col("n")).as(s"n$suffix"), count(lit(1)).as(s"n_bins$suffix"),
+          qbin(50), qbin(90), qbin(99))
+    }
+    def binLo(b: String) = expr(
+      s"shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)" +
+        s" + (($b % $HdrSub) * shiftleft(CAST(1 AS BIGINT), CAST($b DIV $HdrSub AS INT) - 1)) DIV $HdrSub")
+    val waveStats = live.groupBy(col("grp"))
+      .agg(sum((col("c0") === 0L && col("lc") > 0L).cast("long")).as("bins_born"),
+        sum((col("c0") > 0L && col("lc") === 0L).cast("long")).as("bins_dropped"))
+    val nUpd = binned.filter(col("upd")).groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_upd"))
+    brackets(live.withColumnRenamed("lc", "c2"), "c2", "")
+      .join(brackets(held, "c", "_h"), Seq("grp"))
+      .join(waveStats, Seq("grp"))
+      // left: an untouched group has no update rows at all
+      .join(nUpd, Seq("grp"), "left")
+      .withColumn("n_upd", coalesce(col("n_upd"), lit(0L)))
+      .select(col("grp"), col("n"), col("n_bins"), col("n_upd"),
+        col("bins_born"), col("bins_dropped"),
+        binLo("b50").as("p50_lo"), binLo("(b50 + 1)").as("p50_hi"),
+        binLo("b90").as("p90_lo"), binLo("(b90 + 1)").as("p90_hi"),
+        binLo("b99").as("p99_lo"), binLo("(b99 + 1)").as("p99_hi"),
+        (col("b50") =!= col("b50_h")).cast("int").as("moved50"),
+        (col("b90") =!= col("b90_h")).cast("int").as("moved90"),
+        (col("b99") =!= col("b99_h")).cast("int").as("moved99"))
+      .orderBy(col("grp"))
+  }
+
   /** EXT — cross-source quantile normalization (quantile matching): map
     * each doc's per-source token-count rank onto the GLOBAL length
     * distribution — norm(doc) = the global value at rank
@@ -2660,8 +2922,10 @@ object PipelineQueries {
     "q65_bigram_lm"     -> q65BigramLm,
     "q155_surprisal_filter" -> q155SurprisalFilter,
     "q156_rolling_lm" -> q156RollingLm,
+    "q167_lm_retract" -> q167LmRetract,
     "q158_dsir_select" -> q158DsirSelect,
     "q163_dsir_update" -> q163DsirUpdate,
+    "q168_dsir_delete" -> q168DsirDelete,
     "q66_source_overlap" -> q66SourceOverlap,
     "q67_bpe_train"     -> q67BpeTrain,
     "q162_bpe_refresh"  -> q162BpeRefresh,
@@ -2678,6 +2942,7 @@ object PipelineQueries {
     "q113_quantile_norm" -> q113QuantileNorm,
     "q119_hdr_quantile" -> q119HdrQuantile,
     "q161_hdr_retract" -> q161HdrRetract,
+    "q166_hdr_update" -> q166HdrUpdate,
     "q130_shard_balance" -> q130ShardBalance,
     "q133_zorder_layout" -> q133ZorderLayout,
     "q116_drift_ks" -> q116DriftKs,
@@ -2921,6 +3186,7 @@ object PipelineQueries {
     "q159_stats_update" -> q159OracleSql,
     "q119_hdr_quantile" -> q119OracleSql,
     "q161_hdr_retract" -> q161OracleSql,
+    "q166_hdr_update" -> q166OracleSql,
     "q133_zorder_layout" ->
       s"""WITH m133 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
         |b133 AS (
@@ -3255,11 +3521,48 @@ object PipelineQueries {
         |FROM (SELECT * FROM ag156_1 UNION ALL SELECT * FROM ag156_2)
         |ORDER BY wave, doc_id""".stripMargin
     },
+    // q167's oracle: RETRAIN from scratch over the surviving train docs —
+    // v as count(DISTINCT w), no subtraction anywhere — so the hash match
+    // proves fold ≡ retrain AND counted-support ≡ distinct-union.
+    "q167_lm_retract" ->
+      s"""WITH tk167 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri167 AS (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-2]) || ' ' || unnest(t[2:len(t)-1]) AS ctx,
+        |    unnest(t[3:len(t)]) AS w
+        |  FROM tk167),
+        |cut167 AS (SELECT count(*) * 4 // 5 AS c FROM documents),
+        |tr167 AS MATERIALIZED (
+        |  SELECT tri167.* FROM tri167, cut167 WHERE doc_id < cut167.c
+        |    AND NOT (${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound})),
+        |v167 AS (SELECT count(DISTINCT w) AS v FROM tr167),
+        |tn167 AS (SELECT ctx, w, count(*) AS cb FROM tr167 GROUP BY ctx, w),
+        |tc167 AS (SELECT ctx, count(*) AS cu FROM tr167 GROUP BY ctx),
+        |wv167 AS (SELECT tri167.* FROM tri167, cut167 WHERE doc_id >= cut167.c),
+        |sc167 AS (
+        |  SELECT wv.doc_id,
+        |    CAST(length(format('{:b}',
+        |      (COALESCE(tc.cu, 0) + (SELECT v FROM v167)) // (COALESCE(tn.cb, 0) + 1))) AS BIGINT) AS bits,
+        |    CASE WHEN tn.cb IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM wv167 wv
+        |  LEFT JOIN tn167 tn ON wv.ctx = tn.ctx AND wv.w = tn.w
+        |  LEFT JOIN tc167 tc ON wv.ctx = tc.ctx)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  (1000 * CAST(sum(bits) AS BIGINT)) // count(*) AS mbits_per_tri,
+        |  CAST(CASE WHEN (1000 * CAST(sum(bits) AS BIGINT)) // count(*) > $SurpriseMbits
+        |    THEN 1 ELSE 0 END AS INT) AS flagged,
+        |  CAST((SELECT v FROM v167) AS BIGINT) AS v_live
+        |FROM sc167 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q158_dsir_select" ->
       s"""WITH ${dsirCtes()}
         |${dsirFinalSelect()}
         |ORDER BY a.doc_id""".stripMargin,
     "q163_dsir_update" -> q163OracleSql,
+    "q168_dsir_delete" -> q168OracleSql,
     "q66_source_overlap" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t0 FROM documents),
         |g AS (
@@ -3487,6 +3790,75 @@ object PipelineQueries {
       |  CAST(CASE WHEN l.b90 <> h.b90_h THEN 1 ELSE 0 END AS INT) AS moved90,
       |  CAST(CASE WHEN l.b99 <> h.b99_h THEN 1 ELSE 0 END AS INT) AS moved99
       |FROM sell161 l JOIN selh161 h USING (grp) JOIN ds161 d USING (grp)
+      |ORDER BY l.grp""".stripMargin
+  }
+
+  /** q166's oracle: BOTH sketches rebuilt from scratch — the updated
+    * one from per-row CASE values (new price when updated), the held
+    * one from old values — with no subtraction or addition folds
+    * anywhere, so the hash match proves bin-fold ≡ recompute, including
+    * which bins are born, which empty, and which brackets move.
+    */
+  private def q166OracleSql: String = {
+    def binLo(b: String) =
+      s"(CAST(1 AS BIGINT) << (CAST($b // $HdrSub AS INT) - 1))" +
+        s" + (($b % $HdrSub) * (CAST(1 AS BIGINT) << (CAST($b // $HdrSub AS INT) - 1))) // $HdrSub"
+    def binSql(v: String) =
+      s"CAST(length(format('{:b}', $v)) AS BIGINT) * $HdrSub" +
+        s" + (($v - (CAST(1 AS BIGINT) << (CAST(length(format('{:b}', $v)) AS INT) - 1))) * $HdrSub)" +
+        s" // (CAST(1 AS BIGINT) << (CAST(length(format('{:b}', $v)) AS INT) - 1))"
+    def sel(src: String, out: String, suffix: String) =
+      s"""cum$out AS (
+        |  SELECT grp, bin, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM $src WHERE c > 0),
+        |sel$out AS (
+        |  SELECT grp, CAST(max(n) AS BIGINT) AS n$suffix,
+        |    CAST(count(*) AS BIGINT) AS n_bins$suffix,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50$suffix,
+        |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS b90$suffix,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99$suffix
+        |  FROM cum$out GROUP BY grp),
+        |""".stripMargin
+    s"""WITH b166 AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS vc,
+      |    ${TextQueries.priorityHashSqlOn("o_orderkey")} < ${TextQueries.DeleteBound} AS upd
+      |  FROM orders),
+      |v166 AS (
+      |  SELECT grp, upd, vc,
+      |    CASE WHEN upd THEN (vc * 11) // 10 ELSE vc END AS v2
+      |  FROM b166 WHERE vc >= 1),
+      |bino166 AS (SELECT grp, upd, ${binSql("vc")} AS bin FROM v166),
+      |binn166 AS (SELECT grp, ${binSql("v2")} AS bin FROM v166),
+      |ho166 AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS c FROM bino166 GROUP BY grp, bin),
+      |hn166 AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS c FROM binn166 GROUP BY grp, bin),
+      |ws166 AS (
+      |  SELECT grp,
+      |    CAST(sum(CASE WHEN o_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_born,
+      |    CAST(sum(CASE WHEN n_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_dropped
+      |  FROM (
+      |    SELECT COALESCE(ho.grp, hn.grp) AS grp, ho.c AS o_c, hn.c AS n_c
+      |    FROM ho166 ho FULL OUTER JOIN hn166 hn
+      |      ON ho.grp = hn.grp AND ho.bin = hn.bin)
+      |  GROUP BY grp),
+      |nu166 AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n_upd
+      |  FROM v166 WHERE upd GROUP BY grp),
+      |""".stripMargin +
+      sel("hn166", "l166", "") + sel("ho166", "h166", "_h") +
+      s"""fin166 AS (SELECT 1)
+      |SELECT l.grp, l.n, l.n_bins, COALESCE(u.n_upd, 0) AS n_upd,
+      |  w.bins_born, w.bins_dropped,
+      |  ${binLo("b50")} AS p50_lo, ${binLo("(b50 + 1)")} AS p50_hi,
+      |  ${binLo("b90")} AS p90_lo, ${binLo("(b90 + 1)")} AS p90_hi,
+      |  ${binLo("b99")} AS p99_lo, ${binLo("(b99 + 1)")} AS p99_hi,
+      |  CAST(CASE WHEN l.b50 <> h.b50_h THEN 1 ELSE 0 END AS INT) AS moved50,
+      |  CAST(CASE WHEN l.b90 <> h.b90_h THEN 1 ELSE 0 END AS INT) AS moved90,
+      |  CAST(CASE WHEN l.b99 <> h.b99_h THEN 1 ELSE 0 END AS INT) AS moved99
+      |FROM sell166 l JOIN selh166 h USING (grp) JOIN ws166 w USING (grp)
+      |LEFT JOIN nu166 u USING (grp)
       |ORDER BY l.grp""".stripMargin
   }
 

@@ -108,9 +108,14 @@ object StreamingGraph {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/tombs/gen=$batchId")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
-    // no folded-wave guard needed (unlike appendBatch): a replayed
-    // tombstone for an id the repair already removed anti-joins
-    // nothing — a no-op for live and as-of reads alike
+    // folded-wave replay guard for the DELETE sequence (round-15): the
+    // "replayed tombstone of a repaired-away id is a no-op" algebra
+    // holds only while vec_ids are never re-appended — a post-compaction
+    // replay would kill a re-admitted vector with the same vec_id.
+    // Delete batchIds are monotone within their own sequence; compact
+    // records the folded tombstone high-water mark as _HORIZON_DELETE.
+    if (batchId <= GenStore.readHorizon(
+        s, s"$indexDir/edges/_HORIZON_DELETE").getOrElse(-1L)) return
     ids.select(col("vec_id")).write.mode("overwrite").parquet(dir.toString)
   }
 
@@ -119,17 +124,41 @@ object StreamingGraph {
     p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
   }
 
-  private def tombs(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/tombs").select(col("vec_id")).distinct()
+  /** Rows over an explicit committed-generation list of `root` —
+    * COMMITTED dirs only (round-15, the r14 advice): a marker-less
+    * crash leftover holds partial part-files; if a raw read folded them
+    * (or served them), the wave's replay — which `_HORIZON_APPEND` does
+    * NOT skip, the torn gen never having committed — would re-land the
+    * full wave on top: permanent duplicate edge rows.
+    */
+  private def genRows(s: SparkSession, root: String, gens: Seq[Long],
+      cols: Seq[String]): Option[DataFrame] =
+    if (gens.isEmpty) None
+    else Some(s.read.option("basePath", root)
+      .parquet(gens.map(g => s"$root/gen=$g"): _*)
+      .select(cols.map(col): _*))
 
-  /** The index's live adjacency: every generation's edges minus any
-    * row with a tombstoned endpoint.
+  private def committedTombs(s: SparkSession, indexDir: String): Option[DataFrame] =
+    genRows(s, s"$indexDir/tombs",
+      GenStore.completeGenIds(s, s"$indexDir/tombs"), Seq("vec_id"))
+      .map(_.distinct())
+
+  private def tombs(s: SparkSession, indexDir: String): DataFrame =
+    committedTombs(s, indexDir).getOrElse(
+      s.range(0).select(col("id").as("vec_id")))
+
+  private def edgesOver(s: SparkSession, indexDir: String,
+      gens: Seq[Long]): DataFrame =
+    genRows(s, s"$indexDir/edges", gens, Seq("src", "dst")).getOrElse(
+      s.range(0).select(col("id").as("src"), col("id").as("dst")))
+
+  /** The index's live adjacency: every COMMITTED generation's edges
+    * minus any row with a tombstoned endpoint.
     */
   def liveEdges(s: SparkSession, indexDir: String): DataFrame = {
-    val edges = s.read.parquet(s"$indexDir/edges").select(col("src"), col("dst"))
-    if (!tombsExist(s, indexDir)) edges
-    else {
-      val t = tombs(s, indexDir)
+    val edges = edgesOver(s, indexDir,
+      GenStore.completeGenIds(s, s"$indexDir/edges"))
+    committedTombs(s, indexDir).fold(edges) { t =>
       edges
         .join(t.select(col("vec_id").as("src")), Seq("src"), "left_anti")
         .join(t.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
@@ -139,9 +168,12 @@ object StreamingGraph {
 
   /** Live frozen-cell assignment (rep election input). */
   def liveAsg(s: SparkSession, indexDir: String): DataFrame = {
-    val asg = s.read.parquet(s"$indexDir/asg").select(col("vec_id"), col("cell"))
-    if (!tombsExist(s, indexDir)) asg
-    else asg.join(tombs(s, indexDir), Seq("vec_id"), "left_anti")
+    val asg = genRows(s, s"$indexDir/asg",
+      GenStore.completeGenIds(s, s"$indexDir/asg"), Seq("vec_id", "cell"))
+      .getOrElse(s.range(0).select(col("id").as("vec_id"),
+        col("id").cast("int").as("cell")))
+    committedTombs(s, indexDir).fold(asg)(t =>
+      asg.join(t, Seq("vec_id"), "left_anti"))
   }
 
   /** Member dirs of COMMITTED waves: a wave spans two tables (members
@@ -278,18 +310,26 @@ object StreamingGraph {
       .collect()(0).getLong(0)
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = { locals += df.persist(); df }
-    val t = hold(if (tombsExist(s, indexDir)) tombs(s, indexDir)
-      else s.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0))
-    val combined = s.read.parquet(s"$indexDir/edges").select(col("src"), col("dst"))
+    // ONE committed-generation listing feeds the fold AND the horizon
+    // (single-listing rule, round-15: the r14 code read the edge table
+    // raw BEFORE listing the gens — a concurrently-committed wave could
+    // be claimed-but-not-folded or folded-but-not-claimed, and a torn
+    // wave's partials could fold. The frames below resolve their file
+    // index from exactly these dirs at creation.) Compaction runs
+    // BETWEEN waves — maybeCompact's serving-loop slot — so this
+    // listing is the complete fold set. Edge-committed ids cover the
+    // members (two-table wave, edges = commit point); tombs are
+    // single-table waves with their own marker.
+    val foldedEdges = GenStore.completeGenIds(s, s"$indexDir/edges")
+    val foldedTombs = GenStore.completeGenIds(s, s"$indexDir/tombs")
+    val foldedAsg = GenStore.completeGenIds(s, s"$indexDir/asg")
+    val foldedGens = foldedEdges ++ foldedTombs
+    val t = hold(genRows(s, s"$indexDir/tombs", foldedTombs, Seq("vec_id"))
+      .map(_.distinct())
+      .getOrElse(s.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0)))
+    val combined = edgesOver(s, indexDir, foldedEdges)
     val repaired = hold(graft.queries.TextQueries.repairFold(
       s, sfDir, combined, hold, tombstones = t))
-    // the horizon's fold set is captured BEFORE the repair reads the
-    // edge table (single-listing rule; compaction runs BETWEEN waves —
-    // maybeCompact's serving-loop slot — so this is the complete set)
-    // edge-committed ids cover the members (two-table wave, edges =
-    // commit point); tombs are single-table waves with their own marker
-    val foldedEdges = GenStore.completeGenIds(s, s"$indexDir/edges")
-    val foldedGens = foldedEdges ++ GenStore.completeGenIds(s, s"$indexDir/tombs")
     val before = digest(repaired)
     val newEdges = s"$indexDir/edges_compacting/gen=-1"
     repaired.write.mode("overwrite").parquet(newEdges)
@@ -305,14 +345,35 @@ object StreamingGraph {
     GenStore.writeHorizon(s, s"$indexDir/edges_compacting/_HORIZON_APPEND",
       (foldedEdges ++ GenStore.readHorizon(s, s"$indexDir/edges/_HORIZON_APPEND"))
         .foldLeft(-1L)(math.max))
+    // and the DELETE sequence's (deleteBatch's replay guard — round-15:
+    // tombstones apply as an unordered distinct anti-join, so a
+    // post-compaction replay of an old delete wave would kill a
+    // re-admitted vector with the same vec_id; same captured listing)
+    GenStore.writeHorizon(s, s"$indexDir/edges_compacting/_HORIZON_DELETE",
+      (foldedTombs ++ GenStore.readHorizon(s, s"$indexDir/edges/_HORIZON_DELETE"))
+        .foldLeft(-1L)(math.max))
     val after = digest(s.read.parquet(newEdges))
     if (before != after)
       throw new IllegalStateException(
         s"graph compaction digest mismatch: $before before, $after read back")
-    liveAsg(s, indexDir).write.mode("overwrite")
-      .parquet(s"$indexDir/asg_compacting/gen=-1")
-    liveMembers(s, indexDir).write.mode("overwrite")
-      .parquet(s"$indexDir/members_compacting/gen=-1")
+    // asg/members rewrites read the SAME captured listings (single-
+    // listing rule — liveAsg/liveMembers would re-list at write time)
+    val fhdfs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    genRows(s, s"$indexDir/asg", foldedAsg, Seq("vec_id", "cell"))
+      .getOrElse(s.range(0).select(col("id").as("vec_id"),
+        col("id").cast("int").as("cell")))
+      .join(t, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$indexDir/asg_compacting/gen=-1")
+    locally {
+      val mDirs = foldedEdges.map(g => s"$indexDir/members/gen=$g")
+        .filter(dd => fhdfs.exists(new org.apache.hadoop.fs.Path(dd)))
+      val m = if (mDirs.isEmpty) s.range(0).select(col("id").as("vec_id"))
+        else s.read.option("basePath", s"$indexDir/members").parquet(mDirs: _*)
+          .select(col("vec_id"))
+      m.join(t, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$indexDir/members_compacting/gen=-1")
+    }
     locals.foreach(_.unpersist(false))
     val conf = s.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
@@ -353,7 +414,9 @@ object StreamingGraph {
     if (!tombsExist(s, indexDir)) return false
     val nTomb = tombs(s, indexDir).count()
     if (nTomb == 0) return false
-    val nIds = s.read.parquet(s"$indexDir/asg").select(col("vec_id")).distinct().count()
+    val nIds = genRows(s, s"$indexDir/asg",
+      GenStore.completeGenIds(s, s"$indexDir/asg"), Seq("vec_id"))
+      .fold(0L)(_.select(col("vec_id")).distinct().count())
     nTomb.toDouble >= maxTombRatio * nIds.toDouble
   }
 

@@ -123,10 +123,17 @@ object StreamingIndex {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/tombs/gen=$batchId")
     val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
-    // no folded-wave guard needed here (unlike appendBatch): a replayed
-    // tombstone for an id compaction already erased anti-joins nothing —
-    // a no-op for the live view AND for as-of reads (killing an absent
-    // id changes no result)
+    // folded-wave replay guard for the DELETE sequence (round-15): the
+    // "replayed tombstone of an erased id is a no-op" algebra holds only
+    // while vec_ids are never re-appended — tombstones apply as an
+    // unordered distinct anti-join, not generation-ordered against
+    // appends (unlike the corpus store's revive machinery), so a
+    // post-compaction replay of an old delete wave would kill a
+    // re-admitted vector with the same vec_id. Delete batchIds are
+    // monotone within their own sequence; compact records the folded
+    // tombstone high-water mark as _HORIZON_DELETE.
+    if (batchId <= GenStore.readHorizon(
+        s, s"$indexDir/codes/_HORIZON_DELETE").getOrElse(-1L)) return
     ids.select(col("vec_id")).write.mode("overwrite").parquet(dir.toString)
   }
 
@@ -147,17 +154,47 @@ object StreamingIndex {
     p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** The index's LIVE code rows: every appended generation minus the
-    * tombstoned ids (a dup-free anti-join — tombstones are
-    * vec_id-grained, codes are (vec_id, m)-grained).
+  /** Code rows over an explicit committed-generation list — the single
+    * read body [[liveCodes]], [[codesAsOf]], and [[compact]] share.
+    * COMMITTED dirs only (round-15, the r14 advice): a marker-less
+    * crash leftover holds partial part-files that nothing guards — if a
+    * raw read folded them into `gen=-1`, the wave's replay (which the
+    * horizon does NOT skip: the torn gen never entered
+    * `_HORIZON_APPEND`, having no `_SUCCESS`) would re-land the full
+    * wave on top — permanent duplicate code rows.
     */
-  def liveCodes(s: SparkSession, indexDir: String): DataFrame = {
-    val codes = s.read.parquet(s"$indexDir/codes").drop("gen")
-    if (!tombsExist(s, indexDir)) codes
-    else codes.join(
-      s.read.parquet(s"$indexDir/tombs").select(col("vec_id")).distinct(),
-      Seq("vec_id"), "left_anti")
-  }
+  private def codesOver(s: SparkSession, indexDir: String,
+      gens: Seq[Long]): DataFrame =
+    if (gens.isEmpty)
+      s.range(0).select(col("id").as("vec_id"),
+        col("id").cast("int").as("m"), col("id").cast("int").as("cid"),
+        col("id").cast("int").as("cell"))
+    else s.read.option("basePath", s"$indexDir/codes")
+      .parquet(gens.map(g => s"$indexDir/codes/gen=$g"): _*)
+      .select(col("vec_id"), col("m"), col("cid"), col("cell"))
+
+  /** Distinct tombstoned ids over an explicit committed-generation
+    * list, or None when there are none (same committed-only rule: a
+    * torn tombstone wave must not half-apply — its replay completes it).
+    */
+  private def tombsOver(s: SparkSession, indexDir: String,
+      gens: Seq[Long]): Option[DataFrame] =
+    if (gens.isEmpty) None
+    else Some(s.read.option("basePath", s"$indexDir/tombs")
+      .parquet(gens.map(g => s"$indexDir/tombs/gen=$g"): _*)
+      .select(col("vec_id")).distinct())
+
+  private def minusTombs(codes: DataFrame, t: Option[DataFrame]): DataFrame =
+    t.fold(codes)(tt => codes.join(tt, Seq("vec_id"), "left_anti"))
+
+  /** The index's LIVE code rows: every COMMITTED appended generation
+    * minus the COMMITTED tombstoned ids (a dup-free anti-join —
+    * tombstones are vec_id-grained, codes are (vec_id, m)-grained).
+    */
+  def liveCodes(s: SparkSession, indexDir: String): DataFrame =
+    minusTombs(
+      codesOver(s, indexDir, GenStore.completeGenIds(s, s"$indexDir/codes")),
+      tombsOver(s, indexDir, GenStore.completeGenIds(s, s"$indexDir/tombs")))
 
   // ---- AS-OF serving (round-14, VERDICT r13 #7): the labelsAt /
   // liveCorpusAt pattern over code generations — the index's state as
@@ -170,21 +207,12 @@ object StreamingIndex {
     * wave) minus ids tombstoned at or below it.
     */
   private def codesAsOf(s: SparkSession, indexDir: String,
-      batchId: Long): DataFrame = {
-    val dirs = GenStore.completeGenDirs(s, s"$indexDir/codes", Some(batchId))
-    if (dirs.isEmpty)
-      return s.range(0).select(col("id").as("vec_id"),
-        col("id").cast("int").as("m"), col("id").cast("int").as("cid"),
-        col("id").cast("int").as("cell"))
-    val codes = s.read.option("basePath", s"$indexDir/codes").parquet(dirs: _*)
-      .select(col("vec_id"), col("m"), col("cid"), col("cell"))
-    val tombDirs = GenStore.completeGenDirs(s, s"$indexDir/tombs", Some(batchId))
-    if (tombDirs.isEmpty) codes
-    else codes.join(
-      s.read.option("basePath", s"$indexDir/tombs").parquet(tombDirs: _*)
-        .select(col("vec_id")).distinct(),
-      Seq("vec_id"), "left_anti")
-  }
+      batchId: Long): DataFrame =
+    minusTombs(
+      codesOver(s, indexDir,
+        GenStore.completeGenIds(s, s"$indexDir/codes").filter(_ <= batchId)),
+      tombsOver(s, indexDir,
+        GenStore.completeGenIds(s, s"$indexDir/tombs").filter(_ <= batchId)))
 
   /** The compaction horizon (highest wave folded by [[compact]]), or
     * None if never compacted. As-of reads below it are
@@ -244,16 +272,23 @@ object StreamingIndex {
           lit(1152921504606846976L).cast("decimal(38,0)")).cast("long"),
         lit(0L)))
       .collect()(0).getLong(0)
-    // the horizon's fold set is captured BEFORE the live set is read
-    // (single-listing rule: a horizon computed from a re-listing after
-    // the fold could claim a concurrently-committed wave it never
-    // folded). Compaction runs BETWEEN waves — maybeCompact's slot in a
-    // serving loop — so this listing is the complete fold set.
+    // ONE committed-generation listing feeds the fold, the digest, the
+    // write, AND the horizon (single-listing rule, round-15: the r14
+    // code listed gens once for the horizon but built liveCodes twice —
+    // digest and write — each with its own file listing, so a wave
+    // committed concurrently could be claimed-but-not-folded or
+    // folded-but-not-claimed). Compaction runs BETWEEN waves —
+    // maybeCompact's slot in a serving loop — so this listing is the
+    // complete fold set; the `live` frame below resolves its file index
+    // from exactly these dirs at creation and both actions reuse it.
     val foldedCodes = GenStore.completeGenIds(s, s"$indexDir/codes")
-    val foldedGens = foldedCodes ++ GenStore.completeGenIds(s, s"$indexDir/tombs")
-    val before = digest(liveCodes(s, indexDir))
+    val foldedTombs = GenStore.completeGenIds(s, s"$indexDir/tombs")
+    val foldedGens = foldedCodes ++ foldedTombs
+    val live = minusTombs(codesOver(s, indexDir, foldedCodes),
+      tombsOver(s, indexDir, foldedTombs))
+    val before = digest(live)
     val newDir = s"$indexDir/codes_compacting/gen=-1"
-    liveCodes(s, indexDir).write.mode("overwrite").parquet(newDir)
+    live.write.mode("overwrite").parquet(newDir)
     // the same scratch path is re-read across successive compacts in
     // one session — drop any stale FileStatusCache listing first
     s.catalog.refreshByPath(newDir)
@@ -268,6 +303,15 @@ object StreamingIndex {
     // must not gate appends); same captured listing, single-listing rule
     GenStore.writeHorizon(s, s"$indexDir/codes_compacting/_HORIZON_APPEND",
       (foldedCodes ++ GenStore.readHorizon(s, s"$indexDir/codes/_HORIZON_APPEND"))
+        .foldLeft(-1L)(math.max))
+    // and the DELETE sequence's (deleteBatch's replay guard — round-15,
+    // the r14 advice: a replayed tombstone of a compacted-away id is a
+    // no-op only while that vec_id is never re-APPENDED; tombstones
+    // apply as an unordered distinct anti-join, so a post-compaction
+    // replay of an old delete wave would kill a re-admitted vector with
+    // the same vec_id. Same captured listing — single-listing rule.)
+    GenStore.writeHorizon(s, s"$indexDir/codes_compacting/_HORIZON_DELETE",
+      (foldedTombs ++ GenStore.readHorizon(s, s"$indexDir/codes/_HORIZON_DELETE"))
         .foldLeft(-1L)(math.max))
     val after = digest(s.read.parquet(newDir))
     if (before != after)
@@ -334,10 +378,13 @@ object StreamingIndex {
       .count(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
     if (gens > maxGens) return true
     if (!tombsExist(s, indexDir)) return false
-    val nTomb = s.read.parquet(s"$indexDir/tombs")
-      .select(col("vec_id")).distinct().count()
+    // committed generations only (the liveCodes rule): a marker-less
+    // crash leftover may hold no readable parquet at all
+    val nTomb = tombsOver(s, indexDir,
+      GenStore.completeGenIds(s, s"$indexDir/tombs")).fold(0L)(_.count())
     if (nTomb == 0) return false
-    val nIds = s.read.parquet(s"$indexDir/codes")
+    val nIds = codesOver(s, indexDir,
+      GenStore.completeGenIds(s, s"$indexDir/codes"))
       .select(col("vec_id")).distinct().count()
     // an all-tombstoned index (nIds counts pre-delete appends, so it is
     // never 0 when nTomb > 0) compacts unconditionally

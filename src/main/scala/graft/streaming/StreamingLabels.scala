@@ -179,7 +179,7 @@ object StreamingLabels {
     }
   }
 
-  private def livePairsAsOf(s: SparkSession, labelDir: String,
+  private[streaming] def livePairsAsOf(s: SparkSession, labelDir: String,
       before: Option[Long]): DataFrame = {
     val logGens = completeGenDirs(s, labelDir, "pairlog", before)
     if (logGens.isEmpty)

@@ -67,6 +67,27 @@ object StreamingLm {
     */
   private val WaveMarker = "_WAVE"
 
+  /** Mid-swap crash recovery — `waves` renamed aside, replacement not
+    * yet in place (`waves_old` exists, `waves` missing): rename back.
+    * Round-15 (the r14 advice): this prologue must run at EVERY entry
+    * point, not just [[compactLm]] — on restart the at-least-once
+    * stream replays [[updateBatch]] FIRST, which would otherwise
+    * recreate a fresh `waves/` root (and the horizon read fails too,
+    * `waves/_HORIZON` being gone, so even folded-wave replays re-land);
+    * the next [[compactLm]] then sees `waves` exists, skips rename-back,
+    * and deletes `waves_old` — silently destroying all pre-crash LM
+    * state. [[score]]/[[state]]/[[scoreAt]] would also serve empty
+    * state in that window. Safe to run anywhere in the serving loop:
+    * compaction and waves run BETWEEN each other (the GenStore
+    * contract), so the rename never races a writer.
+    */
+  private def recoverMidSwap(s: SparkSession, lmDir: String): Unit = {
+    val f = hfs(s, lmDir)
+    val live = new org.apache.hadoop.fs.Path(s"$lmDir/waves")
+    val old = new org.apache.hadoop.fs.Path(s"$lmDir/waves_old")
+    if (!f.exists(live) && f.exists(old)) f.rename(old, live)
+  }
+
   /** COMMITTED wave ids: generations carrying their `_WAVE` marker. */
   private def committedGens(s: SparkSession, lmDir: String,
       upTo: Option[Long] = None): Seq[Long] =
@@ -81,6 +102,7 @@ object StreamingLm {
     */
   def updateBatch(lmDir: String)(docs: DataFrame, batchId: Long): Unit = {
     val s = docs.sparkSession
+    recoverMidSwap(s, lmDir)
     val f = hfs(s, lmDir)
     val genDir = s"$lmDir/waves/gen=$batchId"
     if (f.exists(new org.apache.hadoop.fs.Path(genDir, WaveMarker))) return
@@ -103,8 +125,10 @@ object StreamingLm {
     * vocabulary distinct-unioned. Empty-schema frames before the first
     * wave.
     */
-  def state(s: SparkSession, lmDir: String): (DataFrame, DataFrame, DataFrame) =
+  def state(s: SparkSession, lmDir: String): (DataFrame, DataFrame, DataFrame) = {
+    recoverMidSwap(s, lmDir)
     stateFor(s, lmDir, committedGens(s, lmDir))
+  }
 
   /** The folded state over an explicit committed-wave set — the single
     * fold body [[state]], [[scoreAt]], and [[compactLm]] share, so the
@@ -158,6 +182,7 @@ object StreamingLm {
     */
   def scoreAt(s: SparkSession, lmDir: String, docs: DataFrame,
       batchId: Long): DataFrame = {
+    recoverMidSwap(s, lmDir)
     compactionHorizon(s, lmDir).foreach { h =>
       if (batchId < h)
         throw new IllegalArgumentException(
@@ -188,11 +213,7 @@ object StreamingLm {
     */
   def compactLm(s: SparkSession, lmDir: String): Unit = {
     val f = hfs(s, lmDir)
-    locally {
-      val live = new org.apache.hadoop.fs.Path(s"$lmDir/waves")
-      val old = new org.apache.hadoop.fs.Path(s"$lmDir/waves_old")
-      if (!f.exists(live) && f.exists(old)) f.rename(old, live)
-    }
+    recoverMidSwap(s, lmDir)
     // ONE committed-wave listing feeds BOTH the fold and the horizon
     // (the single-listing rule): a generation is folded iff it is in
     // this list, and the horizon claims exactly these ids.

@@ -71,4 +71,57 @@ class StreamingGraphSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("torn edge generations are invisible; folded delete waves don't kill re-admitted ids") {
+    import spark.implicits._
+    import graft.streaming.StreamingGraph
+    val d = "/root/testdata/sf0.001"
+    val dir = s"/tmp/graft_sgraph_torn_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+
+    val cut = StreamingGraph.buildFrozen(spark, d, dir)
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    StreamingGraph.appendBatch(d, dir)(emb.filter(col("vec_id") >= cut), 0L)
+    val edges0 = StreamingGraph.liveEdges(spark, dir).count()
+    val served0 = rows(StreamingGraph.search(spark, d, dir))
+
+    // ---- TORN WAVE: a marker-less crash leftover duplicating existing
+    // edge rows (the payload a raw fold would permanently double)
+    val dup = StreamingGraph.liveEdges(spark, dir).limit(3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    dup.toDF("src", "dst").write.mode("overwrite").parquet(s"$dir/edges/gen=77")
+    assert(new java.io.File(s"$dir/edges/gen=77/_SUCCESS").delete())
+    spark.catalog.refreshByPath(s"$dir/edges")
+    assert(StreamingGraph.liveEdges(spark, dir).count() === edges0,
+      "a torn edge generation's partial rows are visible to serving")
+    StreamingGraph.compact(spark, d, dir) // must NOT fold the torn partials
+    assert(!new java.io.File(s"$dir/edges/gen=77").exists(),
+      "the swap must discard the torn leftover (its wave replays in full)")
+    assert(rows(StreamingGraph.search(spark, d, dir)) === served0,
+      "torn-wave partials folded by graph compaction")
+
+    // ---- folded DELETE wave replay vs a re-admitted vec_id (the
+    // _HORIZON_DELETE guard, round-15)
+    val victim = served0.map(_._3).filter(_ >= cut).head
+    StreamingGraph.deleteBatch(dir)(Seq(victim).toDF("vec_id"), 0L)
+    StreamingGraph.compact(spark, d, dir) // folds the tombstone; _HORIZON_DELETE = 0
+    StreamingGraph.appendBatch(d, dir)(
+      emb.filter(col("vec_id") === victim), 1L) // re-admit
+    assert(StreamingGraph.liveMembers(spark, dir).filter(col("vec_id") === victim)
+        .count() === 1, "re-admitted id not a member — the branch is dormant")
+    StreamingGraph.deleteBatch(dir)(Seq(victim).toDF("vec_id"), 0L) // the replay
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombs")),
+      "a folded delete wave's replay re-landed past the horizon guard")
+    assert(StreamingGraph.liveMembers(spark, dir).filter(col("vec_id") === victim)
+      .count() === 1)
+    StreamingGraph.deleteBatch(dir)(Seq(victim).toDF("vec_id"), 1L) // genuinely new
+    assert(StreamingGraph.liveMembers(spark, dir).filter(col("vec_id") === victim)
+        .count() === 0, "the delete-horizon guard over-blocks new delete waves")
+
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }

@@ -208,4 +208,67 @@ class StreamingIndexSpec extends AnyFunSuite {
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
+
+  test("torn generations are invisible; folded delete waves don't kill re-admitted ids") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_torn").toString
+    val cut = StreamingIndex.buildFrozen(spark, d, dir)
+    val newVecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") >= cut).select(col("vec_id"), col("embedding"))
+    StreamingIndex.appendBatch(dir)(newVecs, 0L)
+    val pre = StreamingIndex.searchTopK(spark, d, dir).collect().toSeq
+
+    // ---- TORN WAVE (round-15, the r14 advice): a crash mid-write
+    // leaves partial part-files and no _SUCCESS. The payload is a
+    // duplicate of a served row's codes — exactly what would double ADC
+    // sums if a raw read folded it into gen=-1 before the replay
+    // (which the append horizon does NOT skip: the torn gen never
+    // committed) re-landed the full wave on top.
+    val someId = pre.head.getAs[Long]("vec_id")
+    val dupRows = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") === someId)
+      .select(col("vec_id"), col("m"), col("cid"), col("cell"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(dupRows.nonEmpty)
+    dupRows.toDF("vec_id", "m", "cid", "cell")
+      .write.mode("overwrite").parquet(s"$dir/codes/gen=99")
+    assert(new java.io.File(s"$dir/codes/gen=99/_SUCCESS").delete())
+    spark.catalog.refreshByPath(s"$dir/codes")
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === pre,
+      "a torn generation's partial rows are visible to serving")
+    StreamingIndex.compact(spark, dir) // must NOT fold the torn partials
+    assert(!new java.io.File(s"$dir/codes/gen=99").exists(),
+      "the swap must discard the torn leftover (its wave replays in full)")
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === pre,
+      "torn-wave partials folded by compaction")
+
+    // ---- folded DELETE wave replay vs a re-admitted vec_id: tombstones
+    // apply as an unordered anti-join, so without the _HORIZON_DELETE
+    // guard a post-compaction replay of delete wave 0 would kill the
+    // re-admitted vector.
+    val victim = pre.filter(_.getAs[Long]("vec_id") >= cut)
+      .head.getAs[Long]("vec_id")
+    StreamingIndex.deleteBatch(dir)(Seq(victim).toDF("vec_id"), 0L)
+    StreamingIndex.compact(spark, dir) // folds the tombstone; _HORIZON_DELETE = 0
+    val readmit = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") === victim).select(col("vec_id"), col("embedding"))
+    StreamingIndex.appendBatch(dir)(readmit, 1L)
+    val back = StreamingIndex.searchTopK(spark, d, dir).collect().toSeq
+    assert(back.exists(_.getAs[Long]("vec_id") == victim),
+      "re-admitted id not served — the re-admission branch is dormant")
+    StreamingIndex.deleteBatch(dir)(Seq(victim).toDF("vec_id"), 0L) // the replay
+    assert(!new java.io.File(s"$dir/tombs").exists(),
+      "a folded delete wave's replay re-landed past the horizon guard")
+    assert(StreamingIndex.searchTopK(spark, d, dir).collect().toSeq === back)
+    // a genuinely NEW delete wave (above the horizon) still lands
+    StreamingIndex.deleteBatch(dir)(Seq(victim).toDF("vec_id"), 1L)
+    assert(!StreamingIndex.searchTopK(spark, d, dir).collect()
+        .exists(_.getAs[Long]("vec_id") == victim),
+      "the delete-horizon guard over-blocks new delete waves")
+
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }

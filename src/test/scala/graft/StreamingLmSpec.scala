@@ -166,4 +166,46 @@ class StreamingLmSpec extends AnyFunSuite {
     graft.queries.releasePersisted()
     spark.catalog.clearCache()
   }
+
+  test("mid-swap crash: an updateBatch-first restart recovers waves_old instead of destroying it") {
+    import spark.implicits._
+    val lmDir = Files.createTempDirectory("slm_swap").toString
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val rws = docs.as[(Long, String)].collect().sortBy(_._1)
+    val (w0, w1) = rws.splitAt(rws.length / 2)
+    StreamingLm.updateBatch(lmDir)(w0.toSeq.toDF("doc_id", "text"), 0L)
+    StreamingLm.updateBatch(lmDir)(w1.toSeq.toDF("doc_id", "text"), 1L)
+    val probe = w1.take(20).toSeq.toDF("doc_id", "text")
+    val pre = StreamingLm.score(spark, lmDir, probe).collect().toSeq
+
+    // hard crash between compactLm's two renames: waves renamed aside,
+    // replacement not yet in place
+    assert(new java.io.File(s"$lmDir/waves")
+      .renameTo(new java.io.File(s"$lmDir/waves_old")))
+    // the at-least-once stream replays a COMMITTED wave first (its
+    // checkpoint was lost with the crash). Pre-fix (r14 advice) this
+    // recreated a fresh waves/ root — the marker check and the horizon
+    // read both miss with waves/ gone — and the next compactLm then saw
+    // waves exists, skipped rename-back, and DELETED waves_old: all
+    // pre-crash LM state silently destroyed.
+    StreamingLm.updateBatch(lmDir)(w1.toSeq.toDF("doc_id", "text"), 1L)
+    assert(!new java.io.File(s"$lmDir/waves_old").exists(),
+      "updateBatch entry did not run the rename-back recovery")
+    assert(StreamingLm.score(spark, lmDir, probe).collect().toSeq === pre,
+      "post-recovery state diverged (wave double-landed or state lost)")
+    StreamingLm.compactLm(spark, lmDir)
+    assert(StreamingLm.score(spark, lmDir, probe).collect().toSeq === pre,
+      "compaction after the recovered crash changed reader-visible state")
+
+    // the read path recovers too: crash again, then serve
+    assert(new java.io.File(s"$lmDir/waves")
+      .renameTo(new java.io.File(s"$lmDir/waves_old")))
+    assert(StreamingLm.score(spark, lmDir, probe).collect().toSeq === pre,
+      "score() served empty state in the mid-swap window")
+    assert(!new java.io.File(s"$lmDir/waves_old").exists())
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lmDir))
+    graft.queries.releasePersisted()
+    spark.catalog.clearCache()
+  }
 }
