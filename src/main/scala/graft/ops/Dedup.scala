@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import LoopScope.CkptOps
 
 /** Duplicate-group resolution: turn a verified near-dup PAIR graph into
   * connected components so a dedup pass can keep exactly one
@@ -186,7 +187,12 @@ object Dedup {
             Seq("id"), "left")
           .select(col("id"), coalesce(col("lm"), col("id")).as("lbl"))
       else vertices.select(col("id"), col("id").as("lbl"))
-    var lbl = init.localCheckpoint(true)
+    // convergence-detected rounds with per-round eager checkpoints;
+    // join keys are vertex ids with occupancy-capped degrees — AQE-off
+    // scope ([[LoopScope]] doc) so each round is one job, not one per
+    // exchange
+    graft.ops.LoopScope.aqeOff(vertices.sparkSession) {
+    var lbl = init.loopCkpt
     // delta iteration (the Pregel message optimization): only vertices
     // whose label changed last round can tell their neighbors anything
     // new — a vertex that changed at round k is in `changed` at round
@@ -208,7 +214,7 @@ object Dedup {
       val obs = Observation(s"cc_round_${System.identityHashCode(plan)}")
       val next = plan
         .observe(obs, sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("n_changed"))
-        .localCheckpoint(true)
+        .loopCkpt
       relaxed.unpersist(false)
       rounds += 1
       val nChanged = obs.get.get("n_changed") match {
@@ -226,7 +232,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components not converged after $maxRounds rounds")
     (lbl, rounds)
-  }
+  } }
 
   /** Connected components of the pair graph: returns `(id, lbl)` with
     * `lbl = min(component(id))`. `edges` needs columns `src`/`dst` (one
@@ -285,11 +291,15 @@ object Dedup {
       vertices: DataFrame,
       edges: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) = {
+    // same per-round checkpoint discipline as the production path —
+    // AQE-off scope keeps the race fair (both rivals pay per-round
+    // jobs, not per-exchange jobs)
+    val (eF, roundsF) = graft.ops.LoopScope.aqeOff(vertices.sparkSession) {
     var e = edges
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .loopCkpt
     var rounds = 0
     var done = e.isEmpty
     while (!done && rounds < maxRounds) {
@@ -303,7 +313,7 @@ object Dedup {
         .join(mL, col("src") === col("u"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
-        .localCheckpoint(true)
+        .loopCkpt
       // small-star on the oriented set: all dst < src, m = min neighbor
       val mS = afterL.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
       val outV = afterL.join(mS, col("src") === col("u"))
@@ -312,7 +322,7 @@ object Dedup {
       val outU = mS.select(col("u").as("src"), col("m").as("dst"))
       val next = outV.union(outU)
         .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(true)
+        .loopCkpt
       rounds += 1
       done = next.join(e, Seq("src", "dst"), "left_anti").isEmpty &&
         next.count() == e.count()
@@ -320,10 +330,12 @@ object Dedup {
     }
     if (!done)
       throw new IllegalStateException(s"star CC not converged after $maxRounds rounds")
+    (e, rounds)
+    }
     val lbl = vertices.select(col("id"))
-      .join(e.select(col("src").as("id"), col("dst").as("plbl")), Seq("id"), "left")
+      .join(eF.select(col("src").as("id"), col("dst").as("plbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("plbl"), col("id")).as("lbl"))
-    (lbl, rounds)
+    (lbl, roundsF)
   }
 
   /** Star CC straight from an undirected pair table — the

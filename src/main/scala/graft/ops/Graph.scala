@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import LoopScope.CkptOps
 
 /** Distributed graph centrality (q126), factored over explicit
   * node/edge frames so the spec can prove the branches the corpus
@@ -35,16 +36,21 @@ object Graph {
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val eo = track(edges.join(odeg, Seq("src")))
     val ids = nodes.select(col("id"))
-    var r = ids.select(col("id"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = eo.join(r, col("src") === col("id"))
-        .select(col("dst"), expr("r DIV odeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = ids.join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(15L * scale / 100) + expr("(85L * coalesce(s, 0L)) DIV 100")).as("r"))
-        .localCheckpoint(true)
+    // fixed-iteration rank loop with per-round eager checkpoints over
+    // node-grained tables (join keys are vertex ids, contributions
+    // degree-bounded) — AQE-off scope ([[LoopScope]] doc)
+    LoopScope.aqeOff(nodes.sparkSession) {
+      var r = ids.select(col("id"), lit(scale).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = eo.join(r, col("src") === col("id"))
+          .select(col("dst"), expr("r DIV odeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        r = ids.join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(15L * scale / 100) + expr("(85L * coalesce(s, 0L)) DIV 100")).as("r"))
+          .loopCkpt
+      }
+      r
     }
-    r
   }
 }

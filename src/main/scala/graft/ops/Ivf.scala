@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.DotFold
+import LoopScope.CkptOps
 
 /** Trained-IVF ANN index: integer-quantized Lloyd's training, cell
   * assignment, multi-probe search. q42 composes these pieces IN-PLAN
@@ -73,6 +74,12 @@ object Ivf {
       k: Int = K): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // fixed [[Iters]]-step unrolled trainer with per-iteration eager
+    // checkpoints over a k-row state table — AQE-off scope
+    // ([[LoopScope]] doc): the assign pass is map-only (broadcast
+    // NearestCell) and the update join is k-row, so there is nothing
+    // for AQE to re-plan and each iteration collapses to one job
+    graft.ops.LoopScope.aqeOff(spark) {
     var cent: DataFrame = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("vq").as("S"), lit(1L).as("n"))
     for (_ <- 1 to Iters) {
@@ -104,13 +111,22 @@ object Ivf {
       // and in stacked towers like IVFADC the PLANNING cost dwarfs the
       // compute (measured: q91's 5k-row stages took seconds each on
       // 4 MiB task binaries before; the 16-row checkpoint is free)
-      cent = track(cent.as("p").join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
-        .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
-          coalesce(col("u.n"), col("p.n")).as("n"))
-        .localCheckpoint(true))
+      // broadcast the k-row update side: under the AQE-off scope a
+      // static SMJ here would sort on p.cid and the checkpoint's
+      // LogicalRDD would capture that ordering against a pre-projection
+      // attribute — persisting such a frame crashes a later AQE-on
+      // cache reuse in InMemoryRelation.withOutput ("key not found",
+      // measured round 15). track() therefore wraps the PRE-checkpoint
+      // plan (same caching lifecycle, logical ordering empty), never
+      // the checkpointed frame itself.
+      cent = track(cent.as("p")
+          .join(broadcast(sums.as("u")), col("p.cid") === col("u.cid"), "left")
+          .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
+            coalesce(col("u.n"), col("p.n")).as("n")))
+        .loopCkpt
     }
     cent
-  }
+  } }
 
   /** Nearest trained cell for every vector: (vec_id, cell, v, nrm).
     * Map-only ([[trainCells]]'s NearestCell argmin): one pass, no

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.DotFold
+import LoopScope.CkptOps
 
 /** Product-quantization ANN (Jégou, Douze, Schmid, "Product
   * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
@@ -105,6 +106,9 @@ object Pq {
   def trainCodebooks(sub: DataFrame, track: DataFrame => DataFrame = identity): DataFrame = {
     val spark = sub.sparkSession
     import spark.implicits._
+    // fixed-iteration trainer over a 512-row state table, per-round
+    // eager checkpoints — AQE-off scope ([[LoopScope]] doc)
+    graft.ops.LoopScope.aqeOff(spark) {
     var cent: DataFrame = sub.filter(col("vec_id") < KSub)
       .select(col("m"), col("vec_id").cast("int").as("cid"),
         col("svq").as("S"), lit(1L).as("n"))
@@ -121,15 +125,19 @@ object Pq {
           col("sn._1").as("S"), col("sn._2").as("n"))
       // localCheckpoint per round, as in Ivf.trainCells — the 512-row
       // checkpoint is free and keeps downstream plans (encode, ADC,
-      // IVFADC stacking) from embedding the whole training tower
+      // IVFADC stacking) from embedding the whole training tower.
+      // broadcast + track-before-checkpoint: the Ivf.trainCells
+      // stale-ordering rule (persisting a post-checkpoint LogicalRDD
+      // built from a static SMJ crashes later AQE-on cache reuse)
       cent = track(cent.as("p")
-        .join(sums.as("u"), col("p.m") === col("u.m") && col("p.cid") === col("u.cid"), "left")
-        .select(col("p.m").as("m"), col("p.cid").as("cid"),
-          coalesce(col("u.S"), col("p.S")).as("S"), coalesce(col("u.n"), col("p.n")).as("n"))
-        .localCheckpoint(true))
+          .join(broadcast(sums.as("u")),
+            col("p.m") === col("u.m") && col("p.cid") === col("u.cid"), "left")
+          .select(col("p.m").as("m"), col("p.cid").as("cid"),
+            coalesce(col("u.S"), col("p.S")).as("S"), coalesce(col("u.n"), col("p.n")).as("n")))
+        .loopCkpt
     }
     cent
-  }
+  } }
 
   /** PQ codes: nearest code per (vec_id, subspace) — (vec_id, m, cid).
     * Map-only (the [[centsByM]] NearestCell argmin): one 1:1 broadcast

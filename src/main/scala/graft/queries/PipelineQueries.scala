@@ -1269,7 +1269,10 @@ object PipelineQueries {
     * full corpus, so the trainer must be corpus-parameterized.
     */
   private def bpeTrainOn(s: SparkSession, docs: DataFrame)
-      : (Vector[(Int, String, String, String, Long)], DataFrame) = {
+      : (Vector[(Int, String, String, String, Long)], DataFrame) =
+    // per-round 1-row argmax collects over the persisted vocabulary —
+    // a fixed-shape driver loop (AQE-off scope, LoopScope doc)
+    graft.ops.LoopScope.aqeOff(s) {
     val enc0 = expr(
       s"array_join(transform(sequence(1, length(w)), i -> concat('$BpeSep', substring(w, i, 1), '$BpeSep')), '')")
     // the one heavy input: vocabulary aggregate over the corpus scan
@@ -1310,6 +1313,7 @@ object PipelineQueries {
     }
     (merges, cur)
   }
+
 
   val q67BpeTrain: Q = (s, d) => {
     import s.implicits._

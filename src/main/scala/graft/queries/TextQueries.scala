@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.ops.TextOps
+import graft.ops.LoopScope.CkptOps
 
 /** LLM-pipeline text operators over `documents`/`embeddings`
   * (SURVEY.md §2.11): MinHash+LSH near-dup, n-gram Jaccard, language-ID,
@@ -2354,14 +2355,19 @@ object TextQueries {
     */
   private[graft] def divEdgesOver(pairs: org.apache.spark.sql.DataFrame,
       hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      conflictPairs: org.apache.spark.sql.DataFrame = null) = {
+      conflictPairs: org.apache.spark.sql.DataFrame = null) =
+    // fixed-shape unrolled greedy: every step eagerly checkpoints, join
+    // keys are degree-bounded (≤ DivEfC candidates / ≤ K kept per src),
+    // so the loop runs under the AQE-off scope (LoopScope doc) — one
+    // job per step instead of one per exchange
+    graft.ops.LoopScope.aqeOff(pairs.sparkSession) {
     val cpairs = if (conflictPairs != null) conflictPairs else pairs
     val wsrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val cand = hold(pairs.withColumn("rk", row_number().over(wsrc))
       .filter(col("rk") <= DivEfC).select(col("src"), col("dst"), col("cos")))
     var kept = cand.withColumn("rn", row_number().over(wsrc))
       .filter(col("rn") === 1).select(col("src"), col("dst"))
-      .localCheckpoint(true)
+      .loopCkpt
     for (_ <- 2 to KnnGK) {
       // a candidate conflicts when some kept neighbor is at least as
       // close to it as the source is
@@ -2376,7 +2382,7 @@ object TextQueries {
         .join(conflicts, Seq("src", "dst"), "left_anti")
       val next = alive.withColumn("rn", row_number().over(wsrc))
         .filter(col("rn") === 1).select(col("src"), col("dst"))
-      kept = kept.union(next).localCheckpoint(true)
+      kept = kept.union(next).loopCkpt
     }
     kept
   }
@@ -2704,19 +2710,26 @@ object TextQueries {
       .withColumn("cos", DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     val entry = broadcast(corp.agg(min(col("vec_id")).as("vec_id")))
-    var beam = score(queries5.select(col("query_id")).crossJoin(entry))
-      .localCheckpoint(true)
     val wb = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    for (_ <- 1 to GsHops) {
-      val nbrs = beam.select(col("query_id"), col("vec_id").as("src"))
-        .join(edges, Seq("src"))
-        .select(col("query_id"), col("dst").as("vec_id"))
-      val cand = beam.select(col("query_id"), col("vec_id")).union(nbrs).distinct()
-      beam = score(cand)
-        .withColumn("rk", row_number().over(wb))
-        .filter(col("rk") <= GsBeam)
-        .select(col("query_id"), col("vec_id"), col("cos"))
-        .localCheckpoint(true)
+    // the hop loop is beam-bounded (|queries|·B rows against a
+    // degree-bounded edge list) with per-hop eager checkpoints —
+    // AQE-off scope (LoopScope doc); the corpus-sized audit tail below
+    // stays outside and keeps AQE
+    val beam = graft.ops.LoopScope.aqeOff(s) {
+      var b = score(queries5.select(col("query_id")).crossJoin(entry))
+        .loopCkpt
+      for (_ <- 1 to GsHops) {
+        val nbrs = b.select(col("query_id"), col("vec_id").as("src"))
+          .join(edges, Seq("src"))
+          .select(col("query_id"), col("dst").as("vec_id"))
+        val cand = b.select(col("query_id"), col("vec_id")).union(nbrs).distinct()
+        b = score(cand)
+          .withColumn("rk", row_number().over(wb))
+          .filter(col("rk") <= GsBeam)
+          .select(col("query_id"), col("vec_id"), col("cos"))
+          .loopCkpt
+      }
+      b
     }
     val exact = corp.select(col("vec_id"), col("v"), col("nrm"))
       .crossJoin(queries5)
@@ -2817,11 +2830,14 @@ object TextQueries {
     */
   private[graft] def heuristic2FoldPrune(cand: org.apache.spark.sql.DataFrame,
       key: String, vecs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    // fixed-shape unrolled greedy (degree-bounded keys, per-step eager
+    // checkpoints) — AQE-off scope, see LoopScope
+    graft.ops.LoopScope.aqeOff(cand.sparkSession) {
     import graft.functions.DotFold
     val wn = Window.partitionBy(col(key)).orderBy(col("cos").desc, col("vec_id"))
     var kept = cand.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
-      .select(col(key), col("vec_id")).localCheckpoint(true)
+      .select(col(key), col("vec_id")).loopCkpt
     for (_ <- 2 to KnnGK) {
       val conflicts = cand.as("c")
         .join(kept.as("k"),
@@ -2837,7 +2853,7 @@ object TextQueries {
         .join(conflicts, Seq(key, "vec_id"), "left_anti")
       val next = alive.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
         .select(col(key), col("vec_id"))
-      kept = kept.union(next).localCheckpoint(true)
+      kept = kept.union(next).loopCkpt
     }
     kept
   }
@@ -2881,17 +2897,22 @@ object TextQueries {
         (DotFold(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val entry = broadcast(old.agg(min(col("vec_id")).as("vec_id")))
     val wn = Window.partitionBy(col("nid")).orderBy(col("cos").desc, col("vec_id"))
-    var abeam = scoreN(newQ.select(col("nid")).crossJoin(entry)).localCheckpoint(true)
-    for (_ <- 1 to GsHops) {
-      val nbrs = abeam.select(col("nid"), col("vec_id").as("src"))
-        .join(gedOld, Seq("src"))
-        .select(col("nid"), col("dst").as("vec_id"))
-      val cand = abeam.select(col("nid"), col("vec_id")).union(nbrs).distinct()
-      abeam = scoreN(cand)
-        .withColumn("rk", row_number().over(wn))
-        .filter(col("rk") <= DivEfC)
-        .select(col("nid"), col("vec_id"), col("cos"))
-        .localCheckpoint(true)
+    // wave-bounded attach beam (|wave|·DivEfC rows, degree-bounded
+    // edges), per-hop eager checkpoints — AQE-off scope (LoopScope doc)
+    val abeam = graft.ops.LoopScope.aqeOff(s) {
+      var b = scoreN(newQ.select(col("nid")).crossJoin(entry)).loopCkpt
+      for (_ <- 1 to GsHops) {
+        val nbrs = b.select(col("nid"), col("vec_id").as("src"))
+          .join(gedOld, Seq("src"))
+          .select(col("nid"), col("dst").as("vec_id"))
+        val cand = b.select(col("nid"), col("vec_id")).union(nbrs).distinct()
+        b = scoreN(cand)
+          .withColumn("rk", row_number().over(wn))
+          .filter(col("rk") <= DivEfC)
+          .select(col("nid"), col("vec_id"), col("cos"))
+          .loopCkpt
+      }
+      b
     }
     // heuristic-2 over the attach candidates; conflict cosine is a
     // fresh fold (candidates span cells)
