@@ -11,12 +11,18 @@ object BenchOne {
     val sfDir = args.head
     val names = args.tail
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      // A/B knobs for the LoopScope measurement loop (ops.LoopScope doc)
+      .config("spark.graft.loopAqeOff",
+        sys.env.getOrElse("GRAFT_LOOP_AQE_OFF", "false"))
+      .config("spark.ui.enabled", "false")
+    sys.env.get("GRAFT_LOOP_PARTS").foreach(n =>
+      builder.config("spark.graft.loopShufflePartitions", n))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (name <- names; rep <- 1 to 2) {

@@ -3,30 +3,35 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 
 /** Conf-gated AQE scope for the FIXED-SHAPE unrolled loops (beam hops,
-  * heuristic-2 prune steps, Lloyd iterations, CC rounds).
+  * heuristic-2 prune steps, Lloyd iterations, CC rounds) — DORMANT BY
+  * DEFAULT after round-15 measurement; see the verdict below.
   *
-  * Why: GraphDecomp (round 14) proved the graph family's wall at test
-  * SFs is per-JOB overhead — the loops' job counts are code-fixed and
-  * jobs × measured overhead reconstructs every round's reading. Under
-  * AQE each eagerly-materialized step re-plans per query stage and
-  * submits one job per exchange, so a 4-hop beam with a distinct, a
-  * window, and two joins per hop pays ~4-6 jobs per hop. The loops'
-  * shapes are KNOWN (that is what lets the DuckDB oracle unroll them),
-  * so adaptive re-planning buys nothing there: with AQE off each step
-  * is one job (plus its broadcast-collect jobs), all stages inside.
+  * The hypothesis (VERDICT r14 #1): GraphDecomp proved the graph
+  * family's wall at test SFs per-JOB-overhead bound — the loops' job
+  * counts are code-fixed, and under AQE each eagerly-materialized step
+  * submits one job per exchange. The loops' shapes are KNOWN (that is
+  * what lets the DuckDB oracle unroll them), so adaptive re-planning
+  * buys nothing; with AQE off each step is one job.
   *
-  * Scope discipline (the q145 conf-gate rule): the body must
-  * materialize everything it returns — every loop step ends in an
-  * eager `localCheckpoint`, so the AQE-off planning can never leak
-  * into a caller's plan; the conf restores in `finally`. Nesting is
-  * safe (each scope restores what it saw).
+  * The measurement (round 15, both on this box, masses identical):
+  * job counts DID fall 30–59% (GraphDecomp attach 87→36, repair
+  * 54→38, serve 50→33) and at `local[8]` walls fell 2–7× — but at the
+  * bench's `local[32]` the same scope made every family WORSE
+  * (BenchOne warm reps: q154 13.1→34.6 s, q148 5.1→44.0 s, q157
+  * 9.4→79.7 s; pinning loop shuffle partitions to 4 recovered only
+  * half). Verdict: at high thread counts the family's wall is
+  * stage×task-count bound, and AQE's post-shuffle coalescing (most
+  * loop stages collapse to 1 task) is itself the job-count optimizer —
+  * the r14 "jobs × overhead" model's constant silently included the
+  * coalescing. So the scope defaults OFF
+  * (`spark.graft.loopAqeOff=true` opts in) and is the right knob only
+  * for LOW-parallelism local runs (iterating at CPUS≤8).
   *
-  * 100 TB note: this is NOT "AQE off for big queries". The scoped
-  * loops operate on beam-bounded (|queries|·B), degree-bounded (≤K per
-  * vertex), or k-row (centroid/codebook) tables whose join keys are
-  * occupancy- or degree-capped by construction — the skew AQE exists
-  * to re-plan cannot occur. Corpus-sized scans (the one-time substrate
-  * builds, the audit tails) stay outside the scope and keep AQE.
+  * Scope discipline when enabled (the q145 conf-gate rule): the body
+  * must materialize everything it returns — every loop step ends in an
+  * eager checkpoint via [[ckpt]], so the non-adaptive planning can
+  * never leak into a caller's plan; the conf restores in `finally`.
+  * Nesting is safe (each scope restores what it saw).
   */
 object LoopScope {
   private val Key = "spark.sql.adaptive.enabled"
@@ -49,13 +54,36 @@ object LoopScope {
     def loopCkpt: org.apache.spark.sql.DataFrame = ckpt(df)
   }
 
+  /** Session knobs: `spark.graft.loopAqeOff=true` OPTS IN to the
+    * non-adaptive scope (default false — see the measured verdict in
+    * the object doc); `spark.graft.loopShufflePartitions=<n>`
+    * additionally pins `spark.sql.shuffle.partitions` inside the
+    * scope — the loops' state tables are bounded (beam-, degree-, or
+    * k-row-bounded), so a partition count sized to the STATE is what
+    * AQE's coalescing was doing dynamically (measured: recovers about
+    * half the local[32] regression — not enough to beat AQE).
+    */
+  private val Enable = "spark.graft.loopAqeOff"
+  private val LoopParts = "spark.graft.loopShufflePartitions"
+  private val PartsKey = "spark.sql.shuffle.partitions"
+
   def aqeOff[T](s: SparkSession)(body: => T): T = {
+    if (!s.conf.get(Enable, "false").toBoolean) return body
     val prev = s.conf.getOption(Key)
+    val prevParts = s.conf.getOption(PartsKey)
+    val loopParts = s.conf.getOption(LoopParts)
     s.conf.set(Key, "false")
+    loopParts.foreach(n => s.conf.set(PartsKey, n))
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(Key, v)
-      case None => s.conf.unset(Key)
+    finally {
+      prev match {
+        case Some(v) => s.conf.set(Key, v)
+        case None => s.conf.unset(Key)
+      }
+      if (loopParts.isDefined) prevParts match {
+        case Some(v) => s.conf.set(PartsKey, v)
+        case None => s.conf.unset(PartsKey)
+      }
     }
   }
 }

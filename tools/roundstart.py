@@ -56,6 +56,19 @@ def shape():
     return out
 
 
+def _benchdiff_hint():
+    """Round-over-round bench adjudication is part of the protocol
+    (VERDICT r14 #4): point benchdiff at the newest committed perquery
+    artifact once this round's bench has run."""
+    import glob
+    arts = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_r*_perquery.json")))
+    if arts:
+        base = os.path.basename(arts[-1])
+        print(f"bench adjudication base: {base} — after this round's bench, run\n"
+              f"  python3 tools/benchdiff.py {base} /tmp/graft_bench.json")
+
+
 def main():
     cur = shape()
     if "--write" in sys.argv:
@@ -81,6 +94,7 @@ def main():
     if not diffs:
         print("testdata shape UNCHANGED vs committed snapshot "
               "(bytes still regenerate — run the full gate before new work)")
+        _benchdiff_hint()
         return 0
     print("TESTDATA SHAPE CHANGED:")
     print("\n".join(diffs))
