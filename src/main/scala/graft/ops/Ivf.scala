@@ -111,19 +111,20 @@ object Ivf {
       // and in stacked towers like IVFADC the PLANNING cost dwarfs the
       // compute (measured: q91's 5k-row stages took seconds each on
       // 4 MiB task binaries before; the 16-row checkpoint is free)
-      // broadcast the k-row update side: under the AQE-off scope a
-      // static SMJ here would sort on p.cid and the checkpoint's
-      // LogicalRDD would capture that ordering against a pre-projection
-      // attribute — persisting such a frame crashes a later AQE-on
-      // cache reuse in InMemoryRelation.withOutput ("key not found",
-      // measured round 15). track() therefore wraps the PRE-checkpoint
-      // plan (same caching lifecycle, logical ordering empty), never
-      // the checkpointed frame itself.
-      cent = track(cent.as("p")
+      // broadcast the k-row update side (a static SMJ would sort the
+      // 16-512-row state table every iteration); track() wraps the
+      // CHECKPOINTED frame — safe because loopCkpt strips dangling
+      // layout claims before the persist can cache them (the round-15
+      // InMemoryRelation.withOutput hazard), and persisting the scan
+      // of already-materialized checkpoint blocks is nearly free
+      // (persisting the pre-checkpoint plan instead double-pays the
+      // join during the checkpoint action — measured +1.6 s on the
+      // tower memo builds).
+      cent = track((cent.as("p")
           .join(broadcast(sums.as("u")), col("p.cid") === col("u.cid"), "left")
           .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
             coalesce(col("u.n"), col("p.n")).as("n")))
-        .loopCkpt
+        .loopCkpt)
     }
     cent
   } }

@@ -126,15 +126,16 @@ object Pq {
       // localCheckpoint per round, as in Ivf.trainCells — the 512-row
       // checkpoint is free and keeps downstream plans (encode, ADC,
       // IVFADC stacking) from embedding the whole training tower.
-      // broadcast + track-before-checkpoint: the Ivf.trainCells
-      // stale-ordering rule (persisting a post-checkpoint LogicalRDD
-      // built from a static SMJ crashes later AQE-on cache reuse)
-      cent = track(cent.as("p")
+      // broadcast + track-the-checkpoint: the Ivf.trainCells rationale
+      // (loopCkpt strips dangling layout, so the persist is safe, and
+      // persisting checkpoint blocks is cheaper than re-running the
+      // join inside the checkpoint action)
+      cent = track((cent.as("p")
           .join(broadcast(sums.as("u")),
             col("p.m") === col("u.m") && col("p.cid") === col("u.cid"), "left")
           .select(col("p.m").as("m"), col("p.cid").as("cid"),
             coalesce(col("u.S"), col("p.S")).as("S"), coalesce(col("u.n"), col("p.n")).as("n")))
-        .loopCkpt
+        .loopCkpt)
     }
     cent
   } }

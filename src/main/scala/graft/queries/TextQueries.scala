@@ -2365,24 +2365,30 @@ object TextQueries {
     val wsrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val cand = hold(pairs.withColumn("rk", row_number().over(wsrc))
       .filter(col("rk") <= DivEfC).select(col("src"), col("dst"), col("cos")))
-    var kept = cand.withColumn("rn", row_number().over(wsrc))
-      .filter(col("rn") === 1).select(col("src"), col("dst"))
-      .loopCkpt
+    // per-source best candidate = invariant 8's min(struct) — a hash
+    // aggregate with map-side partial reduction, not a per-step window
+    // sort; min(struct(-cos, dst)) is exactly orderBy(cos desc, dst)
+    // rank 1 (the negated double is compared, never emitted)
+    def best1(c: org.apache.spark.sql.DataFrame) = c
+      .groupBy(col("src"))
+      .agg(min(struct((-col("cos")).as("nc"), col("dst"))).as("m"))
+      .select(col("src"), col("m.dst").as("dst"))
+    var kept = best1(cand).loopCkpt
     for (_ <- 2 to KnnGK) {
       // a candidate conflicts when some kept neighbor is at least as
-      // close to it as the source is
+      // close to it as the source is. No distinct: the conflict set
+      // only ever feeds an anti-join, which ignores right-side
+      // duplicates.
       val conflicts = cand.as("c")
         .join(kept.as("k"), col("c.src") === col("k.src") && col("c.dst") =!= col("k.dst"))
         .join(cpairs.as("p"),
           col("p.src") === col("c.dst") && col("p.dst") === col("k.dst"))
         .filter(col("p.cos") >= col("c.cos"))
-        .select(col("c.src").as("src"), col("c.dst").as("dst")).distinct()
+        .select(col("c.src").as("src"), col("c.dst").as("dst"))
       val alive = cand
         .join(kept, Seq("src", "dst"), "left_anti")
         .join(conflicts, Seq("src", "dst"), "left_anti")
-      val next = alive.withColumn("rn", row_number().over(wsrc))
-        .filter(col("rn") === 1).select(col("src"), col("dst"))
-      kept = kept.union(next).loopCkpt
+      kept = kept.union(best1(alive)).loopCkpt
     }
     kept
   }
@@ -2712,9 +2718,17 @@ object TextQueries {
     val entry = broadcast(corp.agg(min(col("vec_id")).as("vec_id")))
     val wb = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     // the hop loop is beam-bounded (|queries|·B rows against a
-    // degree-bounded edge list) with per-hop eager checkpoints —
-    // AQE-off scope (LoopScope doc); the corpus-sized audit tail below
-    // stays outside and keeps AQE
+    // degree-bounded edge list) with per-hop eager checkpoints. Each
+    // hop is ONE aggregation: collect_set dedups the candidate set
+    // (beam ∪ neighbors — duplicates re-score to the identical fold,
+    // so set semantics are exact) and the sorted-slice keeps the
+    // per-query top-[[GsBeam]] by (cos desc, vec_id asc) — struct
+    // (cos, -vec_id) sorted desc — replacing the former
+    // distinct-exchange + window-sort pair with one map-side-partial
+    // hash agg (invariant 8 generalized to top-B; per-query candidate
+    // sets are B·(degree+1)-bounded, so the collected array is small
+    // at any corpus size). The stored cos doubles are re-emitted
+    // unchanged, so downstream bits are identical.
     val beam = graft.ops.LoopScope.aqeOff(s) {
       var b = score(queries5.select(col("query_id")).crossJoin(entry))
         .loopCkpt
@@ -2722,11 +2736,14 @@ object TextQueries {
         val nbrs = b.select(col("query_id"), col("vec_id").as("src"))
           .join(edges, Seq("src"))
           .select(col("query_id"), col("dst").as("vec_id"))
-        val cand = b.select(col("query_id"), col("vec_id")).union(nbrs).distinct()
+        val cand = b.select(col("query_id"), col("vec_id")).union(nbrs)
         b = score(cand)
-          .withColumn("rk", row_number().over(wb))
-          .filter(col("rk") <= GsBeam)
-          .select(col("query_id"), col("vec_id"), col("cos"))
+          .groupBy(col("query_id"))
+          .agg(slice(sort_array(collect_set(
+            struct(col("cos"), (-col("vec_id")).as("nv"))), asc = false),
+            1, GsBeam).as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), (-col("t.nv")).as("vec_id"), col("t.cos").as("cos"))
           .loopCkpt
       }
       b
@@ -2835,10 +2852,15 @@ object TextQueries {
     // checkpoints) — AQE-off scope, see LoopScope
     graft.ops.LoopScope.aqeOff(cand.sparkSession) {
     import graft.functions.DotFold
-    val wn = Window.partitionBy(col(key)).orderBy(col("cos").desc, col("vec_id"))
-    var kept = cand.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
-      .select(col(key), col("vec_id")).loopCkpt
+    // invariant-8 per-key top-1 (orderBy(cos desc, vec_id) rank 1 as a
+    // map-side min(struct) aggregate — the divEdgesOver best1 rationale)
+    def best1(c: org.apache.spark.sql.DataFrame) = c
+      .groupBy(col(key))
+      .agg(min(struct((-col("cos")).as("nc"), col("vec_id"))).as("m"))
+      .select(col(key), col("m.vec_id").as("vec_id"))
+    var kept = best1(cand).loopCkpt
     for (_ <- 2 to KnnGK) {
+      // no distinct on conflicts: it only feeds an anti-join
       val conflicts = cand.as("c")
         .join(kept.as("k"),
           col(s"c.$key") === col(s"k.$key") && col("c.vec_id") =!= col("k.vec_id"))
@@ -2847,13 +2869,11 @@ object TextQueries {
         .join(vecs.select(col("vec_id").as("kv_id"), col("v").as("kv"), col("nrm").as("kn")),
           col("k.vec_id") === col("kv_id"))
         .filter(DotFold(col("cv"), col("kv")) / (col("cn") * col("kn")) >= col("c.cos"))
-        .select(col(s"c.$key").as(key), col("c.vec_id").as("vec_id")).distinct()
+        .select(col(s"c.$key").as(key), col("c.vec_id").as("vec_id"))
       val alive = cand
         .join(kept, Seq(key, "vec_id"), "left_anti")
         .join(conflicts, Seq(key, "vec_id"), "left_anti")
-      val next = alive.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
-        .select(col(key), col("vec_id"))
-      kept = kept.union(next).loopCkpt
+      kept = kept.union(best1(alive)).loopCkpt
     }
     kept
   }
@@ -2898,18 +2918,23 @@ object TextQueries {
     val entry = broadcast(old.agg(min(col("vec_id")).as("vec_id")))
     val wn = Window.partitionBy(col("nid")).orderBy(col("cos").desc, col("vec_id"))
     // wave-bounded attach beam (|wave|·DivEfC rows, degree-bounded
-    // edges), per-hop eager checkpoints — AQE-off scope (LoopScope doc)
+    // edges), per-hop eager checkpoints; each hop is one
+    // collect_set + sorted-slice aggregation (the graphBeamSearch hop
+    // shape — dedup and top-[[DivEfC]] in a single map-side-partial agg)
     val abeam = graft.ops.LoopScope.aqeOff(s) {
       var b = scoreN(newQ.select(col("nid")).crossJoin(entry)).loopCkpt
       for (_ <- 1 to GsHops) {
         val nbrs = b.select(col("nid"), col("vec_id").as("src"))
           .join(gedOld, Seq("src"))
           .select(col("nid"), col("dst").as("vec_id"))
-        val cand = b.select(col("nid"), col("vec_id")).union(nbrs).distinct()
+        val cand = b.select(col("nid"), col("vec_id")).union(nbrs)
         b = scoreN(cand)
-          .withColumn("rk", row_number().over(wn))
-          .filter(col("rk") <= DivEfC)
-          .select(col("nid"), col("vec_id"), col("cos"))
+          .groupBy(col("nid"))
+          .agg(slice(sort_array(collect_set(
+            struct(col("cos"), (-col("vec_id")).as("nv"))), asc = false),
+            1, DivEfC).as("top"))
+          .select(col("nid"), explode(col("top")).as("t"))
+          .select(col("nid"), (-col("t.nv")).as("vec_id"), col("t.cos").as("cos"))
           .loopCkpt
       }
       b
