@@ -111,17 +111,19 @@ object Ivf {
       // and in stacked towers like IVFADC the PLANNING cost dwarfs the
       // compute (measured: q91's 5k-row stages took seconds each on
       // 4 MiB task binaries before; the 16-row checkpoint is free)
-      // broadcast the k-row update side (a static SMJ would sort the
-      // 16-512-row state table every iteration); track() wraps the
-      // CHECKPOINTED frame — safe because loopCkpt strips dangling
-      // layout claims before the persist can cache them (the round-15
-      // InMemoryRelation.withOutput hazard), and persisting the scan
-      // of already-materialized checkpoint blocks is nearly free
-      // (persisting the pre-checkpoint plan instead double-pays the
-      // join during the checkpoint action — measured +1.6 s on the
-      // tower memo builds).
+      // track() wraps the CHECKPOINTED frame — safe because loopCkpt
+      // strips dangling layout claims before the persist can cache
+      // them (the round-15 InMemoryRelation.withOutput hazard: under
+      // non-adaptive execution the update join plans as an SMJ whose
+      // sort ordering the checkpoint would capture against a
+      // pre-projection attribute), and persisting the scan of
+      // already-materialized checkpoint blocks is nearly free. No
+      // broadcast hint on the k-row side: forcing it routed the
+      // corpus-wide sums aggregate through a broadcast-collect every
+      // iteration (measured ~+1 s per tower build) — AQE already
+      // makes the right call at runtime.
       cent = track((cent.as("p")
-          .join(broadcast(sums.as("u")), col("p.cid") === col("u.cid"), "left")
+          .join(sums.as("u"), col("p.cid") === col("u.cid"), "left")
           .select(col("p.cid").as("cid"), coalesce(col("u.S"), col("p.S")).as("S"),
             coalesce(col("u.n"), col("p.n")).as("n")))
         .loopCkpt)

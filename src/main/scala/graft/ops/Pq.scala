@@ -126,12 +126,12 @@ object Pq {
       // localCheckpoint per round, as in Ivf.trainCells — the 512-row
       // checkpoint is free and keeps downstream plans (encode, ADC,
       // IVFADC stacking) from embedding the whole training tower.
-      // broadcast + track-the-checkpoint: the Ivf.trainCells rationale
-      // (loopCkpt strips dangling layout, so the persist is safe, and
-      // persisting checkpoint blocks is cheaper than re-running the
-      // join inside the checkpoint action)
+      // track-the-checkpoint, no broadcast hint: the Ivf.trainCells
+      // rationale (loopCkpt strips dangling layout, so the persist is
+      // safe; a forced broadcast routes the sums aggregate through a
+      // broadcast-collect every iteration)
       cent = track((cent.as("p")
-          .join(broadcast(sums.as("u")),
+          .join(sums.as("u"),
             col("p.m") === col("u.m") && col("p.cid") === col("u.cid"), "left")
           .select(col("p.m").as("m"), col("p.cid").as("cid"),
             coalesce(col("u.S"), col("p.S")).as("S"), coalesce(col("u.n"), col("p.n")).as("n")))
