@@ -62,6 +62,14 @@ object LoopScope {
     * k-row-bounded), so a partition count sized to the STATE is what
     * AQE's coalescing was doing dynamically (measured: recovers about
     * half the local[32] regression — not enough to beat AQE).
+    *
+    * SINGLE-THREADED-DRIVER ONLY (the q145 conf-gate precedent): an
+    * enabled scope mutates session-global conf for its duration, so
+    * any CONCURRENT action on the same SparkSession would plan
+    * non-adaptively too. Unreachable today — the knob is dormant,
+    * forked tests run sequentially, and structured streaming snapshots
+    * confs at query start — but a future multi-threaded driver must
+    * scope per-session or clone the session.
     */
   private val Enable = "spark.graft.loopAqeOff"
   private val LoopParts = "spark.graft.loopShufflePartitions"

@@ -824,6 +824,69 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT — LM-state UPDATE under the re-crawl wave (the lifecycle cell
+    * VERDICT r15 #2b named: q167's subtract and q156's add composed in
+    * ONE wave). The seeded ~12.8% hash slice of the TRAIN generation
+    * re-crawls to truncated content; the held LM state — trigram counts,
+    * context counts, and the COUNTED vocabulary `cw` — folds as
+    * held − slice-old + slice-new (union-sum, zeros drop), and
+    * |V_live| = |support(cw)| exactly as in q167. The only hashing the
+    * wave pays is the slice's re-derived trigrams (scan-linear in the
+    * slice). The admission wave (docs ≥ cut) scores under the LIVE
+    * state, `v_live` in every row. Measured before wiring (r6 rule):
+    * every wave doc's mbits moves and 48/100 admission flags flip at
+    * sf0.01 (365/1000 at sf0.1); the truncation cuts mid-word, so the
+    * update BIRTHS vocabulary words (31 → 63 at sf0.01, → 123 at
+    * sf0.1) — the counted bag's add side is corpus-live here, while
+    * word DEATH stays corpus-dormant (every base word survives 87.2% of
+    * docs) and is already driven synthetically by LmRetractSpec's core.
+    *
+    * The ORACLE retrains from scratch over the UPDATED train slice —
+    * no fold anywhere — so the hash match proves subtract+add ≡ retrain
+    * in one wave.
+    *
+    * Scale shape: q167's (gram-domain-sized state, slice-sized wave
+    * partials, (ctx, w) equi-join scoring) plus one slice-sized trigram
+    * re-derivation.
+    */
+  val q170LmUpdate: Q = (s, d) => {
+    val tri = tracked(lmTrigrams(documents(s, d)))
+    val cutF = broadcast(documents(s, d).agg(expr("count(1) * 4 div 5").as("cut")))
+    val train = tracked(tri.crossJoin(cutF)
+      .filter(col("doc_id") < col("cut")).drop("cut"))
+    val updP = TextQueries.priorityHashOn(col("doc_id")) < lit(TextQueries.DeleteBound)
+    // the wave's only hashing: the slice's re-crawled (truncated) text
+    val sliceNew = lmTrigrams(documents(s, d).crossJoin(cutF)
+      .filter(col("doc_id") < col("cut") && updP)
+      .select(col("doc_id"),
+        expr("substring(text, 1, length(text) DIV 2)").as("text")))
+    lmUpdateOver(train, tracked(train.filter(updP)), tracked(sliceNew),
+      tri.crossJoin(cutF).filter(col("doc_id") >= col("cut")).drop("cut"))
+  }
+
+  /** The q170 update core over arbitrary `(doc_id, ctx, w)` frames
+    * (`deadOld` ⊆ `train`; `addNew` is the slice's re-derived grams) —
+    * [[lmRetractOver]] with an add side, factored the same way so a
+    * spec can drive word death AND birth on synthetic frames.
+    */
+  private[graft] def lmUpdateOver(train: DataFrame, deadOld: DataFrame,
+      addNew: DataFrame, probe: DataFrame): DataFrame = {
+    // held − slice-old + slice-new partials, per table (union-sum,
+    // zeros drop — q167's foldMinus with the q156 add folded in)
+    def fold(keys: Seq[String], out: String): DataFrame =
+      train.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .unionByName(deadOld.groupBy(keys.map(col): _*).agg((-count(lit(1))).as("c")))
+        .unionByName(addNew.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c")))
+        .groupBy(keys.map(col): _*).agg(sum(col("c")).as(out))
+        .filter(col(out) > 0)
+    val cbLive = fold(Seq("ctx", "w"), "cb")
+    val cuLive = fold(Seq("ctx"), "cu")
+    val vLive = fold(Seq("w"), "cw").count()
+    lmScoreOver(probe, cbLive, cuLive, vLive)
+      .withColumn("v_live", lit(vLive))
+      .orderBy(col("doc_id"))
+  }
+
   /** q158's hashed feature space (the DSIR paper's bag of hashed
     * n-grams — vocabulary-free, so vectorization is one stateless pass
     * at any corpus size) and target slice. Measured on this corpus
@@ -2860,6 +2923,63 @@ object PipelineQueries {
         expr("substring(text, 1, length(text) DIV 2)").as("new_text")),
       tracked)
 
+  /** EXT — chunk-index DELETE (the q160 lifecycle's takedown cell,
+    * VERDICT r15 #2d: the update core with an empty new side): the
+    * seeded ~12.8% tombstone slice leaves the corpus wholesale, so the
+    * wave retracts the slice's chunks and the group state (copies,
+    * distinct docs, keeper — min/countDistinct do not retract)
+    * recomputes GROUP-SCOPED over exactly the shas the dead docs
+    * touched, from the held index's surviving members; untouched groups
+    * pass through an anti-join byte-unchanged. Unlike q160, group BIRTH
+    * is impossible by algebra, not merely dormant — a delete only
+    * removes chunk rows, and a sha that was not duplicated cannot
+    * become duplicated by losing members — so there is no synthetic
+    * branch to drive (the q153 algebraic-exclusion standard). Measured
+    * before wiring: the wave kills 4/9/78 dup groups and flips 2/2/3
+    * keepers at sf0.001/0.01/0.1 — non-vacuous at every SF.
+    *
+    * The ORACLE recomputes the groups from the surviving corpus with no
+    * maintenance anywhere; `touched`/`keeper_changed` mirror from
+    * independent recomputes of both universes.
+    *
+    * Scale shape: the tombstone scan is slice-sized; the regroup reads
+    * only touched shas' members (sha-keyed partition-pruned read at
+    * 100 TB); untouched groups never leave their files.
+    */
+  val q172ChunkDelete: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (TextQueries.priorityHashOn(col("doc_id")) <
+          lit(TextQueries.DeleteBound)).as("dead"))
+    val dd = tracked(docs)
+    val deadIds = dd.filter(col("dead")).select(col("doc_id"))
+    val heldChunks = tracked(chunkShas(dd.select(col("doc_id"), col("text"))))
+    val held = tracked(heldChunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id").as("kd"), col("chunk_id").as("kc"))).as("m")))
+    val touched = tracked(heldChunks.join(deadIds, Seq("doc_id"), "left_semi")
+      .select(col("h")).distinct())
+    val regroup = heldChunks.join(touched, Seq("h"), "left_semi")
+      .join(deadIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id").as("kd"), col("chunk_id").as("kc"))).as("m"))
+      .join(held.select(col("h"), col("m").as("om")), Seq("h"), "left")
+      .select(col("h"), col("n_copies"), col("n_docs"), col("m"),
+        lit(1).as("touched"),
+        when(col("om").isNotNull && !(col("om") <=> col("m")), 1)
+          .otherwise(0).as("keeper_changed"))
+    val untouched = held.join(touched, Seq("h"), "left_anti")
+      .select(col("h"), col("n_copies"), col("n_docs"), col("m"),
+        lit(0).as("touched"), lit(0).as("keeper_changed"))
+    regroup.unionByName(untouched)
+      .filter(col("n_copies") > 1)
+      .select(col("h"), col("n_copies"), col("n_docs"),
+        col("m.kd").as("keep_doc"), col("m.kc").cast("int").as("keep_chunk"),
+        col("touched"), col("keeper_changed"))
+      .orderBy(col("h"))
+  }
+
   /** Coverage checkpoints for [[q100VocabCoverage]] (vocab-sizing
     * sweep; the largest overshoots the sf0.01 type count so the
     * `k_eff` clamp is exercised).
@@ -2927,6 +3047,7 @@ object PipelineQueries {
     "q155_surprisal_filter" -> q155SurprisalFilter,
     "q156_rolling_lm" -> q156RollingLm,
     "q167_lm_retract" -> q167LmRetract,
+    "q170_lm_update" -> q170LmUpdate,
     "q158_dsir_select" -> q158DsirSelect,
     "q163_dsir_update" -> q163DsirUpdate,
     "q168_dsir_delete" -> q168DsirDelete,
@@ -2956,6 +3077,7 @@ object PipelineQueries {
     "q89_priority_sample" -> q89PrioritySample,
     "q99_chunk_dedup"   -> q99ChunkDedup,
     "q160_chunk_update" -> q160ChunkUpdate,
+    "q172_chunk_delete" -> q172ChunkDelete,
     "q100_vocab_coverage" -> q100VocabCoverage,
   )
 
@@ -3121,6 +3243,46 @@ object PipelineQueries {
         |JOIN ru160 r ON g.h = r.h AND r.rn = 1
         |LEFT JOIN tch160 t ON g.h = t.h
         |LEFT JOIN ko160 k ON g.h = k.h
+        |ORDER BY g.h""".stripMargin,
+    "q172_chunk_delete" ->
+      // the oracle recomputes the groups from the SURVIVING corpus with
+      // no maintenance anywhere; touched = the sha had a dead member in
+      // the full universe, keeper_changed mirrored from both universes'
+      // independent keepers (the q160 convention minus the new side)
+      s"""WITH t172 AS (
+        |  SELECT doc_id, text,
+        |    ${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound} AS dead
+        |  FROM documents),
+        |co172 AS MATERIALIZED (
+        |  SELECT doc_id, g.i AS chunk_id,
+        |    sha256(array_to_string(list_slice(toks, g.i * $ChunkS + 1, g.i * $ChunkS + $ChunkW), ' ')) AS h,
+        |    dead
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks, dead FROM t172),
+        |    LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $ChunkS)) AS i) g),
+        |tch172 AS (SELECT DISTINCT h FROM co172 WHERE dead),
+        |ko172 AS (
+        |  SELECT h, doc_id, chunk_id FROM (
+        |    SELECT h, doc_id, chunk_id,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+        |    FROM co172) WHERE rn = 1),
+        |rl172 AS (
+        |  SELECT h, doc_id, chunk_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+        |  FROM co172 WHERE NOT dead),
+        |gl172 AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM co172 WHERE NOT dead GROUP BY h HAVING count(*) > 1)
+        |SELECT g.h, g.n_copies, g.n_docs, r.doc_id AS keep_doc,
+        |  CAST(r.chunk_id AS INT) AS keep_chunk,
+        |  CAST(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS touched,
+        |  CAST(CASE WHEN t.h IS NOT NULL
+        |    AND (k.doc_id <> r.doc_id OR k.chunk_id <> r.chunk_id)
+        |    THEN 1 ELSE 0 END AS INT) AS keeper_changed
+        |FROM gl172 g
+        |JOIN rl172 r ON g.h = r.h AND r.rn = 1
+        |LEFT JOIN tch172 t ON g.h = t.h
+        |JOIN ko172 k ON g.h = k.h
         |ORDER BY g.h""".stripMargin,
     "q100_vocab_coverage" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
@@ -3561,6 +3723,48 @@ object PipelineQueries {
         |    THEN 1 ELSE 0 END AS INT) AS flagged,
         |  CAST((SELECT v FROM v167) AS BIGINT) AS v_live
         |FROM sc167 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q170's oracle: RETRAIN from scratch over the UPDATED train slice
+    // (u170 applies the re-crawl only below the cut, so wave rows read
+    // original text from the same relation) — no fold anywhere, so the
+    // hash match proves subtract+add ≡ retrain in one wave.
+    "q170_lm_update" ->
+      s"""WITH cut170 AS (SELECT count(*) * 4 // 5 AS c FROM documents),
+        |u170 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ${TextQueries.priorityHashSqlOn("doc_id")} < ${TextQueries.DeleteBound}
+        |        AND doc_id < (SELECT c FROM cut170)
+        |      THEN substr(text, 1, length(text) // 2) ELSE text END AS text
+        |  FROM documents),
+        |tk170 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM u170
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri170 AS (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-2]) || ' ' || unnest(t[2:len(t)-1]) AS ctx,
+        |    unnest(t[3:len(t)]) AS w
+        |  FROM tk170),
+        |tr170 AS MATERIALIZED (
+        |  SELECT tri170.* FROM tri170, cut170 WHERE doc_id < cut170.c),
+        |v170 AS (SELECT count(DISTINCT w) AS v FROM tr170),
+        |tn170 AS (SELECT ctx, w, count(*) AS cb FROM tr170 GROUP BY ctx, w),
+        |tc170 AS (SELECT ctx, count(*) AS cu FROM tr170 GROUP BY ctx),
+        |wv170 AS (SELECT tri170.* FROM tri170, cut170 WHERE doc_id >= cut170.c),
+        |sc170 AS (
+        |  SELECT wv.doc_id,
+        |    CAST(length(format('{:b}',
+        |      (COALESCE(tc.cu, 0) + (SELECT v FROM v170)) // (COALESCE(tn.cb, 0) + 1))) AS BIGINT) AS bits,
+        |    CASE WHEN tn.cb IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM wv170 wv
+        |  LEFT JOIN tn170 tn ON wv.ctx = tn.ctx AND wv.w = tn.w
+        |  LEFT JOIN tc170 tc ON wv.ctx = tc.ctx)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  (1000 * CAST(sum(bits) AS BIGINT)) // count(*) AS mbits_per_tri,
+        |  CAST(CASE WHEN (1000 * CAST(sum(bits) AS BIGINT)) // count(*) > $SurpriseMbits
+        |    THEN 1 ELSE 0 END AS INT) AS flagged,
+        |  CAST((SELECT v FROM v170) AS BIGINT) AS v_live
+        |FROM sc170 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q158_dsir_select" ->
       s"""WITH ${dsirCtes()}
         |${dsirFinalSelect()}

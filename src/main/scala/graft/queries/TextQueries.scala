@@ -586,6 +586,72 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** EXT-3n — IVFADC index DELETE (VERDICT r15 #2a: the quantization
+    * family's q152 twin at the oracle tier — StreamingIndex.deleteBatch
+    * proved the plumbing in specs; this puts tombstone surgery on the
+    * q91 tower under the hash gate). Tombstones are the seeded ~12.8%
+    * slice ([[DeleteBound]]); the surgery is two anti-joins — the codes
+    * table and the inverted-list membership drop tombstoned rows — and
+    * BOTH quantizers stay frozen (a takedown never retrains; that
+    * decision is q144's refresh audit). Serving then runs the identical
+    * IVFADC path over the live lists: probed cells, per-cell residual
+    * distance tables, integer ADC over live codes only — the shortlist
+    * REFILLS with next-best live candidates, which is what makes
+    * live-only serving more than a post-filter. Dead vectors keep
+    * QUERYING (3 of the 5 probe queries are tombstoned — the q152
+    * convention: a deleted vector can be a query, never a result);
+    * `exact_hit` audits each served row against the exact L2 top-5 over
+    * LIVE vectors (the q93 discipline), `q_dead` marks tombstoned
+    * queries. Measured before wiring (r12 slice sweep): 64/500 vectors
+    * die at the oracle SF, ≥1 pre-delete exact-top-5 row dies, so the
+    * served lists provably move.
+    *
+    * The ORACLE replays the full q91 tower ([[ivfTrainAssignCtes]] +
+    * [[ivfadcResidualCtes]] + [[pqChainCtes]]), applies the liveness
+    * semi-join inside the ADC scoring CTE ([[ivfadcRankCtes]]'s
+    * `candLive` — the same generator that runs q91/q92/q93/q144,
+    * byte-identical there), and computes the live exact audit — one
+    * statement, one hash.
+    *
+    * Scale shape: the anti-joins are index-table-sized (16 B/row codes),
+    * the serve is q91's (broadcast distance tables, list-cut candidate
+    * scan, shortlist re-rank); delete cost is wave-proportional and the
+    * quantizer state is untouched parquet.
+    */
+  val q171IndexDelete: Q = (s, d) => {
+    import graft.ops.{Pq, TowerMemo}
+    import graft.functions.DotFold
+    val emb = TowerMemo.prep(s, d)
+    val deadP = priorityHashOn(col("vec_id")) < lit(DeleteBound)
+    // production deletes arrive as a tombstone TABLE (q152's rule)
+    val dead = tracked(emb.filter(deadP).select(col("vec_id")))
+    val liveCodes = TowerMemo.residualCodes(s, d)
+      .join(dead, Seq("vec_id"), "left_anti")
+    val liveCells = TowerMemo.assigned(s, d).select(col("vec_id"), col("cell"))
+      .join(dead, Seq("vec_id"), "left_anti")
+    val dts = Pq.queryResidualTables(TowerMemo.probes5(s, d), TowerMemo.cent(s, d),
+      TowerMemo.residualCodebooks(s, d))
+    val served = Pq.rerankTopK(Pq.ivfAdcShortlist(liveCodes, liveCells, dts),
+      emb, extra = Seq("cell"))
+    val exact = emb.join(dead, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2x", DotFold(col("qv"), col("qv"))
+        - lit(2.0) * DotFold(col("qv"), col("v")) + DotFold(col("v"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2x").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    served.join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
+        col("adc"), col("d2"),
+        coalesce(col("hit"), lit(0)).cast("int").as("exact_hit"),
+        (priorityHashOn(col("query_id")) < lit(DeleteBound)).cast("int").as("q_dead"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** EXT-3f — ANN index-quality audit: recall@5 of the q91 IVFADC
     * tower against the brute-force exact L2 ranking, COMPUTED IN-PLAN —
     * the pre-rollout index QA a serving tier runs on a query sample
@@ -1355,6 +1421,130 @@ object TextQueries {
       .orderBy(col("ma"), col("mb"))
   }
 
+  /** EXT — the MEDIA pair state under DELETE (the q164 lifecycle's
+    * takedown cell, VERDICT r15 #2e) — and, unlike q164's full band
+    * re-join, a genuinely DELTA-BOUNDED maintenance pass, because
+    * deletion obeys a closed pair algebra: signatures never change, so
+    * a surviving pair's candidacy can only be GAINED, never lost, and
+    * only through a band bucket crossing the occupancy cap downward.
+    * The maintained pair set is therefore EXACTLY
+    * held-pairs − dead-endpoint-pairs ∪ verify(released-bucket pairs):
+    * (1) pairs with a tombstoned endpoint drop (two anti-joins on the
+    * held pair table); (2) bucket occupancy re-counts from the DEAD
+    * docs' band rows alone (wave-bounded — held occ minus the dead
+    * delta); (3) buckets that flipped from over-cap to under-cap
+    * release their surviving members into the band self-join, XOR
+    * verify against HELD signatures (zero re-decode, zero re-hash).
+    * Nothing else can change: an under-cap bucket stays under cap when
+    * rows leave, and no pair can enter a bucket it was not already in.
+    * Each output pair carries `born` (absent from the held pair set —
+    * a cap-release birth between UNTOUCHED docs, the StressR13
+    * phenomenon). Measured before wiring: 23/21/1179 held pairs die at
+    * sf0.001/0.01/0.1 and the born branch is LIVE at sf0.1 (453
+    * cap-release births; 0 at the smaller SFs where the cap never
+    * binds — the branch the oracle still replays everywhere).
+    *
+    * The ORACLE recomputes q74 from scratch over the surviving corpus
+    * ([[media74Ctes]] on the survivor relation) and mirrors `born`
+    * from a second full-universe instantiation — it knows nothing of
+    * the delta law, so the hash match IS the law's proof at every SF.
+    *
+    * Scale shape: the only corpus-sized inputs are HELD state (pair
+    * table, band table, signatures — persisted artifacts in
+    * production); per-wave work is dead-row anti-joins + a
+    * released-bucket-bounded self-join. A takedown wave costs
+    * O(wave + released mass), never a corpus rescan — the cheapest
+    * maintenance pass in the media family.
+    */
+  val q173MediaDelete: Q = (s, d) =>
+    mediaDeleteCore(
+      graft.ops.Multimodal.perceptualRows(
+        graft.ops.Multimodal.syntheticMedia(s, documents(s, d)))
+        .filter(col("n_content") >= 2),
+      priorityHashOn(col("media_id")) < lit(DeleteBound),
+      tracked)
+
+  /** The q173 delta core over an arbitrary signature frame
+    * `(media_id, a0..a3)` — factored with a cap parameter so
+    * MediaDeleteSpec can force a cap-release birth at spec scale
+    * (corpus-live only at sf0.1) and assert the delta law against a
+    * from-scratch recompute through the same machinery.
+    */
+  private[graft] def mediaDeleteCore(sig0in: org.apache.spark.sql.DataFrame,
+      deadP: org.apache.spark.sql.Column,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      cap: Int = BandOccCap): org.apache.spark.sql.DataFrame = {
+    // HELD state: signatures, raw band rows, occupancy, served pairs
+    val sig0 = hold(sig0in)
+    val bands0 = hold(sig0.select(col("media_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"a$b").as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key")))
+    val occ0 = hold(bands0.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("occ0")))
+    def verify(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val xa = sig0.select(col("media_id").as("ma") +:
+        (0 until 4).map(b => col(s"a$b").as(s"xa$b")): _*)
+      val xb = sig0.select(col("media_id").as("mb") +:
+        (0 until 4).map(b => col(s"a$b").as(s"xb$b")): _*)
+      cand.join(xa, Seq("ma")).join(xb, Seq("mb"))
+        .withColumn("dist", (0 until 4).map(b =>
+          bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+        .filter(col("dist") <= MediaSigMaxDist)
+        .select(col("ma"), col("mb"), col("dist"))
+    }
+    val cappedBands = bands0.join(
+      occ0.filter(col("occ0") <= cap).select(col("band"), col("key")),
+      Seq("band", "key"), "left_semi")
+    val heldPairs = hold(verify(cappedBands.as("a").join(cappedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .distinct()))
+    // the wave: tombstone table; occupancy delta from dead rows ALONE
+    val dead = hold(sig0.filter(deadP).select(col("media_id")))
+    val occD = bands0.join(dead, Seq("media_id"), "left_semi")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("docc"))
+    val released = occ0.join(occD, Seq("band", "key"))
+      .filter(col("occ0") > cap &&
+        col("occ0") - col("docc") <= cap)
+      .select(col("band"), col("key"))
+    val relMembers = bands0.join(released, Seq("band", "key"), "left_semi")
+      .join(dead, Seq("media_id"), "left_anti")
+    val bornVerified = verify(relMembers.as("a").join(relMembers.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      .distinct())
+    val liveHeld = heldPairs
+      .join(dead.select(col("media_id").as("ma")), Seq("ma"), "left_anti")
+      .join(dead.select(col("media_id").as("mb")), Seq("mb"), "left_anti")
+    liveHeld.select(col("ma"), col("mb"), col("dist"), lit(0).as("born"))
+      .unionByName(bornVerified
+        .join(heldPairs.select(col("ma"), col("mb")), Seq("ma", "mb"), "left_anti")
+        .select(col("ma"), col("mb"), col("dist"), lit(1).as("born")))
+      .orderBy(col("ma"), col("mb"))
+  }
+
+  /** q173's oracle: q74 recomputed from scratch over the SURVIVING
+    * corpus, `born` mirrored from a second full-universe instantiation
+    * in the same statement — the delta law (held − dead ∪ released
+    * births ≡ recompute) is what the hash match proves.
+    */
+  private def q173OracleSql: String =
+    s"""WITH u173 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE NOT (${priorityHashSqlOn("doc_id")} < $DeleteBound)),
+      |${media74Ctes("u173", "173")},
+      |${media74Ctes("documents", "h73")}
+      |SELECT a.ma, a.mb, a.dist,
+      |  CAST(CASE WHEN f.ma IS NULL THEN 1 ELSE 0 END AS INT) AS born
+      |FROM ap173 a
+      |LEFT JOIN (SELECT ma, mb FROM aph73 WHERE dist <= $MediaSigMaxDist) f
+      |  ON a.ma = f.ma AND a.mb = f.mb
+      |WHERE a.dist <= $MediaSigMaxDist
+      |ORDER BY a.ma, a.mb""".stripMargin
+
   /** Within-cell duplicate threshold for [[q76SemanticDedup]]: the
     * corpus's related-pair tail sits at cos ≈ 0.4 (the q29/q40 verify
     * threshold — the synthetic embeddings top out near 0.5, no tighter
@@ -2032,6 +2222,76 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** EXT — BM25 retrieval state under DELETE (the takedown cell VERDICT
+    * r15 #2c named: q165's fold minus the add side). The seeded ~12.8%
+    * tombstone slice leaves the corpus wholesale: membership rows drop
+    * (one anti-join), per-content member counts fold DOWN (held − slice;
+    * contents at zero drop out of every join), and the held gram
+    * MULTISETS are untouched — a takedown pays ZERO hashing, because a
+    * dead content's `tfg` rows are excluded by the `grpc` joins (the
+    * documented [[bm25FromState]] contract, exercised corpus-live here
+    * for the first time). Scoring is the shared [[bm25FromState]] body —
+    * inherent full rescore, since df/N/T enter every term weight.
+    * Tombstoned eval queries die with their membership rows (unlike
+    * q171's external-vector queries, a BM25 query IS a corpus row
+    * here — deleting it deletes the query). Measured before wiring:
+    * 64/500 docs and 6/50 queries die at sf0.01 with 108 of 250 top-5
+    * memberships changed (1,844 of 2,500 at sf0.1).
+    *
+    * The ORACLE recomputes q106's PER-DOCUMENT brute formulation over
+    * the surviving corpus — one hash match proves the content grouping
+    * AND the subtract fold at once (the q165 discipline).
+    *
+    * Scale shape: q106's shapes plus O(slice) fold terms; the wave
+    * touches no text at all.
+    */
+  val q169Bm25Delete: Q = (s, d) => {
+    val deadP = priorityHashOn(col("doc_id")) < lit(DeleteBound)
+    val isqE = (pmod(col("doc_id"), lit(10)) === 0).cast("long")
+    // HELD state — exactly what q106's serving tier persists (q165's
+    // opening verbatim)
+    val docs0 = tracked(documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("ch"), isqE.as("isq")))
+    val grp0 = tracked(docs0.groupBy(col("ch")).agg(
+      min(col("doc_id")).as("rep"),
+      sum(lit(1L) - col("isq")).as("c_corp"), sum(col("isq")).as("c_qry")))
+    val tfg0 = tracked(documents(s, d).select(col("doc_id"), col("text"))
+      .join(grp0.select(col("rep").as("doc_id"), col("ch")), Seq("doc_id"))
+      .select(col("ch"), explode(
+        graft.functions.ShingleHash(col("text"), P, 3, TextOps.P2)).as("h"))
+      .groupBy(col("ch"), col("h")).agg(count(lit(1)).as("tf")))
+    // the takedown wave: membership drops, counts fold down, grams held
+    val docsU = docs0.filter(!deadP)
+    val grpc = grp0.select(col("ch"), col("c_corp"), col("c_qry"))
+      .unionByName(docs0.filter(deadP)
+        .select(col("ch"), (col("isq") - lit(1L)).as("c_corp"),
+          (-col("isq")).as("c_qry")))
+      .groupBy(col("ch"))
+      .agg(sum(col("c_corp")).as("c_corp"), sum(col("c_qry")).as("c_qry"))
+      .filter(col("c_corp") + col("c_qry") > 0)
+    val scored = bm25FromState(docsU, grpc, tfg0)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score"), col("n_shared"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q169's oracle: the q106 brute formulation over the surviving
+    * corpus — it knows neither the grouping nor the subtract fold.
+    */
+  private def q169OracleSql: String =
+    s"""WITH u169 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE NOT (${priorityHashSqlOn("doc_id")} < $DeleteBound)),
+      |${bm25ScoreCtes("u169", nShared = true)},
+      |r9 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc6)
+      |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score, n_shared
+      |FROM r9 WHERE rank <= $Bm25TopK
+      |ORDER BY qid, rank""".stripMargin
+
   /** Per-list depth and output size for [[q125RrfFusion]]; K0 = 60 is
     * the standard RRF damping constant (Cormack/Clarke/Buettcher '09).
     */
@@ -2094,6 +2354,103 @@ object TextQueries {
         col("rrf"), col("lex_rank"), col("sem_rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** q174's label geometry: positives = the teacher's top-[[RerankPosK]]
+    * among a query's scored candidates; hard negatives = candidates the
+    * teacher ranks beyond [[RerankNegMin]] (lexically retrieved, so
+    * they are hard by construction — random negatives would be trivially
+    * distant). Swept before wiring: with the 20-deep lexical cut this
+    * yields 2,010 pairs over all 50 queries at sf0.01 and 1,374 over
+    * 150/200 at sf0.1, margins strictly positive (0.03–0.66) at both.
+    */
+  private[graft] val RerankPosK = 3
+  private[graft] val RerankNegMin = 6
+
+  /** EXT — cross-encoder reranker TRAINING-PAIR mining (VERDICT r15
+    * #7; the data-prep op behind every rerank distillation pipeline:
+    * retrieve with a cheap ranker, label with a teacher, emit
+    * (query, positive, hard-negative) contrastive pairs). The lexical
+    * list is [[bm25Scored]] cut at [[RrfDepth]] (q125's candidates);
+    * the teacher is the embedding cosine (the doc's own vector,
+    * vec_id ≡ doc_id — q125's semantic side, DotFold bit-stable).
+    * Candidates (and queries) without an embedding drop via inner
+    * joins — the teacher can only label what it can see (at sf0.1 the
+    * vector table covers 2,000 of 5,000 docs; 150/200 surviving
+    * queries still emit pairs, measured). Per query the emitted pairs
+    * are the bounded positive × hard-negative product (≤ 3×14), each
+    * carrying both teacher scores, the margin (one subtraction of
+    * engine-identical doubles), and both lexical ranks — exactly the
+    * rows a reranker trainer consumes.
+    *
+    * Scale shape: the genuinely new join is query-grained — two
+    * retrieval outputs (each already WindowGroupLimit-trimmed to
+    * ≤ depth·|queries| rows) joined per query into a bounded pair
+    * product; nothing corpus-sized crosses it. The teacher pass is
+    * candidate-sized vector fetches (an id-addressed join), never a
+    * corpus scan.
+    */
+  val q174RerankPairs: Q = (s, d) => {
+    import graft.functions.DotFold
+    val wl = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scored(s, d)
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    val emb = tracked(embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm")))
+    val qv = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val teach = lex
+      .join(broadcast(qv), Seq("qid"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm")),
+        Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), col("lex_rank"),
+        (DotFold(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val wt = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+    val tr = tracked(teach.withColumn("trk", row_number().over(wt)))
+    val pos = tr.filter(col("trk") <= RerankPosK)
+      .select(col("qid"), col("doc_id").as("pos_id"), col("cos").as("pos_cos"),
+        col("lex_rank").as("pos_lex"))
+    val neg = tr.filter(col("trk") > RerankNegMin)
+      .select(col("qid"), col("doc_id").as("neg_id"), col("cos").as("neg_cos"),
+        col("lex_rank").as("neg_lex"))
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("neg_id"),
+        col("pos_cos"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"),
+        col("pos_lex").cast("int").as("pos_lex"),
+        col("neg_lex").cast("int").as("neg_lex"))
+      .orderBy(col("qid"), col("pos_id"), col("neg_id"))
+  }
+
+  /** q174's oracle: the q106 brute BM25 chain cut at depth, the q125
+    * cosine teacher over candidates, and the bounded pos × neg product.
+    */
+  private def q174OracleSql: String =
+    s"""WITH ${bm25ScoreCtes("documents", nShared = false)},
+      |lexr74 AS (SELECT qid, doc_id, CAST(rank AS INT) AS lex_rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc6) WHERE rank <= $RrfDepth),
+      |er74 AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |qv74 AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm FROM er74 WHERE vec_id % 10 = 0),
+      |th74 AS (
+      |  SELECT l.qid, l.doc_id, l.lex_rank,
+      |    list_reduce(list_transform(generate_series(1, len(q.qv)),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+      |      / (q.qnrm * e.nrm) AS cos
+      |  FROM lexr74 l JOIN qv74 q ON l.qid = q.qid JOIN er74 e ON l.doc_id = e.vec_id),
+      |tr74 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS trk FROM th74),
+      |p74 AS (SELECT qid, doc_id, cos, lex_rank FROM tr74 WHERE trk <= $RerankPosK),
+      |n74 AS (SELECT qid, doc_id, cos, lex_rank FROM tr74 WHERE trk > $RerankNegMin)
+      |SELECT p.qid, p.doc_id AS pos_id, n.doc_id AS neg_id,
+      |  p.cos AS pos_cos, n.cos AS neg_cos, p.cos - n.cos AS margin,
+      |  CAST(p.lex_rank AS INT) AS pos_lex, CAST(n.lex_rank AS INT) AS neg_lex
+      |FROM p74 p JOIN n74 n ON p.qid = n.qid
+      |ORDER BY p.qid, pos_id, neg_id""".stripMargin
 
   /** 80/10/10 split thresholds for [[q108GroupSplit]], derived from the
     * [[priorityHashOn]] modulus so all three numbers live in one place
@@ -2368,7 +2725,15 @@ object TextQueries {
     // per-source best candidate = invariant 8's min(struct) — a hash
     // aggregate with map-side partial reduction, not a per-step window
     // sort; min(struct(-cos, dst)) is exactly orderBy(cos desc, dst)
-    // rank 1 (the negated double is compared, never emitted)
+    // rank 1 (the negated double is compared, never emitted).
+    // ASSUMES cos is non-null and non-NaN: every caller's cos is
+    // DotFold/(na·nb) over vectors with nonzero norm (true of this
+    // corpus — no zero-norm embedding exists). If a NaN cos ever
+    // appeared, min(struct) ranks NaN LAST while the beam-hop
+    // sorted-desc slice (graphBeamSearch) ranks NaN FIRST — the two
+    // per-key-top-1 rewrites would silently disagree; a future corpus
+    // with zero-norm vectors must guard cos where `pairs` is built
+    // (TowerMemo.cellPairs and friends), not here.
     def best1(c: org.apache.spark.sql.DataFrame) = c
       .groupBy(col("src"))
       .agg(min(struct((-col("cos")).as("nc"), col("dst"))).as("m"))
@@ -2685,6 +3050,27 @@ object TextQueries {
     * min-vec_id entry, exact-cosine re-rank per hop, in-plan recall
     * audit.
     */
+  /** ONE beam-hop selection: dedup (collect_set — duplicates re-score
+    * to the identical fold, so set semantics are exact) + per-`key`
+    * top-`b` by (cos desc, vec_id asc) — struct(cos, -vec_id) sorted
+    * desc — fused into a single map-side-partial aggregation (the
+    * round-15 hop fusion: ONE exchange per hop, replacing the former
+    * distinct-exchange + window-sort pair). The stored cos doubles
+    * re-emit unchanged, so downstream bits are identical. Factored so
+    * [[graphBeamSearch]] and [[attachEdges]] share the shape and
+    * PlanShapeSpec can pin its physical plan (one exchange, no
+    * Window/Sort operators) against a refactor silently reintroducing
+    * the old pair — VERDICT r15 #3.
+    */
+  private[graft] def hopTopB(scored: org.apache.spark.sql.DataFrame,
+      key: String, b: Int): org.apache.spark.sql.DataFrame = scored
+    .groupBy(col(key))
+    .agg(slice(sort_array(collect_set(
+      struct(col("cos"), (-col("vec_id")).as("nv"))), asc = false),
+      1, b).as("top"))
+    .select(col(key), explode(col("top")).as("t"))
+    .select(col(key), (-col("t.nv")).as("vec_id"), col("t.cos").as("cos"))
+
   private[graft] def graphBeamSearch(s: org.apache.spark.sql.SparkSession, d: String,
       knn: org.apache.spark.sql.DataFrame,
       repAsg: org.apache.spark.sql.DataFrame = null,
@@ -2737,14 +3123,7 @@ object TextQueries {
           .join(edges, Seq("src"))
           .select(col("query_id"), col("dst").as("vec_id"))
         val cand = b.select(col("query_id"), col("vec_id")).union(nbrs)
-        b = score(cand)
-          .groupBy(col("query_id"))
-          .agg(slice(sort_array(collect_set(
-            struct(col("cos"), (-col("vec_id")).as("nv"))), asc = false),
-            1, GsBeam).as("top"))
-          .select(col("query_id"), explode(col("top")).as("t"))
-          .select(col("query_id"), (-col("t.nv")).as("vec_id"), col("t.cos").as("cos"))
-          .loopCkpt
+        b = hopTopB(score(cand), "query_id", GsBeam).loopCkpt
       }
       b
     }
@@ -2928,14 +3307,7 @@ object TextQueries {
           .join(gedOld, Seq("src"))
           .select(col("nid"), col("dst").as("vec_id"))
         val cand = b.select(col("nid"), col("vec_id")).union(nbrs)
-        b = scoreN(cand)
-          .groupBy(col("nid"))
-          .agg(slice(sort_array(collect_set(
-            struct(col("cos"), (-col("vec_id")).as("nv"))), asc = false),
-            1, DivEfC).as("top"))
-          .select(col("nid"), explode(col("top")).as("t"))
-          .select(col("nid"), (-col("t.nv")).as("vec_id"), col("t.cos").as("cos"))
-          .loopCkpt
+        b = hopTopB(scoreN(cand), "nid", DivEfC).loopCkpt
       }
       b
     }
@@ -4103,6 +4475,7 @@ object TextQueries {
     "q90_pq_ann"          -> q90PqAnn,
     "q91_ivfadc_ann"      -> q91IvfadcAnn,
     "q92_index_append"    -> q92IndexAppend,
+    "q171_index_delete"   -> q171IndexDelete,
     "q93_recall_audit"    -> q93RecallAudit,
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
@@ -4114,6 +4487,7 @@ object TextQueries {
     "q73_multimodal_dedup" -> q73MultimodalDedup,
     "q74_media_neardup" -> q74MediaNeardup,
     "q164_media_update" -> q164MediaUpdate,
+    "q173_media_delete" -> q173MediaDelete,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_tfidf_topk" -> q77TfidfTopk,
     "q79_best_rep" -> q79BestRep,
@@ -4125,7 +4499,9 @@ object TextQueries {
     "q105_simjoin" -> q105SimJoin,
     "q106_bm25" -> q106Bm25,
     "q165_bm25_update" -> q165Bm25Update,
+    "q169_bm25_delete" -> q169Bm25Delete,
     "q125_rrf_fusion" -> q125RrfFusion,
+    "q174_rerank_pairs" -> q174RerankPairs,
     "q107_mmr_rerank" -> q107MmrRerank,
     "q108_group_split" -> q108GroupSplit,
     "q114_effective_size" -> q114EffectiveSize,
@@ -5286,10 +5662,18 @@ object TextQueries {
     * WITHOUT a trailing comma — q91/q92 append the top-k read-out
     * SELECT directly; q93 appends `,cte ...` audit CTEs instead.
     */
-  private def ivfadcRankCtes(withIsNew: Boolean, p: String = ""): String = {
+  private def ivfadcRankCtes(withIsNew: Boolean, p: String = "",
+      candLive: String = ""): String = {
     import graft.ops.Pq
     val isNewCol = if (withIsNew) s", s.vec_id >= ${p}cut.cut AS is_new" else ""
     val cutJoin = if (withIsNew) s" CROSS JOIN ${p}cut" else ""
+    // q171's inverted-list surgery: when set, candidates are restricted
+    // to the named liveness CTE (a semi-join on vec_id in sc91 — the
+    // oracle twin of filtering the codes/assignment tables). Default ""
+    // emits byte-identical SQL to the committed q91/q92/q93/q144
+    // oracles (diffed before q171 landed).
+    val liveJoin =
+      if (candLive.isEmpty) "" else s" JOIN $candLive lv ON co.vec_id = lv.vec_id"
     s"""${p}pr91 AS (
       |  SELECT query_id, cid AS cell FROM (
       |    SELECT vec_id AS query_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -5307,7 +5691,7 @@ object TextQueries {
       |        FROM ${p}qres91, ms) q JOIN ${p}pcvF c ON q.m = c.m),
       |${p}sc91 AS (
       |  SELECT d.query_id, d.cell, co.vec_id, CAST(sum(d.qdt) AS BIGINT) AS adc
-      |  FROM ${p}codes co JOIN ${p}af a ON co.vec_id = a.vec_id
+      |  FROM ${p}codes co JOIN ${p}af a ON co.vec_id = a.vec_id$liveJoin
       |  JOIN ${p}qdt91 d ON a.cell = d.cell AND co.m = d.m AND co.cid = d.cid
       |  WHERE co.vec_id <> d.query_id
       |  GROUP BY d.query_id, d.cell, co.vec_id),
@@ -5359,6 +5743,32 @@ object TextQueries {
         |SELECT query_id, CAST(n_hits AS INT) AS n_hits,
         |  CAST(n_hits AS DOUBLE) / 5.0 AS recall
         |FROM hit93 ORDER BY query_id""".stripMargin
+
+  /** q171's oracle: the q91 tower with the liveness semi-join inside
+    * the ADC scoring CTE, plus the live exact-top-5 audit and the
+    * dead-query flag.
+    */
+  private def q171OracleSql: String =
+    ivfTrainAssignCtes() + ivfadcResidualCtes() + pqChainCtes("rsub91") +
+      s"""lv171 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE NOT (${priorityHashSqlOn("vec_id")} < $DeleteBound)),
+        |""".stripMargin +
+      ivfadcRankCtes(withIsNew = false, candLive = "lv171") +
+      s""",ex171 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+        |    FROM (SELECT eq.vec_id AS query_id, ev.vec_id AS vec_id, ${d2Sql("eq.v", "ev.v")} AS d2
+        |          FROM en eq CROSS JOIN en ev JOIN lv171 l ON ev.vec_id = l.vec_id
+        |          WHERE eq.vec_id < 5 AND ev.vec_id <> eq.vec_id))
+        |  WHERE rn <= 5)
+        |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.cell, r.vec_id, r.adc, r.d2,
+        |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit,
+        |  CAST(CASE WHEN ${priorityHashSqlOn("r.query_id")} < $DeleteBound
+        |    THEN 1 ELSE 0 END AS INT) AS q_dead
+        |FROM rk91 r LEFT JOIN ex171 e ON r.query_id = e.query_id AND r.vec_id = e.vec_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.query_id, r.rank""".stripMargin
 
   /** Shared `e`/`en` embedding-prep header (doubles, 10⁶-quantized
     * longs, L2 norm) — the common opening of [[ivfTrainAssignCtes]]
@@ -6100,6 +6510,7 @@ object TextQueries {
     "q90_pq_ann" -> q90OracleSql,
     "q91_ivfadc_ann" -> q91OracleSql,
     "q92_index_append" -> q92OracleSql,
+    "q171_index_delete" -> q171OracleSql,
     "q93_recall_audit" -> q93OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
     "q77_tfidf_topk" ->
@@ -6159,6 +6570,7 @@ object TextQueries {
         |FROM r6 WHERE rank <= $Bm25TopK
         |ORDER BY qid, rank""".stripMargin,
     "q165_bm25_update" -> q165OracleSql,
+    "q169_bm25_delete" -> q169OracleSql,
     "q125_rrf_fusion" ->
       s"""WITH ${bm25ScoreCtes("documents", nShared = false)},
         |lexr AS (SELECT qid, doc_id, CAST(rank AS INT) AS lex_rank FROM (
@@ -6194,6 +6606,7 @@ object TextQueries {
         |  CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank
         |FROM rkk WHERE rank <= $RrfTopK
         |ORDER BY qid, rank""".stripMargin,
+    "q174_rerank_pairs" -> q174OracleSql,
     "q107_mmr_rerank" -> q107OracleSql,
     "q108_group_split" -> q108OracleSql,
     "q114_effective_size" -> q114OracleSql,
@@ -6355,6 +6768,7 @@ object TextQueries {
         |SELECT ma, mb, dist FROM ap74 WHERE dist <= $MediaSigMaxDist
         |ORDER BY ma, mb""".stripMargin,
     "q164_media_update" -> q164OracleSql,
+    "q173_media_delete" -> q173OracleSql,
     "q73_multimodal_dedup" ->
       """WITH m73 AS (
         |  SELECT doc_id AS media_id,

@@ -53,7 +53,12 @@ object ColumnBridge {
     val cds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     cds.queryExecution.analyzed match {
       case l: LogicalRDD =>
-        val Some((out, rdd, part, ord, streaming, stream)) = LogicalRDD.unapply(l)
+        // field access, not `val Some(...) = LogicalRDD.unapply(l)` — a
+        // refutable pattern bind compiles with a suppressible warning
+        // and would MatchError if Spark ever changed unapply (scalac
+        // warnings are load-bearing here, the round-7/round-9 rule)
+        val (out, rdd, part, ord) =
+          (l.output, l.rdd, l.outputPartitioning, l.outputOrdering)
         val outSet = AttributeSet(out)
         // PREFIX truncation, not filtering: an ordering claim is only
         // true for prefixes — dropping a middle column from
@@ -66,7 +71,7 @@ object ColumnBridge {
           case p => p
         }
         if (cleanOrd == ord && cleanPart == part) df
-        else ofRows(df.sparkSession, LogicalRDD(out, rdd, cleanPart, cleanOrd, streaming, stream)(
+        else ofRows(df.sparkSession, LogicalRDD(out, rdd, cleanPart, cleanOrd, l.isStreaming, l.stream)(
           df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
           Some(l.stats), None))
       case _ => df

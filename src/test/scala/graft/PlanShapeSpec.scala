@@ -184,6 +184,33 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("beam-hop top-B fuses dedup + selection into ONE exchange, no window/sort pair") {
+    // The round-15 hop fusion's cluster claim (VERDICT r15 #3): each
+    // beam hop / attach hop is a single collect_set + sorted-slice
+    // aggregation — map-side partial ObjectHashAggregate, one hash
+    // exchange on the query key, and NO Window/Sort operator pair (the
+    // pre-fusion shape was distinct-exchange + window-sort = two
+    // all-to-all shuffles per hop). Asserted on the shared hopTopB
+    // helper both loops now route through, so a refactor that
+    // reintroduces the old pair goes red here.
+    import spark.implicits._
+    val scored = (1 to 400)
+      .map(i => (i % 5L, (i % 37).toLong, 1.0 / (i % 11 + 1)))
+      .toDF("query_id", "vec_id", "cos")
+      .repartition(4) // a real upstream exchange, as in the loops
+    val df = graft.queries.TextQueries.hopTopB(scored, "query_id", 8)
+    df.count() // drive AQE to its final plan
+    val p = df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"hop selection should shuffle exactly once on the query key, saw $hashExchanges:\n$p")
+    assert(!p.contains("Window ["), s"hop selection regressed to a window:\n$p")
+    assert(!p.contains("Sort ["), s"hop selection regressed to a sort:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"hop selection lost its map-side partial aggregate pair:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q88's probe side reaches every bitset word join as a broadcast") {
     val p = finalPlan("q88_bloom_decontam")
     // 4 bit-row joins + the ≤529-word build side: all broadcast hash
