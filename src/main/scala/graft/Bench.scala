@@ -124,6 +124,28 @@ object Bench {
         .agg(max(col("c")).as("mx"),
           sum(when(col("c") > TextQueries.BandOccCap, 1L).otherwise(0L)).as("over"))
         .collect()(0)
+      // update-wave masses (round-16, VERDICT r15 #1c): the quantities
+      // that drive q157's wall — slice size, the slice's capped band
+      // rows, the probe candidate mass, and the verified new pairs —
+      // recorded through the SAME factored stages the query runs
+      // (TextQueries.updWaveProbe), so benchdiff can adjudicate the
+      // update-wave family from the artifact instead of flagging
+      // "plan-read needed"
+      val updHeld = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val (updBands, updCands, updPairs) = TextQueries.updWaveProbe(
+        spark, sfDir, df => { updHeld += df.persist(); df })
+      val updSliceBands = updBands.filter(
+        pmod(col("doc_id"), lit(TextQueries.UpdMod.toLong))
+          === TextQueries.UpdRes.toLong).count()
+      val updMasses = Map(
+        "upd_slice" -> Tables.documents(spark, sfDir)
+          .filter(pmod(col("doc_id"), lit(TextQueries.UpdMod.toLong))
+            === TextQueries.UpdRes.toLong).count(),
+        "upd_slice_bands" -> updSliceBands,
+        "upd_probe_cands" -> updCands.count(),
+        "upd_new_pairs" -> updPairs.count())
+      updHeld.foreach(_.unpersist(false))
       masses = Map(
         "n_vec" -> TowerMemo.prep(spark, sfDir).count(),
         "edge_cells" -> cells, "edge_occ_max" -> occMax,
@@ -137,7 +159,7 @@ object Bench {
         "dup_pairs" -> TextQueries.dupPairs(spark, sfDir).count(),
         "minhash_cands" -> TextQueries.minhashCands(spark, sfDir).count(),
         "band_occ_max" -> bandOcc.getLong(0),
-        "band_over_cap" -> bandOcc.getLong(1))
+        "band_over_cap" -> bandOcc.getLong(1)) ++ updMasses
     }
     // per-job overhead calibration (µs per trivial 1-stage job): the
     // graph family's wall is job-count dominated at these SFs

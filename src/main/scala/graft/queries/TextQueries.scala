@@ -4259,18 +4259,19 @@ object TextQueries {
     * including which docs drop (old content's last pairs gone) and
     * which appear (new content's first pairs).
     */
-  val q157LabelUpdate: Q = (s, d) => {
-    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
-    val pairs = hold(dupPairs(s, d))
-    val old = dupLabels(s, d)
-    val updated = documents(s, d)
-      .filter(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong)
-      .select(col("doc_id").as("id"))
-    // held: mergeLabels reads its `old` side three times (endpoint
-    // reps, the relabel join, the fresh anti-join) — invariant 6
-    val afterDel = hold(
-      graft.ops.Dedup.deleteLabels(old, pairs, updated, track = hold))
+  /** q157's update-wave probe stages (updated-content SimHash → capped
+    * bands → slice-probe candidates → verified new pairs), factored so
+    * the bench masses block records the SAME quantities the query pays
+    * for (benchdiff's update-wave MASS_STAGES coverage — VERDICT r15
+    * #1c; before this, q157's wall had no mass to consult and its
+    * deltas could only be flagged "plan-read needed"). Returns
+    * (bandsU, cands, newPairs); `hold` owns the multi-consumer
+    * persists (sigU, bandsU, newPairs).
+    */
+  private[graft] def updWaveProbe(s: org.apache.spark.sql.SparkSession, d: String,
+      hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val docsU = documents(s, d).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong,
         upper(col("text"))).otherwise(col("text")).as("text"))
@@ -4298,6 +4299,22 @@ object TextQueries {
       .withColumn("dist", simhashDist("xa", "xb"))
       .filter(col("dist") <= SimhashMaxDist)
       .select(col("da"), col("db")))
+    (bandsU, cands, newPairs)
+  }
+
+  val q157LabelUpdate: Q = (s, d) => {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val pairs = hold(dupPairs(s, d))
+    val old = dupLabels(s, d)
+    val updated = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(UpdMod.toLong)) === UpdRes.toLong)
+      .select(col("doc_id").as("id"))
+    // held: mergeLabels reads its `old` side three times (endpoint
+    // reps, the relabel join, the fresh anti-join) — invariant 6
+    val afterDel = hold(
+      graft.ops.Dedup.deleteLabels(old, pairs, updated, track = hold))
+    val (_, _, newPairs) = updWaveProbe(s, d, hold)
     val merged = graft.ops.Dedup.mergeLabels(afterDel, newPairs, track = hold)
     val out = merged
       .join(old.select(col("id"), col("lbl").as("old_lbl")), Seq("id"), "left")
