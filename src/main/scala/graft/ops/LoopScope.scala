@@ -24,8 +24,19 @@ import org.apache.spark.sql.SparkSession
   * loop stages collapse to 1 task) is itself the job-count optimizer —
   * the r14 "jobs × overhead" model's constant silently included the
   * coalescing. So the scope defaults OFF
-  * (`spark.graft.loopAqeOff=true` opts in) and is the right knob only
-  * for LOW-parallelism local runs (iterating at CPUS≤8).
+  * (`spark.graft.loopAqeOff=true` opts in).
+  *
+  * Round-16 crossover sweep (VERDICT r15 #6) — the "right for CPUS≤8"
+  * claim did NOT survive the r15 loop rework: on HEAD (invariant-8
+  * selections + fused beam hops) the scope is SLOWER at every width
+  * measured, warm rep2 at sf0.1: local[8] q148 5.78→11.93 s, q157
+  * 8.96→31.56 s, q154 8.37→17.85 s; local[16] 6.26→28.49 / 7.85→29.15
+  * / 9.71→21.01; local[32] as recorded above. The r15 local[8] win was
+  * measured on the PRE-rework loops — the AQE-compatible rework
+  * captured the same win portably, leaving the knob with no winning
+  * width on current code. It stays as the documented raced loser (and
+  * the carrier of the ACTIVE [[ckpt]] layout-strip hardening); re-race
+  * it only if a future loop shape regresses under AQE.
   *
   * Scope discipline when enabled (the q145 conf-gate rule): the body
   * must materialize everything it returns — every loop step ends in an

@@ -60,6 +60,9 @@ MASS_STAGES = {
 OVERHEAD_BOUND = {
     "q135", "q143", "q148", "q149", "q151", "q152", "q154",
     "graph_memo_build", "graph_memo_build_old", "q91", "q92", "q144",
+    # q171 rides the same memoized IVFADC tower as q91 — its timed run
+    # is anti-joins + shortlist + audit, job-count dominated at test SFs
+    "q171",
 }
 
 
