@@ -98,6 +98,13 @@ object Bench {
       // search, q152's the per-delete-wave repair + search
       timeMemoBuild("graph_memo_build") {
         graft.queries.TextQueries.divEdges(spark, sfDir).count()
+      },
+      // q106/q125/q165/q169/q174's shared BM25 serving state (round-16:
+      // membership mapping, per-content counts, gram multisets — what
+      // the retrieval tier persists); the queries' timed runs show
+      // retrieval/fold cost only (bm25Tfg forces docs+grp too)
+      timeMemoBuild("bm25_memo_build") {
+        graft.queries.TextQueries.bm25Tfg(spark, sfDir).count()
       })
     // ---- data-dependent masses (round-14): the bench artifact records
     // the masses that DRIVE the expensive families alongside wall and
