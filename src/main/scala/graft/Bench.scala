@@ -105,6 +105,15 @@ object Bench {
       // retrieval/fold cost only (bm25Tfg forces docs+grp too)
       timeMemoBuild("bm25_memo_build") {
         graft.queries.TextQueries.bm25Tfg(spark, sfDir).count()
+      },
+      // q157/q175's update-wave probe state (round-17, VERDICT r16 #2:
+      // the masses block used to re-derive the whole probe inside the
+      // masses_probe line — now built once here; updNewPairs forces
+      // sig/bands/cands too). This line is the wave's recurring probe
+      // cost in production; q157's timed run shows the retract + merge
+      // fold it pays on top.
+      timeMemoBuild("upd_memo_build") {
+        graft.queries.TextQueries.updNewPairs(spark, sfDir).count()
       })
     // ---- data-dependent masses (round-14): the bench artifact records
     // the masses that DRIVE the expensive families alongside wall and
@@ -133,26 +142,18 @@ object Bench {
         .collect()(0)
       // update-wave masses (round-16, VERDICT r15 #1c): the quantities
       // that drive q157's wall — slice size, the slice's capped band
-      // rows, the probe candidate mass, and the verified new pairs —
-      // recorded through the SAME factored stages the query runs
-      // (TextQueries.updWaveProbe), so benchdiff can adjudicate the
-      // update-wave family from the artifact instead of flagging
-      // "plan-read needed"
-      val updHeld = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.spark.sql.DataFrame]
-      val (updBands, updCands, updPairs) = TextQueries.updWaveProbe(
-        spark, sfDir, df => { updHeld += df.persist(); df })
-      val updSliceBands = updBands.filter(
-        pmod(col("doc_id"), lit(TextQueries.UpdMod.toLong))
-          === TextQueries.UpdRes.toLong).count()
+      // rows, the probe candidate mass, and the verified new pairs.
+      // Round-17 (VERDICT r16 #2): read from the SAME session-memoized
+      // frames q157 consumes (built once above as upd_memo_build), so
+      // the counts here are metadata-cheap AND structurally identical
+      // to what the query pays for (the r16 ADVICE slice-predicate
+      // duplication is gone — updSlicePred/updSliceBands are shared).
       val updMasses = Map(
         "upd_slice" -> Tables.documents(spark, sfDir)
-          .filter(pmod(col("doc_id"), lit(TextQueries.UpdMod.toLong))
-            === TextQueries.UpdRes.toLong).count(),
-        "upd_slice_bands" -> updSliceBands,
-        "upd_probe_cands" -> updCands.count(),
-        "upd_new_pairs" -> updPairs.count())
-      updHeld.foreach(_.unpersist(false))
+          .filter(TextQueries.updSlicePred(col("doc_id"))).count(),
+        "upd_slice_bands" -> TextQueries.updSliceBands(spark, sfDir).count(),
+        "upd_probe_cands" -> TextQueries.updCands(spark, sfDir).count(),
+        "upd_new_pairs" -> TextQueries.updNewPairs(spark, sfDir).count())
       masses = Map(
         "n_vec" -> TowerMemo.prep(spark, sfDir).count(),
         "edge_cells" -> cells, "edge_occ_max" -> occMax,

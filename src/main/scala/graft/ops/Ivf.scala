@@ -38,6 +38,16 @@ object Ivf {
   val Iters = 2
   val Probes = 2
 
+  /** THE standard probe-set size: every ANN query/serving/audit draws
+    * its query vectors as `vec_id < ProbeN` (round-17, r16 ADVICE:
+    * q171's exact audit hardcoded the 5 separately from the memoized
+    * serving probes — one constant now feeds every Spark-side draw, so
+    * serve and audit cannot silently diverge on the probe set; the
+    * oracle SQL generators keep their literal 5s as part of the fixed
+    * oracle text — a probe-set change is a deliberate both-sides edit).
+    */
+  val ProbeN = 5
+
   /** Embedding prep: double vector, 10⁶-quantized long vector, L2 norm. */
   def prep(raw: DataFrame): DataFrame =
     raw.select(col("vec_id"),
@@ -199,7 +209,7 @@ object Ivf {
     val cent = s.read.parquet(s"$indexDir/centroids")
     val assigned = s.read.parquet(s"$indexDir/assignments")
     val probes = probeCells(
-      assigned.filter(col("vec_id") < 5)
+      assigned.filter(col("vec_id") < Ivf.ProbeN)
         .select(col("vec_id").as("query_id"), col("v"), col("nrm")), cent)
     topk(assigned, probes, k)
   }

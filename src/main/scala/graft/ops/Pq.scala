@@ -288,7 +288,7 @@ object Pq {
     val cent = s.read.parquet(s"$indexDir/codebooks")
     val codes = s.read.parquet(s"$indexDir/codes")
     val emb = Ivf.prep(s.read.parquet(s"$sfDir/embeddings.parquet"))
-    val qsub = subvectors(emb.filter(col("vec_id") < 5))
+    val qsub = subvectors(emb.filter(col("vec_id") < Ivf.ProbeN))
     rerankTopK(adcShortlist(codes, distanceTables(qsub, cent)), emb, k)
   }
 }

@@ -196,7 +196,7 @@ object TowerMemo {
   /** The standard 5-query probe set over the full-corpus centroids. */
   def probes5(s: SparkSession, d: String): DataFrame =
     get(s, d, "probes5")(Ivf.probeCells(
-      prep(s, d).filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+      prep(s, d).filter(col("vec_id") < Ivf.ProbeN).withColumnRenamed("vec_id", "query_id"),
       cent(s, d)))
 
   /** IVFADC shortlist for the standard 5-query probe set (shared tail
@@ -247,7 +247,7 @@ object TowerMemo {
       val cb = Pq.trainCodebooks(oldOnly(rsub), hold)
       val codes = Pq.encode(rsub, cb)
       val probes = Ivf.probeCells(
-        emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+        emb.filter(col("vec_id") < Ivf.ProbeN).withColumnRenamed("vec_id", "query_id"), cent)
       val dts = Pq.queryResidualTables(probes, cent, cb)
       val sl = Pq.ivfAdcShortlist(codes,
         assigned.select(col("vec_id"), col("cell")), dts)

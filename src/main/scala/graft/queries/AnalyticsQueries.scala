@@ -119,7 +119,7 @@ object AnalyticsQueries {
     // accumulation order as the DuckDB oracle's list_reduce)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(DotFold(col("embedding"), col("embedding"))).as("nrm"))
-    val queries = emb.filter(col("vec_id") < 5)
+    val queries = emb.filter(col("vec_id") < graft.ops.Ivf.ProbeN)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))

@@ -422,7 +422,7 @@ object StreamingIndex {
     val emb = Ivf.prep(s.read.parquet(s"$sfDir/embeddings.parquet"))
     val cut = broadcast(emb.agg(expr("count(1) * 4 div 5").as("cut")))
     val probes = Ivf.probeCells(
-      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"), cent)
+      emb.filter(col("vec_id") < Ivf.ProbeN).withColumnRenamed("vec_id", "query_id"), cent)
     val dts = Pq.queryResidualTables(probes, cent, cb)
     val sl = Pq.ivfAdcShortlist(
       codes.select(col("vec_id"), col("m"), col("cid")),

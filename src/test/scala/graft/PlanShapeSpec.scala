@@ -199,8 +199,20 @@ class PlanShapeSpec extends AnyFunSuite {
       .toDF("query_id", "vec_id", "cos")
       .repartition(4) // a real upstream exchange, as in the loops
     val df = graft.queries.TextQueries.hopTopB(scored, "query_id", 8)
-    df.count() // drive AQE to its final plan
-    val p = df.queryExecution.executedPlan.toString
+    // collect() (NOT count(), which spawns its own QueryExecution and
+    // leaves df's plan un-executed — r16 ADVICE) drives THIS dataframe's
+    // adaptive plan to its final form before we read it
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true") || !full.contains("AdaptiveSparkPlan"),
+      s"hop plan was read before AQE finalized it:\n$full")
+    // an executed AdaptiveSparkPlanExec prints BOTH a "== Final Plan =="
+    // and an "== Initial Plan ==" section — count shapes in the final
+    // section only, or every assertion double-counts (measured)
+    val p = {
+      val i = full.indexOf("== Initial Plan ==")
+      if (i >= 0) full.substring(0, i) else full
+    }
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges == 1,
       s"hop selection should shuffle exactly once on the query key, saw $hashExchanges:\n$p")

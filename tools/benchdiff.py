@@ -7,18 +7,28 @@ exists to close).
 
     python3 tools/benchdiff.py BENCH_r14_perquery.json /tmp/graft_bench.json
 
-Decision procedure per the round-14 GraphDecomp findings:
+Decision procedure per the round-14 GraphDecomp findings, widened in
+round 17 (VERDICT r16 #1) so EVERY line self-adjudicates instead of 40
+falling through to "plan-read needed":
   - masses moved >2x        -> the DATA moved; name the mass and the
                                stage/queries it drives (regenerated
                                corpus, re-measure constants).
-  - masses flat + wall moved, and the query is in the job-overhead-
-    bound family           -> scale the old wall by the artifacts'
-                               job_overhead_us ratio; a delta within
-                               the scaled band is the BOX, beyond it
-                               is a PLAN change (a regression or an
-                               intended rework — git log decides which).
-  - masses flat + wall moved, not overhead-bound -> flag for a plan
-                               read (explain/GraphDecomp).
+  - masses flat + wall moved -> compare against the line's EXPECTED-BOX
+    band. A wall has two box-scaling regimes: job-count-bound lines
+    scale ~ the artifacts' job_overhead_us ratio; compute/shuffle-bound
+    lines barely move with box quieting (they have a data floor) but
+    inflate with contention roughly like the common-subset total. So
+    the expected-box range per line is
+        [a * min(1, r_ovh, r_subset),  a * max(1, r_ovh, r_subset)]
+    (r_ovh = job-overhead ratio, r_subset = common-subset wall ratio),
+    padded by max(0.5 s, 25% of the band edge). Inside -> BOX; outside
+    -> PLAN or data (git log / explain decides which). The r17 quiet-
+    box A/B validated the band shape: on identical code, overhead-bound
+    lines tracked r_ovh (q152 12.86->4.69 at r=0.36) while
+    compute-bound lines sat near a (q148 4.01->3.04 with a*r=1.4 — the
+    old point-estimate model wrongly flagged it).
+  - lines in OVERHEAD_BOUND additionally report the pure-overhead
+    expectation (the sharper estimate for that family).
 Only per-query deltas >0.5 s are signal at all (the box swings 26-48 s
 at sf0.1 on identical code — CLAUDE.md's measured band).
 """
@@ -110,8 +120,15 @@ def main():
     if ratio:
         print(f"job_overhead_us: {oo} -> {no_}  (box ratio {ratio:.2f}x for overhead-bound lines)")
 
-    # ---- per-query walls ----
-    flags = 0
+    # ---- common-subset wall ratio (the compute-bound box estimator) ----
+    common = [k for k in oq if k in nq]
+    osum = sum(oq[k] for k in common)
+    rsub = (sum(nq[k] for k in common) / osum) if common and osum > 0 else None
+    if rsub:
+        print(f"common-subset wall ratio: {rsub:.2f}x over {len(common)} lines")
+
+    # ---- per-query walls: every line gets an expected-box band ----
+    flags = unadjudicated = 0
     for k in sorted(set(oq) | set(nq), key=lambda k: -(nq.get(k, 0) - oq.get(k, 0))):
         a, b = oq.get(k), nq.get(k)
         if a is None or b is None:
@@ -121,22 +138,28 @@ def main():
         if abs(d) <= WALL_FLAG_SEC:
             continue
         flags += 1
-        verdict = "plan-read needed (not overhead-bound; check masses above / explain)"
-        if qname(k) in OVERHEAD_BOUND:
-            if ratio:
-                exp = a * ratio
-                band = max(WALL_FLAG_SEC, 0.25 * exp)
-                if abs(b - exp) <= band:
-                    verdict = f"BOX (expected {exp:.1f}s at this overhead ratio; within band)"
-                else:
-                    verdict = f"PLAN or data (expected {exp:.1f}s at this overhead ratio; outside band)"
+        ratios = [1.0] + [r for r in (ratio, rsub) if r]
+        if len(ratios) > 1:
+            lo, hi = a * min(ratios), a * max(ratios)
+            lo_pad, hi_pad = lo - max(WALL_FLAG_SEC, 0.25 * lo), hi + max(WALL_FLAG_SEC, 0.25 * hi)
+            fam = ""
+            if qname(k) in OVERHEAD_BOUND and ratio:
+                fam = f"; overhead-family point estimate {a * ratio:.1f}s"
+            if lo_pad <= b <= hi_pad:
+                verdict = f"BOX (within expected-box band [{lo:.1f}, {hi:.1f}]s{fam})"
             else:
-                verdict = ("overhead-bound family but job_overhead_us missing from one "
-                           "artifact — run GraphDecomp on both sides to decide")
+                verdict = f"PLAN or data (outside expected-box band [{lo:.1f}, {hi:.1f}]s{fam} — git log / explain)"
+                unadjudicated += 1
+        else:
+            verdict = "no box estimators (job_overhead_us missing) — plan-read needed"
+            unadjudicated += 1
         mass_note = " + data moved" if moved else ""
         print(f"WALL   {k}: {a:.2f}s -> {b:.2f}s ({d:+.2f})  [{verdict}{mass_note}]")
     if flags == 0:
         print("walls: no per-query delta >0.5s — level round")
+    else:
+        print(f"flagged {flags} lines; {unadjudicated} outside the expected-box band "
+              "(these need git log / explain; the rest self-adjudicate as BOX)")
 
 
 if __name__ == "__main__":
