@@ -618,22 +618,41 @@ object TextQueries {
     * scan, shortlist re-rank); delete cost is wave-proportional and the
     * quantizer state is untouched parquet.
     */
-  val q171IndexDelete: Q = (s, d) => {
+  /** The q171/q176 tombstone slice as a table — production deletes
+    * arrive as a tombstone TABLE (q152's rule). Call sites `tracked`
+    * it (multi-join consumer).
+    */
+  private def indexDeadIds(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.TowerMemo.prep(s, d)
+      .filter(priorityHashOn(col("vec_id")) < lit(DeleteBound))
+      .select(col("vec_id"))
+
+  /** Live-only serving over the FROZEN full-corpus tower — q171's serve
+    * arm, factored (round 17) so q176's stale arm reads the IDENTICAL
+    * frame: codes and inverted-list membership anti-join the
+    * tombstones, the shortlist refills live-only, exact re-rank on top.
+    */
+  private def liveFrozenServed(s: org.apache.spark.sql.SparkSession, d: String,
+      dead: org.apache.spark.sql.DataFrame) = {
     import graft.ops.{Pq, TowerMemo}
-    import graft.functions.DotFold
-    val emb = TowerMemo.prep(s, d)
-    val deadP = priorityHashOn(col("vec_id")) < lit(DeleteBound)
-    // production deletes arrive as a tombstone TABLE (q152's rule)
-    val dead = tracked(emb.filter(deadP).select(col("vec_id")))
     val liveCodes = TowerMemo.residualCodes(s, d)
       .join(dead, Seq("vec_id"), "left_anti")
     val liveCells = TowerMemo.assigned(s, d).select(col("vec_id"), col("cell"))
       .join(dead, Seq("vec_id"), "left_anti")
     val dts = Pq.queryResidualTables(TowerMemo.probes5(s, d), TowerMemo.cent(s, d),
       TowerMemo.residualCodebooks(s, d))
-    val served = Pq.rerankTopK(Pq.ivfAdcShortlist(liveCodes, liveCells, dts),
-      emb, extra = Seq("cell"))
-    val exact = emb.join(dead, Seq("vec_id"), "left_anti")
+    Pq.rerankTopK(Pq.ivfAdcShortlist(liveCodes, liveCells, dts),
+      TowerMemo.prep(s, d), extra = Seq("cell"))
+  }
+
+  /** Exact L2 top-5 over LIVE vectors for the standard probe set (the
+    * q93 discipline, live-filtered) — `(query_id, vec_id)`.
+    */
+  private def exactLiveTop5(s: org.apache.spark.sql.SparkSession, d: String,
+      dead: org.apache.spark.sql.DataFrame) = {
+    import graft.functions.DotFold
+    val emb = graft.ops.TowerMemo.prep(s, d)
+    emb.join(dead, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("v"))
       .crossJoin(broadcast(emb.filter(col("vec_id") < graft.ops.Ivf.ProbeN)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))))
@@ -643,13 +662,123 @@ object TextQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d2x").asc, col("vec_id").asc)))
       .filter(col("rn") <= 5)
-      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  val q171IndexDelete: Q = (s, d) => {
+    val dead = tracked(indexDeadIds(s, d))
+    val served = liveFrozenServed(s, d, dead)
+    val exact = exactLiveTop5(s, d, dead).withColumn("hit", lit(1))
     served.join(exact, Seq("query_id", "vec_id"), "left")
       .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
         col("adc"), col("d2"),
         coalesce(col("hit"), lit(0)).cast("int").as("exact_hit"),
         (priorityHashOn(col("query_id")) < lit(DeleteBound)).cast("int").as("q_dead"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** EXT-3o — ANN index COMPACTION (index merge — VERDICT r16 #6: the
+    * serving tier had train/append/delete/refresh-audit but never
+    * merged generations into one fresh serving index). Scenario: the
+    * full-corpus IVFADC index (q91's tower) has absorbed the seeded
+    * ~12.8% tombstone wave ([[DeleteBound]] — q171's state) and
+    * compaction is due ([[graft.streaming.StreamingIndex.compactionDue]]'s
+    * tomb-ratio trigger fires well below 25%... this is the RETRAIN
+    * variant a tier runs when it pays the rebuild). The compactor:
+    *  1. enumerates the surviving membership FROM THE HELD INDEX STATE
+    *     (distinct vec_ids of the codes table minus the tombstones —
+    *     never from the raw corpus; that enumeration being right is
+    *     half the law),
+    *  2. retrains BOTH quantizers on the survivors (fresh IVF cells,
+    *     fresh residual codebooks — unlike q171, where a takedown
+    *     keeps them frozen),
+    *  3. re-encodes and serves live-only through the new tower.
+    * The ORACLE is the BLIND rebuild: the identical tower replayed
+    * from the raw embeddings with the liveness predicate — the hash
+    * match IS the compaction law `compact(held codes ∖ tombs) ≡
+    * rebuild(live corpus)`, including the seed shrinkage (live ids
+    * < [[graft.ops.Ivf.K]] seed the cells, so dead seeds drop) and
+    * every downstream distance. The readout is the
+    * refresh-vs-compact decision table: per served row `exact_hit`
+    * (vs the live exact L2 top-5) and `stale_hit` (row also served by
+    * the UN-compacted q171 arm), plus per-query `hits_compact` /
+    * `hits_stale` / `compact_gain` — what paying the rebuild buys
+    * over serving the frozen tower with anti-joined tombstones
+    * (q144's refresh_gain, posed for the post-delete index). Measured
+    * at sf0.01 before wiring: gains span −3..+2 across the 5 probes
+    * (the survivor-trained tower wins some queries and loses others at
+    * 436 live vectors) — the decision table is genuinely two-sided,
+    * which is exactly why a tier consults it before paying a rebuild.
+    *
+    * Oracle shape: TWO tower replays in ONE statement (the q144
+    * f-prefix machinery) — unprefixed = the live-trained compact
+    * tower ([[ivfTrainAssignCtes]] with an explicit live `trainDef`,
+    * round-17 parameter; default emits byte-identical SQL to the
+    * committed oracles), `f`-prefixed = q171's full tower, both
+    * scored through the `candLive` liveness semi-join.
+    *
+    * Scale shape: the rebuild is train-once over survivors (the q91
+    * tower's own audited shape); membership enumeration is one
+    * distinct + anti-join over the 16 B/row codes table; the stale arm
+    * rides the session memos. At 100 TB this is
+    * [[graft.ops.Ivf.buildIndex]] re-run on the live slice — the query
+    * proves the operator's algebra at test SF.
+    */
+  val q176IndexCompact: Q = (s, d) => {
+    import graft.ops.{Ivf, Pq, TowerMemo}
+    val locals = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def hold(df: org.apache.spark.sql.DataFrame) = { locals += df.persist(); df }
+    val emb = TowerMemo.prep(s, d)
+    val dead = hold(indexDeadIds(s, d))
+    // 1. membership from the HELD index state (codes ∖ tombs), blind to
+    //    the raw corpus — the oracle recomputes it from the predicate
+    val liveIds = hold(TowerMemo.residualCodes(s, d).select(col("vec_id")).distinct()
+      .join(dead, Seq("vec_id"), "left_anti"))
+    def liveOnly(df: org.apache.spark.sql.DataFrame) =
+      df.join(liveIds, Seq("vec_id"), "left_semi")
+    // 2. fresh quantizers trained on the survivors (fused single-
+    //    consumer build, the oldIvfadcShortlist accounting)
+    val cent = Ivf.trainCells(hold(liveOnly(emb)), hold)
+    val asgAll = hold(Ivf.assignAll(emb, cent))
+    val rsub = hold(Pq.subvectors(Pq.residuals(asgAll, cent)))
+    val cb = Pq.trainCodebooks(liveOnly(rsub), hold)
+    val codes = Pq.encode(rsub, cb)
+    // 3. live-only serving through the new tower (the q171 surgery,
+    //    now over the compacted generation)
+    val probes = Ivf.probeCells(
+      emb.filter(col("vec_id") < Ivf.ProbeN).withColumnRenamed("vec_id", "query_id"), cent)
+    val dts = Pq.queryResidualTables(probes, cent, cb)
+    val servedC = hold(Pq.rerankTopK(
+      Pq.ivfAdcShortlist(codes.join(dead, Seq("vec_id"), "left_anti"),
+        asgAll.select(col("vec_id"), col("cell")).join(dead, Seq("vec_id"), "left_anti"),
+        dts),
+      emb, extra = Seq("cell")))
+    // the readout arms: live exact truth + the un-compacted stale serve
+    val exact = hold(exactLiveTop5(s, d, dead))
+    val stale = hold(liveFrozenServed(s, d, dead)
+      .select(col("query_id"), col("vec_id")))
+    val hitsC = exact
+      .join(servedC.select(col("query_id"), col("vec_id"), lit(1).as("ch")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id")).agg(count(col("ch")).as("hits_compact"))
+    val hitsS = exact
+      .join(stale.withColumn("sh", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id")).agg(count(col("sh")).as("hits_stale"))
+    val out = servedC
+      .join(exact.withColumn("eh", lit(1)), Seq("query_id", "vec_id"), "left")
+      .join(stale.withColumn("sh", lit(1)), Seq("query_id", "vec_id"), "left")
+      .join(hitsC, Seq("query_id"))
+      .join(hitsS, Seq("query_id"))
+      .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
+        col("adc"), col("d2"),
+        coalesce(col("eh"), lit(0)).cast("int").as("exact_hit"),
+        coalesce(col("sh"), lit(0)).cast("int").as("stale_hit"),
+        col("hits_compact"), col("hits_stale"),
+        (col("hits_compact") - col("hits_stale")).as("compact_gain"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    locals.foreach(_.unpersist(false))
+    out
   }
 
   /** EXT-3f — ANN index-quality audit: recall@5 of the q91 IVFADC
@@ -4543,6 +4672,7 @@ object TextQueries {
     "q91_ivfadc_ann"      -> q91IvfadcAnn,
     "q92_index_append"    -> q92IndexAppend,
     "q171_index_delete"   -> q171IndexDelete,
+    "q176_index_compact"  -> q176IndexCompact,
     "q93_recall_audit"    -> q93RecallAudit,
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
@@ -5837,6 +5967,60 @@ object TextQueries {
         |WHERE r.rank <= 5
         |ORDER BY r.query_id, r.rank""".stripMargin
 
+  /** q176's oracle: the BLIND rebuild — the live-trained compact tower
+    * (unprefixed; [[ivfTrainAssignCtes]] with an explicit live
+    * `trainDef`, PQ chain trained on the live residual subvectors) and
+    * q171's frozen full tower (`f`-prefixed — the stale arm), BOTH
+    * scored through the `candLive` liveness semi-join, in ONE
+    * statement (the q144 machinery); then the live exact truth and the
+    * per-row/per-query refresh-vs-compact recall readout.
+    */
+  private def q176OracleSql: String = {
+    val live =
+      s"""SELECT en.* FROM en WHERE NOT (${priorityHashSqlOn("en.vec_id")} < $DeleteBound)"""
+    embHeadCtes() +
+      s"""lv176 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE NOT (${priorityHashSqlOn("vec_id")} < $DeleteBound)),
+        |""".stripMargin +
+      ivfTrainAssignCtes(train = "enl", header = false, trainDef = live) +
+      ivfadcResidualCtes() +
+      "rsubl AS (SELECT r.* FROM rsub91 r JOIN lv176 l ON r.vec_id = l.vec_id),\n" +
+      pqChainCtes("rsub91", "rsubl") +
+      ivfadcRankCtes(withIsNew = false, candLive = "lv176") + ",\n" +
+      ivfTrainAssignCtes(p = "f", header = false) +
+      ivfadcResidualCtes(p = "f") +
+      pqChainCtes("frsub91", p = "f") +
+      ivfadcRankCtes(withIsNew = false, p = "f", candLive = "lv176") +
+      s""",ex176 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+        |    FROM (SELECT eq.vec_id AS query_id, ev.vec_id AS vec_id, ${d2Sql("eq.v", "ev.v")} AS d2
+        |          FROM en eq CROSS JOIN en ev JOIN lv176 l ON ev.vec_id = l.vec_id
+        |          WHERE eq.vec_id < 5 AND ev.vec_id <> eq.vec_id))
+        |  WHERE rn <= 5),
+        |xc176 AS (SELECT query_id, rank, cell, vec_id, adc, d2 FROM rk91 WHERE rank <= 5),
+        |xs176 AS (SELECT query_id, vec_id FROM frk91 WHERE rank <= 5),
+        |hc176 AS (
+        |  SELECT e.query_id, CAST(count(a.vec_id) AS BIGINT) AS hits_compact
+        |  FROM ex176 e LEFT JOIN xc176 a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        |  GROUP BY e.query_id),
+        |hs176 AS (
+        |  SELECT e.query_id, CAST(count(f.vec_id) AS BIGINT) AS hits_stale
+        |  FROM ex176 e LEFT JOIN xs176 f ON e.query_id = f.query_id AND e.vec_id = f.vec_id
+        |  GROUP BY e.query_id)
+        |SELECT c.query_id, CAST(c.rank AS INT) AS rank, c.cell, c.vec_id, c.adc, c.d2,
+        |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit,
+        |  CAST(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stale_hit,
+        |  hc.hits_compact, hs.hits_stale, hc.hits_compact - hs.hits_stale AS compact_gain
+        |FROM xc176 c
+        |LEFT JOIN ex176 e ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+        |LEFT JOIN xs176 s ON c.query_id = s.query_id AND c.vec_id = s.vec_id
+        |JOIN hc176 hc ON c.query_id = hc.query_id
+        |JOIN hs176 hs ON c.query_id = hs.query_id
+        |ORDER BY c.query_id, c.rank""".stripMargin
+  }
+
   /** Shared `e`/`en` embedding-prep header (doubles, 10⁶-quantized
     * longs, L2 norm) — the common opening of [[ivfTrainAssignCtes]]
     * and [[edgeQuantCtes]]. `materialized` forces DuckDB to compute
@@ -5949,14 +6133,22 @@ object TextQueries {
     * so two independent towers can share one WITH statement (q144
     * hosts the full-retrain AND frozen towers side by side); the
     * shared `e`/`en` header is emitted only when `header` (a prefixed
-    * clone references the first tower's). Default ("" / true) emits
-    * byte-identical SQL to the unparameterized original.
+    * clone references the first tower's). `trainDef` (round 17, q176)
+    * supplies an explicit SELECT body for the training CTE instead of
+    * the default ⌊4n/5⌋-cut slice — the live-survivor tower trains on
+    * a hash-sliced population no cut expresses. Default
+    * ("" / true / null) emits byte-identical SQL to the
+    * unparameterized original (diffed against the committed
+    * oracle_sql.json before q176 landed — the r12 protocol).
     */
   private def ivfTrainAssignCtes(train: String = "en", p: String = "",
-      header: Boolean = true): String = {
+      header: Boolean = true, trainDef: String = null): String = {
     val sb = new StringBuilder
     if (header) sb ++= embHeadCtes()
-    if (train != "en")
+    if (train != "en" && trainDef != null)
+      sb ++= s"""$train AS ($trainDef),
+        |""".stripMargin
+    else if (train != "en")
       sb ++= s"""${p}cut AS (SELECT (count(*) * 4) // 5 AS cut FROM embeddings),
         |$train AS (SELECT en.* FROM en, ${p}cut WHERE en.vec_id < ${p}cut.cut),
         |""".stripMargin
@@ -6578,6 +6770,7 @@ object TextQueries {
     "q91_ivfadc_ann" -> q91OracleSql,
     "q92_index_append" -> q92OracleSql,
     "q171_index_delete" -> q171OracleSql,
+    "q176_index_compact" -> q176OracleSql,
     "q93_recall_audit" -> q93OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
     "q77_tfidf_topk" ->
