@@ -156,7 +156,7 @@ object PipelineQueries {
       }
       exitCleanups.forEach(p => rm(new java.io.File(p)))
     }))
-  private def cleanupAtExit(path: String): Unit = {
+  private[queries] def cleanupAtExit(path: String): Unit = {
     exitHookInstalled
     exitCleanups.add(path); ()
   }
@@ -3090,6 +3090,30 @@ object PipelineQueries {
     * `text` column — shared by the q57 funnel flags and the q95
     * calibration oracle so the two can never drift.
     */
+  /** The [[qualityGate]] predicate as oracle CTEs over `src(doc_id,
+    * text)` — emits `${p}ok(doc_id)` = the gate-passing ids (round 17:
+    * q175 replays the corpus store's update-wave gate over the
+    * re-crawled corpus). The quality and rep2 expressions are the
+    * funnel oracle's, verbatim (funnelFlagCtes keeps its own copies —
+    * its committed SQL bytes must not move).
+    */
+  private[queries] def qualityGateSqlCtes(src: String, p: String): String =
+    s"""${p}q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM $src),
+      |${p}r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN 0.0
+      |         ELSE CAST(len(hs) - len(list_distinct(hs)) AS DOUBLE) / len(hs) END AS rep2
+      |  FROM (
+      |    SELECT doc_id, list_transform(
+      |      list_transform(generate_series(1, greatest(len(t0) - 1, 0)), i -> t0[i] || ' ' || t0[i+1]),
+      |      s -> list_reduce(list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+      |             (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t0 FROM $src))),
+      |${p}ok AS (
+      |  SELECT q.doc_id FROM ${p}q q JOIN ${p}r r USING (doc_id)
+      |  WHERE q.quality >= $QualityThreshold AND r.rep2 <= $Rep2Max),
+      |""".stripMargin
+
   private def qualitySqlExpr: String =
     """greatest(0.0, least(1.0,
       |    0.05 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))

@@ -4672,6 +4672,7 @@ object TextQueries {
     "q91_ivfadc_ann"      -> q91IvfadcAnn,
     "q92_index_append"    -> q92IndexAppend,
     "q171_index_delete"   -> q171IndexDelete,
+    "q175_pipeline_wave"  -> q175PipelineWave,
     "q176_index_compact"  -> q176IndexCompact,
     "q93_recall_audit"    -> q93RecallAudit,
     "q51_simhash64"       -> q51Simhash64,
@@ -5967,6 +5968,207 @@ object TextQueries {
         |WHERE r.rank <= 5
         |ORDER BY r.query_id, r.rank""".stripMargin
 
+  /** EXT — the COMPOSED PIPELINE WAVE under the oracle hash gate
+    * (VERDICT r16 #3: the `_WAVE` cross-store consistency contract —
+    * [[graft.streaming.StreamingPipeline]] — was the one major
+    * capability proven only by specs). This query RUNS the real
+    * machinery: four stores (corpus, dedup labels, PQ index, admission
+    * LM) in a session-scratch root, wave 0 = the full corpus build,
+    * wave 1 = a composed maintenance wave (the q157 re-crawl slice
+    * upserted into corpus + labels + LM; the q171 tombstone slice
+    * deleted from the index), each store through its own idempotent
+    * batch writer, both waves sealed by
+    * [[graft.streaming.StreamingPipeline.commitWave]]. The output is
+    * the CONSISTENT READER's four-store readout AS OF wave 1
+    * ([[graft.streaming.StreamingPipeline.at]]): live corpus rows
+    * (content-pinned by sha2 — ≡ DuckDB sha256), dedup labels, index
+    * top-k, LM scores of the post-update corpus head, as one
+    * discriminated union `(part, id, k, v, v2, s)`.
+    *
+    * The ORACLE recomputes all four stores from the wave's raw inputs
+    * in ONE statement — no store, no generation dirs, no markers: the
+    * updated corpus by the slice rule; labels as the recursive-CTE
+    * closure over the UPDATED pair universe (q157's law: the pair
+    * log's tombstone-and-log wave lands exactly on the blind
+    * recompute); the index as the q92 frozen-append tower with the
+    * tombstone liveness semi-join (q171's surgery on q92's chain);
+    * the LM as add-only trigram counts over original corpus ∪
+    * re-crawled slice ([[graft.streaming.StreamingLm]] folds adds
+    * only — the re-crawl ADDS the new content's grams; retraction is
+    * q167/q170's separate counted-vocabulary machinery) scored by the
+    * q155 integer add-V surprisal. A single torn store, missed
+    * tombstone, double-counted replay, or cross-store wave skew
+    * hash-fails the whole readout — cross-store wave consistency under
+    * the same gate as every other operator.
+    *
+    * Scale shape: each store's write is its own audited batch shape
+    * (slice-proportional waves, gram-domain LM partials, 16 B/row
+    * codes); the readout adds one union of four bounded frames. The
+    * scratch root is (pid, session, sfDir)-keyed and removed at JVM
+    * exit (the q142 discipline); every batch writer is idempotent on
+    * its marker, so a warm re-execution re-reads the committed waves
+    * without rebuilding.
+    */
+  // lazy: the queries map is declared ABOVE this definition — a strict
+  // val would be captured as null there (the scalac uninitialized-
+  // forward-reference trap, bitten twice before; the warning is
+  // load-bearing)
+  lazy val q175PipelineWave: Q = (s, d) => {
+    import graft.streaming.{StreamingCorpus, StreamingIndex, StreamingLabels,
+      StreamingLm, StreamingPipeline}
+    val root = "/tmp/graft_q175_" +
+      ProcessHandle.current().pid() + "_" +
+      java.lang.Integer.toHexString(System.identityHashCode(s)) + "_" +
+      java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+    PipelineQueries.cleanupAtExit(root)
+    val pipeDir = s"$root/pipe"
+    val stores = StreamingPipeline.Stores(s"$root/corpus", s"$root/labels",
+      s"$root/index", null, s"$root/lm")
+    if (!StreamingPipeline.committedWaves(s, pipeDir).contains(1L)) {
+      val docs0 = documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      // ---- wave 0: the full build in all four stores ----
+      StreamingCorpus.updateBatch(stores.corpusDir)(docs0, 0L)
+      StreamingLabels.mergeBatch(stores.labelDir)(dupPairs(s, d), 0L)
+      val cut = StreamingIndex.buildFrozen(s, d, stores.indexDir)
+      StreamingIndex.appendBatch(stores.indexDir)(
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") >= cut), 0L)
+      StreamingLm.updateBatch(stores.lmDir)(
+        docs0.select(col("doc_id"), col("text")), 0L)
+      StreamingPipeline.commitWave(s, pipeDir, 0L)
+      // ---- wave 1: the composed maintenance wave ----
+      val upd = updDocs(s, d).filter(updSlicePred(col("doc_id")))
+      StreamingCorpus.updateBatch(stores.corpusDir)(
+        docs0.select(col("doc_id"), col("source"), col("lang"))
+          .join(upd, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("lang"), col("text")), 1L)
+      StreamingLabels.updateBatch(stores.labelDir)(
+        upd.select(col("doc_id").as("id")), updNewPairs(s, d), 1L)
+      StreamingIndex.deleteBatch(stores.indexDir)(indexDeadIds(s, d), 1L)
+      StreamingLm.updateBatch(stores.lmDir)(upd, 1L)
+      StreamingPipeline.commitWave(s, pipeDir, 1L)
+    }
+    // ---- the consistent four-store readout AS OF wave 1 ----
+    val v = StreamingPipeline.at(s, pipeDir, stores, 1L)
+    def shape(part: String, id: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column, vv: org.apache.spark.sql.Column,
+        v2: org.apache.spark.sql.Column, str: org.apache.spark.sql.Column)
+        (df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(part).as("part"), id.cast("long").as("id"),
+        k.cast("long").as("k"), vv.cast("long").as("v"),
+        v2.cast("long").as("v2"), str.as("s"))
+    val corpusPart = shape("corpus", col("doc_id"), lit(0L), lit(0L), lit(0L),
+      sha2(col("text"), 256))(v.corpus)
+    val labelPart = shape("label", col("id"), lit(0L), col("lbl"), lit(0L),
+      lit(""))(v.labels)
+    val searchPart = shape("search", col("query_id"), col("rank"),
+      col("vec_id"), col("adc"), lit(""))(v.search(d))
+    val probe = updDocs(s, d).filter(col("doc_id") < PipeProbeDocs)
+    val lmPart = shape("lm", col("doc_id"), col("n_tri"), col("total_bits"),
+      col("n_unseen"), lit(""))(v.lmScore(probe))
+    corpusPart.union(labelPart).union(searchPart).union(lmPart)
+      .orderBy(col("part"), col("id"), col("k"), col("v"))
+      .localCheckpoint(true)
+  }
+
+  /** q175's LM-readout probe population: the post-update corpus head
+    * (`doc_id < PipeProbeDocs` of the re-crawled corpus — 20 of the
+    * 100 are slice docs whose text changed, so the probe exercises
+    * both seen and wave-fresh grams).
+    */
+  private[graft] val PipeProbeDocs = 100L
+
+  /** q175's oracle: all four stores recomputed from raw inputs in one
+    * statement — the updated corpus (sha256 content pin), the
+    * recursive-CTE closure over the UPDATED pair universe
+    * ([[simhashPairCtesOn]] over the re-crawl + [[ccCtesOn]] — q157's
+    * blind recompute), the q92 frozen-append tower scored through the
+    * tombstone liveness semi-join (q171's `candLive` on q92's chain),
+    * and the q155 integer surprisal under add-only counts over
+    * original ∪ re-crawled-slice trigrams.
+    */
+  private def q175OracleSql: String = {
+    val triOf = (tk: String) =>
+      s"""SELECT doc_id,
+        |    unnest(t[1:len(t)-2]) || ' ' || unnest(t[2:len(t)-1]) AS ctx,
+        |    unnest(t[3:len(t)]) AS w
+        |  FROM $tk""".stripMargin
+    s"""WITH RECURSIVE docs175 AS (
+      |  SELECT doc_id, source, lang,
+      |    CASE WHEN doc_id % $UpdMod = $UpdRes THEN upper(text) ELSE text END AS text
+      |  FROM documents),
+      |""".stripMargin +
+      // the corpus store gates EVERY written version on quality+rep2
+      // (an update whose re-crawled text fails degrades to a takedown),
+      // so the live view is exactly the gate-passing rows of the
+      // updated corpus — measured: 1/100 slice docs at sf0.001 and
+      // 12/1000 at sf0.1 pass on the uppercased text (the replacement
+      // branch fires; the rest exercise the degrade-to-takedown branch)
+      PipelineQueries.qualityGateSqlCtes("docs175", "cg175") +
+      "corpus175 AS (SELECT d.doc_id, d.text FROM docs175 d JOIN cg175ok USING (doc_id)),\n" +
+      simhashPairCtesOn("docs175", "u").stripPrefix("WITH ") +
+      ccCtesOn("upairs", "u") +
+      embHeadCtes().stripPrefix("WITH ") +
+      s"""lvp175 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE NOT (${priorityHashSqlOn("vec_id")} < $DeleteBound)),
+        |""".stripMargin +
+      ivfTrainAssignCtes("eno", header = false) +
+      ivfadcResidualCtes() +
+      "rsubo AS (SELECT r.* FROM rsub91 r, cut WHERE r.vec_id < cut.cut),\n" +
+      pqChainCtes("rsub91", "rsubo") +
+      ivfadcRankCtes(withIsNew = false, candLive = "lvp175") + ",\n" +
+      s"""tk175a AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri175a AS (
+        |  ${triOf("tk175a")}),
+        |tk175b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM docs175
+        |  WHERE doc_id % $UpdMod = $UpdRes AND len(string_split(text, ' ')) >= 3),
+        |tri175b AS (
+        |  ${triOf("tk175b")}),
+        |tr175 AS MATERIALIZED (
+        |  SELECT * FROM tri175a UNION ALL SELECT * FROM tri175b),
+        |v175 AS (SELECT count(DISTINCT w) AS v FROM tr175),
+        |tn175 AS MATERIALIZED (SELECT ctx, w, count(*) AS cb FROM tr175 GROUP BY ctx, w),
+        |tc175 AS MATERIALIZED (SELECT ctx, count(*) AS cu FROM tr175 GROUP BY ctx),
+        |tk175p AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM docs175
+        |  WHERE doc_id < $PipeProbeDocs AND len(string_split(text, ' ')) >= 3),
+        |tri175p AS (
+        |  ${triOf("tk175p")}),
+        |sc175 AS (
+        |  SELECT wv.doc_id,
+        |    CAST(length(format('{:b}',
+        |      (COALESCE(tc.cu, 0) + (SELECT v FROM v175)) // (COALESCE(tn.cb, 0) + 1))) AS BIGINT) AS bits,
+        |    CASE WHEN tn.cb IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM tri175p wv
+        |  LEFT JOIN tn175 tn ON wv.ctx = tn.ctx AND wv.w = tn.w
+        |  LEFT JOIN tc175 tc ON wv.ctx = tc.ctx),
+        |lm175 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |    CAST(sum(bits) AS BIGINT) AS total_bits,
+        |    CAST(sum(unseen) AS BIGINT) AS n_unseen
+        |  FROM sc175 GROUP BY doc_id)
+        |SELECT part, id, k, v, v2, s FROM (
+        |  SELECT 'corpus' AS part, CAST(doc_id AS BIGINT) AS id,
+        |    CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS v,
+        |    CAST(0 AS BIGINT) AS v2, sha256(text) AS s FROM corpus175
+        |  UNION ALL
+        |  SELECT 'label', CAST(id AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(lbl AS BIGINT), CAST(0 AS BIGINT), '' FROM ucl
+        |  UNION ALL
+        |  SELECT 'search', CAST(query_id AS BIGINT), CAST(rank AS BIGINT),
+        |    CAST(vec_id AS BIGINT), CAST(adc AS BIGINT), '' FROM rk91 WHERE rank <= 5
+        |  UNION ALL
+        |  SELECT 'lm', CAST(doc_id AS BIGINT), CAST(n_tri AS BIGINT),
+        |    CAST(total_bits AS BIGINT), CAST(n_unseen AS BIGINT), '' FROM lm175)
+        |ORDER BY part, id, k, v""".stripMargin
+  }
+
   /** q176's oracle: the BLIND rebuild — the live-trained compact tower
     * (unprefixed; [[ivfTrainAssignCtes]] with an explicit live
     * `trainDef`, PQ chain trained on the live residual subvectors) and
@@ -6770,6 +6972,7 @@ object TextQueries {
     "q91_ivfadc_ann" -> q91OracleSql,
     "q92_index_append" -> q92OracleSql,
     "q171_index_delete" -> q171OracleSql,
+    "q175_pipeline_wave" -> q175OracleSql,
     "q176_index_compact" -> q176OracleSql,
     "q93_recall_audit" -> q93OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
