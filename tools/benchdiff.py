@@ -55,12 +55,13 @@ MASS_STAGES = {
     "minhash_cands": ("minhash_bands", ["cand_memo_build", "q31", "q96", "q121", "q122", "q131"]),
     "band_occ_max": ("simhash_bands", ["q51", "q157", "q164"]),
     "band_over_cap": ("simhash_bands", ["q51 (cap BINDS if >0 — re-measure BandOccCap)"]),
-    # update-wave masses (round-16, VERDICT r15 #1c) — recorded through
-    # the same factored stages q157 runs (TextQueries.updWaveProbe)
-    "upd_slice": ("update_wave", ["q157 (retract + relabel input)"]),
-    "upd_slice_bands": ("update_wave", ["q157 (probe build side)"]),
-    "upd_probe_cands": ("update_wave", ["q157 (candidate mass, the probe join's output)"]),
-    "upd_new_pairs": ("update_wave", ["q157 (merge input)"]),
+    # update-wave masses (round-16, VERDICT r15 #1c; round-17: the probe
+    # stages are session-memoized — the build is the upd_memo_build
+    # line, and q157/q175 consume the same checkpointed frames)
+    "upd_slice": ("update_wave", ["upd_memo_build", "q157 (retract + relabel input)", "q175 (corpus/labels/LM wave)"]),
+    "upd_slice_bands": ("update_wave", ["upd_memo_build (probe build side)"]),
+    "upd_probe_cands": ("update_wave", ["upd_memo_build (candidate mass)"]),
+    "upd_new_pairs": ("update_wave", ["q157 (merge input)", "q175 (label wave)"]),
 }
 
 # bench lines whose wall is per-job-overhead bound at test SFs
