@@ -127,47 +127,48 @@ object Bench {
       import org.apache.spark.sql.functions._
       import graft.ops.TowerMemo
       import graft.queries.TextQueries
-      def occStats(asg: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
-        val r = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-          .agg(count(lit(1)), max(col("c")), sum(col("c") * col("c"))).collect()(0)
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
-      val (cells, occMax, pairMass) = occStats(TowerMemo.edgeAssigned(spark, sfDir))
-      val (oCells, oOccMax, oPairMass) = occStats(TowerMemo.oldEdgeAssigned(spark, sfDir))
-      val bandOcc = TextQueries.simhashBands(TextQueries.simhashSig(
+      // round-17 (VERDICT r16 #2, second half): after the update-wave
+      // probe moved to its session memo, this line was ~16 separate
+      // count() actions over memoized frames — pure per-job overhead.
+      // All quantities now fold as (k, v) rows of ONE union plan and
+      // ONE collect, so the instrumentation costs a single job however
+      // contended the box is. Every key and value is unchanged; the
+      // upd_* counts read the SAME checkpointed frames q157 consumes
+      // (the r16 ADVICE slice-predicate duplication stays gone —
+      // updSlicePred/updSliceBands shared).
+      def kv(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("v"))
+          .select(lit(name).as("k"), col("v"))
+      def occKv(p: String, asg: org.apache.spark.sql.DataFrame) =
+        asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).cast("long").as("a"), max(col("c")).cast("long").as("b"),
+            sum(col("c") * col("c")).cast("long").as("s"))
+          .selectExpr(s"stack(3, '${p}cells', a, '${p}occ_max', b, '${p}pair_mass', s) as (k, v)")
+      val bandKv = TextQueries.simhashBands(TextQueries.simhashSig(
           Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
         .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
-        .agg(max(col("c")).as("mx"),
-          sum(when(col("c") > TextQueries.BandOccCap, 1L).otherwise(0L)).as("over"))
-        .collect()(0)
-      // update-wave masses (round-16, VERDICT r15 #1c): the quantities
-      // that drive q157's wall — slice size, the slice's capped band
-      // rows, the probe candidate mass, and the verified new pairs.
-      // Round-17 (VERDICT r16 #2): read from the SAME session-memoized
-      // frames q157 consumes (built once above as upd_memo_build), so
-      // the counts here are metadata-cheap AND structurally identical
-      // to what the query pays for (the r16 ADVICE slice-predicate
-      // duplication is gone — updSlicePred/updSliceBands are shared).
-      val updMasses = Map(
-        "upd_slice" -> Tables.documents(spark, sfDir)
-          .filter(TextQueries.updSlicePred(col("doc_id"))).count(),
-        "upd_slice_bands" -> TextQueries.updSliceBands(spark, sfDir).count(),
-        "upd_probe_cands" -> TextQueries.updCands(spark, sfDir).count(),
-        "upd_new_pairs" -> TextQueries.updNewPairs(spark, sfDir).count())
-      masses = Map(
-        "n_vec" -> TowerMemo.prep(spark, sfDir).count(),
-        "edge_cells" -> cells, "edge_occ_max" -> occMax,
-        "edge_pair_mass" -> pairMass,
-        "old_edge_cells" -> oCells, "old_edge_occ_max" -> oOccMax,
-        "old_edge_pair_mass" -> oPairMass,
-        "cell_pairs" -> TowerMemo.cellPairs(spark, sfDir).count(),
-        "old_cell_pairs" -> TowerMemo.oldCellPairs(spark, sfDir).count(),
-        "div_edges" -> TextQueries.divEdges(spark, sfDir).count(),
-        "old_div_edges" -> TextQueries.oldDivEdges(spark, sfDir).count(),
-        "dup_pairs" -> TextQueries.dupPairs(spark, sfDir).count(),
-        "minhash_cands" -> TextQueries.minhashCands(spark, sfDir).count(),
-        "band_occ_max" -> bandOcc.getLong(0),
-        "band_over_cap" -> bandOcc.getLong(1)) ++ updMasses
+        .agg(max(col("c")).cast("long").as("a"),
+          sum(when(col("c") > TextQueries.BandOccCap, 1L).otherwise(0L))
+            .cast("long").as("b"))
+        .selectExpr("stack(2, 'band_occ_max', a, 'band_over_cap', b) as (k, v)")
+      masses = Seq(
+        occKv("edge_", TowerMemo.edgeAssigned(spark, sfDir)),
+        occKv("old_edge_", TowerMemo.oldEdgeAssigned(spark, sfDir)),
+        bandKv,
+        kv("n_vec", TowerMemo.prep(spark, sfDir)),
+        kv("cell_pairs", TowerMemo.cellPairs(spark, sfDir)),
+        kv("old_cell_pairs", TowerMemo.oldCellPairs(spark, sfDir)),
+        kv("div_edges", TextQueries.divEdges(spark, sfDir)),
+        kv("old_div_edges", TextQueries.oldDivEdges(spark, sfDir)),
+        kv("dup_pairs", TextQueries.dupPairs(spark, sfDir)),
+        kv("minhash_cands", TextQueries.minhashCands(spark, sfDir)),
+        kv("upd_slice", Tables.documents(spark, sfDir)
+          .filter(TextQueries.updSlicePred(col("doc_id")))),
+        kv("upd_slice_bands", TextQueries.updSliceBands(spark, sfDir)),
+        kv("upd_probe_cands", TextQueries.updCands(spark, sfDir)),
+        kv("upd_new_pairs", TextQueries.updNewPairs(spark, sfDir)))
+        .reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
     // per-job overhead calibration (µs per trivial 1-stage job): the
     // graph family's wall is job-count dominated at these SFs
