@@ -4674,6 +4674,7 @@ object TextQueries {
     "q171_index_delete"   -> q171IndexDelete,
     "q175_pipeline_wave"  -> q175PipelineWave,
     "q176_index_compact"  -> q176IndexCompact,
+    "q177_pipeline_compact" -> q177PipelineCompact,
     "q93_recall_audit"    -> q93RecallAudit,
     "q51_simhash64"       -> q51Simhash64,
     "q52_topk_tokens"     -> q52TopkTokens,
@@ -6009,11 +6010,14 @@ object TextQueries {
     * its marker, so a warm re-execution re-reads the committed waves
     * without rebuilding.
     */
-  // lazy: the queries map is declared ABOVE this definition — a strict
-  // val would be captured as null there (the scalac uninitialized-
-  // forward-reference trap, bitten twice before; the warning is
-  // load-bearing)
-  lazy val q175PipelineWave: Q = (s, d) => {
+  /** Drive (idempotently) the two committed pipeline waves into the
+    * session-scratch root shared by q175 and q177 — both are correct in
+    * EITHER execution order precisely because of the law q177 proves:
+    * compaction is invisible to the consistent reader, so q175 reading
+    * a root q177 already compacted serves the same rows.
+    */
+  private def pipelineWaveState(s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, graft.streaming.StreamingPipeline.Stores) = {
     import graft.streaming.{StreamingCorpus, StreamingIndex, StreamingLabels,
       StreamingLm, StreamingPipeline}
     val root = "/tmp/graft_q175_" +
@@ -6050,7 +6054,18 @@ object TextQueries {
       StreamingLm.updateBatch(stores.lmDir)(upd, 1L)
       StreamingPipeline.commitWave(s, pipeDir, 1L)
     }
-    // ---- the consistent four-store readout AS OF wave 1 ----
+    (pipeDir, stores)
+  }
+
+  /** The consistent four-store readout AS OF wave 1 — shared by q175
+    * (read the multi-generation stores) and q177 (read them after
+    * every compactor ran): one discriminated union
+    * `(part, id, k, v, v2, s)`.
+    */
+  private def pipelineWaveReadout(s: org.apache.spark.sql.SparkSession, d: String,
+      pipeDir: String, stores: graft.streaming.StreamingPipeline.Stores)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.streaming.StreamingPipeline
     val v = StreamingPipeline.at(s, pipeDir, stores, 1L)
     def shape(part: String, id: org.apache.spark.sql.Column,
         k: org.apache.spark.sql.Column, vv: org.apache.spark.sql.Column,
@@ -6071,6 +6086,62 @@ object TextQueries {
     corpusPart.union(labelPart).union(searchPart).union(lmPart)
       .orderBy(col("part"), col("id"), col("k"), col("v"))
       .localCheckpoint(true)
+  }
+
+  // lazy: the queries map is declared ABOVE these definitions — a
+  // strict val would be captured as null there (the scalac
+  // uninitialized-forward-reference trap, bitten twice before; the
+  // warning is load-bearing)
+  lazy val q175PipelineWave: Q = (s, d) => {
+    val (pipeDir, stores) = pipelineWaveState(s, d)
+    pipelineWaveReadout(s, d, pipeDir, stores)
+  }
+
+  /** EXT — pipeline-level COMPACTION INVISIBILITY under the oracle
+    * gate: every store's digest-certified compactor
+    * ([[graft.streaming.StreamingCorpus.compactCorpus]],
+    * [[graft.streaming.StreamingLabels.compactPairLog]],
+    * [[graft.streaming.StreamingIndex.compact]],
+    * [[graft.streaming.StreamingLm.compactLm]]) runs between waves on
+    * the q175 state, and the consistent reader's wave-1 readout must
+    * STILL hash-match the blind DuckDB recompute — the SAME oracle SQL
+    * as q175, so the law proven is exactly "compaction changes storage
+    * layout, never served state", cross-store, under the same gate as
+    * every operator (the per-store digest certifications proved each
+    * rewrite lost nothing against its OWN pre-image; this pins all
+    * four against an independent engine at once). Non-vacuity is
+    * enforced in-query: after compacting, every store's compaction
+    * horizon must claim wave 1 — a compactor that silently no-ops
+    * throws rather than passing a vacuous law (and the erased history
+    * is real: each store's own time-travel spec proves its as-of
+    * reader refuses points below the horizon, so at(0) on this state
+    * would throw in all four stores). q175 and q177 are correct in
+    * EITHER bench/verify execution order — measured explicitly: q177
+    * run FIRST compacts the shared root and q175 then reads the
+    * compacted stores bit-identically, which is the law itself.
+    *
+    * Scale shape: each compactor is one fold + digest + checked-rename
+    * swap over its own store (the audited per-store shapes); the
+    * readout adds nothing new.
+    */
+  lazy val q177PipelineCompact: Q = (s, d) => {
+    import graft.streaming.{StreamingCorpus, StreamingIndex, StreamingLabels,
+      StreamingLm}
+    val (pipeDir, stores) = pipelineWaveState(s, d)
+    StreamingCorpus.compactCorpus(s, stores.corpusDir)
+    StreamingLabels.compactPairLog(s, stores.labelDir)
+    StreamingIndex.compact(s, stores.indexDir)
+    StreamingLm.compactLm(s, stores.lmDir)
+    val horizons = Seq(
+      "corpus" -> StreamingCorpus.compactionHorizon(s, stores.corpusDir),
+      "labels" -> StreamingLabels.compactionHorizon(s, stores.labelDir),
+      "index" -> StreamingIndex.compactionHorizon(s, stores.indexDir),
+      "lm" -> StreamingLm.compactionHorizon(s, stores.lmDir))
+    for ((name, h) <- horizons if !h.exists(_ >= 1L))
+      throw new IllegalStateException(
+        s"q177: $name compaction did not claim wave 1 (horizon $h) — " +
+          "the invisibility law would be vacuous")
+    pipelineWaveReadout(s, d, pipeDir, stores)
   }
 
   /** q175's LM-readout probe population: the post-update corpus head
@@ -6973,6 +7044,10 @@ object TextQueries {
     "q92_index_append" -> q92OracleSql,
     "q171_index_delete" -> q171OracleSql,
     "q175_pipeline_wave" -> q175OracleSql,
+    // q177 deliberately shares q175's oracle TEXT: the law is that
+    // compaction serves the identical readout, so the blind recompute
+    // is the same statement
+    "q177_pipeline_compact" -> q175OracleSql,
     "q176_index_compact" -> q176OracleSql,
     "q93_recall_audit" -> q93OracleSql,
     "q76_semantic_dedup" -> q76OracleSql,
