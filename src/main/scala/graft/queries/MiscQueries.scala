@@ -447,9 +447,197 @@ object MiscQueries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** EXT — exact PHRASE search over a positional inverted index
+    * (Manning–Raghavan–Schütze IIR §2.4 positional postings; the
+    * rarest-first evaluation order is the classic §1.3 query
+    * optimization). Workload: 5-word phrases lifted from a seeded
+    * prime-hash slice of corpus docs (h = doc_id·48271 mod 2³¹−1,
+    * h%20 = 3; position 1 + (h DIV 20) mod (nw−4) — doc_id%m slices
+    * alias the source lattice, the r16 lesson), plus one
+    * guaranteed-miss twin per phrase (3rd word → 'qzx', outside the
+    * ~31-word vocabulary), so hit, cross-document, and empty paths all
+    * stay live at every SF (measured: 25 queries / 29 matches / 4
+    * cross-doc at sf0.01; 250 / 280 / 30 at sf0.1; per-(query,doc)
+    * multiplicity is corpus-dormant at max 1 — PhraseSearchSpec drives
+    * the multi-occurrence branch synthetically).
+    *
+    * Algorithm — pure postings algebra, the document text is never
+    * joined: tokens = (doc_id, pos, word) positional postings; each
+    * query's TWO globally rarest terms (31-row postings-count
+    * broadcast; ties break on slot then word) are intersected
+    * positionally (equi-join on (doc_id, start+k₂, w₂)), then ONE
+    * requirements probe re-verifies all five (k, word) slots and keeps
+    * starts matching exactly 5. Candidate mass at sf0.1: rarest-term
+    * postings 2.1 M rows → two-term intersection ≈ 1/15 of that → ×5
+    * requirement rows — every stage an equi-join a 1000-executor
+    * cluster shuffles by (doc_id, pos); misses cost nothing (the 'qzx'
+    * postings list is empty) and surface as sentinel rows (doc_id −1)
+    * via the final left join from the broadcast query table.
+    *
+    * Oracle: DuckDB enumerates every positional 5-gram by direct list
+    * slicing and joins on the phrase STRING — scan-and-construct vs
+    * index-intersection, so the gate itself proves the postings
+    * algorithm complete (the q105/q122 dual-algorithm discipline), and
+    * matching on strings keeps the verdict collision-free.
+    */
+  val q178PhraseSearch: Q = (s, d) => phraseSearchCore(documents(s, d))
+
+  /** The q178 body over an arbitrary documents(doc_id, text) frame —
+    * factored so PhraseSearchSpec can drive the corpus-dormant
+    * branches (multi-occurrence per doc, sub-5-token docs) on
+    * synthetic frames while the oracle gate owns the corpus.
+    */
+  private[graft] def phraseSearchCore(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docsW = tracked(docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("ws")))
+    val tok = tracked(docsW
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word")))
+    val qh = docsW
+      .withColumn("h", (col("doc_id") * lit(48271L)) % lit(2147483647L))
+      .withColumn("nw", size(col("ws")))
+      .filter(col("nw") >= 5 && col("h") % 20 === 3)
+      .select(col("doc_id").as("qid"),
+        expr("slice(ws, 1 + ((h DIV 20) % (nw - 4)), 5)").as("qws"))
+    val qq = tracked(qh.union(qh.select((col("qid") + lit(1000000L)).as("qid"),
+      expr("transform(qws, (w, i) -> CASE WHEN i = 2 THEN 'qzx' ELSE w END)")
+        .as("qws"))))
+    val wdf = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cnt"), col("k"), col("qw"))
+    val rare2 = qq
+      .select(col("qid"), col("qws"), posexplode(col("qws")).as(Seq("k", "qw")))
+      .join(broadcast(wdf), col("qw") === col("word"), "left")
+      .select(col("qid"), col("qws"), col("k"), col("qw"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 2)
+      .groupBy(col("qid"))
+      .agg(min(struct(col("rn"), col("k"), col("qw"))).as("r1"),
+        max(struct(col("rn"), col("k"), col("qw"))).as("r2"))
+      .select(col("qid"),
+        col("r1.k").as("k1"), col("r1.qw").as("w1"),
+        col("r2.k").as("k2"), col("r2.qw").as("w2"))
+    // stage 1: rarest-term postings scan (broadcast map-side, no shuffle)
+    val c1 = tok.join(broadcast(rare2), col("word") === col("w1"))
+      .select(col("qid"), col("doc_id"), (col("pos") - col("k1")).as("start"),
+        col("k2"), col("w2"))
+      .filter(col("start") >= 1)
+    // stage 2: positional intersection with the second-rarest term
+    val t2 = tok.select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+      col("word").as("word2"))
+    val c2 = c1.join(t2,
+      col("doc_id") === col("doc_id2") && (col("start") + col("k2")) === col("pos2") &&
+        col("w2") === col("word2"))
+      .select(col("qid"), col("doc_id"), col("start"))
+    // stage 3: all-slot verification — one probe of the postings table
+    val t3 = tok.select(col("doc_id").as("doc_id3"), col("pos").as("pos3"),
+      col("word").as("word3"))
+    val matches = c2
+      .join(qq.select(col("qid"), posexplode(col("qws")).as(Seq("k", "qw"))), Seq("qid"))
+      .join(t3, col("doc_id") === col("doc_id3") &&
+        (col("start") + col("k")) === col("pos3") && col("qw") === col("word3"))
+      .groupBy(col("qid"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("nslot"))
+      .filter(col("nslot") === 5)
+    qq.select(col("qid"), array_join(col("qws"), " ").as("phrase"))
+      .join(matches, Seq("qid"), "left")
+      .select(col("qid"), col("phrase"),
+        coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        coalesce(col("start"), lit(-1)).cast("int").as("pos"))
+      .orderBy(col("qid"), col("doc_id"), col("pos"))
+  }
+
+  /** Grid resolution per dimension for [[q179Skyline]] — 8³ ≤ 512
+    * cells; occupancy and prune rates measured at every SF (scaladoc
+    * below) before the constant landed.
+    */
+  val SkyG = 8L
+
+  /** EXT — SKYLINE (Pareto-frontier) document selection (Börzsönyi–
+    * Kossmann–Stocker ICDE 2001): the docs no other doc dominates on
+    * (token length ↑, lexical richness ↑, stopword rate ↓) — the
+    * multi-criteria curation frontier (quality-vs-length-vs-diversity
+    * trade-offs have no single scalar ranking). Dims are integer and
+    * cross-engine exact: nt = token count; rich = (10⁶·distinct word
+    * trigrams) DIV (nt−2) — distinctness on STRINGS, collision-free;
+    * stop = (10⁶·|{the,a} tokens|) DIV nt. Measured trade-off is real
+    * (corr(nt, rich) ≈ −0.13; frontier 4–7 docs of 500–5000 at every
+    * SF, never degenerate).
+    *
+    * Algorithm — the grid-partitioned two-phase skyline (the paper's
+    * §5 divide-and-conquer made shuffle-shaped): (0) one 1-row
+    * min/max broadcast fixes [[SkyG]]³ integer cells; (1) cell-level
+    * pre-prune: a cell dies when some cell's MIN corner strictly
+    * dominates its MAX corner on all three dims (strict-all is the
+    * sound direction; 13 cells / 24 docs dead at sf0.01, 29/165 at
+    * sf0.1 — live, measured); (2) local skylines as a within-cell
+    * dominance anti-join (equi on the cell key bounds pair mass by
+    * cell occupancy — max 335 at sf0.1; 4835 alive pts → 409 local
+    * survivors); (3) global frontier as one broadcast anti-join over
+    * the survivors. At 100 TB stage 2 is the only corpus-sized
+    * shuffle and partitions by cell; stages 0/1/3 move ≤ cells +
+    * survivors. Deeper skew would nest the grid recursively — not
+    * needed at these occupancies.
+    *
+    * Oracle: DuckDB brute NOT EXISTS over all pairs — a different
+    * algorithm, so the gate proves the grid pruning complete (the
+    * q105 discipline). SkylineSpec re-proves against an independent
+    * Scala model and forces the dormant equal-tuple tie branch
+    * synthetically.
+    */
+  val q179Skyline: Q = (s, d) => skylineCore(documents(s, d))
+
+  /** The q179 body over an arbitrary documents(doc_id, text) frame —
+    * factored so SkylineSpec can force the equal-tuple tie and
+    * degenerate-corpus branches synthetically.
+    */
+  private[graft] def skylineCore(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dims = tracked(docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("nt"),
+        expr("(1000000L * size(array_distinct(transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', slice(ws, i, 3)))))) DIV (size(ws) - 2)").as("rich"),
+        expr("(1000000L * size(filter(ws, x -> x = 'the' OR x = 'a'))) DIV size(ws)")
+          .as("stop")))
+    val b = dims.agg(min("nt").as("lnt"), max("nt").as("hnt"),
+      min("rich").as("lr"), max("rich").as("hr"),
+      min("stop").as("ls"), max("stop").as("hs"))
+    val cells = tracked(dims.crossJoin(broadcast(b))
+      .select(col("doc_id"), col("nt"), col("rich"), col("stop"),
+        expr(s"((nt - lnt) * $SkyG) DIV (hnt - lnt + 1)").as("bn"),
+        expr(s"((rich - lr) * $SkyG) DIV (hr - lr + 1)").as("br"),
+        expr(s"((stop - ls) * $SkyG) DIV (hs - ls + 1)").as("bs")))
+    val cstat = cells.groupBy(col("bn"), col("br"), col("bs")).agg(
+      max("nt").as("mxnt"), min("rich").as("mnr"),
+      max("rich").as("mxr"), min("nt").as("mnnt"),
+      min("stop").as("mns"), max("stop").as("mxs"))
+    val deadCells = cstat.as("c").join(broadcast(cstat.as("a")),
+      col("a.mnnt") > col("c.mxnt") && col("a.mnr") > col("c.mxr") &&
+        col("a.mxs") < col("c.mns"), "left_semi")
+      .select(col("bn"), col("br"), col("bs"))
+    val alive = tracked(cells.join(broadcast(deadCells), Seq("bn", "br", "bs"), "left_anti"))
+    def dominates(b: String, a: String) =
+      col(s"$b.nt") >= col(s"$a.nt") && col(s"$b.rich") >= col(s"$a.rich") &&
+        col(s"$b.stop") <= col(s"$a.stop") &&
+        (col(s"$b.nt") > col(s"$a.nt") || col(s"$b.rich") > col(s"$a.rich") ||
+          col(s"$b.stop") < col(s"$a.stop"))
+    val local = tracked(alive.as("a").join(alive.as("b"),
+      col("b.bn") === col("a.bn") && col("b.br") === col("a.br") &&
+        col("b.bs") === col("a.bs") && dominates("b", "a"), "left_anti"))
+    local.as("a").join(broadcast(local.as("b")), dominates("b", "a"), "left_anti")
+      .select(col("doc_id"), col("nt"), col("rich"), col("stop"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_asof_join"    -> q47AsofJoin,
     "q141_salted_agg"  -> q141SaltedAgg,
+    "q178_phrase_search" -> q178PhraseSearch,
+    "q179_skyline"     -> q179Skyline,
     "q48_leadlag_ntile" -> q48LeadLagNtile,
     "q49_except_all"   -> q49ExceptAll,
     "q50_range_frame"  -> q50RangeFrame,
@@ -573,6 +761,53 @@ object MiscQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q178's oracle enumerates every positional 5-gram by direct list
+    // slicing (scan-and-construct) — a different algorithm from the
+    // Spark side's postings intersection, so the hash gate itself
+    // proves the index algorithm complete. DuckDB list lambdas are
+    // 1-based (Spark's transform index is 0-based): i = 3 is the same
+    // third word both sides.
+    "q178_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q0 AS (SELECT doc_id, ws, length(ws) AS nw,
+        |         (doc_id * 48271) % 2147483647 AS h FROM w
+        |       WHERE length(ws) >= 5 AND (doc_id * 48271) % 2147483647 % 20 = 3),
+        |qh AS (SELECT doc_id AS qid,
+        |         ws[(1 + ((h // 20) % (nw - 4))):(1 + ((h // 20) % (nw - 4)) + 4)] AS qws
+        |       FROM q0),
+        |qq AS (SELECT qid, qws FROM qh
+        |       UNION ALL
+        |       SELECT qid + 1000000,
+        |         list_transform(qws, (x, i) -> CASE WHEN i = 3 THEN 'qzx' ELSE x END)
+        |       FROM qh),
+        |ph AS (SELECT qid, list_aggregate(qws, 'string_agg', ' ') AS phrase FROM qq),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, length(ws) - 4)) AS p
+        |        FROM w WHERE length(ws) >= 5),
+        |g5 AS (SELECT doc_id, p, list_aggregate(ws[p:p+4], 'string_agg', ' ') AS g
+        |       FROM pos),
+        |m AS (SELECT ph.qid, g5.doc_id, g5.p FROM ph JOIN g5 ON ph.phrase = g5.g)
+        |SELECT q.qid, q.phrase,
+        |  CAST(COALESCE(m.doc_id, -1) AS BIGINT) AS doc_id,
+        |  CAST(COALESCE(m.p, -1) AS INT) AS pos
+        |FROM ph q LEFT JOIN m ON q.qid = m.qid
+        |ORDER BY 1, 3, 4""".stripMargin,
+    // q179's oracle is the brute all-pairs NOT EXISTS — the gate
+    // proves the Spark side's grid pre-prune + two-phase skyline
+    // complete (no frontier doc lost to a pruned cell).
+    "q179_skyline" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE length(string_split(text, ' ')) >= 3),
+        |dims AS (SELECT doc_id, CAST(length(ws) AS BIGINT) AS nt,
+        |  (1000000 * length(list_distinct([list_aggregate(ws[i:i+2], 'string_agg', ' ')
+        |     for i in generate_series(1, length(ws) - 2)]))) // (length(ws) - 2) AS rich,
+        |  (1000000 * length(list_filter(ws, x -> x = 'the' OR x = 'a'))) // length(ws) AS stop
+        |  FROM w)
+        |SELECT a.doc_id, a.nt, a.rich, a.stop
+        |FROM dims a WHERE NOT EXISTS (
+        |  SELECT 1 FROM dims b
+        |  WHERE b.nt >= a.nt AND b.rich >= a.rich AND b.stop <= a.stop
+        |    AND (b.nt > a.nt OR b.rich > a.rich OR b.stop < a.stop))
+        |ORDER BY a.doc_id""".stripMargin,
     // q141's oracle is deliberately the UNSALTED direct aggregation —
     // the row-parity twin of the two-phase salted plan (n_salts
     // mirrors as a count(DISTINCT salt-expression))

@@ -6020,10 +6020,14 @@ object TextQueries {
       : (String, graft.streaming.StreamingPipeline.Stores) = {
     import graft.streaming.{StreamingCorpus, StreamingIndex, StreamingLabels,
       StreamingLm, StreamingPipeline}
+    // Root carries the sanitized sfDir basename alongside its hash:
+    // human-debuggable, and two SF dirs can never collide on the
+    // 32-bit String.hashCode alone (r17 ADVICE).
     val root = "/tmp/graft_q175_" +
       ProcessHandle.current().pid() + "_" +
       java.lang.Integer.toHexString(System.identityHashCode(s)) + "_" +
-      java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL) + "_" +
+      new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "")
     PipelineQueries.cleanupAtExit(root)
     val pipeDir = s"$root/pipe"
     val stores = StreamingPipeline.Stores(s"$root/corpus", s"$root/labels",
@@ -6416,6 +6420,11 @@ object TextQueries {
     */
   private def ivfTrainAssignCtes(train: String = "en", p: String = "",
       header: Boolean = true, trainDef: String = null): String = {
+    // A trainDef with the default train name would silently emit an
+    // `en AS (...)` CTE colliding with the shared header's `en` — the
+    // explicit-SELECT branch requires a distinct training CTE name.
+    require(trainDef == null || train != "en",
+      "ivfTrainAssignCtes: trainDef requires a non-default train name")
     val sb = new StringBuilder
     if (header) sb ++= embHeadCtes()
     if (train != "en" && trainDef != null)

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q179 grid-partitioned skyline: (1) re-proven against an independent
+  * Scala brute-force dominance model at sf0.001 (dims recomputed from
+  * raw text with plain string ops), with the cell pre-prune's
+  * non-vacuity pinned (≥1 cell dead on the real corpus — measured 10
+  * at sf0.001 round 18); (2) the equal-tuple tie branch (two docs with
+  * identical dim vectors both on the frontier — strict-dominance
+  * excludes ties, so both must survive) and the degenerate one-doc
+  * corpus forced synthetically through the factored core.
+  */
+class SkylineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  private def dimsOf(ws: Array[String]): (Long, Long, Long) = {
+    val nt = ws.length.toLong
+    val tris = (1 to ws.length - 2).map(i => ws.slice(i - 1, i + 2).mkString(" "))
+    val rich = 1000000L * tris.distinct.size / (nt - 2)
+    val stop = 1000000L * ws.count(w => w == "the" || w == "a") / nt
+    (nt, rich, stop)
+  }
+
+  private def dominates(b: (Long, Long, Long), a: (Long, Long, Long)): Boolean =
+    b._1 >= a._1 && b._2 >= a._2 && b._3 <= a._3 &&
+      (b._1 > a._1 || b._2 > a._2 || b._3 < a._3)
+
+  test("q179 ≡ brute-force Scala model at sf0.001; cell pre-prune binds") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 3)
+    val dims = docs.map { case (id, ws) => id -> dimsOf(ws) }
+    val frontier = dims.filter { case (_, a) =>
+      !dims.exists { case (_, b) => dominates(b, a) }
+    }.map { case (id, (nt, rich, stop)) => (id, nt, rich, stop) }.toSet
+
+    val out = SparkEntry.queries("q179_skyline")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out == frontier, s"frontier mismatch: got $out expected $frontier")
+    assert(frontier.size >= 2 && frontier.size < dims.length,
+      s"degenerate frontier (${frontier.size} of ${dims.length}) — vacuous")
+
+    // the grid pre-prune must actually kill cells on the real corpus
+    val g = queries.MiscQueries.SkyG
+    val (lnt, hnt) = (dims.map(_._2._1).min, dims.map(_._2._1).max)
+    val (lr, hr) = (dims.map(_._2._2).min, dims.map(_._2._2).max)
+    val (ls, hs) = (dims.map(_._2._3).min, dims.map(_._2._3).max)
+    val cells = dims.groupBy { case (_, (nt, rich, stop)) =>
+      ((nt - lnt) * g / (hnt - lnt + 1), (rich - lr) * g / (hr - lr + 1),
+        (stop - ls) * g / (hs - ls + 1))
+    }.view.mapValues(_.map(_._2)).toMap
+    val corners = cells.map { case (k, vs) =>
+      k -> ((vs.map(_._1).min, vs.map(_._2).min, vs.map(_._3).max),
+        (vs.map(_._1).max, vs.map(_._2).max, vs.map(_._3).min))
+    }
+    val dead = corners.count { case (ck, (_, (mxnt, mxr, mns))) =>
+      corners.exists { case (ak, ((mnnt, mnr, mxs), _)) =>
+        ak != ck && mnnt > mxnt && mnr > mxr && mxs < mns
+      }
+    }
+    assert(dead >= 1, "cell pre-prune never fires at sf0.001 — stage vacuous")
+    // pruning soundness end-to-end is what the model equality proved;
+    // the dead cells must not contain any frontier doc
+    val deadDocs = corners.collect { case (ck, (_, (mxnt, mxr, mns)))
+      if corners.exists { case (ak, ((mnnt, mnr, mxs), _)) =>
+        ak != ck && mnnt > mxnt && mnr > mxr && mxs < mns } => cells(ck)
+    }.flatten.toSet
+    assert(frontier.forall { case (id, nt, rich, stop) =>
+      !deadDocs.contains((nt, rich, stop)) })
+  }
+
+  test("equal-tuple ties both survive; one-doc corpus is its own frontier") {
+    import spark.implicits._
+    // t1/t2: identical texts (identical dims, frontier-dominant on nt);
+    // w1: dominated (shorter, same composition ratios can't save it)
+    val strong = (1 to 30).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, strong), (2L, strong),
+      (3L, "the a the x1 x2")).toDF("doc_id", "text")
+    val out = queries.MiscQueries.skylineCore(docs)
+      .collect().map(_.getLong(0)).toSet
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out.contains(1L) && out.contains(2L),
+      s"equal-tuple tie dropped from the frontier: $out")
+    assert(!out.contains(3L), s"dominated doc on the frontier: $out")
+
+    val one = queries.MiscQueries.skylineCore(Seq((7L, "w1 w2 w3 w4")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(one == Set(7L))
+  }
+}

@@ -5,7 +5,9 @@ committed one, and DECIDE box-vs-plan-vs-data per flagged query instead
 of leaving the call to eyeball (the q152 +1.6 s question this tool
 exists to close).
 
-    python3 tools/benchdiff.py BENCH_r14_perquery.json /tmp/graft_bench.json
+    python3 tools/benchdiff.py BENCH_r14_perquery.json /tmp/graft_bench.json \
+        [--exclude q1,q2]   # drop named lines from the subset estimator
+                            # (deliberately reworked plans skew it)
 
 Decision procedure per the round-14 GraphDecomp findings, widened in
 round 17 (VERDICT r16 #1) so EVERY line self-adjudicates instead of 40
@@ -130,11 +132,25 @@ def main():
         print(f"job_overhead_us: {oo} -> {no_}  (box ratio {ratio:.2f}x for overhead-bound lines)")
 
     # ---- common-subset wall ratio (the compute-bound box estimator) ----
-    common = [k for k in oq if k in nq]
-    osum = sum(oq[k] for k in common)
-    rsub = (sum(nq[k] for k in common) / osum) if common and osum > 0 else None
+    # Median of per-line ratios (over lines big enough to carry signal),
+    # NOT the sum ratio: a few deliberately reworked lines (e.g.
+    # masses_probe 9.5s->1.3s in r17) would skew a sum-based estimator
+    # and poison the expected-box band for every other line. --exclude
+    # drops named lines (comma-separated) from the estimator entirely.
+    excluded = set()
+    for i, a in enumerate(sys.argv):
+        if a == "--exclude" and i + 1 < len(sys.argv):
+            excluded |= set(sys.argv[i + 1].split(","))
+    common = [k for k in oq if k in nq and qname(k) not in excluded
+              and k not in excluded]
+    line_ratios = sorted(nq[k] / oq[k] for k in common if oq[k] >= 0.3)
+    rsub = line_ratios[len(line_ratios) // 2] if line_ratios else None
     if rsub:
-        print(f"common-subset wall ratio: {rsub:.2f}x over {len(common)} lines")
+        osum = sum(oq[k] for k in common)
+        rsum = (sum(nq[k] for k in common) / osum) if osum > 0 else float("nan")
+        print(f"common-subset wall ratio: median {rsub:.2f}x over "
+              f"{len(line_ratios)} lines (sum-ratio {rsum:.2f}x"
+              f"{'; excluded ' + ','.join(sorted(excluded)) if excluded else ''})")
 
     # ---- per-query walls: every line gets an expected-box band ----
     flags = unadjudicated = 0
