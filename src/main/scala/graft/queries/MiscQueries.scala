@@ -593,8 +593,15 @@ object MiscQueries {
     * degenerate-corpus branches synthetically.
     */
   private[graft] def skylineCore(docsIn: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val dims = tracked(docsIn
+      : org.apache.spark.sql.DataFrame =
+    gridSkyline(tracked(skyDims(docsIn)))
+
+  /** The three integer curation dims of [[q179Skyline]]/
+    * [[q180SkylineDelete]] over a documents(doc_id, text) frame.
+    */
+  private[graft] def skyDims(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docsIn
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
@@ -602,7 +609,24 @@ object MiscQueries {
         expr("(1000000L * size(array_distinct(transform(sequence(1, size(ws) - 2), " +
           "i -> concat_ws(' ', slice(ws, i, 3)))))) DIV (size(ws) - 2)").as("rich"),
         expr("(1000000L * size(filter(ws, x -> x = 'the' OR x = 'a'))) DIV size(ws)")
-          .as("stop")))
+          .as("stop"))
+
+  /** Dominance of alias `b` over alias `a` on (nt ↑, rich ↑, stop ↓):
+    * ≥ on all three, strict on at least one (equal tuples never
+    * dominate each other — ties co-survive).
+    */
+  private def domCol(b: String, a: String) =
+    col(s"$b.nt") >= col(s"$a.nt") && col(s"$b.rich") >= col(s"$a.rich") &&
+      col(s"$b.stop") <= col(s"$a.stop") &&
+      (col(s"$b.nt") > col(s"$a.nt") || col(s"$b.rich") > col(s"$a.rich") ||
+        col(s"$b.stop") < col(s"$a.stop"))
+
+  /** The grid-partitioned two-phase skyline over a PERSISTED dims
+    * frame (doc_id, nt, rich, stop) — see [[q179Skyline]] for the
+    * stage audit.
+    */
+  private[graft] def gridSkyline(dims: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val b = dims.agg(min("nt").as("lnt"), max("nt").as("hnt"),
       min("rich").as("lr"), max("rich").as("hr"),
       min("stop").as("ls"), max("stop").as("hs"))
@@ -620,16 +644,64 @@ object MiscQueries {
         col("a.mxs") < col("c.mns"), "left_semi")
       .select(col("bn"), col("br"), col("bs"))
     val alive = tracked(cells.join(broadcast(deadCells), Seq("bn", "br", "bs"), "left_anti"))
-    def dominates(b: String, a: String) =
-      col(s"$b.nt") >= col(s"$a.nt") && col(s"$b.rich") >= col(s"$a.rich") &&
-        col(s"$b.stop") <= col(s"$a.stop") &&
-        (col(s"$b.nt") > col(s"$a.nt") || col(s"$b.rich") > col(s"$a.rich") ||
-          col(s"$b.stop") < col(s"$a.stop"))
     val local = tracked(alive.as("a").join(alive.as("b"),
       col("b.bn") === col("a.bn") && col("b.br") === col("a.br") &&
-        col("b.bs") === col("a.bs") && dominates("b", "a"), "left_anti"))
-    local.as("a").join(broadcast(local.as("b")), dominates("b", "a"), "left_anti")
+        col("b.bs") === col("a.bs") && domCol("b", "a"), "left_anti"))
+    local.as("a").join(broadcast(local.as("b")), domCol("b", "a"), "left_anti")
       .select(col("doc_id"), col("nt"), col("rich"), col("stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multiplier/increment of [[q180SkylineDelete]]'s tombstone slice,
+    * (doc_id·M + C) mod 2³¹−1 < mod/8 (~12.6% of docs). The standard
+    * q153 slice (1103515245, 12345) MISSES the sf0.01 frontier
+    * entirely (its 4 frontier docs all draw high priorities — measured
+    * round 18 before wiring, the which-side-does-the-corpus-exercise
+    * lesson); this full-period LCG multiplier kills 1/1/2 frontier
+    * docs and exposes 1/1/2 replacements at sf0.001/0.01/0.1, so the
+    * repair branch is corpus-live at EVERY gate SF.
+    */
+  private[graft] val SkyDelM = 784588716L
+  private[graft] val SkyDelC = 12345L
+
+  /** EXT — incremental SKYLINE MAINTENANCE under deletion (the
+    * delete direction of q179, the round-16 lifecycle standard):
+    * tombstoning a FRONTIER doc may expose points it exclusively
+    * dominated, so the frontier needs repair — but never a full
+    * recompute. Repair algebra: survivors dominated by a SURVIVING
+    * frontier point can never enter (their dominator is still live),
+    * so candidates = survivors anti-joined against the ≤|F₀|-row
+    * broadcast surviving frontier — 8–12 docs of 437–4373 live at the
+    * gate SFs (measured) — and the new frontier is the skyline of
+    * that candidate set (one broadcast anti-join; were the dead
+    * frontier's exclusive-dominance regions ever large, this stage
+    * would nest [[gridSkyline]] instead). The in-query require pins
+    * non-vacuity: the wave must kill ≥1 frontier doc or the operator
+    * throws (the q177 discipline).
+    *
+    * Oracle: BLIND full recompute of both the pre- and post-delete
+    * skylines over raw docs (no repair algebra), exposed =
+    * membership diff — so the gate proves the repair law, not the
+    * implementation twice.
+    */
+  val q180SkylineDelete: Q = (s, d) => skylineDeleteCore(documents(s, d))
+
+  private[graft] def skylineDeleteCore(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dims = tracked(skyDims(docsIn))
+    val pri = (col("doc_id") * lit(SkyDelM) + lit(SkyDelC)) % lit(TextQueries.PriorityMod)
+    val bound = lit(TextQueries.PriorityMod / 8L)
+    val f0 = tracked(gridSkyline(dims))
+    val deadF = f0.filter(pri < bound).count()
+    require(deadF >= 1,
+      s"q180: delete slice missed the frontier (deadF=$deadF) — repair vacuous; re-measure SkyDelM")
+    val survF = f0.filter(pri >= bound)
+    val live = dims.filter(pri >= bound)
+    val cand = tracked(live.as("a").join(broadcast(survF.as("b")), domCol("b", "a"), "left_anti"))
+    cand.as("a").join(broadcast(cand.as("b")), domCol("b", "a"), "left_anti")
+      .join(f0.select(col("doc_id"), lit(1).as("in_f0")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt"), col("rich"), col("stop"),
+        when(col("in_f0").isNull, lit(1)).otherwise(lit(0)).cast("int").as("exposed"))
       .orderBy(col("doc_id"))
   }
 
@@ -638,6 +710,7 @@ object MiscQueries {
     "q141_salted_agg"  -> q141SaltedAgg,
     "q178_phrase_search" -> q178PhraseSearch,
     "q179_skyline"     -> q179Skyline,
+    "q180_skyline_delete" -> q180SkylineDelete,
     "q48_leadlag_ntile" -> q48LeadLagNtile,
     "q49_except_all"   -> q49ExceptAll,
     "q50_range_frame"  -> q50RangeFrame,
@@ -791,6 +864,32 @@ object MiscQueries {
         |  CAST(COALESCE(m.p, -1) AS INT) AS pos
         |FROM ph q LEFT JOIN m ON q.qid = m.qid
         |ORDER BY 1, 3, 4""".stripMargin,
+    // q180's oracle recomputes BOTH skylines blind (no repair
+    // algebra); the Spark side repairs incrementally from the
+    // surviving frontier — the gate proves the repair law.
+    "q180_skyline_delete" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE length(string_split(text, ' ')) >= 3),
+        |dims AS (SELECT doc_id, CAST(length(ws) AS BIGINT) AS nt,
+        |  (1000000 * length(list_distinct([list_aggregate(ws[i:i+2], 'string_agg', ' ')
+        |     for i in generate_series(1, length(ws) - 2)]))) // (length(ws) - 2) AS rich,
+        |  (1000000 * length(list_filter(ws, x -> x = 'the' OR x = 'a'))) // length(ws) AS stop
+        |  FROM w),
+        |sky0 AS (SELECT a.* FROM dims a WHERE NOT EXISTS (
+        |  SELECT 1 FROM dims b
+        |  WHERE b.nt >= a.nt AND b.rich >= a.rich AND b.stop <= a.stop
+        |    AND (b.nt > a.nt OR b.rich > a.rich OR b.stop < a.stop))),
+        |live AS (SELECT * FROM dims
+        |  WHERE (doc_id * ${SkyDelM} + ${SkyDelC}) % ${TextQueries.PriorityMod}
+        |        >= ${TextQueries.PriorityMod / 8L}),
+        |sky1 AS (SELECT a.* FROM live a WHERE NOT EXISTS (
+        |  SELECT 1 FROM live b
+        |  WHERE b.nt >= a.nt AND b.rich >= a.rich AND b.stop <= a.stop
+        |    AND (b.nt > a.nt OR b.rich > a.rich OR b.stop < a.stop)))
+        |SELECT a.doc_id, a.nt, a.rich, a.stop,
+        |  CAST(CASE WHEN s0.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS exposed
+        |FROM sky1 a LEFT JOIN sky0 s0 ON a.doc_id = s0.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     // q179's oracle is the brute all-pairs NOT EXISTS — the gate
     // proves the Spark side's grid pre-prune + two-phase skyline
     // complete (no frontier doc lost to a pruned cell).

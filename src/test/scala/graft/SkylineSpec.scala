@@ -74,6 +74,68 @@ class SkylineSpec extends AnyFunSuite {
       !deadDocs.contains((nt, rich, stop)) })
   }
 
+  test("q180 repair ≡ blind model over survivors at sf0.001; exposure live; vacuity guard throws") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 3)
+    val dims = docs.map { case (id, ws) => id -> dimsOf(ws) }
+    val M = queries.MiscQueries.SkyDelM
+    val C = queries.MiscQueries.SkyDelC
+    val mod = queries.TextQueries.PriorityMod
+    def liveId(id: Long) = (id * M + C) % mod >= mod / 8
+    val live = dims.filter(t => liveId(t._1))
+    val sky1 = live.filter { case (_, a) =>
+      !live.exists { case (_, b) => dominates(b, a) }
+    }
+    val sky0Ids = dims.filter { case (_, a) =>
+      !dims.exists { case (_, b) => dominates(b, a) }
+    }.map(_._1).toSet
+    val expect = sky1.map { case (id, (nt, rich, stop)) =>
+      (id, nt, rich, stop, if (sky0Ids(id)) 0 else 1)
+    }.toSet
+    val out = SparkEntry.queries("q180_skyline_delete")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out == expect, s"repair mismatch: got $out expected $expect")
+    assert(out.exists(_._5 == 1), "no exposed doc at sf0.001 — repair branch dormant")
+    assert(sky0Ids.exists(id => !liveId(id)), "slice killed no frontier doc — vacuous")
+
+    // the in-query vacuity guard: a corpus whose frontier survives the
+    // slice must THROW, not silently return a no-op repair
+    import spark.implicits._
+    val liveStrongId = Iterator.from(0).map(_.toLong).find(liveId).get
+    val deadWeakId = Iterator.from(0).map(_.toLong)
+      .find(id => !liveId(id) && id != liveStrongId).get
+    val synth = Seq(
+      (liveStrongId, (1 to 30).map(i => s"s$i").mkString(" ")),
+      (deadWeakId, "the a the y1 y2")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      queries.MiscQueries.skylineDeleteCore(synth).collect()
+    }
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(ex.getMessage.contains("repair vacuous"))
+
+    // synthetic exposure: a dead frontier doc exclusively dominating a
+    // live doc must expose it
+    val liveMidId = Iterator.from(liveStrongId.toInt + 1).map(_.toLong)
+      .find(id => liveId(id) && id != liveStrongId).get
+    val deadTopId = Iterator.from(0).map(_.toLong)
+      .find(id => !liveId(id) && id != deadWeakId).get
+    val synth2 = Seq(
+      (deadTopId, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (liveMidId, (1 to 20).map(i => s"m$i").mkString(" ")),
+      (liveStrongId, "the a the z1 z2")).toDF("doc_id", "text")
+    val out2 = queries.MiscQueries.skylineDeleteCore(synth2)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out2 == Set((liveMidId, 1)),
+      s"exposure repair wrong: $out2 (expected only ($liveMidId, exposed=1))")
+  }
+
   test("equal-tuple ties both survive; one-doc corpus is its own frontier") {
     import spark.implicits._
     // t1/t2: identical texts (identical dims, frontier-dominant on nt);
