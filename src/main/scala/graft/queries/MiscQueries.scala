@@ -705,12 +705,54 @@ object MiscQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXT — incremental SKYLINE MAINTENANCE under insertion (the
+    * append direction; with q179 build and q180 delete this closes
+    * the family's lifecycle row — update = delete∘append by the
+    * standard composition, recorded in COVERAGE.md). Insert law: a
+    * base point outside the base frontier is dominated by a base
+    * point whose dominator chain ends on the frontier (dominance is
+    * transitive), so it can never re-enter — the post-wave frontier
+    * is the skyline of (base frontier ∪ inserts), ≤|F₀|+|wave| rows
+    * against a corpus-sized recompute. The wave here is the
+    * [[SkyDelM]] slice arriving late (~12.6%): measured round 18,
+    * 1/1/2 inserted docs ENTER the frontier and 1/1/2 base-frontier
+    * docs are displaced at sf0.001/0.01/0.1 — both branches
+    * corpus-live at every gate SF, pinned by the in-query requires.
+    *
+    * Oracle: blind full-corpus skyline (no incremental algebra) with
+    * the arrival flag recomputed from the slice predicate — the gate
+    * proves the insert law.
+    */
+  val q181SkylineAppend: Q = (s, d) => skylineAppendCore(documents(s, d))
+
+  private[graft] def skylineAppendCore(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dims = tracked(skyDims(docsIn))
+    val pri = (col("doc_id") * lit(SkyDelM) + lit(SkyDelC)) % lit(TextQueries.PriorityMod)
+    val bound = lit(TextQueries.PriorityMod / 8L)
+    val base = dims.filter(pri >= bound)
+    val wave = dims.filter(pri < bound).withColumn("appended", lit(1))
+    val f0 = tracked(gridSkyline(base).withColumn("appended", lit(0)))
+    val cand = tracked(f0.unionByName(wave))
+    val f1 = tracked(cand.as("a")
+      .join(broadcast(cand.as("b")), domCol("b", "a"), "left_anti"))
+    val nEnter = f1.filter(col("appended") === 1).count()
+    val nDisplaced = f0.as("a")
+      .join(f1.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    require(nEnter >= 1 && nDisplaced >= 1,
+      s"q181: append wave is vacuous (enter=$nEnter displaced=$nDisplaced) — re-measure SkyDelM")
+    f1.select(col("doc_id"), col("nt"), col("rich"), col("stop"),
+        col("appended").cast("int").as("appended"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_asof_join"    -> q47AsofJoin,
     "q141_salted_agg"  -> q141SaltedAgg,
     "q178_phrase_search" -> q178PhraseSearch,
     "q179_skyline"     -> q179Skyline,
     "q180_skyline_delete" -> q180SkylineDelete,
+    "q181_skyline_append" -> q181SkylineAppend,
     "q48_leadlag_ntile" -> q48LeadLagNtile,
     "q49_except_all"   -> q49ExceptAll,
     "q50_range_frame"  -> q50RangeFrame,
@@ -864,6 +906,25 @@ object MiscQueries {
         |  CAST(COALESCE(m.p, -1) AS INT) AS pos
         |FROM ph q LEFT JOIN m ON q.qid = m.qid
         |ORDER BY 1, 3, 4""".stripMargin,
+    // q181's oracle is the blind FULL-corpus skyline with the arrival
+    // flag recomputed from the slice predicate — the gate proves the
+    // insert law (frontier of base-frontier ∪ wave ≡ frontier of all).
+    "q181_skyline_append" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE length(string_split(text, ' ')) >= 3),
+        |dims AS (SELECT doc_id, CAST(length(ws) AS BIGINT) AS nt,
+        |  (1000000 * length(list_distinct([list_aggregate(ws[i:i+2], 'string_agg', ' ')
+        |     for i in generate_series(1, length(ws) - 2)]))) // (length(ws) - 2) AS rich,
+        |  (1000000 * length(list_filter(ws, x -> x = 'the' OR x = 'a'))) // length(ws) AS stop
+        |  FROM w)
+        |SELECT a.doc_id, a.nt, a.rich, a.stop,
+        |  CAST(CASE WHEN (a.doc_id * ${SkyDelM} + ${SkyDelC}) % ${TextQueries.PriorityMod}
+        |       < ${TextQueries.PriorityMod / 8L} THEN 1 ELSE 0 END AS INT) AS appended
+        |FROM dims a WHERE NOT EXISTS (
+        |  SELECT 1 FROM dims b
+        |  WHERE b.nt >= a.nt AND b.rich >= a.rich AND b.stop <= a.stop
+        |    AND (b.nt > a.nt OR b.rich > a.rich OR b.stop < a.stop))
+        |ORDER BY a.doc_id""".stripMargin,
     // q180's oracle recomputes BOTH skylines blind (no repair
     // algebra); the Spark side repairs incrementally from the
     // surviving frontier — the gate proves the repair law.

@@ -136,6 +136,36 @@ class SkylineSpec extends AnyFunSuite {
       s"exposure repair wrong: $out2 (expected only ($liveMidId, exposed=1))")
   }
 
+  test("q181 append ≡ blind full-corpus model at sf0.001; enter and displace branches live") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 3)
+    val dims = docs.map { case (id, ws) => id -> dimsOf(ws) }
+    val M = queries.MiscQueries.SkyDelM
+    val C = queries.MiscQueries.SkyDelC
+    val mod = queries.TextQueries.PriorityMod
+    def inWave(id: Long) = (id * M + C) % mod < mod / 8
+    val expect = dims.filter { case (_, a) =>
+      !dims.exists { case (_, b) => dominates(b, a) }
+    }.map { case (id, (nt, rich, stop)) =>
+      (id, nt, rich, stop, if (inWave(id)) 1 else 0)
+    }.toSet
+    val out = SparkEntry.queries("q181_skyline_append")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    assert(out == expect, s"append frontier mismatch: got $out expected $expect")
+    assert(out.exists(_._5 == 1), "no appended doc entered the frontier")
+    // displacement: some base-only frontier doc must be absent from the
+    // final frontier (the base skyline computed by the model)
+    val base = dims.filter(t => !inWave(t._1))
+    val f0 = base.filter { case (_, a) =>
+      !base.exists { case (_, b) => dominates(b, a) } }.map(_._1).toSet
+    assert(f0.exists(id => !out.exists(_._1 == id)),
+      "append wave displaced no base-frontier doc — branch dormant")
+  }
+
   test("equal-tuple ties both survive; one-doc corpus is its own frontier") {
     import spark.implicits._
     // t1/t2: identical texts (identical dims, frontier-dominant on nt);
