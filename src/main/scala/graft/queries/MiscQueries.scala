@@ -725,6 +725,19 @@ object MiscQueries {
     */
   val q181SkylineAppend: Q = (s, d) => skylineAppendCore(documents(s, d))
 
+  /** One append wave of the insert law: frontier(state ∪ wave) — the
+    * streaming-fold step (state is frontier-sized; each fold touches
+    * |F|+|wave| rows only). Extra columns pass through untouched;
+    * dominance reads nt/rich/stop. SkylineSpec proves the ROLLING
+    * fold over an arbitrary wave partition ≡ the blind full frontier
+    * (the EXT-48 merge-law discipline).
+    */
+  private[graft] def skylineFold(state: org.apache.spark.sql.DataFrame,
+      wave: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = tracked(state.unionByName(wave))
+    cand.as("a").join(broadcast(cand.as("b")), domCol("b", "a"), "left_anti")
+  }
+
   private[graft] def skylineAppendCore(docsIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dims = tracked(skyDims(docsIn))
@@ -733,9 +746,7 @@ object MiscQueries {
     val base = dims.filter(pri >= bound)
     val wave = dims.filter(pri < bound).withColumn("appended", lit(1))
     val f0 = tracked(gridSkyline(base).withColumn("appended", lit(0)))
-    val cand = tracked(f0.unionByName(wave))
-    val f1 = tracked(cand.as("a")
-      .join(broadcast(cand.as("b")), domCol("b", "a"), "left_anti"))
+    val f1 = tracked(skylineFold(f0, wave))
     val nEnter = f1.filter(col("appended") === 1).count()
     val nDisplaced = f0.as("a")
       .join(f1.select(col("doc_id")), Seq("doc_id"), "left_anti").count()

@@ -166,6 +166,27 @@ class SkylineSpec extends AnyFunSuite {
       "append wave displaced no base-frontier doc — branch dormant")
   }
 
+  test("rolling skylineFold over 5 waves ≡ blind full frontier (streaming twin law)") {
+    import org.apache.spark.sql.functions.col
+    val docsDf = Tables.documents(spark, d).select("doc_id", "text")
+    val dims = queries.MiscQueries.skyDims(docsDf).persist()
+    val waves = (0 until 5).map(k => dims.filter(col("doc_id") % 5 === k))
+    val folded = waves.foldLeft(dims.limit(0))(
+      (st, w) => queries.MiscQueries.skylineFold(st, w).localCheckpoint(true))
+    val got = folded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    dims.unpersist()
+    queries.releasePersisted()
+    spark.catalog.clearCache()
+    val docs = docsDf.collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 3)
+    val model = docs.map { case (id, ws) => id -> dimsOf(ws) }
+    val brute = model.filter { case (_, a) =>
+      !model.exists { case (_, b) => dominates(b, a) }
+    }.map { case (id, (nt, rich, stop)) => (id, nt, rich, stop) }.toSet
+    assert(got == brute, s"rolling fold drifted from the blind frontier: $got vs $brute")
+  }
+
   test("equal-tuple ties both survive; one-doc corpus is its own frontier") {
     import spark.implicits._
     // t1/t2: identical texts (identical dims, frontier-dominant on nt);
