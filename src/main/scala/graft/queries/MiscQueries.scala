@@ -747,9 +747,18 @@ object MiscQueries {
     val wave = dims.filter(pri < bound).withColumn("appended", lit(1))
     val f0 = tracked(gridSkyline(base).withColumn("appended", lit(0)))
     val f1 = tracked(skylineFold(f0, wave))
-    val nEnter = f1.filter(col("appended") === 1).count()
-    val nDisplaced = f0.as("a")
-      .join(f1.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    // both vacuity counts in ONE action (round-18: two driver-side
+    // count() jobs folded into a single union aggregate — the masses
+    // kv discipline; values unchanged, f0/f1 stay persisted for the
+    // final readout)
+    val checks = f1.filter(col("appended") === 1)
+      .select(lit("enter").as("k"))
+      .unionByName(f0.join(f1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(lit("displaced").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nEnter = checks.getOrElse("enter", 0L)
+    val nDisplaced = checks.getOrElse("displaced", 0L)
     require(nEnter >= 1 && nDisplaced >= 1,
       s"q181: append wave is vacuous (enter=$nEnter displaced=$nDisplaced) — re-measure SkyDelM")
     f1.select(col("doc_id"), col("nt"), col("rich"), col("stop"),

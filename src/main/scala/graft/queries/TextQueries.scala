@@ -2813,8 +2813,9 @@ object TextQueries {
     * read it per session (q143's search, q152's delete-repair), so the
     * build is charged to the `graph_memo_build` bench line and each
     * query's timed run shows its own serving/maintenance cost.
-    * `checkpoint = false`: the greedy already localCheckpoints every
-    * step, so the returned frame reads only checkpointed state.
+    * `checkpoint = false`: the flattened greedy ends in its own eager
+    * localCheckpoint, so the returned frame reads only checkpointed
+    * state.
     */
   private[graft] def divEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.ops.TowerMemo.memoize(s, d, "div_edges", checkpoint = false) {
@@ -2828,8 +2829,9 @@ object TextQueries {
   /** The OLD-generation diversified edge list — q151's frozen
     * adjacency, session-memoized with its substrate (see
     * [[graft.ops.TowerMemo.oldEdgeAssigned]]'s accounting note).
-    * `checkpoint = false`: the greedy already localCheckpoints every
-    * step, so the returned frame reads only checkpointed state.
+    * `checkpoint = false`: the flattened greedy ends in its own eager
+    * localCheckpoint, so the returned frame reads only checkpointed
+    * state.
     */
   private[graft] def oldDivEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.ops.TowerMemo.memoize(s, d, "old_div_edges", checkpoint = false) {
@@ -2847,55 +2849,81 @@ object TextQueries {
     * `conflictPairs` pointing at the FULL pair table (repair candidates
     * are a strict subset of a vertex's cell, but the conflict lookup
     * cos(candidate, kept) must see every within-cell pair). `hold`
-    * persists multi-consumer intermediates (the candidate table is read
-    * by every step).
+    * persists multi-consumer intermediates (the candidate table feeds
+    * the greedy and both sides of the pairwise-cosine self-join).
     */
   private[graft] def divEdgesOver(pairs: org.apache.spark.sql.DataFrame,
       hold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      conflictPairs: org.apache.spark.sql.DataFrame = null) =
-    // fixed-shape unrolled greedy: every step eagerly checkpoints, join
-    // keys are degree-bounded (≤ DivEfC candidates / ≤ K kept per src),
-    // so the loop runs under the AQE-off scope (LoopScope doc) — one
-    // job per step instead of one per exchange
-    graft.ops.LoopScope.aqeOff(pairs.sparkSession) {
+      conflictPairs: org.apache.spark.sql.DataFrame = null) = {
+    // round-18 flatten (guide §1.2 step 1 / §2.4): the former
+    // KnnGK-step unrolled loop (per-step conflict joins + anti-joins +
+    // best1 + eager checkpoint — ~20 jobs per build) IS the classical
+    // sequential heuristic-2 scan: walk candidates in (cos desc, dst
+    // asc) order, keep c iff |kept| < KnnGK and no kept k has
+    // cos(c, k) >= cos(src, c). Proof the loop computes exactly that:
+    // each step keeps the max-order candidate not conflicted by
+    // kept-so-far, and conflict sets only GROW as kept grows, so
+    // anything passed over at step t stays conflicted forever — the
+    // per-key decision sequence is identical. The scan is local to one
+    // key's ≤ DivEfC candidates, so it folds into ONE aggregation
+    // (h2GreedyKept) with the pairwise conflict cosines pre-joined:
+    // same pair-table doubles, same comparisons, same tie order ⇒
+    // bit-identical kept sets (oracle-gated at both SFs + GraphDivSpec/
+    // GraphLifecycleSpec). Conflict-cosine mass is n·DivEfC² ordered
+    // candidate pairs — the same envelope the loop probed
+    // incrementally — but in one equi-join stage instead of
+    // 2·(KnnGK−1) joins + (KnnGK−1) checkpoint barriers.
     val cpairs = if (conflictPairs != null) conflictPairs else pairs
     val wsrc = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val cand = hold(pairs.withColumn("rk", row_number().over(wsrc))
-      .filter(col("rk") <= DivEfC).select(col("src"), col("dst"), col("cos")))
-    // per-source best candidate = invariant 8's min(struct) — a hash
-    // aggregate with map-side partial reduction, not a per-step window
-    // sort; min(struct(-cos, dst)) is exactly orderBy(cos desc, dst)
-    // rank 1 (the negated double is compared, never emitted).
-    // ASSUMES cos is non-null and non-NaN: every caller's cos is
-    // DotFold/(na·nb) over vectors with nonzero norm (true of this
-    // corpus — no zero-norm embedding exists). If a NaN cos ever
-    // appeared, min(struct) ranks NaN LAST while the beam-hop
-    // sorted-desc slice (graphBeamSearch) ranks NaN FIRST — the two
-    // per-key-top-1 rewrites would silently disagree; a future corpus
-    // with zero-norm vectors must guard cos where `pairs` is built
-    // (TowerMemo.cellPairs and friends), not here.
-    def best1(c: org.apache.spark.sql.DataFrame) = c
-      .groupBy(col("src"))
-      .agg(min(struct((-col("cos")).as("nc"), col("dst"))).as("m"))
-      .select(col("src"), col("m.dst").as("dst"))
-    var kept = best1(cand).loopCkpt
-    for (_ <- 2 to KnnGK) {
-      // a candidate conflicts when some kept neighbor is at least as
-      // close to it as the source is. No distinct: the conflict set
-      // only ever feeds an anti-join, which ignores right-side
-      // duplicates.
-      val conflicts = cand.as("c")
-        .join(kept.as("k"), col("c.src") === col("k.src") && col("c.dst") =!= col("k.dst"))
-        .join(cpairs.as("p"),
-          col("p.src") === col("c.dst") && col("p.dst") === col("k.dst"))
-        .filter(col("p.cos") >= col("c.cos"))
-        .select(col("c.src").as("src"), col("c.dst").as("dst"))
-      val alive = cand
-        .join(kept, Seq("src", "dst"), "left_anti")
-        .join(conflicts, Seq("src", "dst"), "left_anti")
-      kept = kept.union(best1(alive)).loopCkpt
-    }
-    kept
+      .filter(col("rk") <= DivEfC)
+      .select(col("src"), col("dst").as("vec_id"), col("cos")))
+    // both endpoints of a candidate pair share the source's cell, so
+    // every conflict cosine is an existing cpairs row (the q152
+    // full-pair-table lookup included)
+    val pcos = cand.select(col("src"), col("vec_id"))
+      .join(cand.select(col("src"), col("vec_id").as("kid")), Seq("src"))
+      .filter(col("vec_id") =!= col("kid"))
+      .join(cpairs.select(col("src").as("vec_id"), col("dst").as("kid"),
+        col("cos").as("pcos")), Seq("vec_id", "kid"))
+      .select(col("src"), col("vec_id"), col("kid"), col("pcos"))
+    h2GreedyKept(cand, "src", pcos)
+      .select(col("src"), col("vec_id").as("dst"))
+      .localCheckpoint(true)
+  }
+
+  /** One-shot heuristic-2 greedy over per-key candidate lists with
+    * pre-joined pairwise conflict cosines — the flattened core of
+    * [[divEdgesOver]] and [[heuristic2FoldPrune]]. `cand`:
+    * (key, vec_id, cos); `pcos`: (key, vec_id, kid, pcos) — the
+    * conflict cosine of ordered candidate pair (vec_id, kid); a
+    * missing pair row means no conflict (try_element_at's null mirrors
+    * the loop's inner-join semantics — exists over null-only results
+    * is null, and CASE WHEN null falls through to keep). Sort ties:
+    * the comparator on raw doubles agrees with the window's
+    * normalized sort because cos is non-null/non-NaN here (the best1
+    * NaN caveat, unchanged) and ±0.0 compare equal either way.
+    * Returns the kept (key, vec_id) pairs — at most [[KnnGK]] per key,
+    * first-unconflicted-in-order, bit-identical to the former loop.
+    */
+  private def h2GreedyKept(cand: org.apache.spark.sql.DataFrame, key: String,
+      pcos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cmap = pcos.groupBy(col(key), col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("kid"), col("pcos")))).as("cm"))
+    cand.join(cmap, Seq(key, "vec_id"), "left")
+      .groupBy(col(key))
+      .agg(collect_list(struct(col("cos"), col("vec_id"), col("cm"))).as("cs0"))
+      .select(col(key), explode(expr(
+        s"""aggregate(
+           |  array_sort(cs0, (l, r) -> CASE
+           |    WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+           |    WHEN l.vec_id < r.vec_id THEN -1 WHEN l.vec_id > r.vec_id THEN 1
+           |    ELSE 0 END),
+           |  CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, c) -> CASE
+           |    WHEN size(acc) >= $KnnGK THEN acc
+           |    WHEN exists(acc, k -> try_element_at(c.cm, k) >= c.cos) THEN acc
+           |    ELSE array_append(acc, c.vec_id) END)""".stripMargin)).as("vec_id"))
   }
 
   val q126KnnCentrality: Q = (s, d) => {
@@ -3364,37 +3392,28 @@ object TextQueries {
     * greedy. `cand` carries (`key`, vec_id, cos); returns the kept
     * (`key`, vec_id) pairs.
     */
-  private[graft] def heuristic2FoldPrune(cand: org.apache.spark.sql.DataFrame,
+  private[graft] def heuristic2FoldPrune(cand0: org.apache.spark.sql.DataFrame,
       key: String, vecs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    // fixed-shape unrolled greedy (degree-bounded keys, per-step eager
-    // checkpoints) — AQE-off scope, see LoopScope
-    graft.ops.LoopScope.aqeOff(cand.sparkSession) {
+      : org.apache.spark.sql.DataFrame = {
+    // round-18 flatten — the divEdgesOver rationale verbatim, with the
+    // conflict cosine a FRESH DotFold (candidates span cells): all
+    // n·DivEfC² ordered-pair folds in one stage replace the loop's
+    // incremental cand×kept folds (≤ the same mass, spread over
+    // 2·(KnnGK−1) join stages + checkpoint barriers). DotFold is
+    // per-component commutative-multiply left-fold, so the (c, k)
+    // ordered fold here is bitwise the loop's.
     import graft.functions.DotFold
-    // invariant-8 per-key top-1 (orderBy(cos desc, vec_id) rank 1 as a
-    // map-side min(struct) aggregate — the divEdgesOver best1 rationale)
-    def best1(c: org.apache.spark.sql.DataFrame) = c
-      .groupBy(col(key))
-      .agg(min(struct((-col("cos")).as("nc"), col("vec_id"))).as("m"))
-      .select(col(key), col("m.vec_id").as("vec_id"))
-    var kept = best1(cand).loopCkpt
-    for (_ <- 2 to KnnGK) {
-      // no distinct on conflicts: it only feeds an anti-join
-      val conflicts = cand.as("c")
-        .join(kept.as("k"),
-          col(s"c.$key") === col(s"k.$key") && col("c.vec_id") =!= col("k.vec_id"))
-        .join(vecs.select(col("vec_id").as("cv_id"), col("v").as("cv"), col("nrm").as("cn")),
-          col("c.vec_id") === col("cv_id"))
-        .join(vecs.select(col("vec_id").as("kv_id"), col("v").as("kv"), col("nrm").as("kn")),
-          col("k.vec_id") === col("kv_id"))
-        .filter(DotFold(col("cv"), col("kv")) / (col("cn") * col("kn")) >= col("c.cos"))
-        .select(col(s"c.$key").as(key), col("c.vec_id").as("vec_id"))
-      val alive = cand
-        .join(kept, Seq(key, "vec_id"), "left_anti")
-        .join(conflicts, Seq(key, "vec_id"), "left_anti")
-      kept = kept.union(best1(alive)).loopCkpt
-    }
-    kept
+    val cand = cand0.select(col(key), col("vec_id"), col("cos"))
+    val pcos = cand.select(col(key), col("vec_id"))
+      .join(cand.select(col(key), col("vec_id").as("kid")), Seq(key))
+      .filter(col("vec_id") =!= col("kid"))
+      .join(vecs.select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn")),
+        Seq("vec_id"))
+      .join(vecs.select(col("vec_id").as("kid"), col("v").as("kv"),
+        col("nrm").as("kn")), Seq("kid"))
+      .select(col(key), col("vec_id"), col("kid"),
+        (DotFold(col("cv"), col("kv")) / (col("cn") * col("kn"))).as("pcos"))
+    h2GreedyKept(cand, key, pcos).localCheckpoint(true)
   }
 
   /** q151's per-node attach over the frozen old graph, factored so the
@@ -4135,31 +4154,43 @@ object TextQueries {
   }
 
   val q107MmrRerank: Q = (s, d) => {
+    // round-18 flatten (the divEdgesOver rationale): the MmrK-step
+    // driver loop (per-step anti-join + sims join + argmax + eager
+    // checkpoint — ~12 jobs) is a per-qid sequential greedy over a
+    // 20-candidate pool whose objective 7·rel − 3·max_{s∈S} sim(c,s)
+    // is pure integer; the whole selection folds into ONE aggregation
+    // over the collected pool with the |Q|·pool² sims as per-candidate
+    // maps. Same longs, same argmax tie (max mmr, then min vid — here
+    // min of struct(−mmr, vid)) ⇒ identical picks/scores; the oracle
+    // (unrolled CTE steps) is unchanged and the hash gate proves it.
     val (cand, sims) = mmrPool(s, d)
-    val c0 = cand.select(col("qid"), col("vid"), col("rel"))
-    var selAll = c0.groupBy(col("qid"))
-      .agg(max(struct(col("rel"), (-col("vid")).as("negid"))).as("m"))
-      .select(col("qid"), (-col("m.negid")).as("vid"), lit(1).as("pick"),
-        (col("m.rel") * 7).as("score"))
-    for (t <- 2 to MmrK) {
-      val pSel = selAll.select(col("qid").as("sqid"), col("vid").as("sb"))
-      val step = c0.join(selAll.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
-        .as("r")
-        .join(sims.as("s"), col("r.qid") === col("s.qid") && col("s.a") === col("r.vid"))
-        .join(pSel, col("s.qid") === col("sqid") && col("s.b") === col("sb"))
-        .groupBy(col("r.qid").as("qid"), col("r.vid").as("vid"), col("r.rel").as("rel"))
-        .agg(max(col("s.sim")).as("ms"))
-        .select(col("qid"), col("vid"), (col("rel") * 7 - col("ms") * 3).as("mmr"))
-      // tiny table, three consumers next round — checkpoint kills the
-      // 3^k lineage fan-out (the q42/q91 trainer lesson)
-      selAll = selAll.union(step.groupBy(col("qid"))
-        .agg(max(struct(col("mmr"), (-col("vid")).as("negid"))).as("m"))
-        .select(col("qid"), (-col("m.negid")).as("vid"), lit(t).as("pick"),
-          col("m.mmr").as("score"))).localCheckpoint()
-    }
-    selAll
-      .select(col("qid").as("query_id"), col("pick").cast("int").as("pick"),
-        col("vid").as("vec_id"), col("score"))
+    val simMap = sims.groupBy(col("qid"), col("a").as("vid"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("sim")))).as("sm"))
+    val pool = cand.select(col("qid"), col("vid"), col("rel"))
+      .join(simMap, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("vid"), col("rel"), col("sm"))).as("cs"))
+    pool.select(col("qid").as("query_id"), explode(expr(
+      s"""aggregate(sequence(1, $MmrK),
+         |  CAST(array() AS ARRAY<STRUCT<pick: INT, vid: BIGINT, score: BIGINT>>),
+         |  (acc, t) -> array_append(acc,
+         |    aggregate(
+         |      transform(
+         |        filter(cs, c -> !exists(acc, s -> s.vid = c.vid)),
+         |        c -> struct(
+         |          -(7L * c.rel - 3L * coalesce(
+         |              array_max(transform(acc, s -> element_at(c.sm, s.vid))),
+         |              0L)) AS nm,
+         |          c.vid AS vid)),
+         |      CAST(NULL AS STRUCT<nm: BIGINT, vid: BIGINT>),
+         |      (b, c) -> CASE WHEN b IS NULL THEN c
+         |        WHEN c.nm < b.nm THEN c
+         |        WHEN c.nm = b.nm AND c.vid < b.vid THEN c
+         |        ELSE b END,
+         |      b -> struct(CAST(t AS INT) AS pick, b.vid AS vid, -b.nm AS score))))
+         |""".stripMargin)).as("r"))
+      .select(col("query_id"), col("r.pick").as("pick"), col("r.vid").as("vec_id"),
+        col("r.score").as("score"))
       .orderBy(col("query_id"), col("pick"))
   }
 
