@@ -6066,30 +6066,59 @@ object TextQueries {
     if (!StreamingPipeline.committedWaves(s, pipeDir).contains(1L)) {
       val docs0 = documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      // The four stores are DISJOINT directories and a wave's four
+      // writes share no state beyond the (thread-safe) session, so
+      // each wave submits them from a small thread pool (guide §2.6 —
+      // Spark's scheduler runs independent jobs concurrently; actions
+      // were only sequential because this driver code called them
+      // sequentially). commitWave still runs strictly AFTER all four
+      // writes land — the wave semantics and every store's on-disk
+      // state are byte-identical to the sequential drive, which is
+      // exactly what the unchanged q175/q177 oracle re-proves.
       // ---- wave 0: the full build in all four stores ----
-      StreamingCorpus.updateBatch(stores.corpusDir)(docs0, 0L)
-      StreamingLabels.mergeBatch(stores.labelDir)(dupPairs(s, d), 0L)
-      val cut = StreamingIndex.buildFrozen(s, d, stores.indexDir)
-      StreamingIndex.appendBatch(stores.indexDir)(
-        s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id"), col("embedding"))
-          .filter(col("vec_id") >= cut), 0L)
-      StreamingLm.updateBatch(stores.lmDir)(
-        docs0.select(col("doc_id"), col("text")), 0L)
+      parDrive(
+        () => StreamingCorpus.updateBatch(stores.corpusDir)(docs0, 0L),
+        () => StreamingLabels.mergeBatch(stores.labelDir)(dupPairs(s, d), 0L),
+        () => {
+          val cut = StreamingIndex.buildFrozen(s, d, stores.indexDir)
+          StreamingIndex.appendBatch(stores.indexDir)(
+            s.read.parquet(s"$d/embeddings.parquet")
+              .select(col("vec_id"), col("embedding"))
+              .filter(col("vec_id") >= cut), 0L)
+        },
+        () => StreamingLm.updateBatch(stores.lmDir)(
+          docs0.select(col("doc_id"), col("text")), 0L))
       StreamingPipeline.commitWave(s, pipeDir, 0L)
       // ---- wave 1: the composed maintenance wave ----
       val upd = updDocs(s, d).filter(updSlicePred(col("doc_id")))
-      StreamingCorpus.updateBatch(stores.corpusDir)(
-        docs0.select(col("doc_id"), col("source"), col("lang"))
-          .join(upd, Seq("doc_id"))
-          .select(col("doc_id"), col("source"), col("lang"), col("text")), 1L)
-      StreamingLabels.updateBatch(stores.labelDir)(
-        upd.select(col("doc_id").as("id")), updNewPairs(s, d), 1L)
-      StreamingIndex.deleteBatch(stores.indexDir)(indexDeadIds(s, d), 1L)
-      StreamingLm.updateBatch(stores.lmDir)(upd, 1L)
+      parDrive(
+        () => StreamingCorpus.updateBatch(stores.corpusDir)(
+          docs0.select(col("doc_id"), col("source"), col("lang"))
+            .join(upd, Seq("doc_id"))
+            .select(col("doc_id"), col("source"), col("lang"), col("text")), 1L),
+        () => StreamingLabels.updateBatch(stores.labelDir)(
+          upd.select(col("doc_id").as("id")), updNewPairs(s, d), 1L),
+        () => StreamingIndex.deleteBatch(stores.indexDir)(indexDeadIds(s, d), 1L),
+        () => StreamingLm.updateBatch(stores.lmDir)(upd, 1L))
       StreamingPipeline.commitWave(s, pipeDir, 1L)
     }
     (pipeDir, stores)
+  }
+
+  /** Run independent per-store driver actions concurrently (guide
+    * §2.6: overlap independent jobs so one store's job tail back-fills
+    * with the next store's tasks). Blocks until ALL complete; the
+    * first failure rethrows after the pool drains, so a failed wave
+    * never half-commits (commitWave is the caller's next statement).
+    */
+  private def parDrive(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val fs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = t()
+      }))
+      fs.foreach(_.get())
+    } finally pool.shutdown()
   }
 
   /** The consistent four-store readout AS OF wave 1 — shared by q175
@@ -6163,10 +6192,15 @@ object TextQueries {
     import graft.streaming.{StreamingCorpus, StreamingIndex, StreamingLabels,
       StreamingLm}
     val (pipeDir, stores) = pipelineWaveState(s, d)
-    StreamingCorpus.compactCorpus(s, stores.corpusDir)
-    StreamingLabels.compactPairLog(s, stores.labelDir)
-    StreamingIndex.compact(s, stores.indexDir)
-    StreamingLm.compactLm(s, stores.lmDir)
+    // the four compactors touch four disjoint stores — run them
+    // concurrently (guide §2.6, the pipelineWaveState drive rationale);
+    // each is internally unchanged (fold + digest + checked-rename
+    // swap), and the horizon checks below run only after all four
+    parDrive(
+      () => StreamingCorpus.compactCorpus(s, stores.corpusDir),
+      () => StreamingLabels.compactPairLog(s, stores.labelDir),
+      () => StreamingIndex.compact(s, stores.indexDir),
+      () => StreamingLm.compactLm(s, stores.lmDir))
     val horizons = Seq(
       "corpus" -> StreamingCorpus.compactionHorizon(s, stores.corpusDir),
       "labels" -> StreamingLabels.compactionHorizon(s, stores.labelDir),
