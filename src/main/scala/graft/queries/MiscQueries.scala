@@ -691,7 +691,11 @@ object MiscQueries {
     val dims = tracked(skyDims(docsIn))
     val pri = (col("doc_id") * lit(SkyDelM) + lit(SkyDelC)) % lit(TextQueries.PriorityMod)
     val bound = lit(TextQueries.PriorityMod / 8L)
-    val f0 = tracked(gridSkyline(dims))
+    // eager checkpoint truncates the grid cascade's nested-cache
+    // lineage (the r3/q42 plan-growth discipline): every consumer below
+    // (dead count, surviving-frontier broadcast, final in_f0 join)
+    // replans a frontier-sized LogicalRDD instead of the whole grid
+    val f0 = tracked(gridSkyline(dims).localCheckpoint(true))
     val deadF = f0.filter(pri < bound).count()
     require(deadF >= 1,
       s"q180: delete slice missed the frontier (deadF=$deadF) — repair vacuous; re-measure SkyDelM")
@@ -745,7 +749,9 @@ object MiscQueries {
     val bound = lit(TextQueries.PriorityMod / 8L)
     val base = dims.filter(pri >= bound)
     val wave = dims.filter(pri < bound).withColumn("appended", lit(1))
-    val f0 = tracked(gridSkyline(base).withColumn("appended", lit(0)))
+    // same checkpoint discipline as the delete arm: f0 bounds the fold
+    val f0 = tracked(gridSkyline(base).withColumn("appended", lit(0))
+      .localCheckpoint(true))
     val f1 = tracked(skylineFold(f0, wave))
     // both vacuity counts in ONE action (round-18: two driver-side
     // count() jobs folded into a single union aggregate — the masses
